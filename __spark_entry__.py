@@ -20,10 +20,10 @@ from streaming_cdc_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: string-match first-occurrence clustering (reference
-    string_match.py:22-28) on sf0.001 — upgraded to the cosine-threshold
-    connected-components pipeline once queries.cdc lands."""
-    return QUERIES["string_match_clusters"](spark, "/root/testdata/sf0.001")
+    """Flagship: cosine-threshold clustering (similarity self-join →
+    connected components) joined to gold labels — the heart of the
+    reference (nn_thresh.py) — on sf0.001."""
+    return QUERIES["cluster_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,51 @@
+"""Vector math as JVM-side Column expressions (no Python in the hot
+path). These express the reference's embedding ops — L2 normalize
+(nn_thresh.py:172-173, grinch_alg.py:104-114), dot / cosine kernels
+(nn_thresh.py:112-115, grinch_alg.py:70-92) — over
+``array<float>``/``array<double>`` columns using Spark's higher-order
+functions, so they run inside codegen'd stages and survive column
+pruning/pushdown.
+
+For dense all-pairs scoring use operators/similarity.py (Arrow-batched
+numpy matmul); these expressions are the right tool for per-row or
+join-condition use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(v: Column | str) -> Column:
+    v = F.col(v) if isinstance(v, str) else v
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Inner product: aggregate(zip_with(a,b,*), 0.0, +) — sequential
+    left-to-right fold, deterministic."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(v: Column | str) -> Column:
+    v = F.col(v) if isinstance(v, str) else v
+    return F.sqrt(dot(v, v))
+
+
+def l2_normalize(v: Column | str) -> Column:
+    v = F.col(v) if isinstance(v, str) else v
+    n = l2_norm(v)
+    return F.transform(v, lambda x: x / n)
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

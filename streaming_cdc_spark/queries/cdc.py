@@ -1,1 +1,226 @@
-"""Placeholder — populated in this round."""
+"""CDC (cross-document coreference) queries: the reference's pipeline
+re-expressed Spark-first over the synthetic `embeddings` table
+(vec_id ↔ mention_index, label ↔ gold entity_id).
+
+Pred clusterings used by the metric queries are deterministic
+(vec_id % 7) so the metric MATH is what the oracle checks; the real
+clustering operators get their own queries (cosine_edges,
+threshold_cc_clusters, flagship summary, greedy parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from streaming_cdc_spark.metrics.coref import (
+    b3_df,
+    ceaf_e_df,
+    conflation_df,
+    contingency,
+    muc_df,
+)
+from streaming_cdc_spark.operators.clustering import threshold_clusters
+from streaming_cdc_spark.operators.greedy import greedy_clusters
+from streaming_cdc_spark.operators.similarity import cosine_self_edges
+from streaming_cdc_spark.queries.registry import query
+from streaming_cdc_spark.tables import load
+
+TAU = 0.35
+
+_PAIRS_SQL = "SELECT vec_id AS mention, label AS true_id, vec_id % 7 AS pred_id FROM embeddings"
+
+_EDGES_SQL = """
+    SELECT a.vec_id AS u, b.vec_id AS v,
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+"""
+
+_CC_SQL = f"""
+    WITH RECURSIVE
+    edges AS (
+        SELECT a.vec_id AS u, b.vec_id AS v
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= {TAU}
+    ),
+    reach(v, l) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.v
+    ),
+    assign AS (SELECT v AS vec_id, MIN(l) AS cluster_id FROM reach GROUP BY v)
+"""
+
+
+def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.col("vec_id").alias("mention"),
+        F.col("label").alias("true_id"),
+        (F.col("vec_id") % 7).alias("pred_id"),
+    )
+
+
+@query(
+    "cosine_edges",
+    oracle=f"""
+    SELECT u, v, ROUND(sim, 6) AS sim_r
+    FROM ({_EDGES_SQL}) WHERE sim >= {TAU}
+    """,
+)
+def cosine_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/V3: the pairwise similarity self-join (nn_thresh.py:112-115)
+    as a broadcast block-matmul, thresholded at TAU."""
+    emb = load(spark, sf_dir, "embeddings")
+    edges = cosine_self_edges(emb, TAU)
+    return edges.select("u", "v", F.round("sim", 6).alias("sim_r"))
+
+
+@query(
+    "threshold_cc_clusters",
+    oracle=_CC_SQL + "SELECT vec_id, cluster_id FROM assign",
+)
+def threshold_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1/C2 scalable semantics: threshold graph → connected
+    components (min-label propagation + pointer jumping). The oracle
+    replays it as a recursive-CTE transitive closure."""
+    emb = load(spark, sf_dir, "embeddings")
+    return threshold_clusters(emb, TAU)
+
+
+@query(
+    "cluster_summary",
+    oracle=_CC_SQL
+    + """
+    , joined AS (
+        SELECT a.cluster_id, e.label FROM assign a JOIN embeddings e USING (vec_id)
+    ),
+    by_label AS (SELECT cluster_id, label, COUNT(*) AS cnt FROM joined GROUP BY 1, 2),
+    ranked AS (
+        SELECT cluster_id, label, cnt,
+               SUM(cnt) OVER (PARTITION BY cluster_id) AS n_members,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS n_gold_labels,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY cnt DESC, label) AS rn
+        FROM by_label
+    )
+    SELECT cluster_id, n_members, n_gold_labels,
+           label AS majority_label,
+           ROUND(CAST(cnt AS DOUBLE) / n_members, 6) AS majority_frac
+    FROM ranked WHERE rn = 1 AND n_members > 1
+    """,
+)
+def cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: threshold clustering joined back to gold labels —
+    per-cluster size, #distinct gold entities, majority label + purity
+    fraction (the per-cluster view behind eval_clusters.py /
+    error_analysis.py), for non-singleton clusters."""
+    emb = load(spark, sf_dir, "embeddings")
+    assign = threshold_clusters(emb, TAU)
+    joined = assign.join(emb.select("vec_id", "label"), "vec_id")
+    by_label = joined.groupBy("cluster_id", "label").agg(F.count("*").alias("cnt"))
+    wc = W.partitionBy("cluster_id")
+    ranked = by_label.select(
+        "cluster_id",
+        "label",
+        "cnt",
+        F.sum("cnt").over(wc).alias("n_members"),
+        F.count("*").over(wc).alias("n_gold_labels"),
+        F.row_number().over(wc.orderBy(F.desc("cnt"), F.asc("label"))).alias("rn"),
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("n_members") > 1))
+        .select(
+            "cluster_id",
+            "n_members",
+            "n_gold_labels",
+            F.col("label").alias("majority_label"),
+            F.round(F.col("cnt").cast("double") / F.col("n_members"), 6).alias("majority_frac"),
+        )
+    )
+
+
+@query(
+    "cluster_contingency",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL})
+    SELECT true_id, pred_id, COUNT(*) AS overlap FROM pairs GROUP BY 1, 2
+    """,
+)
+def cluster_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: true × pred contingency table (eval_clusters.py:88-124)."""
+    return contingency(_pairs(spark, sf_dir))
+
+
+@query(
+    "muc_prf",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    ps AS (SELECT pred_id, COUNT(*) AS sz, COUNT(DISTINCT true_id) AS parts FROM pairs GROUP BY 1),
+    ts AS (SELECT true_id, COUNT(*) AS sz, COUNT(DISTINCT pred_id) AS parts FROM pairs GROUP BY 1),
+    pr AS (SELECT SUM(sz - parts) / (SUM(sz - 1) + 1e-13) AS p FROM ps),
+    rr AS (SELECT SUM(sz - parts) / (SUM(sz - 1) + 1e-13) AS r FROM ts)
+    SELECT ROUND(p, 6) AS muc_p, ROUND(r, 6) AS muc_r,
+           ROUND(2 * p * r / (p + r + 1e-13), 6) AS muc_f1
+    FROM pr, rr
+    """,
+)
+def muc_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: MUC precision/recall/F1 (eval_clusters.py:44-74)."""
+    return muc_df(_pairs(spark, sf_dir))
+
+
+@query(
+    "b3_prf",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    cont AS (SELECT true_id, pred_id, COUNT(*) AS o FROM pairs GROUP BY 1, 2),
+    ts AS (SELECT true_id, COUNT(*) AS st FROM pairs GROUP BY 1),
+    ps AS (SELECT pred_id, COUNT(*) AS sp FROM pairs GROUP BY 1),
+    ag AS (
+        SELECT SUM(o * o / CAST(sp AS DOUBLE)) / (SELECT COUNT(*) FROM pairs) AS p,
+               SUM(o * o / CAST(st AS DOUBLE)) / (SELECT COUNT(*) FROM pairs) AS r
+        FROM cont JOIN ts USING (true_id) JOIN ps USING (pred_id)
+    )
+    SELECT ROUND(p, 6) AS b3_p, ROUND(r, 6) AS b3_r,
+           ROUND(2 * p * r / (p + r), 6) AS b3_f1
+    FROM ag
+    """,
+)
+def b3_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: B³ precision/recall/F1 (eval_clusters.py:77-98)."""
+    return b3_df(_pairs(spark, sf_dir))
+
+
+@query(
+    "conflation_errors",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL})
+    SELECT (SELECT SUM(c) FROM (SELECT COUNT(DISTINCT true_id) - 1 AS c FROM pairs GROUP BY pred_id)) AS conflated,
+           (SELECT SUM(d) FROM (SELECT COUNT(DISTINCT pred_id) - 1 AS d FROM pairs GROUP BY true_id)) AS divided
+    """,
+)
+def conflation_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: conflated/divided entity error counts (eval_clusters.py:147-169)."""
+    return conflation_df(_pairs(spark, sf_dir))
+
+
+@query("ceaf_e_prf")  # Hungarian assignment — not SQL-expressible; rows-only check
+def ceaf_e_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: CEAF-e via distributed contingency + driver-side Hungarian
+    (eval_clusters.py:101-144). Golden-tested against Luo (2005) in
+    tests/test_metrics.py."""
+    return ceaf_e_df(_pairs(spark, sf_dir))
+
+
+@query("greedy_parity_clusters")  # order-dependent sequential fold; rows-only check
+def greedy_parity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1/C2 exact replay (nn_thresh.py:138-152) — sorted
+    single-partition fold, parity mode. Deterministic but inherently
+    sequential, hence no SQL oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    return greedy_clusters(emb, TAU)
+
+
+def flagship_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-point flagship (driver smoke check)."""
+    return cluster_summary(spark, sf_dir)

@@ -1,0 +1,75 @@
+"""Clustering operators: greedy exact replay (reference fixture) and
+connected components vs a hand union-find."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from streaming_cdc_spark.operators.clustering import connected_components, threshold_clusters
+from streaming_cdc_spark.operators.greedy import greedy_cluster_numpy, greedy_clusters
+
+
+def test_greedy_one_hot_fixture():
+    # Reference tests/nn_thresh_test.py:8-18 — 5x2 one-hot, thr 0.5
+    example = np.array([[1, 0], [0, 1], [1, 0], [1, 0], [0, 1]], dtype=float)
+    observed = greedy_cluster_numpy(example, threshold=0.5)
+    assert observed.tolist() == [0, 1, 0, 0, 1]
+
+
+def test_greedy_window_limit():
+    # 3 identical vectors; window limit 1 still chains them transitively
+    e = np.array([[1, 0], [1, 0], [1, 0]], dtype=float)
+    assert greedy_cluster_numpy(e, 0.5, strategy="backwards", limit=1).tolist() == [0, 0, 0]
+
+
+def test_greedy_spark_wrapper(spark):
+    rows = [(10, [1.0, 0.0]), (11, [0.0, 1.0]), (12, [1.0, 0.0]), (13, [1.0, 0.0]), (14, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["cluster_id"] for r in greedy_clusters(df, 0.5).collect()}
+    assert got == {10: 10, 11: 11, 12: 10, 13: 10, 14: 11}
+
+
+def test_connected_components(spark):
+    vertices = spark.range(1, 8).select(F.col("id").alias("v"))
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "u long, v long")
+    got = {r["v"]: r["cluster_id"] for r in connected_components(vertices, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_chain(spark):
+    # long path graph: exercises pointer jumping (O(log n) rounds)
+    n = 64
+    vertices = spark.range(n).select(F.col("id").alias("v"))
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "u long, v long")
+    got = {r["v"]: r["cluster_id"] for r in connected_components(vertices, edges).collect()}
+    assert all(c == 0 for c in got.values())
+
+
+def test_threshold_clusters_matches_union_find(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    tau = 0.5
+    # driver-side truth: union-find over exact cosine graph
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    parent = list(range(40))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(40):
+        for j in range(i + 1, 40):
+            if sims[i, j] >= tau:
+                parent[find(i)] = find(j)
+    truth = {}
+    for i in range(40):
+        truth.setdefault(find(i), []).append(i)
+    expected = {m: min(ms) for ms in truth.values() for m in ms}
+    got = {r["vec_id"]: r["cluster_id"] for r in threshold_clusters(df, tau).collect()}
+    assert got == expected

@@ -1,0 +1,76 @@
+"""Golden metric tests — the same published-literature values the
+reference tests against (tests/eval_clusters_test.py: Vilain et al.
+Table 1 for MUC; Luo 2005 Table 1a-c for B³ and CEAF-e), tolerance
+1e-3, run through the DataFrame implementations.
+"""
+
+import pytest
+
+from streaming_cdc_spark.metrics.coref import b3_df, ceaf_e_df, conflation_df, muc_df
+
+
+def pairs_df(spark, true_clusters, pred_clusters):
+    t_lookup = {m: cid for cid, ms in true_clusters.items() for m in ms}
+    p_lookup = {m: cid for cid, ms in pred_clusters.items() for m in ms}
+    rows = [(str(m), str(t_lookup[m]), str(p_lookup[m])) for m in t_lookup]
+    return spark.createDataFrame(rows, "mention string, true_id string, pred_id string")
+
+
+VILAIN = [
+    # (true, pred, precision, recall)  — Vilain Table 1 rows 1,2,3,5
+    ({0: "ABCD"}, {1: "AB", 2: "CD"}, 1.0, 2 / 3),
+    ({0: "AB", 1: "CD"}, {2: "ABCD"}, 2 / 3, 1.0),
+    ({0: "ABCD"}, {1: "ABCD"}, 1.0, 1.0),
+    ({0: "ABC"}, {1: "AC", 2: "B"}, 1.0, 0.5),
+]
+
+
+@pytest.mark.parametrize("true_c,pred_c,exp_p,exp_r", VILAIN)
+def test_muc_vilain(spark, true_c, pred_c, exp_p, exp_r):
+    df = pairs_df(spark, {k: set(v) for k, v in true_c.items()}, {k: set(v) for k, v in pred_c.items()})
+    row = muc_df(df).first()
+    assert abs(row["muc_p"] - exp_p) < 1e-3
+    assert abs(row["muc_r"] - exp_r) < 1e-3
+
+
+LUO_TRUE = {0: set("12345"), 1: set("67"), 2: set("89ABC")}
+LUO_CASES_B3 = [
+    ({3: set("12345"), 4: set("6789ABC")}, 0.865),
+    ({3: set("1234589ABC"), 4: set("67")}, 0.737),
+    ({3: set("1234567" + "89ABC")}, 0.545),
+]
+
+
+@pytest.mark.parametrize("pred_c,exp_f1", LUO_CASES_B3)
+def test_b3_luo(spark, pred_c, exp_f1):
+    df = pairs_df(spark, LUO_TRUE, pred_c)
+    row = b3_df(df).first()
+    assert abs(row["b3_f1"] - exp_f1) < 1e-3
+
+
+LUO_CASES_CEAF = [
+    ({3: set("12345"), 4: set("6789ABC")}, 0.733),
+    ({3: set("1234589ABC"), 4: set("67")}, 0.667),
+    ({3: set("1234567" + "89ABC")}, 0.294),
+]
+
+
+@pytest.mark.parametrize("pred_c,exp_f1", LUO_CASES_CEAF)
+def test_ceaf_e_luo(spark, pred_c, exp_f1):
+    df = pairs_df(spark, LUO_TRUE, pred_c)
+    row = ceaf_e_df(df).first()
+    assert abs(row["ceaf_f1"] - exp_f1) < 1e-3
+
+
+def test_conflation(spark):
+    # pred cluster 3 conflates true {0,2}; true clusters 0 and 2 are not divided,
+    # true 1 undivided -> conflated=1, divided=0
+    df = pairs_df(spark, LUO_TRUE, {3: set("1234589ABC"), 4: set("67")})
+    row = conflation_df(df).first()
+    assert row["conflated"] == 1
+    assert row["divided"] == 0
+
+    # perfect clustering: no errors
+    row = conflation_df(pairs_df(spark, LUO_TRUE, LUO_TRUE)).first()
+    assert row["conflated"] == 0
+    assert row["divided"] == 0

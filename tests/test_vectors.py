@@ -1,0 +1,41 @@
+"""Vector Column expressions vs numpy."""
+
+import numpy as np
+import pytest
+
+from streaming_cdc_spark.functions import cosine, dot, l2_norm, l2_normalize
+
+
+def test_vector_expressions(spark):
+    a = [1.0, 2.0, 3.0]
+    b = [-1.0, 0.5, 2.0]
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    row = df.select(
+        dot("a", "b").alias("d"),
+        l2_norm("a").alias("na"),
+        cosine("a", "b").alias("c"),
+        l2_normalize("a").alias("an"),
+    ).first()
+    na, nb = np.array(a), np.array(b)
+    assert row["d"] == pytest.approx(na @ nb)
+    assert row["na"] == pytest.approx(np.linalg.norm(na))
+    assert row["c"] == pytest.approx(na @ nb / np.linalg.norm(na) / np.linalg.norm(nb))
+    assert np.allclose(row["an"], na / np.linalg.norm(na))
+
+
+def test_cosine_top_k(spark):
+    from streaming_cdc_spark.operators.similarity import cosine_top_k
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(30, 6))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    got = cosine_top_k(df.filter("vec_id < 3"), df, k=4).collect()
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q in range(3):
+        order = sorted((i for i in range(30) if i != q), key=lambda i: (-sims[q, i], i))[:4]
+        rows = sorted((r for r in got if r["q"] == q), key=lambda r: r["rank"])
+        assert [r["neighbor"] for r in rows] == order
