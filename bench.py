@@ -1,0 +1,73 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from streaming_cdc_spark.queries import QUERIES  # noqa: E402
+from streaming_cdc_spark.session import get_spark  # noqa: E402
+
+# Representative operator mix: scan-agg, multi-join, window/ids, band
+# join, sweep, similarity join, connected components, metrics.
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "order_priority_check",
+    "first_occurrence_ids",
+    "composite_key_clusters",
+    "max_active_sweep",
+    "band_join_pairs",
+    "top_event_per_user",
+    "cosine_edges",
+    "threshold_cc_clusters",
+    "cluster_summary",
+    "muc_prf",
+    "b3_prf",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    spark = get_spark("bench")
+    # Warm the JVM + Python workers once so per-query times measure the
+    # queries, not session startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            timings[name] = -1.0
+            print(f"bench error {name}: {e}", file=sys.stderr)
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -8,6 +8,17 @@ the scalable semantics (documented equivalence: identical partitions
 whenever the greedy pass links transitively, which holds for the
 `backwards` strategy with no window limit), and keep the exact
 sequential replay in operators/greedy.py for parity mode.
+
+Physical strategy for CC is adaptive, like AQE join selection:
+- the threshold graph is usually MUCH smaller than the input (only
+  near-duplicate pairs survive). Below ``driver_cutoff`` edges we
+  solve union-find on the driver (O(E α)) and broadcast the mapping —
+  same pattern as the driver-side Hungarian: the *aggregate* is
+  small even when the data is not.
+- above the cutoff: min-label propagation with pointer jumping over
+  only the edge-touched vertices (isolated vertices are singletons by
+  construction and never enter the loop), O(log n) rounds, cheap
+  sum-based convergence test, localCheckpoint lineage truncation.
 """
 
 from __future__ import annotations
@@ -18,34 +29,71 @@ from pyspark.sql import functions as F
 from streaming_cdc_spark.operators.similarity import cosine_self_edges
 
 
+def _driver_union_find(vertices: DataFrame, edge_pairs: list, id_col: str) -> DataFrame:
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edge_pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min id keeps the representative deterministic
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    mapping = [(x, find(x)) for x in parent]
+    spark = vertices.sparkSession
+    map_df = spark.createDataFrame(mapping, f"{id_col} long, _root long")
+    return (
+        vertices.join(F.broadcast(map_df), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("_root", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
     id_col: str = "v",
     max_iter: int = 50,
+    driver_cutoff: int = 2_000_000,
 ) -> DataFrame:
-    """Min-label propagation with pointer jumping.
+    """Connected components of (vertices, edges).
 
     vertices: DataFrame with ``id_col``; edges: DataFrame (u, v).
     Returns (id_col, cluster_id) where cluster_id = min vertex id in
-    the component — deterministic.
-
-    Scale notes: each round is two shuffles (neighbor-min join +
-    pointer-jump join) over (vertex, label) pairs; pointer jumping
-    gives O(log n) rounds instead of O(diameter). localCheckpoint
-    truncates lineage so plans stay flat. AQE handles skew from giant
-    components.
+    the component — deterministic regardless of execution order.
     """
+    vs = vertices.select(F.col(id_col).cast("long").alias("v"))
     sym = (
         edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
         .union(edges.select(F.col("v").cast("long").alias("u"), F.col("u").cast("long").alias("v")))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
         .persist()
     )
-    lbl = vertices.select(
-        F.col(id_col).cast("long").alias("v"), F.col(id_col).cast("long").alias("l")
-    ).localCheckpoint()
+    n_edges = sym.count()
+    if n_edges == 0:
+        sym.unpersist()
+        return vs.select(F.col("v").alias(id_col), F.col("v").alias("cluster_id"))
+    if n_edges <= driver_cutoff:
+        pairs = [(r["u"], r["v"]) for r in sym.filter(F.col("u") < F.col("v")).collect()]
+        out = _driver_union_find(vs, pairs, "v").withColumnRenamed("v", id_col)
+        sym.unpersist()
+        return out
 
+    touched = sym.select(F.col("u").alias("v")).distinct()
+    lbl = touched.select("v", F.col("v").alias("l")).localCheckpoint()
+    prev_sum = None
     for _ in range(max_iter):
         nbr_min = (
             sym.join(lbl.withColumnRenamed("v", "u"), "u")
@@ -55,7 +103,7 @@ def connected_components(
         stepped = lbl.join(nbr_min, "v", "left").select(
             "v", F.least(F.col("l"), F.coalesce("nl", "l")).alias("l")
         )
-        # pointer jump: l(v) <- l(l(v))
+        # pointer jump: l(v) <- l(l(v)) — collapses chains in O(log n)
         jumped = (
             stepped.alias("a")
             .join(
@@ -66,18 +114,18 @@ def connected_components(
             .select(F.col("v"), F.least(F.col("l"), F.coalesce("l2", "l")).alias("l"))
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("n")
-            .join(lbl.alias("o"), "v")
-            .filter(F.col("n.l") != F.col("o.l"))
-            .limit(1)
-            .count()
-        )
+        # labels only ever decrease; the total is a strict monotone —
+        # equal sums mean a fixed point (one cheap agg, no join)
+        cur_sum = jumped.agg(F.sum(F.col("l").cast("decimal(38,0)"))).first()[0]
         lbl = jumped
-        if changed == 0:
+        if prev_sum is not None and cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     sym.unpersist()
-    return lbl.select(F.col("v").alias(id_col), F.col("l").alias("cluster_id"))
+    isolated = vs.join(touched, "v", "leftanti").select("v", F.col("v").alias("l"))
+    return lbl.union(isolated).select(
+        F.col("v").alias(id_col), F.col("l").alias("cluster_id")
+    )
 
 
 def threshold_clusters(
@@ -112,7 +160,6 @@ def find_threshold(
     vertices = df.select(id_col)
     lo, hi = 0.0, 1.0
     best = None
-    threshold = 0.5
     for _ in range(max_iters):
         threshold = (lo + hi) / 2
         clusters = connected_components(

@@ -28,20 +28,41 @@ def test_greedy_spark_wrapper(spark):
     assert got == {10: 10, 11: 11, 12: 10, 13: 10, 14: 11}
 
 
-def test_connected_components(spark):
+import pytest
+
+
+@pytest.mark.parametrize("cutoff", [0, 2_000_000])  # distributed loop vs driver union-find
+def test_connected_components(spark, cutoff):
     vertices = spark.range(1, 8).select(F.col("id").alias("v"))
     edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "u long, v long")
-    got = {r["v"]: r["cluster_id"] for r in connected_components(vertices, edges).collect()}
+    got = {
+        r["v"]: r["cluster_id"]
+        for r in connected_components(vertices, edges, driver_cutoff=cutoff).collect()
+    }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
 
 
-def test_connected_components_chain(spark):
+@pytest.mark.parametrize("cutoff", [0, 2_000_000])
+def test_connected_components_chain(spark, cutoff):
     # long path graph: exercises pointer jumping (O(log n) rounds)
     n = 64
     vertices = spark.range(n).select(F.col("id").alias("v"))
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "u long, v long")
-    got = {r["v"]: r["cluster_id"] for r in connected_components(vertices, edges).collect()}
+    got = {
+        r["v"]: r["cluster_id"]
+        for r in connected_components(vertices, edges, driver_cutoff=cutoff).collect()
+    }
     assert all(c == 0 for c in got.values())
+
+
+def test_connected_components_custom_id_col(spark):
+    vertices = spark.createDataFrame([(10,), (11,), (12,)], "vec_id long")
+    edges = spark.createDataFrame([(10, 12)], "u long, v long")
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in connected_components(vertices, edges, id_col="vec_id").collect()
+    }
+    assert got == {10: 10, 11: 11, 12: 10}
 
 
 def test_threshold_clusters_matches_union_find(spark):
