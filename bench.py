@@ -31,6 +31,13 @@ HEADLINE = [
     "cluster_summary",
     "muc_prf",
     "b3_prf",
+    "minhash_band_candidates",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "text_quality",
+    "token_histogram",
+    "cosine_topk",
+    "lsh_bucket_pairs",
 ]
 
 

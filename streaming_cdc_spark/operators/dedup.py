@@ -1,0 +1,175 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+None of these exist in the reference (its near-dup machinery is the
+dense similarity join, nn_thresh.py); they are the training-data
+pipeline extensions (BASELINE.json north_star) built Spark-first:
+
+- exact key dedup: one shuffle (groupBy), scales linearly;
+- MinHash + banded LSH: shingle explode -> per-band min-hash -> bucket
+  self-join. The bucket join is an EQUI-join, so 100 TB of documents
+  shuffles on band values instead of comparing all pairs;
+- n-gram Jaccard: candidates from a shingle equi-join (inverted
+  index), exact Jaccard from shared-shingle counts — never a cross
+  join;
+- SimHash: 32-bit fingerprints via word-hash bit voting, XOR+popcount
+  for near-dup distance.
+
+Everything is built-in Column expressions (JVM codegen); hashing goes
+through functions.hashing.md5_long so the DuckDB oracle can replay it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from streaming_cdc_spark.functions.hashing import md5_long
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
+
+
+def tokens(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.split(text, " ")
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, matching the oracle construction:
+    positions 1 .. greatest(len-(n-1), 1); concat_ws skips trailing
+    nulls on short docs identically in both engines."""
+    t = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1)))
+    # try_element_at: out-of-range -> NULL (concat_ws skips it), instead
+    # of the ANSI-mode error element_at raises on short docs
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.try_element_at(t, i + F.lit(j)) for j in range(n)])
+    )
+    return F.array_distinct(grams)
+
+
+def exploded_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return docs.select(id_col, F.explode(word_shingles(text_col)).alias("shingle"))
+
+
+def exact_dedup_groups(
+    docs: DataFrame,
+    key: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Groups of documents sharing an exact dedup key; canonical doc =
+    min id. Output: (dup_key, n_dups, canonical_doc_id)."""
+    return (
+        docs.select(F.col(id_col), key.alias("dup_key"))
+        .groupBy("dup_key")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("canonical_doc_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc MinHash signature columns h0..h{K-1} over word 3-gram
+    shingles; hash i salts the shingle with '{i}|'."""
+    sh = exploded_shingles(docs, id_col, text_col)
+    aggs = [
+        F.min(md5_long(F.col("shingle"), salt=f"{i}|")).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_band_candidates(
+    docs: DataFrame,
+    num_hashes: int = 4,
+    rows_per_band: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Banded-LSH candidate pairs: docs sharing >=1 band bucket.
+    Output: (doc_a, doc_b, n_shared_bands). rows_per_band=1 is the
+    high-recall config; raise it for precision at scale."""
+    sig = minhash_signatures(docs, num_hashes, id_col, text_col)
+    n_bands = num_hashes // rows_per_band
+    band_keys = [
+        F.concat_ws(
+            "_",
+            F.lit(str(b)),
+            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+        )
+        for b in range(n_bands)
+    ]
+    buckets = sig.select(F.col(id_col), F.explode(F.array(*band_keys)).alias("bucket"))
+    a = buckets.select(F.col(id_col).alias("doc_a"), "bucket")
+    b = buckets.select(F.col(id_col).alias("doc_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle
+    (inverted-index candidate generation — the shingle equi-join — so
+    the cross join never materializes).
+    Output: (doc_a, doc_b, n_shared, jaccard_r[6dp])."""
+    sh = exploded_shingles(docs, id_col, text_col).persist()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    out = (
+        shared.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", F.round("jaccard", 6).alias("jaccard_r"))
+    )
+    return out
+
+
+def simhash_fingerprints(
+    docs: DataFrame,
+    n_bits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """32-bit SimHash: distinct words vote +1/-1 per bit of their
+    60-bit md5 hash; fingerprint bit j set iff the vote sum > 0.
+    Output: (doc_id, simhash long)."""
+    words = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("word")
+    ).withColumn("h", md5_long("word"))
+    bits = words.select(
+        id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("i")
+    )
+    # shiftright/shiftleft with a *column* shift amount needs the SQL
+    # form (the python wrappers only take int literals)
+    votes = bits.groupBy(id_col, "i").agg(
+        F.sum(
+            F.when(F.expr("shiftright(h, i)").bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias("v")
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(0)
+        ).alias("simhash")
+    )

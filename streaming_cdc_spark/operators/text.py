@@ -1,0 +1,124 @@
+"""Text-analysis operators for corpus pipelines (training-data
+extensions; BASELINE.json north_star): quality scoring, language
+summaries, token statistics, document fingerprinting. All pure Column
+expressions — no Python in the hot path — mirroring the reference's
+scalar string surface (P1-P7, SURVEY §2.2) generalized to corpus
+hygiene.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from streaming_cdc_spark.functions.hashing import md5_long
+from streaming_cdc_spark.operators.dedup import STOPWORDS, tokens
+
+
+def quality_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document quality signals: token count, average token
+    length, stopword ratio, lexical diversity (distinct/total tokens).
+    Output columns rounded for hash-stability."""
+    t = tokens(text_col)
+    n_tokens = F.size(t)
+    n_nonspace = F.length(F.regexp_replace(F.col(text_col), " ", ""))
+    stop_lit = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_stop = F.size(F.expr(f"filter(split({text_col}, ' '), x -> x IN ({stop_lit}))"))
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round(n_nonspace.cast("double") / n_tokens, 4).alias("avg_token_len"),
+        F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct(t)).cast("double") / n_tokens, 6).alias("uniq_token_ratio"),
+    )
+
+
+def language_id_ngram(text_col: str = "text", profiles: dict[str, tuple[str, ...]] | None = None) -> Column:
+    """Heuristic n-gram language ID: score each language profile by
+    how many of its characteristic words appear; pick the argmax
+    (ties -> lexicographically first language). A deterministic,
+    SQL-expressible stand-in for a real LID model; the Spark-side
+    plumbing (profile broadcast, argmax-over-struct) is the real
+    pattern."""
+    profiles = profiles or {
+        "en": ("the", "and", "of"),
+        "es": ("el", "la", "de"),
+        "zh": ("zh0", "zh1", "zh2"),
+    }
+    t = F.array_distinct(tokens(text_col))
+    langs = sorted(profiles)
+    scores = {
+        lang: F.size(F.array_intersect(t, F.array(*[F.lit(w) for w in profiles[lang]])))
+        for lang in langs
+    }
+    # fixed priority on ties: earlier (lexicographically smaller) lang
+    # wins — renders as a chained CASE, portable to the SQL oracle
+    expr = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            later = langs.index(other) > langs.index(lang)
+            c = scores[lang] >= scores[other] if later else scores[lang] > scores[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def char_fingerprint(text_col: str = "text", k: int = 5) -> Column:
+    """Rolling-hash document fingerprint: min md5-int64 over all char
+    k-grams (winnowing with a single global window). Pure expression:
+    sequence -> transform -> array_min."""
+    return F.expr(
+        f"array_min(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
+        f"i -> CAST(conv(substring(md5(substring({text_col}, i, {k})), 1, 15), 16, 10) AS BIGINT)))"
+    )
+
+
+def token_histogram(
+    docs: DataFrame, top_n: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Top-N tokens by frequency with a total deterministic order
+    (count desc, token asc). Output: (token, n, rank)."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        docs.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+    )
+
+
+def media_stats(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Multimodal plumbing over opaque bytes: treats the utf-8 encoding
+    of text as a binary media column (the synthetic tables carry no
+    real blobs) and aggregates byte sizes + content hashes per group —
+    the schema/partitioning pattern for image/audio columns."""
+    return docs.groupBy(group_col).agg(
+        F.count("*").alias("n_blobs"),
+        F.sum(F.octet_length(F.col(text_col)).cast("long")).alias("total_bytes"),
+        F.round(
+            F.sum(F.octet_length(F.col(text_col)).cast("long")).cast("double") / F.count("*"), 4
+        ).alias("avg_bytes"),
+        F.countDistinct(F.md5(F.col(text_col))).alias("n_distinct_hashes"),
+    )
+
+
+def doc_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    return docs.select(
+        F.col(id_col),
+        char_fingerprint(text_col).alias("fingerprint"),
+        md5_long(F.col(text_col)).alias("content_hash"),
+    )

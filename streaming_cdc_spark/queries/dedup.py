@@ -1,1 +1,109 @@
-"""Placeholder — populated in this round."""
+"""Deduplication queries over the `documents` table — the
+training-data pipeline extensions, each with a DuckDB oracle.
+Thresholds calibrated on sf0.01 so every query returns rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_cdc_spark.operators import dedup as D
+from streaming_cdc_spark.queries.registry import query
+from streaming_cdc_spark.tables import load
+
+# Shared oracle fragments ------------------------------------------------
+
+_SHINGLES = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+           FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i))
+"""
+
+
+def _md5i(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+@query(
+    "exact_dedup_prefix",
+    oracle="""
+    SELECT array_to_string(string_split(text, ' ')[1:5], ' ') AS dup_key,
+           COUNT(*) AS n_dups, MIN(doc_id) AS canonical_doc_id
+    FROM documents
+    GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def exact_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a normalized key (first five words): one
+    hash-shuffle regardless of corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    key = F.array_join(F.slice(F.split("text", " "), 1, 5), " ")
+    return D.exact_dedup_groups(docs, key)
+
+
+@query(
+    "minhash_band_candidates",
+    oracle=f"""
+    WITH {_SHINGLES},
+    mh AS (SELECT doc_id,
+                  MIN({_md5i("concat('0|', shingle)")}) AS h0,
+                  MIN({_md5i("concat('1|', shingle)")}) AS h1,
+                  MIN({_md5i("concat('2|', shingle)")}) AS h2,
+                  MIN({_md5i("concat('3|', shingle)")}) AS h3
+           FROM sh GROUP BY doc_id),
+    b AS (SELECT doc_id, UNNEST([concat('0_', h0), concat('1_', h1),
+                                 concat('2_', h2), concat('3_', h3)]) AS bucket
+          FROM mh)
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle -> 4 salted min-hashes
+    -> band buckets -> bucket EQUI-join (shuffles on band values; the
+    all-pairs comparison never happens)."""
+    docs = load(spark, sf_dir, "documents")
+    return D.minhash_band_candidates(docs, num_hashes=4, rows_per_band=1)
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES},
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_shared,
+           ROUND(n_shared / (x.n_sh + y.n_sh - n_shared), 6) AS jaccard_r
+    FROM shared JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+    WHERE n_shared / (x.n_sh + y.n_sh - n_shared) >= 0.05
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard >= 0.05 with inverted-index candidate
+    generation (shingle equi-join)."""
+    docs = load(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.05)
+
+
+@query(
+    "simhash_fingerprints",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    w AS (SELECT DISTINCT doc_id, u.word FROM toks, UNNEST(t) AS u(word)),
+    bits AS (SELECT doc_id, b.i,
+                    SUM(CASE WHEN ({_md5i('word')} >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+             FROM w, (SELECT UNNEST(range(0, 32)) AS i) b
+             GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (word-hash bit voting)."""
+    docs = load(spark, sf_dir, "documents")
+    return D.simhash_fingerprints(docs, n_bits=32)

@@ -1,1 +1,93 @@
-"""Placeholder — populated in this round."""
+"""Similarity-search queries over `embeddings` (training-data
+extensions): brute-force cosine top-k baseline and the sign-LSH
+bucketed scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_cdc_spark.functions.vectors import as_double, cosine, l2_norm
+from streaming_cdc_spark.operators.similarity import cosine_top_k, sign_lsh_bucket
+from streaming_cdc_spark.queries.registry import query
+from streaming_cdc_spark.tables import load
+
+_COS = (
+    "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+)
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+)
+
+
+@query(
+    "cosine_topk",
+    oracle=f"""
+    SELECT q, neighbor, sim_r, rank FROM (
+        SELECT a.vec_id AS q, b.vec_id AS neighbor,
+               ROUND({_COS}, 6) AS sim_r,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {_COS} DESC, b.vec_id) AS rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id < 16 AND b.vec_id <> a.vec_id
+    ) WHERE rank <= 5
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors (vec_id < 16):
+    broadcast block-matmul, deterministic (sim desc, id asc) ranking."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = cosine_top_k(emb.filter(F.col("vec_id") < 16), emb, k=5)
+    return out.select("q", "neighbor", F.round("sim", 6).alias("sim_r"), "rank")
+
+
+@query(
+    "lsh_bucket_pairs",
+    oracle=f"""
+    WITH bucketed AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings)
+    SELECT a.vec_id AS u, b.vec_id AS v, ROUND({_COS}, 6) AS sim_r
+    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_COS} >= 0.2
+    """,
+)
+def lsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN scale path: sign-LSH bucket (8 hyperplanes = first 8
+    coordinate signs) -> bucket equi-join -> exact re-score of
+    candidates with the JVM-side cosine expression. Candidate count is
+    ~n²/2^bits instead of n²."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "bucket", sign_lsh_bucket("embedding", 8)
+    )
+    a = emb.select(F.col("vec_id").alias("u"), F.col("embedding").alias("ea"), "bucket")
+    b = emb.select(F.col("vec_id").alias("v"), F.col("embedding").alias("eb"), "bucket")
+    sim = cosine(as_double("ea"), as_double("eb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("u") < F.col("v"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.2)
+        .select("u", "v", F.round("sim", 6).alias("sim_r"))
+    )
+
+
+@query(
+    "embedding_norm_stats",
+    oracle="""
+    SELECT label, COUNT(*) AS n_vecs,
+           ROUND(SUM(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) / COUNT(*), 4) AS avg_norm,
+           ROUND(MIN(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS min_norm,
+           ROUND(MAX(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS max_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10/P11 surface: per-label L2-norm statistics via the codegen'd
+    vector expressions."""
+    emb = load(spark, sf_dir, "embeddings")
+    norm = l2_norm(as_double("embedding"))
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.sum(norm) / F.count("*"), 4).alias("avg_norm"),
+        F.round(F.min(norm), 6).alias("min_norm"),
+        F.round(F.max(norm), 6).alias("max_norm"),
+    )

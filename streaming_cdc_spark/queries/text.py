@@ -1,1 +1,109 @@
-"""Placeholder — populated in this round."""
+"""Text-analysis queries over `documents` (training-data extensions):
+quality scoring, language ID, token stats, fingerprints, multimodal
+byte-column plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_cdc_spark.operators import text as T
+from streaming_cdc_spark.queries.registry import query
+from streaming_cdc_spark.tables import load
+
+_STOP = "'the','a','of','and','to','in','is','on'"
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_token_len,
+           ROUND(CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_STOP}))) AS DOUBLE) / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 6) AS uniq_token_ratio
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (token count, avg token length,
+    stopword ratio, lexical diversity) — all Column expressions."""
+    return T.quality_features(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "lang_id_confusion",
+    oracle="""
+    WITH scored AS (
+        SELECT lang,
+               len(list_filter(list_distinct(string_split(text, ' ')), x -> x IN ('the','and','of'))) AS s_en,
+               len(list_filter(list_distinct(string_split(text, ' ')), x -> x IN ('el','la','de'))) AS s_es,
+               len(list_filter(list_distinct(string_split(text, ' ')), x -> x IN ('zh0','zh1','zh2'))) AS s_zh
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_zh THEN 'es'
+                ELSE 'zh' END AS predicted_lang,
+           COUNT(*) AS n
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic n-gram language ID vs the table's lang column —
+    confusion counts."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", T.language_id_ngram("text").alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "token_histogram",
+    oracle="""
+    SELECT token, n, rank FROM (
+        SELECT token, COUNT(*) AS n,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rank
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    ) WHERE rank <= 20
+    """,
+)
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 token frequencies with a total deterministic order (R4
+    frequency-sorted vocab, preprocess_medmentions.py:70-75)."""
+    return T.token_histogram(load(spark, sf_dir, "documents"), top_n=20)
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           list_min(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+                    i -> CAST(concat('0x', substr(md5(substr(text, i, 5)), 1, 15)) AS BIGINT))) AS fingerprint,
+           CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS content_hash
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash char-5-gram min fingerprint + full content hash."""
+    return T.doc_fingerprints(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "media_stats",
+    oracle="""
+    SELECT source, COUNT(*) AS n_blobs,
+           SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
+           ROUND(CAST(SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS DOUBLE) / COUNT(*), 4) AS avg_bytes,
+           COUNT(DISTINCT md5(text)) AS n_distinct_hashes
+    FROM documents GROUP BY source
+    """,
+)
+def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column aggregation pattern (multimodal plumbing):
+    byte sizes + content hashes per source."""
+    return T.media_stats(load(spark, sf_dir, "documents"))

@@ -1,0 +1,57 @@
+"""Text-analysis operators on crafted micro-fixtures."""
+
+from pyspark.sql import functions as F
+
+from streaming_cdc_spark.operators import text as T
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame([(0, "the cat sat on the mat")], "doc_id long, text string")
+    row = T.quality_features(df).first()
+    assert row["n_tokens"] == 6
+    assert row["avg_token_len"] == round((3 + 3 + 3 + 2 + 3 + 3) / 6, 4)
+    assert row["stopword_ratio"] == round(3 / 6, 6)  # the, on, the
+    assert row["uniq_token_ratio"] == round(5 / 6, 6)
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat and dog of mine"), (1, "el gato de la casa"), (2, "nothing matches here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["p"] for r in df.select("doc_id", T.language_id_ngram("text").alias("p")).collect()}
+    assert got[0] == "en"
+    assert got[1] == "es"
+    assert got[2] == "en"  # all-zero tie resolves to first language
+
+
+def test_char_fingerprint_shift_invariance(spark):
+    # identical content -> identical fingerprint; a shared long run
+    # usually shares the min 5-gram (winnowing property, not asserted)
+    df = spark.createDataFrame(
+        [(0, "abcdefghij"), (1, "abcdefghij"), (2, "zz")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["fingerprint"] for r in T.doc_fingerprints(df).collect()}
+    assert got[0] == got[1]
+    assert got[2] is not None  # short doc falls back to one truncated gram
+
+
+def test_token_histogram(spark):
+    df = spark.createDataFrame([(0, "b a b c b a")], "doc_id long, text string")
+    rows = T.token_histogram(df, top_n=2).collect()
+    assert [(r["token"], r["n"], r["rank"]) for r in sorted(rows, key=lambda r: r["rank"])] == [
+        ("b", 3, 1),
+        ("a", 2, 2),
+    ]
+
+
+def test_media_stats(spark):
+    df = spark.createDataFrame(
+        [(0, "abc", "s1"), (1, "defg", "s1"), (2, "abc", "s2")],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in T.media_stats(df).collect()}
+    assert got["s1"]["n_blobs"] == 2
+    assert got["s1"]["total_bytes"] == 7
+    assert got["s1"]["n_distinct_hashes"] == 2
+    assert got["s2"]["total_bytes"] == 3
