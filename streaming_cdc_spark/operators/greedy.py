@@ -97,6 +97,10 @@ def greedy_clusters(
     of the cluster-defining row (stable across runs).
     """
 
+    from streaming_cdc_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         mat = np.stack(pdf[vec_col].to_numpy())

@@ -21,6 +21,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _prepare(df: DataFrame):
+    from streaming_cdc_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+
+
 def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
     """Collect the build side as (ids, row-normalized float64 matrix)."""
     pdf = df.select(id_col, vec_col).toPandas()
@@ -43,6 +49,7 @@ def cosine_self_edges(
     feeds threshold clustering (C1-C3).
     """
     spark = df.sparkSession
+    _prepare(df)
     ids_b, mat_b = _collect_matrix(df, id_col, vec_col)
     bc = spark.sparkContext.broadcast((ids_b, mat_b))
 
@@ -81,6 +88,7 @@ def cosine_top_k(
     on neighbor id ascending — fully deterministic.
     """
     spark = queries.sparkSession
+    _prepare(queries)
     ids_b, mat_b = _collect_matrix(corpus, id_col, vec_col)
     bc = spark.sparkContext.broadcast((ids_b, mat_b))
 

@@ -8,8 +8,27 @@ Arrow enabled) are the right defaults — only master/memory change.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
+
+
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship streaming_cdc_spark to executor Python workers via
+    addPyFile. Required whenever a pickled function references this
+    package and the session was created by an external driver whose
+    workers don't have /root/repo on PYTHONPATH. Call before any
+    mapInPandas / applyInPandas(WithState) that uses package code.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_scs_pyfiles_added", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_base = os.path.join(tempfile.gettempdir(), "streaming_cdc_spark_pyfiles")
+    zip_path = shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir), "streaming_cdc_spark")
+    sc.addPyFile(zip_path)
+    sc._scs_pyfiles_added = True
 
 
 def get_spark(

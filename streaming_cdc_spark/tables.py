@@ -8,11 +8,11 @@ dimension tables are tagged for broadcast at join sites.
 from __future__ import annotations
 
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from streaming_cdc_spark.session import ensure_package_on_executors
 
 TABLES = (
     "region",
@@ -44,25 +44,6 @@ _NANO_TS_COLUMNS = {
 
 def sf_dir_from_env() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
-
-
-def ensure_package_on_executors(spark: SparkSession) -> None:
-    """Ship streaming_cdc_spark to executor Python workers.
-
-    When the session is owned by an external driver (the harness),
-    /root/repo is not on the workers' PYTHONPATH, so any pickled
-    function referencing this package would fail to deserialize.
-    ``addPyFile`` is the runtime mechanism that works both in local
-    mode and on a real cluster.
-    """
-    sc = spark.sparkContext
-    if getattr(sc, "_scs_pyfiles_added", False):
-        return
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_base = os.path.join(tempfile.gettempdir(), "streaming_cdc_spark_pyfiles")
-    zip_path = shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir), "streaming_cdc_spark")
-    sc.addPyFile(zip_path)
-    sc._scs_pyfiles_added = True
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

