@@ -1,0 +1,96 @@
+"""Dendrogram purity (A10, dendrogram_purity.py:64-84) as a
+DISTRIBUTED DataFrame computation.
+
+The reference does a bottom-up histogram merge on a driver-side tree.
+Here the per-node label histograms come from an ancestor closure
+(computed by pointer doubling: log(depth) self-joins) joined to leaf
+labels — every step is a groupBy/join, so a dendrogram with billions
+of leaves still computes purity without collecting the tree.
+
+purity = (1 / p*) * sum over internal nodes n, labels k of
+         h_left(n,k) * h_right(n,k) * h(n,k) / leaves(n)
+with p* = sum_k C(total_k, 2)   (binary trees).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ancestor_closure(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
+    """(uid, anc) for every proper ancestor, via pointer doubling:
+    R <- R ∪ (R ∘ R), so a depth-d tree closes in ceil(log2 d) rounds."""
+    reach = (
+        edges.filter(F.col("parent_uid").isNotNull())
+        .select(F.col("uid"), F.col("parent_uid").alias("anc"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        n_before = reach.count()
+        hopped = (
+            reach.alias("r1")
+            .join(reach.alias("r2"), F.col("r1.anc") == F.col("r2.uid"))
+            .select(F.col("r1.uid").alias("uid"), F.col("r2.anc").alias("anc"))
+        )
+        reach = reach.union(hopped).distinct().localCheckpoint()
+        if reach.count() == n_before:
+            break
+    return reach
+
+
+def node_histograms(edges: DataFrame) -> DataFrame:
+    """(node, label, h): label counts over each node's leaf
+    descendants (a leaf counts itself)."""
+    leaves = edges.filter(F.col("label").isNotNull()).select(
+        F.col("uid").alias("leaf"), "label"
+    )
+    closure = ancestor_closure(edges).select(
+        F.col("uid").alias("leaf"), F.col("anc").alias("node")
+    )
+    self_rows = leaves.select(F.col("leaf"), F.col("leaf").alias("node"), "label")
+    up_rows = closure.join(leaves, "leaf").select("leaf", "node", "label")
+    return (
+        self_rows.unionByName(up_rows)
+        .groupBy("node", "label")
+        .agg(F.count("*").alias("h"))
+    )
+
+
+def dendrogram_purity_df(edges: DataFrame) -> DataFrame:
+    """One row: (purity double). Golden: the reference's 7-node
+    fixture tree scores exactly 0.75 (dendrogram_purity_test.py)."""
+    hist = node_histograms(edges).persist()
+    child_edges = edges.filter(F.col("parent_uid").isNotNull()).select(
+        F.col("uid").alias("child"), F.col("parent_uid").alias("node")
+    )
+    # per (parent, label): product of the two children's counts —
+    # only when BOTH children carry the label
+    child_hist = child_edges.join(
+        hist.withColumnRenamed("node", "child"), "child"
+    )
+    pair_products = (
+        child_hist.groupBy("node", "label")
+        .agg(F.count("*").alias("n_children_with"), F.product("h").alias("pair_product"))
+        .filter(F.col("n_children_with") == 2)
+    )
+    leaves_per_node = hist.groupBy("node").agg(F.sum("h").alias("n_leaves"))
+    contrib = (
+        pair_products.join(hist, ["node", "label"])
+        .join(leaves_per_node, "node")
+        .select(
+            (F.col("pair_product") * F.col("h") / F.col("n_leaves")).alias("c")
+        )
+    )
+    summand = contrib.agg(F.coalesce(F.sum("c"), F.lit(0.0)).alias("s"))
+    totals = (
+        edges.filter(F.col("label").isNotNull())
+        .groupBy("label")
+        .agg(F.count("*").alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).alias("p_star"))
+    )
+    out = summand.crossJoin(totals).select(
+        F.round(F.col("s") / F.col("p_star"), 6).alias("purity")
+    )
+    hist.unpersist()
+    return out

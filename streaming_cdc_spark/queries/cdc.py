@@ -221,6 +221,36 @@ def greedy_parity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return greedy_clusters(emb, TAU)
 
 
+@query("grinch_flat_clusters")  # sequential online tree; rows-only check
+def grinch_flat_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8-C14: online hierarchical GRINCH (rotate+graft) built in
+    stream order, cut at TAU. Deterministic parity mode
+    (operators/grinch.py; reference EP3 cluster_w_grinch.py)."""
+    from streaming_cdc_spark.operators.grinch import grinch_build
+
+    emb = load(spark, sf_dir, "embeddings")
+    tree = grinch_build(emb, id_col="vec_id", vec_col="embedding", label_col="label")
+    flat = tree.flat_clusters(TAU)
+    return spark.createDataFrame(
+        sorted((int(k), int(v)) for k, v in flat.items()),
+        "vec_id long, cluster_node long",
+    )
+
+
+@query("grinch_purity")  # tree metric over a GRINCH dendrogram; rows-only check
+def grinch_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: dendrogram purity of the GRINCH tree vs gold labels,
+    computed DISTRIBUTED (pointer-doubling ancestor closure +
+    histogram joins; metrics/purity.py). Golden-tested at 0.75 on the
+    reference's fixture tree."""
+    from streaming_cdc_spark.metrics.purity import dendrogram_purity_df
+    from streaming_cdc_spark.operators.grinch import grinch_dendrogram
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = grinch_dendrogram(emb, id_col="vec_id", vec_col="embedding", label_col="label")
+    return dendrogram_purity_df(edges)
+
+
 def flagship_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entry-point flagship (driver smoke check)."""
     return cluster_summary(spark, sf_dir)

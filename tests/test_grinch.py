@@ -1,0 +1,116 @@
+"""GRINCH hierarchical clustering, dendrogram purity (golden 0.75
+fixture), and tree cut."""
+
+import numpy as np
+import pytest
+
+from streaming_cdc_spark.metrics.purity import dendrogram_purity_df
+from streaming_cdc_spark.operators.grinch import GrinchTree, grinch_dendrogram, grinch_per_key
+from streaming_cdc_spark.operators.treecut import cut_dendrogram
+
+# The reference's golden tree (tests/fixtures/tree.tsv shape):
+#        0
+#       / \
+#      a   1
+#         / \
+#        b   2
+#           / \
+#          c   d     labels: a,b white; c,d black -> purity 0.75
+FIXTURE_EDGES = [
+    ("0", None, None),
+    ("a", "0", "white"),
+    ("1", "0", None),
+    ("b", "1", "white"),
+    ("2", "1", None),
+    ("c", "2", "black"),
+    ("d", "2", "black"),
+]
+
+
+def test_purity_golden_075(spark):
+    edges = spark.createDataFrame(FIXTURE_EDGES, "uid string, parent_uid string, label string")
+    assert dendrogram_purity_df(edges).first()["purity"] == pytest.approx(0.75)
+
+
+def test_purity_perfect_tree(spark):
+    edges = spark.createDataFrame(
+        [
+            ("r", None, None),
+            ("x", "r", None),
+            ("y", "r", None),
+            ("x1", "x", "A"),
+            ("x2", "x", "A"),
+            ("y1", "y", "B"),
+            ("y2", "y", "B"),
+        ],
+        "uid string, parent_uid string, label string",
+    )
+    assert dendrogram_purity_df(edges).first()["purity"] == pytest.approx(1.0)
+
+
+def clustered_vectors():
+    rng = np.random.default_rng(5)
+    centers = np.eye(3)
+    rows = []
+    for i in range(24):
+        c = i % 3
+        v = centers[c] + rng.normal(scale=0.05, size=3)
+        rows.append((i, [float(x) for x in v], f"L{c}"))
+    return rows
+
+
+def test_grinch_recovers_clusters():
+    tree = GrinchTree(dim=3)
+    rows = clustered_vectors()
+    for i, v, lab in rows:
+        tree.insert(np.array(v), external=i, label=lab)
+    flat = tree.flat_clusters(threshold=0.9)
+    by_cluster = {}
+    for ext, cid in flat.items():
+        by_cluster.setdefault(cid, []).append(ext)
+    # three well-separated clusters of 8
+    sizes = sorted(len(v) for v in by_cluster.values())
+    assert sizes == [8, 8, 8]
+    for members in by_cluster.values():
+        assert len({m % 3 for m in members}) == 1
+
+
+def test_grinch_bounded_leaves():
+    tree = GrinchTree(dim=3, active_leaf_limit=5)
+    for i, v, lab in clustered_vectors():
+        tree.insert(np.array(v), external=i, label=lab)
+        assert sum(tree.is_active_leaf) <= 6  # limit+1 transiently before prune
+    assert sum(tree.is_active_leaf) <= 5
+
+
+def test_grinch_dendrogram_purity(spark):
+    df = spark.createDataFrame(clustered_vectors(), "vec_id long, embedding array<double>, label string")
+    edges = grinch_dendrogram(df)
+    # well-separated clusters -> near-perfect dendrogram purity
+    assert dendrogram_purity_df(edges).first()["purity"] > 0.95
+
+
+def test_grinch_per_key(spark):
+    rows = [(k, i + 100 * ki, v, lab) for ki, k in enumerate(["p", "q"]) for i, v, lab in clustered_vectors()]
+    df = spark.createDataFrame(rows, "cat string, vec_id long, embedding array<double>, label string")
+    edges = grinch_per_key(df, key_col="cat", id_col="vec_id", label_col="label")
+    keys = {r["key"] for r in edges.select("key").distinct().collect()}
+    assert keys == {"p", "q"}
+    # per-key trees have their own roots
+    roots = edges.filter("parent_uid is null").collect()
+    assert len(roots) == 2
+
+
+def test_cut_dendrogram(spark):
+    df = spark.createDataFrame(clustered_vectors(), "vec_id long, embedding array<double>, label string")
+    tree_edges = grinch_dendrogram(df)
+    leaf_vecs = df.selectExpr("cast(vec_id as string) as uid", "embedding")
+    cut = cut_dendrogram(tree_edges, leaf_vecs, threshold=0.9)
+    got = {r["uid"]: r["cluster_id"] for r in cut.collect()}
+    assert len(got) == 24
+    # same-modulo leaves share a cluster
+    by_cluster = {}
+    for uid, cid in got.items():
+        by_cluster.setdefault(cid, []).append(int(uid))
+    for members in by_cluster.values():
+        assert len({m % 3 for m in members}) == 1
