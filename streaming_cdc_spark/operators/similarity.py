@@ -73,6 +73,49 @@ def cosine_self_edges(
     return df.select(id_col, vec_col).mapInPandas(gen, "u long, v long, sim double")
 
 
+def blended_self_edges(
+    df: DataFrame,
+    vec_cols_weights: list[tuple[str, float]],
+    threshold: float,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """P13/C16 combo scoring (baseline.py:35-40, combo.py:21-41): the
+    pairwise score is a weighted sum of per-column cosine kernels
+    (e.g. 0.8 * mention-bigram + 0.2 * context-tfidf), thresholded.
+    Same broadcast block-matmul physical strategy as
+    cosine_self_edges, one matmul per kernel."""
+    spark = df.sparkSession
+    _prepare(df)
+    mats = []
+    ids_ref = None
+    for vec_col, _ in vec_cols_weights:
+        ids_b, mat_b = _collect_matrix(df, id_col, vec_col)
+        ids_ref = ids_b
+        mats.append(mat_b)
+    bc = spark.sparkContext.broadcast((ids_ref, mats))
+    cols = [vc for vc, _ in vec_cols_weights]
+
+    def gen(batches):
+        r_ids, r_mats = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sims = None
+            for (vec_col, w), r_mat in zip(vec_cols_weights, r_mats):
+                a = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                n = np.linalg.norm(a, axis=1, keepdims=True)
+                n[n == 0.0] = 1.0
+                part = w * ((a / n) @ r_mat.T)
+                sims = part if sims is None else sims + part
+            li, ri = np.nonzero(sims > threshold)
+            u = pdf[id_col].to_numpy()[li]
+            v = r_ids[ri]
+            keep = u < v
+            yield pd.DataFrame({"u": u[keep], "v": v[keep], "sim": sims[li, ri][keep]})
+
+    return df.select(id_col, *cols).mapInPandas(gen, "u long, v long, sim double")
+
+
 def cosine_top_k(
     queries: DataFrame,
     corpus: DataFrame,

@@ -1,0 +1,145 @@
+"""End-to-end pipelines mirroring the reference's three entry points
+(SURVEY §3), each a pure DataFrame DAG — no file handoffs between
+stages.
+
+EP1 fit_vectorizer -> baseline -> eval_clusters
+EP2 encode -> nn_thresh -> eval_clusters  (batch form; streaming form
+    is streaming.linker)
+EP3 embeddings -> GRINCH -> purity / cut
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from streaming_cdc_spark.metrics.coref import b3_df, ceaf_e_df, conflation_df, muc_df
+from streaming_cdc_spark.operators.clustering import connected_components, threshold_clusters
+from streaming_cdc_spark.operators.similarity import blended_self_edges
+from streaming_cdc_spark.operators.vectorize import (
+    fit_char_bigram_tf,
+    fit_word_tfidf,
+    to_dense_array,
+    transform_char_bigram,
+    transform_word_tfidf,
+)
+
+
+def first_occurrence_ids(df: DataFrame, key_col: str, order_col: str, out_col: str) -> DataFrame:
+    """R1: deterministic dense integer ids in first-occurrence order."""
+    first = F.min(order_col).over(W.partitionBy(key_col))
+    return df.withColumn(out_col, F.dense_rank().over(W.orderBy(first)))
+
+
+def evaluate_pairs(pairs: DataFrame) -> dict[str, DataFrame]:
+    """EP stage 3 (eval_clusters.py:172-219): the full metric suite
+    over a (mention, true_id, pred_id) DataFrame."""
+    return {
+        "muc": muc_df(pairs),
+        "b3": b3_df(pairs),
+        "ceaf_e": ceaf_e_df(pairs),
+        "errors": conflation_df(pairs),
+    }
+
+
+def ep1_feature_baseline(
+    mentions: DataFrame,
+    threshold: float = 0.5,
+    weights: tuple[float, float] = (0.8, 0.2),
+    vocab_size: int = 4096,
+) -> dict[str, object]:
+    """EP1 (Shrimpton-style feature baseline, baseline.py):
+
+    mention char-bigram TF kernel (weight .8) + context word-TF-IDF
+    kernel (weight .2) -> blended similarity edges -> connected
+    components -> coref metrics vs gold entity_id.
+
+    mentions: (mention_index long, mention string, left_context,
+    right_context, entity_id). Returns dict with 'assignments',
+    'pairs', and the metric DataFrames.
+    """
+    df = mentions.withColumn(
+        "context", F.concat_ws(" ", F.col("left_context"), F.col("right_context"))
+    )
+    m_model = fit_char_bigram_tf(df, "mention", vocab_size=vocab_size)
+    c_model = fit_word_tfidf(df, "context", vocab_size=vocab_size)
+    vec = transform_char_bigram(m_model, df, "mention")
+    vec = transform_word_tfidf(c_model, vec, "context")
+    vec = to_dense_array(to_dense_array(vec, "mention_vec"), "context_vec")
+    edges = blended_self_edges(
+        vec,
+        [("mention_vec", weights[0]), ("context_vec", weights[1])],
+        threshold,
+        id_col="mention_index",
+    )
+    assign = connected_components(
+        vec.select("mention_index"), edges.select("u", "v"), id_col="mention_index"
+    )
+    pairs = (
+        first_occurrence_ids(
+            mentions.select("mention_index", "entity_id"), "entity_id", "mention_index", "true_id"
+        )
+        .join(assign, "mention_index")
+        .select(
+            F.col("mention_index").alias("mention"),
+            "true_id",
+            F.col("cluster_id").alias("pred_id"),
+        )
+    )
+    return {"assignments": assign, "pairs": pairs, **evaluate_pairs(pairs)}
+
+
+def ep2_nn_threshold(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> dict[str, object]:
+    """EP2 batch form (nn_thresh.py): cosine-threshold clustering over
+    dense embeddings -> metrics vs gold labels."""
+    assign = threshold_clusters(embeddings, threshold, id_col=id_col, vec_col=vec_col)
+    pairs = assign.join(embeddings.select(id_col, label_col), id_col).select(
+        F.col(id_col).alias("mention"),
+        F.col(label_col).alias("true_id"),
+        F.col("cluster_id").alias("pred_id"),
+    )
+    return {"assignments": assign, "pairs": pairs, **evaluate_pairs(pairs)}
+
+
+def ep3_grinch(
+    embeddings: DataFrame,
+    cut_threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    **grinch_params,
+) -> dict[str, object]:
+    """EP3 (cluster_w_grinch.py): GRINCH dendrogram -> flat cut +
+    distributed purity."""
+    from streaming_cdc_spark.metrics.purity import dendrogram_purity_df
+    from streaming_cdc_spark.operators.grinch import grinch_build
+
+    spark = embeddings.sparkSession
+    tree = grinch_build(
+        embeddings, id_col=id_col, vec_col=vec_col, label_col=label_col, **grinch_params
+    )
+    edges = spark.createDataFrame(
+        tree.edge_rows(), "uid string, parent_uid string, label string"
+    )
+    flat = tree.flat_clusters(cut_threshold)
+    assign = spark.createDataFrame(
+        sorted((int(k), int(v)) for k, v in flat.items()), f"{id_col} long, cluster_id long"
+    )
+    pairs = assign.join(embeddings.select(id_col, label_col), id_col).select(
+        F.col(id_col).alias("mention"),
+        F.col(label_col).alias("true_id"),
+        F.col("cluster_id").alias("pred_id"),
+    )
+    return {
+        "dendrogram": edges,
+        "assignments": assign,
+        "pairs": pairs,
+        "purity": dendrogram_purity_df(edges),
+        **evaluate_pairs(pairs),
+    }

@@ -13,6 +13,7 @@ from streaming_cdc_spark.queries.registry import ORACLES, QUERIES, query
 # Importing the domain modules populates the registry.
 from streaming_cdc_spark.queries import (  # noqa: E402,F401
     relational,
+    relational2,
     cdc,
     dedup,
     text,

@@ -251,6 +251,27 @@ def grinch_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dendrogram_purity_df(edges)
 
 
+@query("tfidf_blend_clusters")  # MLlib IDF model fit; rows-only check
+def tfidf_blend_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1 (V1/V2/P13/C16 + C1): char-bigram TF kernel on a mention
+    surface blended 0.8/0.2 with word TF-IDF on the document text,
+    thresholded, connected components. Deterministic: kernel values
+    are invariant to CountVectorizer's vocab permutation."""
+    from streaming_cdc_spark.pipelines import ep1_feature_baseline
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    mentions = docs.select(
+        F.col("doc_id").alias("mention_index"),
+        F.array_join(F.slice(toks, 1, 2), " ").alias("mention"),
+        F.array_join(F.slice(toks, 3, 8), " ").alias("left_context"),
+        F.array_join(F.slice(toks, 11, 8), " ").alias("right_context"),
+        F.col("lang").alias("entity_id"),
+    )
+    out = ep1_feature_baseline(mentions, threshold=0.75)
+    return out["assignments"].select(F.col("mention_index").alias("doc_id"), "cluster_id")
+
+
 def flagship_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entry-point flagship (driver smoke check)."""
     return cluster_summary(spark, sf_dir)

@@ -1,0 +1,58 @@
+"""Physical-plan contracts: filters reach the parquet scan, columns
+prune, small dims broadcast, hot paths stay in whole-stage codegen.
+These are the 100 TB regression guards."""
+
+from streaming_cdc_spark.plans.inspect import (
+    has_partial_aggregation,
+    has_whole_stage_codegen,
+    join_strategies,
+    pushed_filters,
+    scan_columns,
+)
+from streaming_cdc_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_pricing_summary(spark):
+    df = QUERIES["pricing_summary"](spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed
+
+
+def test_column_pruning_pricing_summary(spark):
+    df = QUERIES["pricing_summary"](spark, SF)
+    cols = scan_columns(df)
+    # contexts the query never touches must not be read
+    assert "l_orderkey" not in cols
+    assert "l_partkey" not in cols
+    assert {"l_quantity", "l_extendedprice", "l_discount", "l_tax"} <= cols
+
+
+def test_broadcast_join_dims(spark):
+    df = QUERIES["revenue_by_nation"](spark, SF)
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+
+
+def test_band_join_is_equi_join(spark):
+    # the offset-exploded band join must plan as a hash/merge join,
+    # never a nested-loop range join
+    df = QUERIES["band_join_pairs"](spark, SF)
+    strategies = join_strategies(df)
+    assert "BroadcastNestedLoopJoin" not in strategies
+    assert "CartesianProduct" not in strategies
+
+
+def test_codegen_and_partial_agg(spark):
+    df = QUERIES["pricing_summary"](spark, SF)
+    assert has_partial_aggregation(df)  # map-side combine before shuffle
+    assert has_whole_stage_codegen(df)
+
+
+def test_filter_pushdown_user_filter(spark):
+    df = QUERIES["running_user_value"](spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "user_id" in pushed
