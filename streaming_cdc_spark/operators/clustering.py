@@ -74,22 +74,20 @@ def connected_components(
     the component — deterministic regardless of execution order.
     """
     vs = vertices.select(F.col(id_col).cast("long").alias("v"))
-    sym = (
-        edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
-        .union(edges.select(F.col("v").cast("long").alias("u"), F.col("u").cast("long").alias("v")))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .persist()
+    e = edges.select(F.col("u").cast("long"), F.col("v").cast("long")).filter(
+        F.col("u") != F.col("v")
     )
-    n_edges = sym.count()
-    if n_edges == 0:
-        sym.unpersist()
-        return vs.select(F.col("v").alias(id_col), F.col("v").alias("cluster_id"))
-    if n_edges <= driver_cutoff:
-        pairs = [(r["u"], r["v"]) for r in sym.filter(F.col("u") < F.col("v")).collect()]
-        out = _driver_union_find(vs, pairs, "v").withColumnRenamed("v", id_col)
-        sym.unpersist()
-        return out
+    if driver_cutoff:
+        # take(cutoff+1) both sizes the graph AND collects it when
+        # small — one job instead of count+collect, and it short-
+        # circuits partition evaluation when the graph is big
+        head = e.take(driver_cutoff + 1)
+        if len(head) <= driver_cutoff:
+            if not head:
+                return vs.select(F.col("v").alias(id_col), F.col("v").alias("cluster_id"))
+            pairs = [(r["u"], r["v"]) for r in head]
+            return _driver_union_find(vs, pairs, "v").withColumnRenamed("v", id_col)
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().persist()
 
     touched = sym.select(F.col("u").alias("v")).distinct()
     lbl = touched.select("v", F.col("v").alias("l")).localCheckpoint()

@@ -33,11 +33,16 @@ def tokens(text: Column | str) -> Column:
     return F.split(text, " ")
 
 
-def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles, matching the oracle construction:
-    positions 1 .. greatest(len-(n-1), 1); concat_ws skips trailing
-    nulls on short docs identically in both engines."""
-    t = tokens(text)
+def word_shingles(t: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a TOKEN ARRAY column,
+    matching the oracle construction: positions 1..greatest(len-(n-1),
+    1); concat_ws skips trailing nulls on short docs identically in
+    both engines.
+
+    Takes the pre-split token array, not the raw text: expressions
+    inside transform() lambdas are re-evaluated per element, so
+    splitting there costs O(len(text) * n_shingles) per row."""
+    t = F.col(t) if isinstance(t, str) else t
     idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1)))
     # try_element_at: out-of-range -> NULL (concat_ws skips it), instead
     # of the ANSI-mode error element_at raises on short docs
@@ -48,7 +53,8 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 
 
 def exploded_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    return docs.select(id_col, F.explode(word_shingles(text_col)).alias("shingle"))
+    tokenized = docs.select(id_col, tokens(text_col).alias("_t"))
+    return tokenized.select(id_col, F.explode(word_shingles(F.col("_t"))).alias("shingle"))
 
 
 def exact_dedup_groups(

@@ -18,10 +18,10 @@ def docs_df(spark):
 
 def test_word_shingles(spark):
     df = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
-    row = df.select(D.word_shingles("text").alias("s")).first()
+    row = df.select(D.word_shingles(D.tokens("text")).alias("s")).first()
     assert row["s"] == ["a b c", "b c d"]
     short = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
-    assert short.select(D.word_shingles("text").alias("s")).first()["s"] == ["a b"]
+    assert short.select(D.word_shingles(D.tokens("text")).alias("s")).first()["s"] == ["a b"]
 
 
 def test_exact_dedup(spark):
