@@ -15,6 +15,7 @@ from streaming_cdc_spark.queries import (  # noqa: E402,F401
     relational,
     relational2,
     cdc,
+    cdc2,
     dedup,
     text,
     similarity,

@@ -1,0 +1,103 @@
+"""Error-analysis and search-loop queries (P7/P8, R8/A9, C7,
+approx aggregates)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from streaming_cdc_spark.queries.registry import query
+from streaming_cdc_spark.tables import load
+
+_PAIRS_SQL = "SELECT vec_id AS mention, label AS true_id, vec_id % 7 AS pred_id FROM embeddings"
+
+
+@query(
+    "context_windows",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    SELECT doc_id,
+           array_to_string(list_slice(t, greatest(len(t) - 9, 1), len(t)), ' ') AS tail_window,
+           upper(regexp_replace(array_to_string(list_slice(t, greatest(len(t) - 9, 1), len(t)), ' '), '[0-9]', '#', 'g')) AS cleaned
+    FROM toks
+    """,
+)
+def context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: truncated context windows + escape-style regexp cleaning
+    (error_analysis.py:14-22, 34-39: ±10-word windows, char escapes)."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    toks = docs.select("doc_id", t.alias("t"))
+    win = F.array_join(
+        F.slice(F.col("t"), F.greatest(F.size("t") - 9, F.lit(1)), 10), " "
+    )
+    return toks.select(
+        "doc_id",
+        win.alias("tail_window"),
+        F.upper(F.regexp_replace(win, "[0-9]", "#")).alias("cleaned"),
+    )
+
+
+@query(
+    "top_conflated_examples",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    conf AS (SELECT pred_id, COUNT(DISTINCT true_id) - 1 AS conflated
+             FROM pairs GROUP BY pred_id),
+    worst AS (SELECT pred_id FROM conf ORDER BY conflated DESC, pred_id LIMIT 1)
+    SELECT mention, true_id, pred_id FROM pairs
+    WHERE pred_id = (SELECT pred_id FROM worst)
+    ORDER BY mention LIMIT 5
+    """,
+)
+def top_conflated_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8/A9: the most-conflated predicted cluster and its first 5
+    members (error_analysis.py:80-125 'worst cluster' report), with
+    total deterministic ordering."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = emb.select(
+        F.col("vec_id").alias("mention"),
+        F.col("label").alias("true_id"),
+        (F.col("vec_id") % 7).alias("pred_id"),
+    )
+    conf = pairs.groupBy("pred_id").agg(
+        (F.countDistinct("true_id") - 1).alias("conflated")
+    )
+    worst = conf.orderBy(F.desc("conflated"), F.asc("pred_id")).limit(1).select("pred_id")
+    return (
+        pairs.join(F.broadcast(worst), "pred_id")
+        .orderBy("mention")
+        .limit(5)
+        .select("mention", "true_id", "pred_id")
+    )
+
+
+@query("approx_stats")  # sketch-based aggregates: no exact SQL twin; rows-only
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 at scale: approx_count_distinct (HLL) and percentile_approx
+    — the sketches a 100 TB aggregation actually uses (exact
+    countDistinct is checked in event_type_stats)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.round(F.percentile_approx("value", F.lit(0.5), F.lit(1000)), 2).alias("approx_median"),
+    )
+
+
+@query("bisect_clusters")  # iterative driver loop (C7); rows-only
+def bisect_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: bisection search for the cosine threshold hitting a target
+    cluster count (nn_thresh.py:118-135), re-filtering the cached
+    scored edges per iteration. Output: the search trace-free result
+    (threshold, n_clusters)."""
+    from streaming_cdc_spark.operators.clustering import find_threshold
+
+    emb = load(spark, sf_dir, "embeddings")
+    n_labels = emb.select(F.countDistinct("label")).first()[0]
+    threshold, clusters = find_threshold(
+        emb, target=n_labels * 20, max_iters=8
+    )
+    n_clusters = clusters.select(F.countDistinct("cluster_id")).first()[0]
+    return spark.createDataFrame(
+        [(round(threshold, 6), int(n_clusters))], "threshold double, n_clusters long"
+    )

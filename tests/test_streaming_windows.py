@@ -1,0 +1,55 @@
+"""Event-time windowed aggregation + streaming dedup, end to end."""
+
+import json
+
+
+def _run(spark, tmp_path, rows, build):
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double, user_id long"
+    ).json(str(src))
+    out = build(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql("select * from win_out").collect()
+
+
+def test_windowed_counts(spark, tmp_path):
+    from streaming_cdc_spark.streaming.windows import windowed_event_counts
+
+    rows = [
+        {"ts": "2024-01-01 00:01:00", "event_type": "click", "value": 1.0, "user_id": 1},
+        {"ts": "2024-01-01 00:05:00", "event_type": "click", "value": 2.0, "user_id": 2},
+        {"ts": "2024-01-01 00:12:00", "event_type": "click", "value": 4.0, "user_id": 1},
+        # an event far in the future pushes the watermark so earlier
+        # windows finalize and appear in append output
+        {"ts": "2024-01-01 09:00:00", "event_type": "click", "value": 8.0, "user_id": 3},
+    ]
+    got = _run(spark, tmp_path, rows, lambda s: windowed_event_counts(s, "10 minutes", "30 minutes"))
+    by_start = {str(r["window_start"]): r for r in got}
+    w0 = by_start.get("2024-01-01 00:00:00")
+    assert w0 is not None and w0["n_events"] == 2 and w0["sum_value"] == 3.0
+    w1 = by_start.get("2024-01-01 00:10:00")
+    assert w1 is not None and w1["n_events"] == 1
+
+
+def test_streaming_dedup(spark, tmp_path):
+    from streaming_cdc_spark.streaming.windows import streaming_dedup
+
+    rows = [
+        {"ts": "2024-01-01 00:01:00", "event_type": "click", "value": 1.0, "user_id": 7},
+        {"ts": "2024-01-01 00:02:00", "event_type": "click", "value": 1.0, "user_id": 7},
+        {"ts": "2024-01-01 00:03:00", "event_type": "view", "value": 1.0, "user_id": 7},
+    ]
+    got = _run(spark, tmp_path, rows, lambda s: streaming_dedup(s, ["user_id", "event_type"]))
+    kinds = sorted(r["event_type"] for r in got)
+    assert kinds == ["click", "view"]  # duplicate click dropped in-stream
