@@ -49,3 +49,23 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l2_distance(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.sqrt(F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def inv_l2_kernel(a: Column | str, b: Column | str) -> Column:
+    """P12 'l2' kernel (grinch_alg.py:70-92): 1 / (1 + ||a-b||)."""
+    return F.lit(1.0) / (F.lit(1.0) + l2_distance(a, b))
+
+
+def inv_sql2_kernel(a: Column | str, b: Column | str) -> Column:
+    """P12 'sql2' kernel: 1 / (1 + ||a-b||^2)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.lit(1.0) / (F.lit(1.0) + F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x))

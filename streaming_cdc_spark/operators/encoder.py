@@ -1,0 +1,91 @@
+"""Mention encoders (V4-V6) — the reference's model-backed embedding
+UDF surface (embed.py, modeling_mention_encoder.py, encode_w_blink.py)
+as Arrow-batched ``mapInPandas`` with broadcast weights.
+
+Transformer weights aren't available in this environment, so the
+default encoder is FEATURE HASHING + seeded random projection: token
+-> md5-derived hash -> row of a deterministic Gaussian projection
+matrix -> mean-pool -> L2 normalize. That is a REAL (if simple)
+encoder — deterministic, vocabulary-free, and with exactly the
+physical shape of a transformer encoder UDF: weights broadcast once,
+Arrow batches in, (B, D) float matrix out. Swapping in BERT/BLINK
+means replacing ``_embed_batch`` with a model forward pass.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _token_vector(token: str, dim: int) -> np.ndarray:
+    """Deterministic per-token Gaussian vector seeded from md5."""
+    seed = int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(dim)
+
+
+def recenter_tokens(
+    left: list[str], right: list[str], budget_per_side: int
+) -> tuple[list[str], list[str]]:
+    """P8 (utils.py:78-104): symmetric token budget around the
+    mention; a side that underuses its budget donates the remainder
+    to the other side."""
+    take_left = min(len(left), budget_per_side + max(0, budget_per_side - len(right)))
+    take_right = min(len(right), budget_per_side + max(0, budget_per_side - len(left)))
+    return (left[-take_left:] if take_left else [], right[:take_right])
+
+
+def hash_encode_mentions(
+    mentions: DataFrame,
+    dim: int = 64,
+    context_budget: int = 16,
+    id_col: str = "mention_index",
+    mention_col: str = "mention",
+    left_col: str = "left_context",
+    right_col: str = "right_context",
+) -> DataFrame:
+    """Encode (mention, recentered context) -> L2-normalized embedding
+    (V5 shape: encoder -> projection -> normalize). Output:
+    (mention_index, embedding array<double>).
+    """
+    from streaming_cdc_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(mentions.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, np.ndarray] = {}
+
+        def tok_vec(t: str) -> np.ndarray:
+            v = cache.get(t)
+            if v is None:
+                v = _token_vector(t, dim)
+                cache[t] = v
+            return v
+
+        for pdf in batches:
+            out_ids, out_vecs = [], []
+            for _, row in pdf.iterrows():
+                left = (row[left_col] or "").split()
+                right = (row[right_col] or "").split()
+                l, r = recenter_tokens(left, right, context_budget)
+                toks = l + (row[mention_col] or "").split() + r
+                if toks:
+                    m = np.mean([tok_vec(t) for t in toks], axis=0)
+                else:
+                    m = np.zeros(dim)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    m = m / n
+                out_ids.append(row[id_col])
+                out_vecs.append([float(x) for x in m])
+            yield pd.DataFrame({id_col: out_ids, "embedding": out_vecs})
+
+    return mentions.select(id_col, mention_col, left_col, right_col).mapInPandas(
+        gen, f"{id_col} long, embedding array<double>"
+    )

@@ -97,6 +97,18 @@ def token_histogram(
     )
 
 
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def regex_tokenize(text_col: str = "text") -> Column:
+    """P9 analog: a BPE-ish regex tokenization (letter runs, digit
+    runs, single punctuation) via regexp_extract_all — the
+    SQL-expressible stand-in for a learned subword tokenizer; an HF
+    tokenizer slots into the same column via a pandas UDF."""
+    # lit() keeps the regex out of the SQL parser's escape handling
+    return F.regexp_extract_all(text_col, F.lit(BPE_ISH_PATTERN), F.lit(0))
+
+
 def media_stats(
     docs: DataFrame, group_col: str = "source", text_col: str = "text"
 ) -> DataFrame:

@@ -33,12 +33,29 @@ def first_occurrence_ids(df: DataFrame, key_col: str, order_col: str, out_col: s
 
 def evaluate_pairs(pairs: DataFrame) -> dict[str, DataFrame]:
     """EP stage 3 (eval_clusters.py:172-219): the full metric suite
-    over a (mention, true_id, pred_id) DataFrame."""
+    over a (mention, true_id, pred_id) DataFrame. 'summary' adds the
+    A13 mean-of-F1s line (eval_clusters.py:216)."""
+    muc = muc_df(pairs)
+    b3 = b3_df(pairs)
+    ceaf = ceaf_e_df(pairs)
+    summary = (
+        muc.crossJoin(b3)
+        .crossJoin(ceaf)
+        .select(
+            "muc_f1",
+            "b3_f1",
+            "ceaf_f1",
+            F.round((F.col("muc_f1") + F.col("b3_f1") + F.col("ceaf_f1")) / 3, 6).alias(
+                "mean_f1"
+            ),
+        )
+    )
     return {
-        "muc": muc_df(pairs),
-        "b3": b3_df(pairs),
-        "ceaf_e": ceaf_e_df(pairs),
+        "muc": muc,
+        "b3": b3,
+        "ceaf_e": ceaf,
         "errors": conflation_df(pairs),
+        "summary": summary,
     }
 
 

@@ -16,6 +16,7 @@ from streaming_cdc_spark.queries import (  # noqa: E402,F401
     relational2,
     cdc,
     cdc2,
+    coverage,
     dedup,
     text,
     similarity,

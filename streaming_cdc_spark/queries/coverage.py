@@ -1,0 +1,136 @@
+"""Coverage-closing queries: A2 singletons, P9 regex tokenization,
+P12 L2 kernels, V4-V6 encoder pattern, rollup (bonus surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_cdc_spark.functions.vectors import as_double, inv_l2_kernel, inv_sql2_kernel
+from streaming_cdc_spark.operators.text import regex_tokenize
+from streaming_cdc_spark.queries.registry import query
+from streaming_cdc_spark.tables import load
+
+
+@query(
+    "singleton_entities",
+    oracle="""
+    SELECT COUNT(*) AS n_singletons FROM (
+        SELECT user_id FROM events GROUP BY user_id HAVING COUNT(*) = 1
+    )
+    """,
+)
+def singleton_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: entities with exactly one mention
+    (scripts/unique_entities.py:13-14)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") == 1)
+        .agg(F.count("*").alias("n_singletons"))
+    )
+
+
+@query(
+    "regex_token_stats",
+    oracle=r"""
+    SELECT len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subtokens,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: BPE-ish regex tokenization — distribution of subtoken
+    counts over the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.size(regex_tokenize("text")).alias("n_subtokens"))
+        .groupBy("n_subtokens")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "l2_kernel_pairs",
+    oracle="""
+    SELECT a.vec_id AS u, b.vec_id AS v,
+           ROUND(1.0 / (1.0 + sqrt(list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) ** 2)), 6) AS inv_l2_r,
+           ROUND(1.0 / (1.0 + list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) ** 2), 6) AS inv_sql2_r
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    WHERE a.vec_id < 50
+    """,
+)
+def l2_kernel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12: the reference's alternative similarity kernels
+    (grinch_alg.py:70-92): 1/(1+l2) and 1/(1+sql2) on consecutive
+    vector pairs."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("u"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(F.col("vec_id").alias("v"), F.col("embedding").alias("eb"))
+    joined = a.join(b, F.col("v") == F.col("u") + 1)
+    da, db = as_double("ea"), as_double("eb")
+    return joined.select(
+        "u",
+        "v",
+        F.round(inv_l2_kernel(da, db), 6).alias("inv_l2_r"),
+        F.round(inv_sql2_kernel(da, db), 6).alias("inv_sql2_r"),
+    )
+
+
+@query("hash_encoded_mentions")  # seeded random projection; rows-only
+def hash_encoded_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4-V6 encoder surface: feature-hashing encoder over synthetic
+    mention records (documents split into mention + contexts),
+    mean-pooled + L2-normalized; output norms summarize the vectors.
+    The mapInPandas shape is exactly a transformer encoder UDF."""
+    from streaming_cdc_spark.functions.vectors import l2_norm
+    from streaming_cdc_spark.operators.encoder import hash_encode_mentions
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    mentions = docs.select(
+        F.col("doc_id").alias("mention_index"),
+        F.array_join(F.slice(toks, 1, 2), " ").alias("mention"),
+        F.array_join(F.slice(toks, 3, 20), " ").alias("left_context"),
+        F.array_join(F.slice(toks, 23, 20), " ").alias("right_context"),
+    )
+    enc = hash_encode_mentions(mentions, dim=32, context_budget=8)
+    return enc.select(
+        "mention_index", F.round(l2_norm("embedding"), 6).alias("norm")
+    )
+
+
+@query(
+    "revenue_rollup",
+    oracle="""
+    SELECT r_name, o_orderstatus,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, o_orderstatus)
+    """,
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bonus surface beyond reference parity (SURVEY §2.8 note):
+    hierarchical ROLLUP totals — free from Spark SQL, exposed and
+    oracle-checked."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    j = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.rollup("r_name", "o_orderstatus").agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("total"),
+        F.count("*").alias("n_orders"),
+    )
