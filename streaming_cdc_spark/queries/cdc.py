@@ -272,6 +272,25 @@ def tfidf_blend_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["assignments"].select(F.col("mention_index").alias("doc_id"), "cluster_id")
 
 
+@query("grinch_per_key_trees")  # per-key online trees; rows-only check
+def grinch_per_key_trees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 scalable mode: independent GRINCH trees per partition key
+    (label % 3), built in parallel via applyInPandas; output = per-key
+    tree shape summary (one row per key)."""
+    from streaming_cdc_spark.operators.grinch import grinch_per_key
+
+    emb = load(spark, sf_dir, "embeddings").withColumn("part", F.col("label") % 3)
+    edges = grinch_per_key(emb, key_col="part", id_col="vec_id", label_col="label")
+    return (
+        edges.groupBy("key")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(F.when(F.col("label").isNotNull(), 1).otherwise(0)).alias("n_leaves"),
+            F.sum(F.when(F.col("parent_uid").isNull(), 1).otherwise(0)).alias("n_roots"),
+        )
+    )
+
+
 def flagship_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entry-point flagship (driver smoke check)."""
     return cluster_summary(spark, sf_dir)
