@@ -70,6 +70,19 @@ def lsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ivf_topk")  # seeded KMeans index; rows-only check
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path: seeded KMeans cells -> probe 4 of 16 cells
+    per query -> exact cosine re-rank (operators/ann.py). Corpus
+    scanned per query drops to ~n_probe/k of brute force."""
+    from streaming_cdc_spark.operators.ann import fit_ivf_index, ivf_top_k
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, centroids = fit_ivf_index(emb, k=16, seed=42)
+    queries_df = emb.filter(F.col("vec_id") < 16)
+    return ivf_top_k(queries_df, assigned, centroids, k=5, n_probe=4)
+
+
 @query(
     "embedding_norm_stats",
     oracle="""

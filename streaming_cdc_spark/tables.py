@@ -52,6 +52,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Runtime-settable; required even when the caller owns the session
     # (the driver's session won't have it).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Timestamp literals and ts->date casts are session-TZ dependent;
+    # the DuckDB oracle compares naive timestamps, so pin UTC.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ensure_package_on_executors(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANO_TS_COLUMNS.get(name, ()):
