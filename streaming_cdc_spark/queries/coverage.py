@@ -105,6 +105,27 @@ def hash_encoded_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_with_token",
+    oracle="""
+    SELECT lang,
+           COUNT(*) FILTER (list_contains(string_split(text, ' '), 'spark')) AS n_with_spark,
+           COUNT(*) FILTER (list_contains(string_split(text, ' '), 'query')) AS n_with_query,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def docs_with_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_contains surface (§2.8): membership counts per language."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    return docs.groupBy("lang").agg(
+        F.count_if(F.array_contains(t, "spark")).alias("n_with_spark"),
+        F.count_if(F.array_contains(t, "query")).alias("n_with_query"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@query(
     "revenue_rollup",
     oracle="""
     SELECT r_name, o_orderstatus,
