@@ -139,9 +139,17 @@ def ngram_jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared"))
     )
+    # per-doc size table is tiny (one row per doc) — broadcast both
+    # probes so the big shared-pairs relation never shuffles again
     out = (
-        shared.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        shared.join(
+            F.broadcast(sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))),
+            "doc_b",
+        )
         .withColumn(
             "jaccard",
             F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")),
