@@ -38,6 +38,14 @@ HEADLINE = [
     "token_histogram",
     "cosine_topk",
     "lsh_bucket_pairs",
+    "exact_dedup_prefix",
+    "doc_fingerprints",
+    "seen_unseen_split",
+    "entity_vocab",
+    "event_gaps",
+    "revenue_rollup",
+    "docs_with_token",
+    "lang_id_confusion",
 ]
 
 
