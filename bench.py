@@ -53,9 +53,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
     spark = get_spark("bench")
-    # Warm the JVM + Python workers once so per-query times measure the
-    # queries, not session startup.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # Warm the JVM, codegen, parquet reader, and Python workers once so
+    # per-query times measure the queries, not JIT/session startup.
+    from streaming_cdc_spark.tables import load
+
+    load(spark, sf_dir, "region").count()
+    load(spark, sf_dir, "events").selectExpr(
+        "sum(cast(value as decimal(18,2)))", "count(distinct user_id)"
+    ).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

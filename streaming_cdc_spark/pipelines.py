@@ -144,6 +144,47 @@ def ep2_nn_threshold(
     return {"assignments": assign, "pairs": pairs, **evaluate_pairs(pairs)}
 
 
+def ep2_streaming(
+    stream: DataFrame,
+    gold: DataFrame,
+    threshold: float,
+    limit: int | None = None,
+    strategy: str = "cache",
+    checkpoint_dir: str | None = None,
+    key_col: str = "category",
+) -> dict[str, object]:
+    """EP2 streaming form: run the bounded-memory incremental linker
+    over a (finite) stream to completion (availableNow), then evaluate
+    the resulting assignment against gold labels.
+
+    stream: streaming DataFrame (key_col, mention_index, embedding);
+    gold: batch DataFrame (mention_index, entity_id).
+    """
+    import tempfile
+
+    from streaming_cdc_spark.streaming.linker import streaming_linker
+
+    spark = gold.sparkSession
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ep2s_ckpt_")
+    name = f"ep2s_{abs(hash(ckpt)) % 10**9}"
+    out = streaming_linker(stream, threshold, limit=limit, strategy=strategy, key_col=key_col)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assign = spark.table(name).select("mention_index", "cluster_id")
+    pairs = assign.join(gold, "mention_index").select(
+        F.col("mention_index").alias("mention"),
+        F.col("entity_id").alias("true_id"),
+        F.col("cluster_id").alias("pred_id"),
+    )
+    return {"assignments": assign, "pairs": pairs, **evaluate_pairs(pairs)}
+
+
 def ep3_grinch(
     embeddings: DataFrame,
     cut_threshold: float,

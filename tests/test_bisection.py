@@ -1,0 +1,52 @@
+"""C7 threshold bisection + EP2 streaming pipeline."""
+
+import json
+
+import pytest
+
+
+def test_find_threshold_hits_target(spark):
+    from streaming_cdc_spark.operators.clustering import find_threshold
+
+    # two tight clusters + two outliers -> target 4 achievable
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.02, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.02, 0.99, 0.0]),
+        (4, [0.5, 0.5, 0.7]),
+        (5, [-0.7, 0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    threshold, clusters = find_threshold(df, target=4, epsilon=0.4, max_iters=12)
+    got = {r["vec_id"]: r["cluster_id"] for r in clusters.collect()}
+    n_clusters = len(set(got.values()))
+    assert abs(n_clusters - 4) <= 1
+    assert 0.0 < threshold < 1.0
+
+
+def test_ep2_streaming(spark, tmp_path):
+    from streaming_cdc_spark.pipelines import ep2_streaming
+
+    vecs = {
+        0: ([1.0, 0.0], "A"),
+        1: ([0.99, 0.05], "A"),
+        2: ([0.0, 1.0], "B"),
+        3: ([0.03, 0.99], "B"),
+    }
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "m.jsonl").write_text(
+        "\n".join(
+            json.dumps({"category": "k", "mention_index": i, "embedding": v})
+            for i, (v, _) in vecs.items()
+        )
+    )
+    stream = spark.readStream.schema(
+        "category string, mention_index long, embedding array<double>"
+    ).json(str(src))
+    gold = spark.createDataFrame(
+        [(i, lab) for i, (_, lab) in vecs.items()], "mention_index long, entity_id string"
+    )
+    out = ep2_streaming(stream, gold, threshold=0.9, checkpoint_dir=str(tmp_path / "ck"))
+    assert out["summary"].first()["mean_f1"] == pytest.approx(1.0, abs=1e-6)
