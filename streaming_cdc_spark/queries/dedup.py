@@ -89,6 +89,32 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, threshold=0.05)
 
 
+@query("doc_embedding_near_dups")  # encoder-backed; rows-only check
+def doc_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection on raw documents:
+    feature-hashing encoder -> broadcast block-matmul cosine self-join
+    at 0.9 — the semantic-dedup path (encoder swaps for a real model,
+    candidate generation swaps for LSH at scale)."""
+    from streaming_cdc_spark.operators.encoder import hash_encode_mentions
+    from streaming_cdc_spark.operators.similarity import cosine_self_edges
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    mentions = docs.select(
+        F.col("doc_id").alias("mention_index"),
+        F.array_join(F.slice(toks, 1, 4), " ").alias("mention"),
+        F.lit("").alias("left_context"),
+        F.array_join(F.slice(toks, 5, 60), " ").alias("right_context"),
+    )
+    emb = hash_encode_mentions(mentions, dim=48, context_budget=30)
+    edges = cosine_self_edges(emb, 0.9, id_col="mention_index", vec_col="embedding")
+    return edges.select(
+        F.col("u").alias("doc_a"),
+        F.col("v").alias("doc_b"),
+        F.round("sim", 6).alias("sim_r"),
+    )
+
+
 @query(
     "simhash_fingerprints",
     oracle=f"""
