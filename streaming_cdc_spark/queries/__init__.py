@@ -18,6 +18,7 @@ from streaming_cdc_spark.queries import (  # noqa: E402,F401
     cdc2,
     coverage,
     dedup,
+    temporal,
     text,
     similarity,
 )

@@ -1,0 +1,89 @@
+"""Temporal queries: as-of join (DuckDB ASOF JOIN oracle) and
+hypertable-style time-bucket rollups."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_cdc_spark.operators.temporal import asof_join, time_bucket_rollup
+from streaming_cdc_spark.queries.registry import query
+from streaming_cdc_spark.tables import load
+
+# Orders are 1995-2001; shift +27 years so they interleave with the
+# 2024-01 event stream and the as-of target varies per event.
+_SHIFT = "INTERVAL 27 YEAR"
+
+
+@query(
+    "asof_join_orders",
+    oracle=f"""
+    WITH r AS (
+        SELECT o_custkey AS user_id, o_orderdate + {_SHIFT} AS t,
+               o_totalprice, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_custkey < 150
+    ),
+    rd AS (SELECT user_id, t, o_totalprice, o_orderkey FROM r WHERE rn = 1)
+    SELECT e.event_id, e.user_id, rd.o_totalprice AS last_order_price,
+           rd.o_orderkey AS last_order_key
+    FROM (SELECT event_id, user_id, ts FROM events WHERE user_id < 50) e
+    ASOF JOIN rd ON e.user_id = rd.user_id AND e.ts >= rd.t
+    """,
+)
+def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the most recent prior order of the
+    same customer — union+window implementation (one shuffle), checked
+    against DuckDB's native ASOF JOIN."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 50).select(
+        "event_id", "user_id", "ts"
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 150)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.expr(f"o_orderdate + {_SHIFT}").alias("shifted_date"),
+            F.col("o_totalprice"),
+            F.col("o_orderkey"),
+        )
+    )
+    out = asof_join(
+        ev,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="shifted_date",
+        payload_cols=["o_totalprice", "o_orderkey"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("o_totalprice").alias("last_order_price"),
+        F.col("o_orderkey").alias("last_order_key"),
+    )
+
+
+@query(
+    "hourly_daily_rollup",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS bucket, event_type,
+               COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS s
+        FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(date_trunc('day', bucket) AS TIMESTAMP) AS bucket, event_type,
+           CAST(SUM(n) AS BIGINT) AS n,
+           ROUND(CAST(SUM(s) AS DOUBLE), 2) AS sum_value
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def hourly_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: daily totals derived by
+    re-aggregating the hourly rollup (never rescanning raw events)."""
+    ev = load(spark, sf_dir, "events")
+    _, daily = time_bucket_rollup(ev, "ts", "event_type", "value")
+    return daily.select(
+        F.col("bucket").cast("timestamp").alias("bucket"), "event_type", "n", "sum_value"
+    )

@@ -1,0 +1,53 @@
+"""As-of join and time-bucket rollup operators."""
+
+from streaming_cdc_spark.operators.temporal import asof_join, time_bucket_rollup
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "k1", "2024-01-01 10:00:00"),
+            (2, "k1", "2024-01-01 12:00:00"),
+            (3, "k1", "2024-01-01 09:00:00"),  # before any state -> unmatched
+            (4, "k2", "2024-01-01 12:00:00"),  # key with no state -> unmatched
+        ],
+        "id long, k string, ts string",
+    ).selectExpr("id", "k", "cast(ts as timestamp) as ts")
+    right = spark.createDataFrame(
+        [
+            ("k1", "2024-01-01 09:30:00", 100.0),
+            ("k1", "2024-01-01 11:00:00", 200.0),
+            ("k1", "2024-01-01 10:00:00", 150.0),  # exact tie with probe id=1
+        ],
+        "k string, rts string, price double",
+    ).selectExpr("k", "cast(rts as timestamp) as rts", "price")
+    out = asof_join(left, right, key="k", left_ts="ts", right_ts="rts", payload_cols=["price"])
+    got = {r["id"]: r["price"] for r in out.collect()}
+    assert got == {1: 150.0, 2: 200.0}  # exact-time state is visible; 3,4 dropped
+
+    outer = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="rts", payload_cols=["price"], inner=False
+    )
+    got2 = {r["id"]: r["price"] for r in outer.collect()}
+    assert got2 == {1: 150.0, 2: 200.0, 3: None, 4: None}
+
+
+def test_time_bucket_rollup_consistency(spark):
+    rows = [
+        ("2024-01-01 00:10:00", "a", 1.0),
+        ("2024-01-01 00:50:00", "a", 2.0),
+        ("2024-01-01 05:10:00", "a", 4.0),
+        ("2024-01-02 00:10:00", "a", 8.0),
+        ("2024-01-01 00:20:00", "b", 16.0),
+    ]
+    df = spark.createDataFrame(rows, "ts string, event_type string, value double").selectExpr(
+        "cast(ts as timestamp) as ts", "event_type", "value"
+    )
+    hourly, daily = time_bucket_rollup(df, "ts", "event_type", "value")
+    h = {(str(r["bucket"]), r["event_type"]): (r["n"], r["sum_value"]) for r in hourly.collect()}
+    d = {(str(r["bucket"]), r["event_type"]): (r["n"], r["sum_value"]) for r in daily.collect()}
+    assert h[("2024-01-01 00:00:00", "a")] == (2, 3.0)
+    assert d[("2024-01-01 00:00:00", "a")] == (3, 7.0)
+    assert d[("2024-01-02 00:00:00", "a")] == (1, 8.0)
+    # invariant: daily totals == sum of hourly totals
+    assert sum(v[1] for v in d.values()) == sum(v[1] for v in h.values())
