@@ -131,10 +131,12 @@ def threshold_clusters(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Cosine-threshold clustering: similarity edges -> connected
-    components. Returns (id_col, cluster_id)."""
-    edges = cosine_self_edges(df, threshold, id_col=id_col, vec_col=vec_col)
+    components. Returns (id_col, cluster_id). ``strategy`` forwards to
+    cosine_self_edges (auto = broadcast small / exact-blocked large)."""
+    edges = cosine_self_edges(df, threshold, id_col=id_col, vec_col=vec_col, strategy=strategy)
     return connected_components(df.select(id_col), edges.select("u", "v"), id_col=id_col)
 
 
@@ -161,7 +163,7 @@ def find_threshold(
     for _ in range(max_iters):
         threshold = (lo + hi) / 2
         clusters = connected_components(
-            vertices, scored.filter(F.col("sim") >= threshold), id_col=id_col
+            vertices, scored.filter(F.col("sim") > threshold), id_col=id_col
         )
         n_clusters = clusters.select(F.countDistinct("cluster_id")).first()[0]
         best = (threshold, clusters)

@@ -2,15 +2,32 @@
 (nn_thresh.py:112-115 ``torch.mm(E, E^T)``, baseline.py:35-40) recast
 for Spark.
 
-Physical strategy: the probe side streams through ``mapInPandas`` in
-Arrow batches; the build side is a broadcast numpy matrix, so each
-batch is one BLAS matmul — the vectorized fast path. This is the
-"broadcast block-matmul" pattern: correct whenever the BUILD side fits
-in executor memory (tens of millions of 64-d vectors). At 100 TB the
-build side is replaced by LSH buckets (see lsh_bucket_edges /
-operators.dedup minhash) and this same kernel re-scores candidates
-within a bucket — candidate generation changes, the scoring kernel
-does not.
+Two physical strategies behind one logical operator, picked by size
+(the same adaptivity pattern as AQE join selection):
+
+- **broadcast** (build side small): the probe side streams through
+  ``mapInPandas`` in Arrow batches; the build side is a broadcast
+  numpy matrix, so each batch is one BLAS matmul.
+- **blocked** (build side large): exact triangle blocking. Rows are
+  hashed into B blocks; each row is replicated to the B block-pairs
+  (i, j), i <= j it participates in; ``applyInPandas`` scores each
+  block-pair with the same BLAS kernel. No driver collect, per-task
+  memory bounded by 2 * block_rows vectors, and the edge set is
+  IDENTICAL to the broadcast path — exactness is what the hash gate
+  checks, so the scale path must not be approximate. Shuffle volume
+  is n * B rows (B ≈ n / block_rows), the known lower bound for
+  exact all-pairs with bounded task memory.
+
+``strategy="auto"`` (the default everywhere) counts the input once
+and picks broadcast below ``broadcast_max_rows``, blocked above.
+Approximate candidate generation (sign-LSH ``sign_lsh_bucket``,
+minhash bands in operators.dedup, IVF in operators.ann) remains the
+recall-traded alternative for when even n*B replication is too much;
+those paths are separate queries so the trade is explicit.
+
+Threshold comparison is strict ``>`` on every path — the reference's
+semantics (nn_thresh.py:138-152 links when score > threshold) and
+consistent across cosine/blended/greedy/streaming.
 """
 
 from __future__ import annotations
@@ -20,6 +37,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# auto-strategy cutover: below this many build rows, broadcast wins
+# (1M x 64-d float64 = ~0.5 GB broadcast — the practical ceiling).
+BROADCAST_MAX_ROWS = 1_000_000
+# blocked path: target rows per block (one block-pair task holds 2x).
+BLOCK_TARGET_ROWS = 250_000
+
 
 def _prepare(df: DataFrame):
     from streaming_cdc_spark.session import ensure_package_on_executors
@@ -28,7 +51,10 @@ def _prepare(df: DataFrame):
 
 
 def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
-    """Collect the build side as (ids, row-normalized float64 matrix)."""
+    """Collect the build side as (ids, row-normalized float64 matrix).
+
+    Only ever called on the broadcast (small) path — the blocked path
+    never materializes anything on the driver."""
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -37,53 +63,31 @@ def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
     return ids, mat / norms
 
 
-def cosine_self_edges(
-    df: DataFrame,
-    threshold: float,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """All pairs (u < v) with cosine(u, v) >= threshold.
-
-    Output: (u long, v long, sim double). The similarity graph that
-    feeds threshold clustering (C1-C3).
-    """
-    spark = df.sparkSession
-    _prepare(df)
-    ids_b, mat_b = _collect_matrix(df, id_col, vec_col)
-    bc = spark.sparkContext.broadcast((ids_b, mat_b))
-
-    def gen(batches):
-        r_ids, r_mat = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            a = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            n = np.linalg.norm(a, axis=1, keepdims=True)
-            n[n == 0.0] = 1.0
-            sims = (a / n) @ r_mat.T
-            li, ri = np.nonzero(sims >= threshold)
-            u = pdf[id_col].to_numpy()[li]
-            v = r_ids[ri]
-            keep = u < v
-            yield pd.DataFrame(
-                {"u": u[keep], "v": v[keep], "sim": sims[li, ri][keep]}
-            )
-
-    return df.select(id_col, vec_col).mapInPandas(gen, "u long, v long, sim double")
+def _norm_rows(pdf: pd.Series) -> np.ndarray:
+    mat = np.stack(pdf.to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return mat / norms
 
 
-def blended_self_edges(
+def _empty_edges() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "u": np.array([], dtype=np.int64),
+            "v": np.array([], dtype=np.int64),
+            "sim": np.array([], dtype=np.float64),
+        }
+    )
+
+
+def _broadcast_self_edges(
     df: DataFrame,
     vec_cols_weights: list[tuple[str, float]],
     threshold: float,
-    id_col: str = "vec_id",
+    id_col: str,
 ) -> DataFrame:
-    """P13/C16 combo scoring (baseline.py:35-40, combo.py:21-41): the
-    pairwise score is a weighted sum of per-column cosine kernels
-    (e.g. 0.8 * mention-bigram + 0.2 * context-tfidf), thresholded.
-    Same broadcast block-matmul physical strategy as
-    cosine_self_edges, one matmul per kernel."""
+    """Broadcast block-matmul: build side collected + broadcast, probe
+    side streamed in Arrow batches, one BLAS matmul per kernel."""
     spark = df.sparkSession
     _prepare(df)
     mats = []
@@ -102,10 +106,7 @@ def blended_self_edges(
                 continue
             sims = None
             for (vec_col, w), r_mat in zip(vec_cols_weights, r_mats):
-                a = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                n = np.linalg.norm(a, axis=1, keepdims=True)
-                n[n == 0.0] = 1.0
-                part = w * ((a / n) @ r_mat.T)
+                part = w * (_norm_rows(pdf[vec_col]) @ r_mat.T)
                 sims = part if sims is None else sims + part
             li, ri = np.nonzero(sims > threshold)
             u = pdf[id_col].to_numpy()[li]
@@ -114,6 +115,135 @@ def blended_self_edges(
             yield pd.DataFrame({"u": u[keep], "v": v[keep], "sim": sims[li, ri][keep]})
 
     return df.select(id_col, *cols).mapInPandas(gen, "u long, v long, sim double")
+
+
+def _blocked_self_edges(
+    df: DataFrame,
+    vec_cols_weights: list[tuple[str, float]],
+    threshold: float,
+    id_col: str,
+    n_blocks: int,
+) -> DataFrame:
+    """Exact triangle blocking: replicate each row to its B block-pairs
+    and score each pair group with the same kernel. Distributed end to
+    end — no driver collect, no broadcast of the build side."""
+    _prepare(df)
+    B = max(int(n_blocks), 1)
+    cols = [vc for vc, _ in vec_cols_weights]
+    base = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        *cols,
+        F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(B)).cast("int").alias("_blk"),
+    )
+    # row in block b participates in pairs (min(b,o), max(b,o)) for all
+    # o — B distinct pair keys, encoded pk = i * B + j with i <= j.
+    pk = F.array(
+        *[
+            F.least(F.col("_blk"), F.lit(o)) * B + F.greatest(F.col("_blk"), F.lit(o))
+            for o in range(B)
+        ]
+    )
+    replicated = base.withColumn("_pk", F.explode(pk))
+
+    def score(key, pdf):
+        i, j = divmod(int(key[0]), B)
+        if len(pdf) < 2:
+            return _empty_edges()
+        ids = pdf["_id"].to_numpy()
+        sims = None
+        if i == j:
+            for (vec_col, w) in vec_cols_weights:
+                m = _norm_rows(pdf[vec_col])
+                part = w * (m @ m.T)
+                sims = part if sims is None else sims + part
+            li, ri = np.nonzero(sims > threshold)
+            keep = ids[li] < ids[ri]
+            return pd.DataFrame(
+                {"u": ids[li][keep], "v": ids[ri][keep], "sim": sims[li, ri][keep]}
+            )
+        lm = pdf["_blk"].to_numpy() == i
+        if not lm.any() or lm.all():
+            return _empty_edges()
+        lid, rid = ids[lm], ids[~lm]
+        for (vec_col, w) in vec_cols_weights:
+            m = _norm_rows(pdf[vec_col])
+            part = w * (m[lm] @ m[~lm].T)
+            sims = part if sims is None else sims + part
+        li, ri = np.nonzero(sims > threshold)
+        return pd.DataFrame(
+            {
+                "u": np.minimum(lid[li], rid[ri]),
+                "v": np.maximum(lid[li], rid[ri]),
+                "sim": sims[li, ri],
+            }
+        )
+
+    return replicated.groupBy("_pk").applyInPandas(score, "u long, v long, sim double")
+
+
+def _self_edges(
+    df: DataFrame,
+    vec_cols_weights: list[tuple[str, float]],
+    threshold: float,
+    id_col: str,
+    strategy: str,
+    broadcast_max_rows: int,
+    block_rows: int,
+) -> DataFrame:
+    if strategy == "auto":
+        n = df.count()
+        strategy = "broadcast" if n <= broadcast_max_rows else "blocked"
+    else:
+        n = None
+    if strategy == "broadcast":
+        return _broadcast_self_edges(df, vec_cols_weights, threshold, id_col)
+    if strategy == "blocked":
+        if n is None:
+            n = df.count()
+        n_blocks = max(1, -(-n // max(block_rows, 1)))
+        return _blocked_self_edges(df, vec_cols_weights, threshold, id_col, n_blocks)
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def cosine_self_edges(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    strategy: str = "auto",
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+    block_rows: int = BLOCK_TARGET_ROWS,
+) -> DataFrame:
+    """All pairs (u < v) with cosine(u, v) > threshold (strict, matching
+    nn_thresh.py:138-152).
+
+    Output: (u long, v long, sim double). The similarity graph that
+    feeds threshold clustering (C1-C3). ``strategy``: "auto" picks
+    broadcast vs exact triangle blocking by build-side size; both
+    produce the identical edge set.
+    """
+    return _self_edges(
+        df, [(vec_col, 1.0)], threshold, id_col, strategy, broadcast_max_rows, block_rows
+    )
+
+
+def blended_self_edges(
+    df: DataFrame,
+    vec_cols_weights: list[tuple[str, float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    strategy: str = "auto",
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+    block_rows: int = BLOCK_TARGET_ROWS,
+) -> DataFrame:
+    """P13/C16 combo scoring (baseline.py:35-40, combo.py:21-41): the
+    pairwise score is a weighted sum of per-column cosine kernels
+    (e.g. 0.8 * mention-bigram + 0.2 * context-tfidf), thresholded
+    strictly. Same strategy switch as cosine_self_edges; one matmul
+    per kernel on either path."""
+    return _self_edges(
+        df, vec_cols_weights, threshold, id_col, strategy, broadcast_max_rows, block_rows
+    )
 
 
 def cosine_top_k(

@@ -41,7 +41,7 @@ _CC_SQL = f"""
     edges AS (
         SELECT a.vec_id AS u, b.vec_id AS v
         FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= {TAU}
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > {TAU}
     ),
     reach(v, l) AS (
         SELECT vec_id, vec_id FROM embeddings
@@ -65,7 +65,7 @@ def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cosine_edges",
     oracle=f"""
     SELECT u, v, ROUND(sim, 6) AS sim_r
-    FROM ({_EDGES_SQL}) WHERE sim >= {TAU}
+    FROM ({_EDGES_SQL}) WHERE sim > {TAU}
     """,
 )
 def cosine_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -86,7 +86,7 @@ def test_threshold_clusters_matches_union_find(spark):
 
     for i in range(40):
         for j in range(i + 1, 40):
-            if sims[i, j] >= tau:
+            if sims[i, j] > tau:
                 parent[find(i)] = find(j)
     truth = {}
     for i in range(40):
