@@ -70,7 +70,10 @@ def main() -> None:
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
-            n = df.count()
+            # noop sink: computes EVERY output expression (count() lets
+            # Catalyst prune unreferenced aggregates, flattering scan-agg
+            # timings) without paying driver-collect transfer.
+            df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
