@@ -69,9 +69,14 @@ def b3_df(pairs: DataFrame) -> DataFrame:
     psz = pairs.groupBy("pred_id").agg(F.count("*").alias("sp"))
     total = pairs.count()
     joined = cont.join(tsz, "true_id").join(psz, "pred_id")
+    # per-cell quotients are computed in double (deterministic) but
+    # ACCUMULATED as decimals — exact addition, so partition order
+    # cannot shift the rounded result (oracle determinism rule)
+    term_p = (F.col("overlap") * F.col("overlap") / F.col("sp")).cast("decimal(28,12)")
+    term_r = (F.col("overlap") * F.col("overlap") / F.col("st")).cast("decimal(28,12)")
     agg = joined.agg(
-        (F.sum(F.col("overlap") * F.col("overlap") / F.col("sp")) / F.lit(total)).alias("p"),
-        (F.sum(F.col("overlap") * F.col("overlap") / F.col("st")) / F.lit(total)).alias("r"),
+        (F.sum(term_p).cast("double") / F.lit(total)).alias("p"),
+        (F.sum(term_r).cast("double") / F.lit(total)).alias("r"),
     )
     return agg.select(
         F.round("p", 6).alias("b3_p"),

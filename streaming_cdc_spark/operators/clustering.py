@@ -120,6 +120,10 @@ def connected_components(
             break
         prev_sum = cur_sum
     sym.unpersist()
+    # edges may reference ids absent from `vertices`; keep output rows
+    # only for the requested vertex set (matches the driver-union-find
+    # path, which joins back to vertices)
+    lbl = lbl.join(vs, "v", "leftsemi")
     isolated = vs.join(touched, "v", "leftanti").select("v", F.col("v").alias("l"))
     return lbl.union(isolated).select(
         F.col("v").alias(id_col), F.col("l").alias("cluster_id")
@@ -173,5 +177,10 @@ def find_threshold(
             lo = threshold
         else:
             hi = threshold
+    # materialize the chosen clustering BEFORE dropping the cached
+    # edges — otherwise any downstream action recomputes the O(n^2)
+    # cosine self-join from scratch
+    if best is not None:
+        best = (best[0], best[1].localCheckpoint())
     scored.unpersist()
     return best

@@ -157,6 +157,10 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_shared", F.round("jaccard", 6).alias("jaccard_r"))
     )
+    # surviving pairs are few; materialize them so the cached shingle
+    # explode can be dropped instead of leaking in the cache
+    out = out.localCheckpoint()
+    sh.unpersist()
     return out
 
 

@@ -177,8 +177,8 @@ def muc_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts AS (SELECT true_id, COUNT(*) AS st FROM pairs GROUP BY 1),
     ps AS (SELECT pred_id, COUNT(*) AS sp FROM pairs GROUP BY 1),
     ag AS (
-        SELECT SUM(o * o / CAST(sp AS DOUBLE)) / (SELECT COUNT(*) FROM pairs) AS p,
-               SUM(o * o / CAST(st AS DOUBLE)) / (SELECT COUNT(*) FROM pairs) AS r
+        SELECT CAST(SUM(CAST(o * o / CAST(sp AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) / (SELECT COUNT(*) FROM pairs) AS p,
+               CAST(SUM(CAST(o * o / CAST(st AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) / (SELECT COUNT(*) FROM pairs) AS r
         FROM cont JOIN ts USING (true_id) JOIN ps USING (pred_id)
     )
     SELECT ROUND(p, 6) AS b3_p, ROUND(r, 6) AS b3_r,

@@ -87,7 +87,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_norm_stats",
     oracle="""
     SELECT label, COUNT(*) AS n_vecs,
-           ROUND(SUM(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) / COUNT(*), 4) AS avg_norm,
+           ROUND(CAST(SUM(CAST(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 4) AS avg_norm,
            ROUND(MIN(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS min_norm,
            ROUND(MAX(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS max_norm
     FROM embeddings GROUP BY label
@@ -100,7 +100,11 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = l2_norm(as_double("embedding"))
     return emb.groupBy("label").agg(
         F.count("*").alias("n_vecs"),
-        F.round(F.sum(norm) / F.count("*"), 4).alias("avg_norm"),
+        # decimal-first sum: exact accumulation, so partition order
+        # cannot shift the rounded result (oracle determinism rule)
+        F.round(
+            F.sum(norm.cast("decimal(28,12)")).cast("double") / F.count("*"), 4
+        ).alias("avg_norm"),
         F.round(F.min(norm), 6).alias("min_norm"),
         F.round(F.max(norm), 6).alias("max_norm"),
     )

@@ -65,6 +65,19 @@ def test_connected_components_custom_id_col(spark):
     assert got == {10: 10, 11: 11, 12: 10}
 
 
+@pytest.mark.parametrize("cutoff", [0, 2_000_000])
+def test_connected_components_edge_only_vertices(spark, cutoff):
+    # edges referencing ids absent from `vertices` must not leak into
+    # the output on either physical path (r1 ADVICE)
+    vertices = spark.createDataFrame([(1,), (2,)], "v long")
+    edges = spark.createDataFrame([(1, 9), (9, 2)], "u long, v long")
+    got = {
+        r["v"]: r["cluster_id"]
+        for r in connected_components(vertices, edges, driver_cutoff=cutoff).collect()
+    }
+    assert set(got) == {1, 2}
+
+
 def test_threshold_clusters_matches_union_find(spark):
     rng = np.random.default_rng(7)
     vecs = rng.normal(size=(40, 8))
