@@ -3,18 +3,102 @@ load a dendrogram edge list + leaf embeddings, propagate vector sums
 bottom-up, score each internal node as the similarity of its
 children's centroids, and emit flat clusters by threshold cut.
 
-The tree is <= 3n rows for n leaves and each row is a few pointers —
-the driver-side walk mirrors the reference (cut_tree.py:41-103) and is
-the right physical choice at any corpus scale (the EMBEDDINGS stay
-distributed; only the edge skeleton is collected). A fully
-distributed variant would be iterative join rounds over tree depth.
+Physical split: the EMBEDDINGS stay distributed — per-node vector
+sums come from the pointer-doubling ancestor closure (shared with
+metrics/purity.py) joined to posexploded leaf vectors, and the
+children-centroid similarity reduces to per-position sum/dot
+aggregations, so only scalar (node, score) rows plus the <= 3n
+pointer skeleton ever reach the driver. The subtree walk itself runs
+driver-side over the skeleton, mirroring cut_tree.py:41-103.
+
+Algebra: with normalized centroids, score(u) = cos(sum_1, sum_2)
+(counts cancel); unnormalized, score(u) = dot(sum_1, sum_2) /
+(cnt_1 * cnt_2) — either way only per-position sums are needed.
 """
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from streaming_cdc_spark.metrics.purity import ancestor_closure
+
+
+def _node_scores(
+    edges: DataFrame,
+    leaf_vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    normalize: bool,
+) -> dict:
+    """(node -> children-centroid similarity) for every binary
+    internal node, computed distributed; returns a small scalar map."""
+    vec = leaf_vectors.select(
+        F.col(id_col).alias("leaf"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+    )
+    # tree leaves = uids never appearing as a parent; the closure spans
+    # ALL nodes, so restrict to leaf rows before counting/summing
+    internal = (
+        edges.filter(F.col("parent_uid").isNotNull()).select("parent_uid").distinct()
+    )
+    tree_leaves = edges.select("uid").join(
+        internal.withColumnRenamed("parent_uid", "uid"), "uid", "leftanti"
+    )
+    closure = (
+        ancestor_closure(edges)
+        .select(F.col("uid").alias("leaf"), F.col("anc").alias("node"))
+        .join(tree_leaves.withColumnRenamed("uid", "leaf"), "leaf", "leftsemi")
+    )
+    # a leaf is its own (trivial) subtree: include self-assignments so
+    # children that are leaves get centroids too
+    assign = closure.unionByName(
+        tree_leaves.select(F.col("uid").alias("leaf"), F.col("uid").alias("node"))
+    )
+    sums = (
+        assign.join(vec, "leaf")
+        .groupBy("node", "pos")
+        .agg(F.sum("val").alias("s"))
+    )
+    counts = assign.groupBy("node").agg(F.count("*").alias("cnt"))
+
+    pairs = (
+        edges.filter(F.col("parent_uid").isNotNull())
+        .groupBy(F.col("parent_uid").alias("node"))
+        .agg(F.sort_array(F.collect_list("uid")).alias("ch"), F.count("*").alias("nch"))
+        .filter(F.col("nch") == 2)
+        .select("node", F.col("ch")[0].alias("c1"), F.col("ch")[1].alias("c2"))
+    )
+    s1 = sums.select(F.col("node").alias("c1"), "pos", F.col("s").alias("s1"))
+    s2 = sums.select(F.col("node").alias("c2"), "pos", F.col("s").alias("s2"))
+    per_pos = pairs.join(s1, "c1").join(s2, ["c2", "pos"])
+    agg = per_pos.groupBy("node", "c1", "c2").agg(
+        F.sum(F.col("s1") * F.col("s2")).alias("dot"),
+        F.sum(F.col("s1") * F.col("s1")).alias("n1sq"),
+        F.sum(F.col("s2") * F.col("s2")).alias("n2sq"),
+    )
+    if normalize:
+        scored = agg.select(
+            "node",
+            F.when(
+                (F.col("n1sq") > 0) & (F.col("n2sq") > 0),
+                F.col("dot") / F.sqrt(F.col("n1sq") * F.col("n2sq")),
+            )
+            .otherwise(F.lit(float("-inf")))
+            .alias("score"),
+        )
+    else:
+        c1n = counts.select(F.col("node").alias("c1"), F.col("cnt").alias("cnt1"))
+        c2n = counts.select(F.col("node").alias("c2"), F.col("cnt").alias("cnt2"))
+        scored = (
+            agg.join(c1n, "c1")
+            .join(c2n, "c2")
+            .select(
+                "node",
+                (F.col("dot") / (F.col("cnt1") * F.col("cnt2"))).alias("score"),
+            )
+        )
+    return {r["node"]: r["score"] for r in scored.collect()}
 
 
 def cut_dendrogram(
@@ -29,9 +113,6 @@ def cut_dendrogram(
     min leaf uid of the emitted subtree."""
     spark = edges.sparkSession
     edge_rows = edges.select("uid", "parent_uid").collect()
-    vec_rows = leaf_vectors.select(id_col, vec_col).collect()
-    vecs = {r[id_col]: np.asarray(r[vec_col], dtype=np.float64) for r in vec_rows}
-
     parent = {r["uid"]: r["parent_uid"] for r in edge_rows}
     children: dict[str, list[str]] = {}
     for u, p in parent.items():
@@ -39,39 +120,8 @@ def cut_dendrogram(
             children.setdefault(p, []).append(u)
     roots = [u for u, p in parent.items() if p is None]
 
-    # bottom-up sums (iterative post-order)
-    sums: dict[str, np.ndarray] = {}
-    counts: dict[str, int] = {}
-
-    def centroid(u):
-        c = sums[u] / counts[u]
-        if normalize:
-            n = np.linalg.norm(c)
-            if n > 0:
-                c = c / n
-        return c
-
-    for root in roots:
-        stack = [(root, False)]
-        while stack:
-            node, expanded = stack.pop()
-            ch = children.get(node, [])
-            if not ch:
-                sums[node] = vecs.get(node, np.zeros(1))
-                counts[node] = 1
-                continue
-            if not expanded:
-                stack.append((node, True))
-                stack.extend((c, False) for c in ch)
-            else:
-                sums[node] = np.sum([sums[c] for c in ch], axis=0)
-                counts[node] = sum(counts[c] for c in ch)
-
-    def node_score(u):
-        ch = children.get(u, [])
-        if len(ch) != 2:
-            return float("-inf")
-        return float(centroid(ch[0]) @ centroid(ch[1]))
+    scores = _node_scores(edges, leaf_vectors, id_col, vec_col, normalize)
+    neg_inf = float("-inf")
 
     out: list[tuple[str, str]] = []
     for root in roots:
@@ -79,7 +129,7 @@ def cut_dendrogram(
         while stack:
             node = stack.pop()
             ch = children.get(node, [])
-            if not ch or node_score(node) >= threshold:
+            if not ch or scores.get(node, neg_inf) >= threshold:
                 leaves = []
                 s2 = [node]
                 while s2:

@@ -114,3 +114,32 @@ def test_cut_dendrogram(spark):
         by_cluster.setdefault(cid, []).append(int(uid))
     for members in by_cluster.values():
         assert len({m % 3 for m in members}) == 1
+
+
+def test_cut_dendrogram_unnormalized_hand_tree(spark):
+    # 4-leaf balanced tree; unnormalized path divides the sum-dot by
+    # the product of subtree LEAF counts (r2 closure-restriction fix).
+    edges = spark.createDataFrame(
+        [
+            ("a", "p1", "x"),
+            ("b", "p1", "x"),
+            ("c", "p2", "y"),
+            ("d", "p2", "y"),
+            ("p1", "root", None),
+            ("p2", "root", None),
+            ("root", None, None),
+        ],
+        "uid string, parent_uid string, label string",
+    )
+    vecs = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.0]), ("c", [0.0, 1.0]), ("d", [0.0, 1.0])],
+        "uid string, embedding array<double>",
+    )
+    from streaming_cdc_spark.operators.treecut import cut_dendrogram
+
+    # score(p1)=score(p2)=1.0, score(root)=0.0 -> cut at the root's children
+    got = {r["uid"]: r["cluster_id"] for r in cut_dendrogram(edges, vecs, 0.5, normalize=False).collect()}
+    assert got == {"a": "a", "b": "a", "c": "c", "d": "c"}
+    # threshold below the root score keeps everything together
+    got_all = {r["cluster_id"] for r in cut_dendrogram(edges, vecs, -0.5, normalize=False).collect()}
+    assert got_all == {"a"}
