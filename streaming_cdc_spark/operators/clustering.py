@@ -151,18 +151,27 @@ def find_threshold(
     vec_col: str = "embedding",
     max_iters: int = 30,
     epsilon: float | None = None,
+    lo: float = 0.0,
+    hi: float = 1.0,
 ) -> tuple[float, DataFrame]:
     """C7 bisection (nn_thresh.py:118-135): binary-search the cosine
     threshold until the cluster count is within epsilon of target.
     Driver loop; each iteration re-filters the cached scored edges and
     re-runs CC — the scores are computed once.
+
+    Only edges with sim > lo are ever materialized: every queried
+    threshold is a midpoint strictly inside (lo, hi), so sim <= lo
+    pairs can never survive a filter. For centered embeddings that is
+    ~half of all pairs; callers with a tighter prior on the answer
+    (e.g. near-dup thresholds ~0.9) should pass lo to shrink the
+    persisted graph further — this is what keeps the cached edge set
+    from being the dense O(n^2) score matrix the reference OOMs on.
     """
     n = df.count()
     if epsilon is None:
         epsilon = n / 1000.0
-    scored = cosine_self_edges(df, threshold=-1.0, id_col=id_col, vec_col=vec_col).persist()
+    scored = cosine_self_edges(df, threshold=lo, id_col=id_col, vec_col=vec_col).persist()
     vertices = df.select(id_col)
-    lo, hi = 0.0, 1.0
     best = None
     for _ in range(max_iters):
         threshold = (lo + hi) / 2
