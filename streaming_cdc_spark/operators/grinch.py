@@ -10,6 +10,15 @@ partitionable corpora, e.g. Zeshel categories — each key builds an
 independent tree in parallel). Tree OUTPUTS (dendrogram edge lists)
 are DataFrames, and downstream aggregations (purity, cuts) are
 distributed DataFrame computations.
+
+Performance model (C13, grinch_alg.py:415-509 semantics): centroid
+sums are maintained LAZILY — structural edits only mark the ancestor
+chain dirty (amortized O(1): the walk stops at the first already-
+dirty node), and sums/descendant counts are recomputed bottom-up on
+read. Active-leaf centroids live in one preallocated matrix so the
+1-NN search (C9 cknn) is a single masked matvec, and graft candidate
+scoring is one chain-by-chain matmul instead of a pairwise Python
+loop.
 """
 
 from __future__ import annotations
@@ -18,6 +27,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_NEG_INF = float("-inf")
 
 
 class GrinchTree:
@@ -44,59 +55,148 @@ class GrinchTree:
         self.active_leaf_limit = active_leaf_limit
         self.pruning_strategy = pruning_strategy
         self.pruning_threshold = pruning_threshold
-        # node storage (lists indexed by node id)
+        # node storage: scalars in python lists (cheap appends), the
+        # vector state in preallocated numpy blocks (capacity-doubled)
         self.parent: list[int] = []
         self.children: list[list[int]] = []
-        self.sums: list[np.ndarray] = []
         self.n_desc: list[int] = []
         self.first_used: list[int] = []
         self.is_active_leaf: list[bool] = []
         self.deleted: list[bool] = []
         self.external: list[object] = []  # caller's id for leaves, None internal
         self.label: list[object] = []
+        self.dirty: list[bool] = []
         self.step = 0
+        self._n_active = 0
+        self._act_counter = 0
+        self._cap = 256
+        self._sums = np.zeros((self._cap, dim))
         # active-leaf centroid cache: centroids are immutable while a
-        # node is active, so NN search never recomputes them
-        self._active_cent: dict[int, np.ndarray] = {}
+        # node is active, so NN search is one masked matvec
+        self._cent = np.zeros((self._cap, dim))
+        self._active_mask = np.zeros(self._cap, dtype=bool)
+        self._act_seq = np.zeros(self._cap, dtype=np.int64)
+        # memoized centroid/linkage values for CLEAN nodes — the dirty
+        # walk is the single invalidation point, so a cache hit is
+        # always consistent with the lazy sums
+        self._cent_cache: dict[int, np.ndarray] = {}
+        self._score_cache: dict[int, float] = {}
+
+    def _grow(self) -> None:
+        new_cap = self._cap * 2
+        for name in ("_sums", "_cent"):
+            block = np.zeros((new_cap, self.dim))
+            block[: self._cap] = getattr(self, name)
+            setattr(self, name, block)
+        mask = np.zeros(new_cap, dtype=bool)
+        mask[: self._cap] = self._active_mask
+        self._active_mask = mask
+        seq = np.zeros(new_cap, dtype=np.int64)
+        seq[: self._cap] = self._act_seq
+        self._act_seq = seq
+        self._cap = new_cap
+
+    @property
+    def sums(self):
+        """Per-node vector sums (row-indexed view; kept for API parity
+        with callers/tests that inspect the raw state)."""
+        return self._sums
 
     def _activate(self, nid: int) -> None:
         self.is_active_leaf[nid] = True
-        self._active_cent[nid] = self.centroid(nid)
+        self._cent[nid] = self.centroid(nid)
+        self._active_mask[nid] = True
+        self._act_seq[nid] = self._act_counter
+        self._act_counter += 1
+        self._n_active += 1
 
     def _deactivate(self, nid: int) -> None:
         self.is_active_leaf[nid] = False
-        self._active_cent.pop(nid, None)
+        self._active_mask[nid] = False
+        self._n_active -= 1
 
     # -- basics --------------------------------------------------------
 
     def _new_node(self, vec: np.ndarray, n_desc: int, external=None, label=None) -> int:
         nid = len(self.parent)
+        if nid >= self._cap:
+            self._grow()
         self.parent.append(-1)
         self.children.append([])
-        self.sums.append(vec.astype(np.float64))
+        self._sums[nid] = vec
         self.n_desc.append(n_desc)
         self.first_used.append(self.step)
         self.is_active_leaf.append(False)
         self.deleted.append(False)
         self.external.append(external)
         self.label.append(label)
+        self.dirty.append(False)
         return nid
 
+    def _mark_dirty_up(self, nid: int) -> None:
+        """C13 lazy maintenance: invalidate the ancestor chain. A dirty
+        node implies dirty ancestors, so stop at the first dirty
+        internal node — amortized O(1) per edit."""
+        cur = nid
+        while cur != -1:
+            if self.children[cur]:
+                if self.dirty[cur]:
+                    return
+                self.dirty[cur] = True
+                self._cent_cache.pop(cur, None)
+                self._score_cache.pop(cur, None)
+            cur = self.parent[cur]
+
+    def _ensure(self, nid: int) -> None:
+        """Recompute sums/n_desc bottom-up over the dirty subtree of
+        nid (only dirty nodes are touched)."""
+        if not self.dirty[nid]:
+            return
+        order = []
+        stack = [nid]
+        while stack:
+            cur = stack.pop()
+            if not self.dirty[cur]:
+                continue
+            order.append(cur)
+            for c in self.children[cur]:
+                if self.dirty[c]:
+                    stack.append(c)
+        for cur in reversed(order):
+            ch = self.children[cur]
+            self._sums[cur] = self._sums[ch].sum(axis=0)
+            self.n_desc[cur] = sum(self.n_desc[c] for c in ch)
+            self.dirty[cur] = False
+
     def centroid(self, nid: int) -> np.ndarray:
-        c = self.sums[nid] / self.n_desc[nid]
+        cached = self._cent_cache.get(nid)
+        if cached is not None:
+            return cached
+        self._ensure(nid)
+        c = self._sums[nid] / self.n_desc[nid]
         if self.normalize:
             n = np.linalg.norm(c)
             if n > 0:
                 c = c / n
+        self._cent_cache[nid] = c
         return c
 
     def score(self, nid: int) -> float:
         """Linkage score of an internal node: sim of its children's
         centroids. Leaves score -inf (never 'pure enough to stop')."""
+        cached = self._score_cache.get(nid)
+        if cached is not None:
+            return cached
         ch = self.children[nid]
         if len(ch) != 2:
-            return float("-inf")
-        return float(self.centroid(ch[0]) @ self.centroid(ch[1]))
+            return _NEG_INF
+        s = float(self.centroid(ch[0]) @ self.centroid(ch[1]))
+        # cache only when clean: the dirty-marking walk stops at
+        # already-dirty nodes, so an entry stored while dirty would
+        # never be invalidated by the next structural edit
+        if not self.dirty[nid]:
+            self._score_cache[nid] = s
+        return s
 
     def _sim(self, a: np.ndarray, b: np.ndarray) -> float:
         return float(a @ b)
@@ -105,14 +205,26 @@ class GrinchTree:
         return [i for i, a in enumerate(self.is_active_leaf) if a]
 
     def _nn_leaf(self, vec: np.ndarray, exclude: set[int] = frozenset()) -> int | None:
-        """Vectorized 1-NN over active-leaf centroids (C9 cknn):
-        one matvec per call instead of a per-leaf python loop."""
-        ids = [lid for lid in self._active_cent if lid not in exclude]
-        if not ids:
+        """Vectorized 1-NN over active-leaf centroids (C9 cknn): one
+        masked matvec against the shared centroid matrix. Ties break
+        toward the earliest-activated leaf — identical to iterating
+        the cache in activation order."""
+        n = len(self.parent)
+        # one dgemv over the contiguous prefix (no row-gather copy);
+        # inactive/excluded rows are masked out afterwards — per-row
+        # dot values are unchanged, so selection is bit-identical
+        sims = self._cent[:n] @ vec
+        m = self._active_mask[:n]
+        if exclude:
+            m = m.copy()
+            for e in exclude:
+                if e < n:
+                    m[e] = False
+        if not m.any():
             return None
-        mat = np.stack([self._active_cent[lid] for lid in ids])
-        sims = mat @ vec
-        return ids[int(np.argmax(sims))]
+        sims[~m] = _NEG_INF
+        cand = np.flatnonzero(sims == sims.max())
+        return int(cand[np.argmin(self._act_seq[cand])])
 
     def _descendant_set(self, nid: int) -> set[int]:
         out, stack = set(), [nid]
@@ -133,15 +245,6 @@ class GrinchTree:
                 out.append(cur)
         return out
 
-    def _refresh_up(self, nid: int) -> None:
-        cur = nid
-        while cur != -1:
-            ch = self.children[cur]
-            if ch:
-                self.sums[cur] = sum((self.sums[c] for c in ch), np.zeros(self.dim))
-                self.n_desc[cur] = sum(self.n_desc[c] for c in ch)
-            cur = self.parent[cur]
-
     # -- structural edits ----------------------------------------------
 
     def _splice_parent_over(self, node: int, new_sib: int) -> int:
@@ -156,9 +259,10 @@ class GrinchTree:
             self.parent[other] = gp
             if gp != -1:
                 self.children[gp] = [other if c == old_parent else c for c in self.children[gp]]
+                self._mark_dirty_up(gp)
             self.children[old_parent] = []
             self.deleted[old_parent] = True
-            self._refresh_up(gp if gp != -1 else other)
+            self.dirty[old_parent] = False
 
         grandparent = self.parent[node]
         parent = self._new_node(np.zeros(self.dim), 0)
@@ -170,7 +274,7 @@ class GrinchTree:
         self.children[parent] = [node, new_sib]
         self.parent[node] = parent
         self.parent[new_sib] = parent
-        self._refresh_up(parent)
+        self._mark_dirty_up(parent)
         return parent
 
     # -- GRINCH operations ---------------------------------------------
@@ -191,10 +295,7 @@ class GrinchTree:
         sib = self._find_rotate(leaf, nn)
         parent = self._splice_parent_over(sib, leaf)
         self._graft(parent)
-        if (
-            self.active_leaf_limit is not None
-            and sum(self.is_active_leaf) > self.active_leaf_limit
-        ):
+        if self.active_leaf_limit is not None and self._n_active > self.active_leaf_limit:
             self._prune()
         self.step += 1
         return leaf
@@ -210,6 +311,7 @@ class GrinchTree:
                 return cur
             if self.score(par) <= score:
                 return cur
+            self._ensure(par)
             if self.n_desc[par] >= self.rotate_cap:
                 return cur
             cur = par
@@ -218,7 +320,10 @@ class GrinchTree:
         """Try to move a nearby subtree next to gnode: find the NN
         active leaf outside gnode's subtree, walk both ancestor chains
         to the LCA, and splice the best (mine, theirs) pair whose
-        pairwise score beats both current parents' linkage."""
+        pairwise score beats both current parents' linkage. Candidate
+        scoring is one matmul over the two chains' centroid matrices;
+        ties pick the row-major-first pair, matching the reference's
+        sequential strict-improvement scan."""
         desc = self._descendant_set(gnode)
         exclude = set(desc)
         par = self.parent[gnode]
@@ -237,24 +342,30 @@ class GrinchTree:
         if len(mine) * len(theirs) > self.graft_cap * self.graft_cap:
             mine = mine[: self.graft_cap]
             theirs = theirs[: self.graft_cap]
+        # per-pair dots, NOT one matmul: a candidate's score is often
+        # mathematically identical to a parent linkage (when the pair
+        # is that parent's own children), and the strict > comparisons
+        # must see bit-identical values on both sides — dgemm and dot
+        # can differ in the last ulp and flip those ties. The centroid
+        # and score caches make this loop cheap.
+        theirs_cent = [self.centroid(b) for b in theirs]
+        bpar = [
+            self.score(self.parent[b]) if self.parent[b] != -1 else _NEG_INF
+            for b in theirs
+        ]
         best = None
         for a in mine:
             ca = self.centroid(a)
             pa = self.parent[a]
-            a_parent_score = self.score(pa) if pa != -1 else float("-inf")
-            for b in theirs:
-                s = self._sim(ca, self.centroid(b))
-                pb = self.parent[b]
-                b_parent_score = self.score(pb) if pb != -1 else float("-inf")
-                if s > a_parent_score and s > b_parent_score:
+            a_parent_score = self.score(pa) if pa != -1 else _NEG_INF
+            for bi, b in enumerate(theirs):
+                s = float(ca @ theirs_cent[bi])
+                if s > a_parent_score and s > bpar[bi]:
                     if best is None or s > best[0]:
                         best = (s, a, b)
         if best is not None:
             _, a, b = best
-            old_gp = self.parent[self.parent[b]] if self.parent[b] != -1 else -1
             self._splice_parent_over(a, b)
-            if old_gp != -1:
-                self._refresh_up(old_gp)
 
     def _chain_to_lca(self, node: int, other: int) -> list[int]:
         other_ancs = set()
@@ -290,7 +401,7 @@ class GrinchTree:
             best = max(candidates, key=lambda n: (self.score(n), -n))
             chosen = (
                 best
-                if self.score(best) > (self.pruning_threshold or float("-inf"))
+                if self.score(best) > (self.pruning_threshold or _NEG_INF)
                 else min(candidates, key=lambda n: (self.first_used[n], n))
             )
         else:  # least_recent

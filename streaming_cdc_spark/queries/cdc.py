@@ -272,6 +272,22 @@ def tfidf_blend_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["assignments"].select(F.col("mention_index").alias("doc_id"), "cluster_id")
 
 
+@query("tree_cut_clusters")  # offline dendrogram re-cut; rows-only check
+def tree_cut_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15 offline cut (cut_tree.py:41-103): build the GRINCH
+    dendrogram in stream order, then re-cut it at a different
+    threshold — children-centroid scores recomputed DISTRIBUTED
+    (ancestor closure + per-position sums, operators/treecut.py);
+    only the pointer skeleton and scalar scores reach the driver."""
+    from streaming_cdc_spark.operators.grinch import grinch_dendrogram
+    from streaming_cdc_spark.operators.treecut import cut_dendrogram
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = grinch_dendrogram(emb, id_col="vec_id", vec_col="embedding", label_col="label")
+    leaf_vecs = emb.selectExpr("cast(vec_id as string) as uid", "embedding")
+    return cut_dendrogram(edges, leaf_vecs, threshold=0.5)
+
+
 @query("grinch_per_key_trees")  # per-key online trees; rows-only check
 def grinch_per_key_trees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8 scalable mode: independent GRINCH trees per partition key
