@@ -1,0 +1,131 @@
+"""Scale-safe global-order operators (R1/R3/A5 at 100 TB).
+
+A bare ``Window.orderBy(...)`` computes on ONE partition — Spark even
+warns (`WindowExec: No Partition Defined`). These helpers implement
+the standard two-pass form instead:
+
+1. range-partition on the ordering key (equal keys never straddle a
+   boundary) and sort within partitions;
+2. run the window PER PARTITION (parallel — the window is partitioned
+   by ``spark_partition_id()``);
+3. aggregate one row per partition (distinct-count / total), convert
+   to exclusive prefix offsets with a window over that tiny relation,
+   and broadcast-join the offsets back onto the local results.
+
+Everything stays in ONE lazy plan: the offsets branch re-reads the
+same range Exchange (Catalyst plans it as ReusedExchange, so the
+shuffle runs once and both branches see identical partitioning), and
+nothing is collected to the driver. The offsets relation has one row
+per partition, so its prefix window is trivially small; it is
+partitioned by a constant to keep the plan free of single-partition
+window warnings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _with_offsets(local: DataFrame, per_part_col, out_expr_name: str):
+    """Join exclusive prefix offsets of ``per_part_col`` (an aggregate
+    expression over each _pid group) back onto ``local``."""
+    # the partition key must not be a foldable literal: Catalyst
+    # constant-folds it out of the window spec and the plan degrades
+    # to an unpartitioned window (with its perf warning). least(_pid,0)
+    # is constant-valued but not foldable, so the tiny offsets window
+    # stays a partitioned one.
+    sizes = local.groupBy("_pid").agg(per_part_col.alias("_n")).withColumn(
+        "_one", F.least(F.col("_pid"), F.lit(0))
+    )
+    w = (
+        W.partitionBy("_one")
+        .orderBy("_pid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offs = sizes.select(
+        "_pid", (F.sum("_n").over(w) - F.col("_n")).alias("_off")
+    )
+    return local.join(F.broadcast(offs), "_pid")
+
+
+def dense_rank_global(
+    df: DataFrame,
+    order_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + ``out_col`` = dense_rank() over (ORDER BY order_col),
+    computed without a single-partition window. Rank of a row =
+    local dense rank within its range partition + (# distinct keys in
+    earlier partitions)."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(n, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local = part.withColumn(
+        "_lrank", F.dense_rank().over(W.partitionBy("_pid").orderBy(order_col))
+    )
+    # max local dense rank == # distinct keys in the partition
+    out = _with_offsets(local, F.max("_lrank"), out_col)
+    return out.withColumn(out_col, (F.col("_lrank") + F.col("_off")).cast("long")).drop(
+        "_pid", "_lrank", "_off"
+    )
+
+
+def row_number_global(
+    df: DataFrame,
+    order_cols: list,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + ``out_col`` = row_number() over (ORDER BY order_cols) —
+    order_cols may be names or sort expressions (e.g. F.desc("n"))
+    and MUST define a total order (row_number under a partial order is
+    nondeterministic in the single-partition form too)."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    part = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local = part.withColumn(
+        "_lrn", F.row_number().over(W.partitionBy("_pid").orderBy(*cols))
+    )
+    out = _with_offsets(local, F.count(F.lit(1)), out_col)
+    return out.withColumn(out_col, (F.col("_lrn") + F.col("_off")).cast("long")).drop(
+        "_pid", "_lrn", "_off"
+    )
+
+
+def running_sum_global(
+    df: DataFrame,
+    order_cols: list[str],
+    val_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + ``out_col`` = SUM(val_col) OVER (ORDER BY order_cols ROWS
+    UNBOUNDED PRECEDING), two-pass: local running sums + broadcast
+    prefix of per-partition totals. Ordering ties must be unique rows
+    (same caveat as the single-partition form with ROWS framing)."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    part = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = (
+        W.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = part.withColumn("_run", F.sum(val_col).over(w))
+    out = _with_offsets(local, F.sum(val_col), out_col)
+    return out.withColumn(out_col, (F.col("_run") + F.col("_off")).cast("long")).drop(
+        "_pid", "_run", "_off"
+    )

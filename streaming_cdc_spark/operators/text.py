@@ -83,17 +83,15 @@ def token_histogram(
 ) -> DataFrame:
     """Top-N tokens by frequency with a total deterministic order
     (count desc, token asc). Output: (token, n, rank)."""
-    from pyspark.sql import Window as W
+    from streaming_cdc_spark.operators.ranking import row_number_global
 
     counts = (
         docs.select(F.explode(tokens(text_col)).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
-    w = W.orderBy(F.desc("n"), F.asc("token"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_n)
+    return row_number_global(counts, [F.desc("n"), F.asc("token")], "rank").filter(
+        F.col("rank") <= top_n
     )
 
 

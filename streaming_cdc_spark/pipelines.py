@@ -26,9 +26,14 @@ from streaming_cdc_spark.operators.vectorize import (
 
 
 def first_occurrence_ids(df: DataFrame, key_col: str, order_col: str, out_col: str) -> DataFrame:
-    """R1: deterministic dense integer ids in first-occurrence order."""
-    first = F.min(order_col).over(W.partitionBy(key_col))
-    return df.withColumn(out_col, F.dense_rank().over(W.orderBy(first)))
+    """R1: deterministic dense integer ids in first-occurrence order.
+    Two-pass scale-safe form: rank the per-key firsts (small), join
+    back — no global window over the raw rows."""
+    from streaming_cdc_spark.operators.ranking import dense_rank_global
+
+    firsts = df.groupBy(key_col).agg(F.min(order_col).alias("_first"))
+    ranked = dense_rank_global(firsts, "_first", out_col).drop("_first")
+    return df.join(ranked, key_col)
 
 
 def evaluate_pairs(pairs: DataFrame) -> dict[str, DataFrame]:

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from streaming_cdc_spark.operators.ranking import dense_rank_global, running_sum_global
 from streaming_cdc_spark.queries.registry import query
 from streaming_cdc_spark.tables import load
 
@@ -179,7 +180,7 @@ def first_occurrence_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-key set — not over the raw stream."""
     ev = load(spark, sf_dir, "events")
     firsts = ev.groupBy("user_id").agg(F.min("event_id").alias("first_seen"))
-    return firsts.withColumn("dense_id", F.dense_rank().over(W.orderBy("first_seen")))
+    return dense_rank_global(firsts, "first_seen", "dense_id")
 
 
 @query(
@@ -204,12 +205,11 @@ def string_match_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_join(F.slice(F.split("text", " "), 1, 2), " ").alias("mention_key"),
     )
-    first = F.min("doc_id").over(W.partitionBy("mention_key"))
-    return keyed.select(
-        "doc_id",
-        "mention_key",
-        F.dense_rank().over(W.orderBy(first)).alias("cluster_id"),
-    )
+    # rank only the per-key first occurrences (small), then join back —
+    # no global window over the raw stream
+    firsts = keyed.groupBy("mention_key").agg(F.min("doc_id").alias("first_doc"))
+    ranked = dense_rank_global(firsts, "first_doc", "cluster_id").drop("first_doc")
+    return keyed.join(ranked, "mention_key").select("doc_id", "mention_key", "cluster_id")
 
 
 @query(
@@ -228,10 +228,14 @@ def composite_key_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R3: within-document oracle clustering (oracle_wd.py:27-34) —
     first-occurrence id of the composite key (user_id, event_type)."""
     ev = load(spark, sf_dir, "events")
-    first = F.min("event_id").over(W.partitionBy("user_id", "event_type"))
-    return ev.select(
-        "event_id",
-        F.dense_rank().over(W.orderBy(first)).alias("cluster_id"),
+    firsts = ev.groupBy("user_id", "event_type").agg(F.min("event_id").alias("first_seen"))
+    ranked = dense_rank_global(
+        firsts.select("first_seen").distinct(), "first_seen", "cluster_id"
+    )
+    return (
+        ev.join(firsts, ["user_id", "event_type"])
+        .join(ranked, "first_seen")
+        .select("event_id", "cluster_id")
     )
 
 
@@ -261,11 +265,7 @@ def max_active_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = intervals.select(F.col("s").alias("pos"), F.lit(1).alias("delta")).unionAll(
         intervals.select((F.col("e") + 1).alias("pos"), F.lit(-1).alias("delta"))
     )
-    running = deltas.select(
-        F.sum("delta")
-        .over(W.orderBy("pos", "delta").rowsBetween(W.unboundedPreceding, W.currentRow))
-        .alias("running")
-    )
+    running = running_sum_global(deltas, ["pos", "delta"], "delta", "running")
     return running.agg(F.max("running").alias("max_active"))
 
 

@@ -23,12 +23,12 @@ from streaming_cdc_spark.tables import load
 def entity_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R4/S3: frequency-descending vocabulary with deterministic ties
     (build_entity_vocab core; preprocess_medmentions.py:70-75)."""
+    from streaming_cdc_spark.operators.ranking import row_number_global
+
     ev = load(spark, sf_dir, "events")
     counts = ev.groupBy(F.col("user_id").alias("entity_id")).agg(F.count("*").alias("count"))
-    w = W.orderBy(F.desc("count"), F.asc("entity_id"))
-    return counts.select(
-        F.row_number().over(w).alias("index"), "entity_id", "count"
-    )
+    ranked = row_number_global(counts, [F.desc("count"), F.asc("entity_id")], "index")
+    return ranked.select("index", "entity_id", "count")
 
 
 @query(
