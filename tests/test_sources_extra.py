@@ -86,3 +86,43 @@ def test_ecbplus_source(spark, tmp_path):
     # gold-sentence filter: restrict to sentence 1 -> span crossing 0/1 dropped
     got2 = read_ecbplus(spark, str(tmp_path / "t.xml"), gold_sentences={"1"}).collect()
     assert got2 == []
+
+
+# ---------------------------------------------------------------- kafka
+
+def test_kafka_payload_parsing_static(spark):
+    """Value decoding is pure DataFrame code: binary JSON payloads +
+    (partition, offset) metadata -> schema'd mentions with stream
+    position, no broker needed."""
+    import json
+
+    from streaming_cdc_spark.sources.kafka import parse_mention_payloads
+
+    recs = [
+        {"left_context": "l", "mention": "m1", "right_context": "r",
+         "entity_id": "E1", "mention_index": 0},
+        {"left_context": "", "mention": "m2", "right_context": "",
+         "entity_id": "E2", "mention_index": 1},
+    ]
+    rows = [(0, i, bytearray(json.dumps(r).encode())) for i, r in enumerate(recs)]
+    raw = spark.createDataFrame(rows, "partition int, offset long, value binary")
+    got = parse_mention_payloads(raw).collect()
+    assert [r["mention"] for r in got] == ["m1", "m2"]
+    assert [(r["stream_key"], r["stream_pos"]) for r in got] == [(0, 0), (0, 1)]
+    assert got[0]["entity_id"] == "E1"
+
+
+def test_kafka_source_guard(spark):
+    """Without the connector jar the wrapper must fail with the
+    documented fallback hint (or, if a connector IS present, build a
+    streaming DataFrame)."""
+    import pytest
+
+    from streaming_cdc_spark.sources.kafka import read_mention_stream_kafka
+
+    try:
+        df = read_mention_stream_kafka(spark, "localhost:9092", "mentions")
+    except RuntimeError as e:
+        assert "spark-sql-kafka" in str(e)
+    else:  # pragma: no cover - only with connector on classpath
+        assert df.isStreaming
