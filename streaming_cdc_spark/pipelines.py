@@ -80,19 +80,33 @@ def ep1_feature_baseline(
     right_context, entity_id). Returns dict with 'assignments',
     'pairs', and the metric DataFrames.
     """
+    from streaming_cdc_spark.operators.similarity import BROADCAST_MAX_ROWS
+
+    # cache the prepped input: the two vectorizer fits, the IDF fit,
+    # and every downstream action otherwise re-derive it from source
     df = mentions.withColumn(
         "context", F.concat_ws(" ", F.col("left_context"), F.col("right_context"))
-    )
+    ).persist()
+    # small corpora: collapse to a few partitions so the ~15 jobs this
+    # pipeline runs (3 MLlib fits, transforms, kernel, CC) don't pay
+    # 32-task scheduling overhead each on a handful of rows
+    if df.count() < 100_000:
+        df = df.coalesce(8).persist()
     m_model = fit_char_bigram_tf(df, "mention", vocab_size=vocab_size)
     c_model = fit_word_tfidf(df, "context", vocab_size=vocab_size)
     vec = transform_char_bigram(m_model, df, "mention")
     vec = transform_word_tfidf(c_model, vec, "context")
-    vec = to_dense_array(to_dense_array(vec, "mention_vec"), "context_vec")
+    vec = to_dense_array(to_dense_array(vec, "mention_vec"), "context_vec").persist()
+    # materialize the vectors once; the count also picks the kernel
+    # strategy here so the kernel doesn't re-count
+    n = vec.count()
+    df.unpersist()
     edges = blended_self_edges(
         vec,
         [("mention_vec", weights[0]), ("context_vec", weights[1])],
         threshold,
         id_col="mention_index",
+        strategy="broadcast" if n <= BROADCAST_MAX_ROWS else "blocked",
     )
     assign = connected_components(
         vec.select("mention_index"), edges.select("u", "v"), id_col="mention_index"
