@@ -38,7 +38,7 @@ def attach_fake_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
 
 
 def _fake_decode(blob: bytes) -> tuple[int, int, int, int]:
-    """DETERMINISTIC FAKE decode — replace with PIL/av in production.
+    """DETERMINISTIC FAKE decode — the codec-absent fallback.
     Features derive from the sha256 of the bytes."""
     h = hashlib.sha256(blob).digest()
     content = int.from_bytes(h[:4], "big") % (1 << 31)
@@ -48,25 +48,56 @@ def _fake_decode(blob: bytes) -> tuple[int, int, int, int]:
     return content, width, height, n_frames
 
 
-def extract_media_features(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
+def _pil_decode(blob: bytes) -> tuple[int, int, int, int]:
+    """Real image decode via PIL (imported lazily so the module stays
+    importable in codec-free environments). content stays the bytes
+    hash; width/height/n_frames come from the decoded image."""
+    import io
+
+    from PIL import Image
+
+    h = hashlib.sha256(blob).digest()
+    content = int.from_bytes(h[:4], "big") % (1 << 31)
+    with Image.open(io.BytesIO(blob)) as img:
+        return content, img.width, img.height, getattr(img, "n_frames", 1)
+
+
+def have_pil() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+def extract_media_features(media: DataFrame, use_real_codec: bool | None = None) -> DataFrame:
     """Decode + feature-extract per blob. Batch shape: one pandas
     DataFrame of blobs in, one feature frame out (Arrow transfer both
-    ways)."""
+    ways).
+
+    use_real_codec: True = decode with PIL (raises RuntimeError with
+    an install hint when absent); False = deterministic fake; None
+    (default) = PIL when importable AND the batch is image/* mime,
+    fake otherwise — so the same pipeline code runs in codec-free and
+    production environments with identical schemas."""
     from streaming_cdc_spark.session import ensure_package_on_executors
 
     ensure_package_on_executors(media.sparkSession)
+    if use_real_codec and not have_pil():
+        raise RuntimeError(
+            "use_real_codec=True but PIL is not importable — "
+            "pip install pillow, or pass use_real_codec=False/None "
+            "for the deterministic fake"
+        )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pil_ok = have_pil()
         for pdf in batches:
-            if use_real_codec:
-                raise NotImplementedError(
-                    "real image/audio decoding requires PIL/av, not present "
-                    "in this environment; wire the codec here"
-                )
             rows = []
-            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+            for mid, blob, mime in zip(pdf["media_id"], pdf["media"], pdf["mime"]):
                 b = bytes(blob)
-                content, w, h, nf = _fake_decode(b)
+                real = use_real_codec or (
+                    use_real_codec is None and pil_ok and str(mime).startswith("image/")
+                )
+                content, w, h, nf = _pil_decode(b) if real else _fake_decode(b)
                 rows.append((int(mid), len(b), content, w, h, nf))
             yield pd.DataFrame(
                 rows,
