@@ -153,11 +153,18 @@ def find_threshold(
     epsilon: float | None = None,
     lo: float = 0.0,
     hi: float = 1.0,
+    vec_cols_weights: list[tuple[str, float]] | None = None,
 ) -> tuple[float, DataFrame]:
-    """C7 bisection (nn_thresh.py:118-135): binary-search the cosine
-    threshold until the cluster count is within epsilon of target.
-    Driver loop; each iteration re-filters the cached scored edges and
-    re-runs CC — the scores are computed once.
+    """C7 bisection (nn_thresh.py:118-135): binary-search the
+    similarity threshold until the cluster count is within epsilon of
+    target. Driver loop; each iteration re-filters the cached scored
+    edges and re-runs CC — the scores are computed once.
+
+    The kernel defaults to cosine on ``vec_col``; pass
+    ``vec_cols_weights`` to bisect over the EP1 blended kernel
+    instead (weighted sum of per-column cosines, combo.py:21-41) —
+    e.g. finding the threshold that recovers the gold entity count
+    over feature vectors.
 
     Only edges with sim > lo are ever materialized: every queried
     threshold is a midpoint strictly inside (lo, hi), so sim <= lo
@@ -167,10 +174,16 @@ def find_threshold(
     persisted graph further — this is what keeps the cached edge set
     from being the dense O(n^2) score matrix the reference OOMs on.
     """
+    from streaming_cdc_spark.operators.similarity import blended_self_edges
+
     n = df.count()
     if epsilon is None:
         epsilon = n / 1000.0
-    scored = cosine_self_edges(df, threshold=lo, id_col=id_col, vec_col=vec_col).persist()
+    if vec_cols_weights is not None:
+        scored = blended_self_edges(df, vec_cols_weights, threshold=lo, id_col=id_col)
+    else:
+        scored = cosine_self_edges(df, threshold=lo, id_col=id_col, vec_col=vec_col)
+    scored = scored.persist()
     vertices = df.select(id_col)
     best = None
     for _ in range(max_iters):

@@ -64,6 +64,31 @@ def evaluate_pairs(pairs: DataFrame) -> dict[str, DataFrame]:
     }
 
 
+def _ep1_vectorize(mentions: DataFrame, vocab_size: int) -> tuple[DataFrame, int]:
+    """Shared EP1 vectorization: fit + transform both feature kernels,
+    return the cached dense-vector DataFrame and its row count."""
+    # cache the prepped input: the two vectorizer fits, the IDF fit,
+    # and every downstream action otherwise re-derive it from source
+    df = mentions.withColumn(
+        "context", F.concat_ws(" ", F.col("left_context"), F.col("right_context"))
+    ).persist()
+    # small corpora: collapse to a few partitions so the ~15 jobs this
+    # pipeline runs (3 MLlib fits, transforms, kernel, CC) don't pay
+    # 32-task scheduling overhead each on a handful of rows
+    if df.count() < 100_000:
+        df = df.coalesce(8).persist()
+    m_model = fit_char_bigram_tf(df, "mention", vocab_size=vocab_size)
+    c_model = fit_word_tfidf(df, "context", vocab_size=vocab_size)
+    vec = transform_char_bigram(m_model, df, "mention")
+    vec = transform_word_tfidf(c_model, vec, "context")
+    vec = to_dense_array(to_dense_array(vec, "mention_vec"), "context_vec").persist()
+    # materialize the vectors once; the count also lets callers pick
+    # the kernel strategy without re-counting
+    n = vec.count()
+    df.unpersist()
+    return vec, n
+
+
 def ep1_feature_baseline(
     mentions: DataFrame,
     threshold: float = 0.5,
@@ -82,25 +107,7 @@ def ep1_feature_baseline(
     """
     from streaming_cdc_spark.operators.similarity import BROADCAST_MAX_ROWS
 
-    # cache the prepped input: the two vectorizer fits, the IDF fit,
-    # and every downstream action otherwise re-derive it from source
-    df = mentions.withColumn(
-        "context", F.concat_ws(" ", F.col("left_context"), F.col("right_context"))
-    ).persist()
-    # small corpora: collapse to a few partitions so the ~15 jobs this
-    # pipeline runs (3 MLlib fits, transforms, kernel, CC) don't pay
-    # 32-task scheduling overhead each on a handful of rows
-    if df.count() < 100_000:
-        df = df.coalesce(8).persist()
-    m_model = fit_char_bigram_tf(df, "mention", vocab_size=vocab_size)
-    c_model = fit_word_tfidf(df, "context", vocab_size=vocab_size)
-    vec = transform_char_bigram(m_model, df, "mention")
-    vec = transform_word_tfidf(c_model, vec, "context")
-    vec = to_dense_array(to_dense_array(vec, "mention_vec"), "context_vec").persist()
-    # materialize the vectors once; the count also picks the kernel
-    # strategy here so the kernel doesn't re-count
-    n = vec.count()
-    df.unpersist()
+    vec, n = _ep1_vectorize(mentions, vocab_size)
     edges = blended_self_edges(
         vec,
         [("mention_vec", weights[0]), ("context_vec", weights[1])],
@@ -123,6 +130,32 @@ def ep1_feature_baseline(
         )
     )
     return {"assignments": assign, "pairs": pairs, **evaluate_pairs(pairs)}
+
+
+def ep1_bisect_to_gold(
+    mentions: DataFrame,
+    weights: tuple[float, float] = (0.8, 0.2),
+    vocab_size: int = 4096,
+    max_iters: int = 30,
+    epsilon: float | None = None,
+) -> dict[str, object]:
+    """EP1 + C7: bisect the BLENDED-kernel threshold until the
+    connected-component count matches the gold entity count — the
+    reference's bisection target (nn_thresh.py:118-135) generalized
+    from cosine to the EP1 feature kernels (combo.py:21-41)."""
+    from streaming_cdc_spark.operators.clustering import find_threshold
+
+    vec, _ = _ep1_vectorize(mentions, vocab_size)
+    target = mentions.select(F.countDistinct("entity_id")).first()[0]
+    thr, assign = find_threshold(
+        vec,
+        target,
+        id_col="mention_index",
+        max_iters=max_iters,
+        epsilon=epsilon,
+        vec_cols_weights=[("mention_vec", weights[0]), ("context_vec", weights[1])],
+    )
+    return {"threshold": thr, "target": target, "assignments": assign}
 
 
 def ep2_encode_and_cluster(

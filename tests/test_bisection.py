@@ -50,3 +50,25 @@ def test_ep2_streaming(spark, tmp_path):
     )
     out = ep2_streaming(stream, gold, threshold=0.9, checkpoint_dir=str(tmp_path / "ck"))
     assert out["summary"].first()["mean_f1"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ep1_bisect_to_gold(spark):
+    """Blended-kernel bisection recovers a threshold whose CC count
+    hits the gold entity count on a separable fixture."""
+    from streaming_cdc_spark.pipelines import ep1_bisect_to_gold
+    import pyspark.sql.functions as F
+
+    rows = []
+    for i in range(30):
+        ent = f"E{i % 3}"
+        word = {"E0": "alpha", "E1": "bravo", "E2": "charlie"}[ent]
+        rows.append((i, f"{word} {word}", f"ctx {word} left", f"ctx {word} right", ent))
+    mentions = spark.createDataFrame(
+        rows,
+        "mention_index long, mention string, left_context string, right_context string, entity_id string",
+    )
+    out = ep1_bisect_to_gold(mentions, epsilon=0.0)
+    assert out["target"] == 3
+    n_clusters = out["assignments"].select(F.countDistinct("cluster_id")).first()[0]
+    assert n_clusters == 3
+    assert 0.0 < out["threshold"] < 1.0
