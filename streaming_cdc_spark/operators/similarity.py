@@ -253,13 +253,37 @@ def cosine_top_k(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    strategy: str = "auto",
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+    block_rows: int = BLOCK_TARGET_ROWS,
 ) -> DataFrame:
-    """Brute-force cosine top-k neighbors for each query vector
+    """Exact cosine top-k neighbors for each query vector
     (C9 ``cknn`` grinch_alg.py:213-237 generalized to k>1).
 
     Output: (q long, neighbor long, sim double, rank int). Ties break
     on neighbor id ascending — fully deterministic.
+
+    ``strategy``: "auto" counts the corpus once and picks "broadcast"
+    (corpus collected + broadcast, one BLAS matmul per probe batch)
+    below ``broadcast_max_rows``, else "blocked": the corpus is hashed
+    into B blocks, each query row is replicated to every block,
+    per-block top-k candidates are scored with the same kernel, and a
+    window keeps the global top-k. Identical output on both paths; the
+    blocked one never materializes the corpus on the driver. IVF
+    (operators.ann) remains the recall-traded sublinear alternative.
     """
+    if strategy == "auto":
+        n = corpus.count()
+        strategy = "broadcast" if n <= broadcast_max_rows else "blocked"
+    else:
+        n = None
+    if strategy == "blocked":
+        if n is None:
+            n = corpus.count()
+        n_blocks = max(1, -(-n // max(block_rows, 1)))
+        return _blocked_top_k(queries, corpus, k, id_col, vec_col, exclude_self, n_blocks)
+    if strategy != "broadcast":
+        raise ValueError(f"unknown strategy {strategy!r}")
     spark = queries.sparkSession
     _prepare(queries)
     ids_b, mat_b = _collect_matrix(corpus, id_col, vec_col)
@@ -293,6 +317,76 @@ def cosine_top_k(
 
     return queries.select(id_col, vec_col).mapInPandas(
         gen, "q long, neighbor long, sim double, rank int"
+    )
+
+
+def _blocked_top_k(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    exclude_self: bool,
+    n_blocks: int,
+) -> DataFrame:
+    """Exact distributed top-k: corpus hashed into B blocks, queries
+    replicated to all B, per-block candidates merged by a window.
+    Shuffle volume is |Q| * B + |C| rows — the bounded-task-memory
+    lower bound for exact all-pairs scoring, same as the blocked
+    self-edges path."""
+    from pyspark.sql import Window
+
+    _prepare(queries)
+    B = max(int(n_blocks), 1)
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.lit(True).alias("_is_corpus"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(B)).cast("int").alias("_blk"),
+    )
+    q = queries.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.lit(False).alias("_is_corpus"),
+        F.explode(F.array(*[F.lit(b).cast("int") for b in range(B)])).alias("_blk"),
+    )
+
+    def score(key, pdf):
+        cm = pdf["_is_corpus"].to_numpy()
+        if cm.all() or not cm.any():
+            return pd.DataFrame(
+                {
+                    "q": np.array([], dtype=np.int64),
+                    "neighbor": np.array([], dtype=np.int64),
+                    "sim": np.array([], dtype=np.float64),
+                }
+            )
+        r_ids = pdf["_id"].to_numpy()[cm]
+        r_mat = _norm_rows(pdf["_vec"][cm])
+        q_ids = pdf["_id"].to_numpy()[~cm]
+        sims = _norm_rows(pdf["_vec"][~cm]) @ r_mat.T
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            row = sims[qi]
+            mask = r_ids != q_ids[qi] if exclude_self else np.ones_like(row, bool)
+            cand = np.nonzero(mask)[0]
+            # per-block top-k by (-sim, neighbor id); the global window
+            # below re-ranks the B*k survivors with the same order
+            order = cand[np.lexsort((r_ids[cand], -row[cand]))][:k]
+            out_q.extend([q_ids[qi]] * len(order))
+            out_n.extend(r_ids[order])
+            out_s.extend(row[order])
+        return pd.DataFrame({"q": out_q, "neighbor": out_n, "sim": out_s})
+
+    cand = (
+        c.unionByName(q)
+        .groupBy("_blk")
+        .applyInPandas(score, "q long, neighbor long, sim double")
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("sim"), F.asc("neighbor"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
     )
 
 

@@ -92,9 +92,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("doc_embedding_near_dups")  # encoder-backed; rows-only check
 def doc_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection on raw documents:
-    feature-hashing encoder -> broadcast block-matmul cosine self-join
-    at 0.9 — the semantic-dedup path (encoder swaps for a real model,
-    candidate generation swaps for LSH at scale)."""
+    feature-hashing encoder -> cosine self-join at 0.9 via the
+    auto-strategy kernel (broadcast matmul small-n, exact triangle
+    blocking at scale) — the semantic-dedup path (encoder swaps for a
+    real model; minhash/LSH remain the recall-traded alternatives)."""
     from streaming_cdc_spark.operators.encoder import hash_encode_mentions
     from streaming_cdc_spark.operators.similarity import cosine_self_edges
 

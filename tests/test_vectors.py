@@ -39,3 +39,21 @@ def test_cosine_top_k(spark):
         order = sorted((i for i in range(30) if i != q), key=lambda i: (-sims[q, i], i))[:4]
         rows = sorted((r for r in got if r["q"] == q), key=lambda r: r["rank"])
         assert [r["neighbor"] for r in rows] == order
+
+
+def test_cosine_top_k_blocked_matches_broadcast(spark):
+    """The distributed blocked path must emit the IDENTICAL result set
+    as the broadcast path — exactness at scale, not approximation."""
+    from streaming_cdc_spark.operators.similarity import cosine_top_k
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 5))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    a = cosine_top_k(df, df, k=3, strategy="broadcast").orderBy("q", "rank").collect()
+    b = cosine_top_k(df, df, k=3, strategy="blocked", block_rows=13).orderBy(
+        "q", "rank"
+    ).collect()
+    assert a == b
