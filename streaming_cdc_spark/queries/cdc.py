@@ -272,6 +272,34 @@ def tfidf_blend_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["assignments"].select(F.col("mention_index").alias("doc_id"), "cluster_id")
 
 
+@query("bisect_blend_to_gold")  # iterative driver loop over MLlib kernels; rows-only
+def bisect_blend_to_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 + EP1: bisect the BLENDED-kernel threshold (0.8 char-bigram
+    mention + 0.2 word tf-idf context, combo.py:21-41) until the
+    connected-component count matches a gold entity count — the
+    reference's bisection target (nn_thresh.py:118-135) over its
+    feature kernels instead of cosine. Gold = the document's first
+    token (a surface-form oracle); output is the search result
+    (target, n_clusters, threshold)."""
+    from streaming_cdc_spark.pipelines import ep1_bisect_to_gold
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    mentions = docs.select(
+        F.col("doc_id").alias("mention_index"),
+        F.array_join(F.slice(toks, 1, 2), " ").alias("mention"),
+        F.array_join(F.slice(toks, 3, 8), " ").alias("left_context"),
+        F.array_join(F.slice(toks, 11, 8), " ").alias("right_context"),
+        F.element_at(toks, 1).alias("entity_id"),
+    )
+    out = ep1_bisect_to_gold(mentions, max_iters=8)
+    n_clusters = out["assignments"].select(F.countDistinct("cluster_id")).first()[0]
+    return spark.createDataFrame(
+        [(int(out["target"]), int(n_clusters), round(float(out["threshold"]), 6))],
+        "target long, n_clusters long, threshold double",
+    )
+
+
 @query("tree_cut_clusters")  # offline dendrogram re-cut; rows-only check
 def tree_cut_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C15 offline cut (cut_tree.py:41-103): build the GRINCH
