@@ -164,6 +164,18 @@ def ngram_jaccard_pairs(
     return out
 
 
+def resolve_near_dups(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Greedy min-id near-dup resolution: drop every document that has
+    a verified near-dup with a SMALLER id (pairs carry doc_a < doc_b,
+    so doc_b is always the drop candidate). The canonical-per-group
+    choice real dedup pipelines ship — a plain anti-join, no connected
+    components needed, so it stays one shuffle and is order-free."""
+    drops = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return docs.join(drops, id_col, "left_anti")
+
+
 def simhash_fingerprints(
     docs: DataFrame,
     n_bits: int = 32,

@@ -132,3 +132,37 @@ def doc_fingerprints(
         char_fingerprint(text_col).alias("fingerprint"),
         md5_long(F.col(text_col)).alias("content_hash"),
     )
+
+
+def ngram_repetition(
+    docs: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document duplicate-n-gram statistics — the Gopher-style
+    repetition quality signal (fraction of n-grams that are repeats,
+    plus the most-repeated n-gram's count).
+
+    Output: (id, n_ngrams, n_distinct_ngrams, top_ngram_count,
+    dup_ngram_frac[6dp]). Same n-gram construction as the dedup
+    shingles (positions 1..greatest(len-(n-1), 1), try_element_at for
+    short docs) but WITHOUT the distinct — repetition needs
+    multiplicities. Two partial-aggregated shuffles ((id, ngram) then
+    id); linear in corpus size.
+    """
+    toks = docs.select(id_col, tokens(text_col).alias("_t"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size("_t") - (n - 1), F.lit(1)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.try_element_at(F.col("_t"), i + F.lit(j)) for j in range(n)]),
+    )
+    g = toks.select(id_col, F.explode(grams).alias("ngram"))
+    per = g.groupBy(id_col, "ngram").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy(id_col).agg(
+        F.sum("c").alias("n_ngrams"),
+        F.count(F.lit(1)).alias("n_distinct_ngrams"),
+        F.max("c").alias("top_ngram_count"),
+        F.round(
+            F.lit(1.0)
+            - F.count(F.lit(1)).cast("double") / F.sum("c").cast("double"),
+            6,
+        ).alias("dup_ngram_frac"),
+    )

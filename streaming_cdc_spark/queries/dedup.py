@@ -89,6 +89,55 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, threshold=0.05)
 
 
+@query(
+    "ngram_repetition_stats",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (SELECT doc_id, concat_ws(' ', t[i], t[i+1]) AS ngram
+          FROM toks, UNNEST(range(1, greatest(len(t), 2))) AS u(i)),
+    per AS (SELECT doc_id, ngram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ngrams,
+           COUNT(*) AS n_distinct_ngrams, MAX(c) AS top_ngram_count,
+           ROUND(1.0 - (COUNT(*)::DOUBLE / SUM(c)::DOUBLE), 6) AS dup_ngram_frac
+    FROM per GROUP BY doc_id
+    """,
+)
+def ngram_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-bigram repetition signal per document (the
+    Gopher-style quality rule): total/distinct bigram counts, the
+    most-repeated bigram's count, and the duplicate fraction."""
+    from streaming_cdc_spark.operators.text import ngram_repetition
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_repetition(docs, n=2)
+
+
+@query(
+    "near_dup_resolution",
+    oracle=f"""
+    WITH {_SHINGLES},
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    drops AS (SELECT DISTINCT doc_b
+              FROM shared JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+              WHERE n_shared / (x.n_sh + y.n_sh - n_shared) >= 0.2)
+    SELECT d.doc_id, d.n_chars FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_b FROM drops)
+    """,
+)
+def near_dup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup resolution: n-gram-Jaccard verified pairs at
+    0.2 -> greedy min-id keep rule (drop any doc near-dupping a
+    smaller id) -> surviving documents. The candidates->verify->
+    resolve chain a production dedup pipeline runs."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.2)
+    kept = D.resolve_near_dups(docs, pairs)
+    return kept.select("doc_id", "n_chars")
+
+
 @query("doc_embedding_near_dups")  # encoder-backed; rows-only check
 def doc_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection on raw documents:

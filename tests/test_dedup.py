@@ -56,3 +56,16 @@ def test_simhash(spark):
     assert got[0] == got[3]  # identical text -> identical fingerprint
     assert got[0] != got[2]
     assert all(0 <= v < (1 << 32) for v in got.values())
+
+
+def test_resolve_near_dups(spark):
+    from streaming_cdc_spark.operators.dedup import resolve_near_dups
+
+    docs = spark.createDataFrame(
+        [(0, 10), (1, 11), (2, 12), (3, 13)], "doc_id long, n_chars long"
+    )
+    # 1 dups 0, 3 dups 1 -> greedy min-id keeps 0 and 2; 3 drops even
+    # though its partner 1 was itself dropped (star rule, not closure)
+    pairs = spark.createDataFrame([(0, 1), (1, 3)], "doc_a long, doc_b long")
+    kept = sorted(r["doc_id"] for r in resolve_near_dups(docs, pairs).collect())
+    assert kept == [0, 2]

@@ -55,3 +55,19 @@ def test_media_stats(spark):
     assert got["s1"]["total_bytes"] == 7
     assert got["s1"]["n_distinct_hashes"] == 2
     assert got["s2"]["total_bytes"] == 3
+
+
+def test_ngram_repetition(spark):
+    # "a b a b a" -> bigrams: "a b","b a","a b","b a" = 4 total, 2 distinct
+    df = spark.createDataFrame(
+        [(0, "a b a b a"), (1, "x y z"), (2, "solo")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in T.ngram_repetition(df, n=2).collect()}
+    assert got[0]["n_ngrams"] == 4
+    assert got[0]["n_distinct_ngrams"] == 2
+    assert got[0]["top_ngram_count"] == 2
+    assert got[0]["dup_ngram_frac"] == 0.5
+    assert got[1]["dup_ngram_frac"] == 0.0
+    # single-token doc degenerates to one unigram "shingle", no dups
+    assert got[2]["n_ngrams"] == 1
+    assert got[2]["dup_ngram_frac"] == 0.0
