@@ -94,6 +94,54 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_filter",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (SELECT doc_id, concat_ws(' ', t[i], t[i+1]) AS ngram
+          FROM toks, UNNEST(range(1, greatest(len(t), 2))) AS u(i)),
+    per AS (SELECT doc_id, ngram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+    rep AS (SELECT doc_id, ROUND(1.0 - (COUNT(*)::DOUBLE / SUM(c)::DOUBLE), 6) AS dup_ngram_frac
+            FROM per GROUP BY doc_id),
+    q AS (SELECT doc_id, len(t) AS n_tokens,
+                 ROUND(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS uniq_token_ratio
+          FROM toks),
+    sig AS (SELECT doc_id, n_tokens, dup_ngram_frac, uniq_token_ratio,
+                   CASE WHEN n_tokens < 20 THEN 'short'
+                        WHEN dup_ngram_frac > 0.06 THEN 'repetitive'
+                        WHEN uniq_token_ratio < 0.33 THEN 'low_diversity'
+                        ELSE 'ok' END AS reason
+            FROM q JOIN rep USING (doc_id))
+    SELECT doc_id, n_tokens, dup_ngram_frac, uniq_token_ratio, reason,
+           reason = 'ok' AS keep
+    FROM sig
+    """,
+)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite keep/drop document filter with reason codes — the
+    decision step a training-data pipeline runs over its quality
+    signals (length, duplicate-bigram repetition, lexical diversity).
+    First failing rule wins: short -> repetitive -> low_diversity."""
+    docs = load(spark, sf_dir, "documents")
+    q = T.quality_features(docs).select("doc_id", "n_tokens", "uniq_token_ratio")
+    rep = T.ngram_repetition(docs, n=2).select("doc_id", "dup_ngram_frac")
+    sig = q.join(rep, "doc_id")
+    reason = (
+        F.when(F.col("n_tokens") < 20, F.lit("short"))
+        .when(F.col("dup_ngram_frac") > 0.06, F.lit("repetitive"))
+        .when(F.col("uniq_token_ratio") < 0.33, F.lit("low_diversity"))
+        .otherwise(F.lit("ok"))
+    )
+    return sig.select(
+        "doc_id",
+        "n_tokens",
+        "dup_ngram_frac",
+        "uniq_token_ratio",
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    )
+
+
+@query(
     "media_stats",
     oracle="""
     SELECT source, COUNT(*) AS n_blobs,

@@ -88,6 +88,41 @@ def write_dendrogram(df: DataFrame, path: str) -> None:
     out.write.mode("overwrite").option("sep", "\t").csv(path)
 
 
+def write_embeddings_tsv_stdout(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    out=None,
+) -> int:
+    """S13 stdout TSV sink (train_el.py:254-256,
+    encode_mentions.py:120-122; scripts/cluster.sh:2-9 pipes it into
+    the next stage): one ``id\\tlabel\\tv1\\t...\\tvN`` line per row.
+
+    Row formatting runs DISTRIBUTED (one concat_ws expression per
+    row); the driver only streams finished strings partition-by-
+    partition via toLocalIterator — stdout is inherently a serial
+    driver-side sink, so nothing is gained by collecting first and
+    nothing larger than one partition is ever resident. Returns the
+    line count."""
+    import sys
+
+    out = out if out is not None else sys.stdout
+    lines = df.select(
+        F.concat_ws(
+            "\t",
+            F.col(id_col).cast("string"),
+            F.col(label_col).cast("string"),
+            F.concat_ws("\t", F.transform(F.col(vec_col), lambda x: x.cast("string"))),
+        ).alias("line")
+    )
+    n = 0
+    for row in lines.toLocalIterator():
+        print(row["line"], file=out)
+        n += 1
+    return n
+
+
 def read_dendrogram(spark: SparkSession, path: str) -> DataFrame:
     """S11 scan: TSV edge list -> (uid, parent_uid, label) with 'None'
     mapped back to null (dendrogram_purity.py:48-61)."""

@@ -134,3 +134,20 @@ def test_dendrogram_roundtrip(spark, tmp_path):
     write_dendrogram(df, path)
     back = {r["uid"]: (r["parent_uid"], r["label"]) for r in read_dendrogram(spark, path).collect()}
     assert back == {"0": (None, None), "a": ("0", "white"), "1": ("0", None)}
+
+
+def test_write_embeddings_tsv_stdout(spark):
+    """S13: id\tlabel\tv1..vN lines, reference row format
+    (encode_mentions.py:120-122)."""
+    import io
+
+    from streaming_cdc_spark.sources.mentions import write_embeddings_tsv_stdout
+
+    df = spark.createDataFrame(
+        [(0, 7, [1.0, -0.5]), (1, 8, [0.25, 2.0])],
+        "vec_id long, label long, embedding array<double>",
+    )
+    buf = io.StringIO()
+    n = write_embeddings_tsv_stdout(df.orderBy("vec_id"), out=buf)
+    assert n == 2
+    assert buf.getvalue().splitlines() == ["0\t7\t1.0\t-0.5", "1\t8\t0.25\t2.0"]
