@@ -46,6 +46,9 @@ HEADLINE = [
     "revenue_rollup",
     "docs_with_token",
     "lang_id_confusion",
+    "ngram_repetition_stats",
+    "near_dup_resolution",
+    "quality_filter",
 ]
 
 

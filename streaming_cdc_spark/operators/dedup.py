@@ -53,7 +53,9 @@ def word_shingles(t: Column | str, n: int = 3) -> Column:
 
 
 def exploded_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    tokenized = docs.select(id_col, tokens(text_col).alias("_t"))
+    from streaming_cdc_spark.session import fan_out
+
+    tokenized = fan_out(docs.select(id_col, tokens(text_col).alias("_t")))
     return tokenized.select(id_col, F.explode(word_shingles(F.col("_t"))).alias("shingle"))
 
 
@@ -185,9 +187,12 @@ def simhash_fingerprints(
     """32-bit SimHash: distinct words vote +1/-1 per bit of their
     60-bit md5 hash; fingerprint bit j set iff the vote sum > 0.
     Output: (doc_id, simhash long)."""
-    words = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("word")
-    ).withColumn("h", md5_long("word"))
+    from streaming_cdc_spark.session import fan_out
+
+    words = fan_out(docs.select(F.col(id_col), F.array_distinct(tokens(text_col)).alias("_w")))
+    words = words.select(id_col, F.explode("_w").alias("word")).withColumn(
+        "h", md5_long("word")
+    )
     bits = words.select(
         id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("i")
     )

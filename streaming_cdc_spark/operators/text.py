@@ -85,8 +85,11 @@ def token_histogram(
     (count desc, token asc). Output: (token, n, rank)."""
     from streaming_cdc_spark.operators.ranking import row_number_global
 
+    from streaming_cdc_spark.session import fan_out
+
     counts = (
-        docs.select(F.explode(tokens(text_col)).alias("token"))
+        fan_out(docs.select(tokens(text_col).alias("_t")))
+        .select(F.explode("_t").alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
@@ -148,7 +151,9 @@ def ngram_repetition(
     multiplicities. Two partial-aggregated shuffles ((id, ngram) then
     id); linear in corpus size.
     """
-    toks = docs.select(id_col, tokens(text_col).alias("_t"))
+    from streaming_cdc_spark.session import fan_out
+
+    toks = fan_out(docs.select(id_col, tokens(text_col).alias("_t")))
     idx = F.sequence(F.lit(1), F.greatest(F.size("_t") - (n - 1), F.lit(1)))
     grams = F.transform(
         idx,

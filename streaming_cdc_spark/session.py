@@ -31,6 +31,21 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
     sc._scs_pyfiles_added = True
 
 
+def fan_out(df, min_partitions: int | None = None):
+    """Pre-step for row-exploding map stages (shingles, n-grams,
+    per-bit votes): if the scan yields fewer partitions than the
+    cluster has slots — a single small parquet row-group does, both
+    locally and on a 1000-executor cluster reading one dimension-sized
+    file — hash-repartition first so the explosion parallelizes
+    instead of running in ONE task. No-op (no shuffle) when the input
+    already has enough partitions; the shuffle it does add moves only
+    the small pre-explosion rows."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def get_spark(
     app_name: str = "streaming-cdc-spark",
     shuffle_partitions: int | None = None,
