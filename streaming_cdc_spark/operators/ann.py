@@ -74,7 +74,9 @@ def ivf_top_k(
                     out_cell.append(int(cell))
             yield pd.DataFrame({"q": out_q, "q_vec": out_vec, "cell": out_cell})
 
-    probes = queries.select(id_col, vec_col).mapInPandas(
+    from streaming_cdc_spark.session import fan_out
+
+    probes = fan_out(queries.select(id_col, vec_col)).mapInPandas(
         probe_cells, f"q long, q_vec array<double>, cell int"
     )
     cand = probes.join(

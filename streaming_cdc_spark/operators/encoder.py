@@ -86,6 +86,8 @@ def hash_encode_mentions(
                 out_vecs.append([float(x) for x in m])
             yield pd.DataFrame({id_col: out_ids, "embedding": out_vecs})
 
-    return mentions.select(id_col, mention_col, left_col, right_col).mapInPandas(
+    from streaming_cdc_spark.session import fan_out
+
+    return fan_out(mentions.select(id_col, mention_col, left_col, right_col)).mapInPandas(
         gen, f"{id_col} long, embedding array<double>"
     )

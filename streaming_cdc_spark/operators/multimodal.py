@@ -104,7 +104,9 @@ def extract_media_features(media: DataFrame, use_real_codec: bool | None = None)
                 columns=["media_id", "n_bytes", "content_sha", "width", "height", "n_frames"],
             )
 
-    return media.mapInPandas(gen, FEATURE_SCHEMA)
+    from streaming_cdc_spark.session import fan_out
+
+    return fan_out(media).mapInPandas(gen, FEATURE_SCHEMA)
 
 
 def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:

@@ -114,7 +114,12 @@ def _broadcast_self_edges(
             keep = u < v
             yield pd.DataFrame({"u": u[keep], "v": v[keep], "sim": sims[li, ri][keep]})
 
-    return df.select(id_col, *cols).mapInPandas(gen, "u long, v long, sim double")
+    from streaming_cdc_spark.session import fan_out
+
+    # the probe side inherits the scan's partitioning — a small
+    # single-row-group file would run the whole matmul in ONE task
+    probe = fan_out(df.select(id_col, *cols))
+    return probe.mapInPandas(gen, "u long, v long, sim double")
 
 
 def _blocked_self_edges(
@@ -127,9 +132,12 @@ def _blocked_self_edges(
     """Exact triangle blocking: replicate each row to its B block-pairs
     and score each pair group with the same kernel. Distributed end to
     end — no driver collect, no broadcast of the build side."""
+    from streaming_cdc_spark.session import fan_out
+
     _prepare(df)
     B = max(int(n_blocks), 1)
     cols = [vc for vc, _ in vec_cols_weights]
+    df = fan_out(df)
     base = df.select(
         F.col(id_col).cast("long").alias("_id"),
         *cols,
@@ -315,7 +323,9 @@ def cosine_top_k(
                 {"q": out_q, "neighbor": out_n, "sim": out_s, "rank": out_r}
             )
 
-    return queries.select(id_col, vec_col).mapInPandas(
+    from streaming_cdc_spark.session import fan_out
+
+    return fan_out(queries.select(id_col, vec_col)).mapInPandas(
         gen, "q long, neighbor long, sim double, rank int"
     )
 
@@ -336,8 +346,11 @@ def _blocked_top_k(
     self-edges path."""
     from pyspark.sql import Window
 
+    from streaming_cdc_spark.session import fan_out
+
     _prepare(queries)
     B = max(int(n_blocks), 1)
+    queries = fan_out(queries)
     c = corpus.select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(vec_col).alias("_vec"),
