@@ -56,3 +56,26 @@ def test_filter_pushdown_user_filter(spark):
     df = QUERIES["running_user_value"](spark, SF)
     pushed = " ".join(pushed_filters(df))
     assert "user_id" in pushed
+
+
+def test_fan_out_repartitions_narrow_scans(spark):
+    """Row-exploding stages must not inherit a single-partition scan:
+    fan_out inserts a repartition below the cluster's parallelism and
+    stays a no-op above it."""
+    from streaming_cdc_spark.session import fan_out
+
+    df = spark.range(100).coalesce(1)
+    assert fan_out(df).rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+    wide = spark.range(100).repartition(64)
+    # already wide enough: no extra shuffle inserted
+    assert fan_out(wide, min_partitions=8) is wide
+
+
+def test_exploded_shingles_parallelize(spark):
+    from streaming_cdc_spark.operators.dedup import exploded_shingles
+    from streaming_cdc_spark.tables import load
+
+    docs = load(spark, SF, "documents")
+    sh = exploded_shingles(docs)
+    assert sh.rdd.getNumPartitions() > 1
