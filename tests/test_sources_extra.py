@@ -126,3 +126,33 @@ def test_kafka_source_guard(spark):
         assert "spark-sql-kafka" in str(e)
     else:  # pragma: no cover - only with connector on classpath
         assert df.isStreaming
+
+
+def test_partitioned_corpus_roundtrip_and_pruning(spark, tmp_path):
+    """Hive-partitioned write + read-back; a filter on the partition
+    key must prune at plan time (directory-level, not row-level)."""
+    from streaming_cdc_spark.sources.corpus import (
+        read_partitioned_corpus,
+        write_partitioned_corpus,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", ["en", "es", "zh"][i % 3]) for i in range(30)],
+        "doc_id long, text string, lang string",
+    )
+    path = str(tmp_path / "corpus")
+    write_partitioned_corpus(df, path, ["lang"], max_records_per_file=100)
+
+    import os
+
+    assert sorted(d for d in os.listdir(path) if d.startswith("lang=")) == [
+        "lang=en",
+        "lang=es",
+        "lang=zh",
+    ]
+    back = read_partitioned_corpus(spark, path)
+    assert back.count() == 30
+    en = back.filter("lang = 'en'")
+    assert en.count() == 10
+    plan = en._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
