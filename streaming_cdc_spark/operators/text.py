@@ -137,6 +137,36 @@ def doc_fingerprints(
     )
 
 
+def hash_sample(
+    df: DataFrame, rate_pct: int, key_col: str = "doc_id", salt: str = "sample"
+) -> DataFrame:
+    """Deterministic hash-mod sampling: keep rows whose salted 60-bit
+    md5 of the key lands in the first ``rate_pct`` of 100 buckets.
+    The reproducible sampling a training pipeline uses instead of
+    RNG — same key, same salt, same subset on every engine and run;
+    changing the salt draws an independent sample. Pure column
+    expression, no shuffle."""
+    keep = F.pmod(md5_long(F.col(key_col).cast("string"), salt=salt), F.lit(100)) < rate_pct
+    return df.filter(keep)
+
+
+def training_mix(
+    docs: DataFrame,
+    source_rates: dict[str, int],
+    key_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Source-weighted corpus mix: each source is hash-sampled at its
+    own percentage rate (the data-mixture step of a pretraining
+    pipeline, expressed as one filter — no per-source unions, one
+    scan). Unlisted sources are dropped. Output: the sampled rows."""
+    rate = F.lit(0)
+    for src, pct in sorted(source_rates.items()):
+        rate = F.when(F.col(source_col) == src, F.lit(pct)).otherwise(rate)
+    bucket = F.pmod(md5_long(F.col(key_col).cast("string"), salt="mix"), F.lit(100))
+    return docs.filter(bucket < rate)
+
+
 def ngram_repetition(
     docs: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

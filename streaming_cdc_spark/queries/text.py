@@ -94,6 +94,31 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "training_mix_counts",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, source, lang,
+               CAST(concat('0x', substr(md5(concat('mix', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS bucket
+        FROM documents
+    )
+    SELECT source, lang, COUNT(*) AS n_sampled
+    FROM b
+    WHERE bucket < (CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50
+                                WHEN 'src2' THEN 20 ELSE 0 END)
+    GROUP BY source, lang
+    """,
+)
+def training_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted deterministic corpus mix (the pretraining
+    data-mixture step): hash-mod sampling per source at 80/50/20%,
+    counted per (source, lang). Reproducible — md5 bucketing, no RNG
+    — so the oracle replays it exactly."""
+    docs = load(spark, sf_dir, "documents")
+    mix = T.training_mix(docs, {"src0": 80, "src1": 50, "src2": 20})
+    return mix.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@query(
     "quality_filter",
     oracle="""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -71,3 +71,28 @@ def test_ngram_repetition(spark):
     # single-token doc degenerates to one unigram "shingle", no dups
     assert got[2]["n_ngrams"] == 1
     assert got[2]["dup_ngram_frac"] == 0.0
+
+
+def test_hash_sample_deterministic_and_disjoint(spark):
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in T.hash_sample(df, 10).collect()}
+    b = {r["doc_id"] for r in T.hash_sample(df, 10).collect()}
+    assert a == b  # same salt -> same subset
+    assert 50 < len(a) < 200  # ~10% of 1000
+    c = {r["doc_id"] for r in T.hash_sample(df, 10, salt="other").collect()}
+    assert c != a  # independent draw under a different salt
+    # rate monotonicity: a 10% sample is a subset of the 30% sample
+    d = {r["doc_id"] for r in T.hash_sample(df, 30).collect()}
+    assert a <= d
+
+
+def test_training_mix_rates(spark):
+    df = spark.createDataFrame(
+        [(i, ["sA", "sB", "sC"][i % 3]) for i in range(3000)],
+        "doc_id long, source string",
+    )
+    out = T.training_mix(df, {"sA": 100, "sB": 50}).groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in out}
+    assert got["sA"] == 1000  # 100% kept
+    assert 350 < got["sB"] < 650  # ~50%
+    assert "sC" not in got  # unlisted source dropped
