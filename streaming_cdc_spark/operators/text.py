@@ -167,6 +167,32 @@ def training_mix(
     return docs.filter(bucket < rate)
 
 
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Contiguous sequence packing: concatenate documents in id order
+    and split at token-budget boundaries — each doc's sequence is
+    floor(exclusive-prefix-tokens / budget), the Megatron-style
+    packing step that turns a corpus into fixed-length training rows.
+    A doc straddling a boundary belongs to the sequence where it
+    starts (the splitter handles the carry). Distributed two-pass
+    prefix sum (ranking.running_sum_global) — no single-partition
+    window, no driver state.
+
+    Output: (id, n_tokens, cum_tokens, seq_id)."""
+    from streaming_cdc_spark.operators.ranking import running_sum_global
+
+    base = docs.select(id_col, F.size(tokens(text_col)).alias("n_tokens"))
+    run = running_sum_global(base, [id_col], "n_tokens", "cum_tokens")
+    return run.withColumn(
+        "seq_id",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / budget).cast("long"),
+    )
+
+
 def ngram_repetition(
     docs: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

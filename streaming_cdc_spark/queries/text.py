@@ -94,6 +94,32 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sequence_packing",
+    oracle="""
+    WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t)
+    SELECT CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM c GROUP BY seq_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous token-budget packing (2048/sequence) summarized per
+    sequence — docs-per-sequence and token totals. The prefix sum runs
+    as the two-pass ranked form, never a single-partition window."""
+    from streaming_cdc_spark.operators.text import pack_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, budget=2048)
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+@query(
     "training_mix_counts",
     oracle="""
     WITH b AS (

@@ -96,3 +96,14 @@ def test_training_mix_rates(spark):
     assert got["sA"] == 1000  # 100% kept
     assert 350 < got["sB"] < 650  # ~50%
     assert "sC" not in got  # unlisted source dropped
+
+
+def test_pack_sequences(spark):
+    # 5 docs x 100 tokens, budget 250 -> starts at 0,100,200,300,400
+    # -> seq_ids 0,0,0,1,1
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * 100)) for i in range(5)], "doc_id long, text string"
+    )
+    rows = sorted(T.pack_sequences(df, budget=250).collect(), key=lambda r: r["doc_id"])
+    assert [r["seq_id"] for r in rows] == [0, 0, 0, 1, 1]
+    assert [r["cum_tokens"] for r in rows] == [100, 200, 300, 400, 500]
