@@ -59,6 +59,25 @@ def exploded_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     return tokenized.select(id_col, F.explode(word_shingles(F.col("_t"))).alias("shingle"))
 
 
+def cap_shingle_df(
+    sh: DataFrame, df_cap: int, shingle_col: str = "shingle"
+) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``df_cap`` — the
+    web-scale guard for the inverted shingle index: a stopword-run
+    shingle appearing in d docs contributes d² rows to the candidate
+    equi-join, so uncapped hot shingles square the shuffle. One extra
+    partial-aggregated groupBy + a semi-join; afterwards every join
+    key's multiplicity is bounded by df_cap. Trades recall only on
+    pairs whose ENTIRE overlap is capped shingles (near-dups share
+    rare shingles too)."""
+    freq = (
+        sh.groupBy(shingle_col)
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= df_cap)
+    )
+    return sh.join(freq.select(shingle_col), shingle_col, "left_semi")
+
+
 def exact_dedup_groups(
     docs: DataFrame,
     key: Column,
@@ -126,15 +145,23 @@ def ngram_jaccard_pairs(
     threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle
     (inverted-index candidate generation — the shingle equi-join — so
     the cross join never materializes).
-    Output: (doc_a, doc_b, n_shared, jaccard_r[6dp])."""
+    Output: (doc_a, doc_b, n_shared, jaccard_r[6dp]).
+
+    ``df_cap`` (web scale): exclude shingles above that document
+    frequency from CANDIDATE GENERATION and the shared counts —
+    set sizes stay exact, so reported Jaccard is a lower bound and
+    pairs overlapping only in hot shingles are missed (the standard
+    recall trade; see cap_shingle_df)."""
     sh = exploded_shingles(docs, id_col, text_col).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    cand = cap_shingle_df(sh, df_cap) if df_cap is not None else sh
+    a = cand.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = cand.select(F.col(id_col).alias("doc_b"), "shingle")
     shared = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -167,6 +167,38 @@ def training_mix(
     return docs.filter(bucket < rate)
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size token chunking with overlap (stride = chunk_tokens −
+    overlap): chunk i covers tokens [i·stride+1, i·stride+chunk], and
+    chunks exist while their start position ≤ doc length — the
+    long-document splitting step of embedding/RAG pipelines. Pure
+    explode + array-slice expressions; the chunk content is emitted as
+    a 60-bit md5 (cross-engine checkable) instead of the text itself.
+
+    Output: (id, chunk_id, n_tokens, chunk_hash)."""
+    from streaming_cdc_spark.session import fan_out
+
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = fan_out(docs.select(id_col, tokens(text_col).alias("_t")))
+    last = F.floor((F.size("_t") - 1) / stride).cast("int")
+    ch = toks.withColumn("chunk_id", F.explode(F.sequence(F.lit(0), last)))
+    chunk = F.slice("_t", F.col("chunk_id") * stride + 1, chunk_tokens)
+    return ch.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).alias("n_tokens"),
+        md5_long(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int,

@@ -94,6 +94,27 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_chunks",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    ch AS (SELECT doc_id, t, i AS chunk_id
+           FROM toks, UNNEST(range(0, CAST(FLOOR((len(t) - 1) / 48.0) AS BIGINT) + 1)) AS u(i))
+    SELECT doc_id, chunk_id,
+           len(t[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS n_tokens,
+           CAST(concat('0x', substr(md5(array_to_string(t[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')), 1, 15)) AS BIGINT) AS chunk_hash
+    FROM ch
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-token chunks with 16-token overlap over every document —
+    chunk boundaries, sizes, and content hashes."""
+    from streaming_cdc_spark.operators.text import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+@query(
     "sequence_packing",
     oracle="""
     WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),

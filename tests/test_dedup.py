@@ -69,3 +69,24 @@ def test_resolve_near_dups(spark):
     pairs = spark.createDataFrame([(0, 1), (1, 3)], "doc_a long, doc_b long")
     kept = sorted(r["doc_id"] for r in resolve_near_dups(docs, pairs).collect())
     assert kept == [0, 2]
+
+
+def test_shingle_df_cap(spark):
+    from streaming_cdc_spark.operators.dedup import (
+        exploded_shingles,
+        cap_shingle_df,
+        ngram_jaccard_pairs,
+    )
+
+    # 10 docs all sharing one stopword run; docs 0/1 are exact dups
+    rows = [(i, f"uniq{i} tok{i} the of and the of and") for i in range(2, 10)]
+    rows += [(0, "same same same same the of and"), (1, "same same same same the of and")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = exploded_shingles(docs)
+    capped = cap_shingle_df(sh, df_cap=5)
+    # the 10-doc "the of and" shingle is gone; rarer shingles survive
+    assert capped.filter("shingle = 'the of and'").count() == 0
+    assert capped.count() < sh.count()
+    # exact dups still pair up under the cap (they share rare shingles)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3, df_cap=5)
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs.collect()] == [(0, 1)]

@@ -107,3 +107,16 @@ def test_pack_sequences(spark):
     rows = sorted(T.pack_sequences(df, budget=250).collect(), key=lambda r: r["doc_id"])
     assert [r["seq_id"] for r in rows] == [0, 0, 0, 1, 1]
     assert [r["cum_tokens"] for r in rows] == [100, 200, 300, 400, 500]
+
+
+def test_chunk_documents(spark):
+    # 10 tokens, chunk=4, overlap=2 -> stride 2, starts 1,3,5,7,9
+    df = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(10))), (1, "a b")],
+        "doc_id long, text string",
+    )
+    rows = T.chunk_documents(df, chunk_tokens=4, overlap=2).collect()
+    d0 = sorted((r["chunk_id"], r["n_tokens"]) for r in rows if r["doc_id"] == 0)
+    assert d0 == [(0, 4), (1, 4), (2, 4), (3, 4), (4, 2)]
+    d1 = [(r["chunk_id"], r["n_tokens"]) for r in rows if r["doc_id"] == 1]
+    assert d1 == [(0, 2)]  # short doc: one truncated chunk
