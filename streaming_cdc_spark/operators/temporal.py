@@ -58,6 +58,40 @@ def asof_join(
     return out
 
 
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    order_cols: list | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts whenever the
+    time since the user's previous event exceeds ``gap_seconds``.
+    session_id = running count of session starts per key — two
+    KEY-PARTITIONED windows (lag, then cumulative sum), so the work
+    distributes across keys; no global window, no state on the driver.
+    Skewed power-users concentrate a key's events in one task — at
+    100 TB the fix is the streaming session window
+    (``F.session_window``) or per-key chunked reduction, but a single
+    user's events fit a task by assumption here.
+
+    ``order_cols`` must make the per-key order total (pass a unique
+    tiebreak like event_id) or session numbering is nondeterministic.
+
+    Output: df + (session_id long) — 1-based per key."""
+    w = W.partitionBy(key_col).orderBy(*(order_cols or [ts_col]))
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_sess = (
+        F.when(prev.isNull(), 1)
+        .when(F.col(ts_col).cast("long") - prev.cast("long") > gap_seconds, 1)
+        .otherwise(0)
+    )
+    wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return df.withColumn("_new", new_sess).withColumn(
+        "session_id", F.sum("_new").over(wc).cast("long")
+    ).drop("_new")
+
+
 def time_bucket_rollup(
     df: DataFrame,
     ts_col: str,

@@ -87,3 +87,36 @@ def hourly_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         F.col("bucket").cast("timestamp").alias("bucket"), "event_type", "n", "sum_value"
     )
+
+
+@query(
+    "user_sessions",
+    oracle="""
+    WITH o AS (SELECT user_id, event_id, ts,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM events),
+    f AS (SELECT user_id, event_id, ts,
+                 CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800
+                      THEN 1 ELSE 0 END AS new_s
+          FROM o),
+    s AS (SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM f)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+           date_diff('second', MIN(ts), MAX(ts)) AS session_seconds
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) summarized per
+    session: event count and duration. Key-partitioned windows only —
+    the work distributes across users."""
+    from streaming_cdc_spark.operators.temporal import sessionize
+
+    ev = load(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800, order_cols=["ts", "event_id"])
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts").cast("long") - F.min("ts").cast("long")).alias("session_seconds"),
+    )

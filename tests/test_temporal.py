@@ -51,3 +51,22 @@ def test_time_bucket_rollup_consistency(spark):
     assert d[("2024-01-02 00:00:00", "a")] == (1, 8.0)
     # invariant: daily totals == sum of hourly totals
     assert sum(v[1] for v in d.values()) == sum(v[1] for v in h.values())
+
+
+def test_sessionize(spark):
+    from streaming_cdc_spark.operators.temporal import sessionize
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 1, t0),
+        (2, 1, t0 + dt.timedelta(minutes=10)),   # same session
+        (3, 1, t0 + dt.timedelta(minutes=50)),   # gap > 30min -> new
+        (4, 2, t0),                               # other user
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize(df, "user_id", "ts", 1800, ["ts", "event_id"]).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
