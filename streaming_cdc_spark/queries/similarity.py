@@ -108,3 +108,50 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(norm), 6).alias("min_norm"),
         F.round(F.max(norm), 6).alias("max_norm"),
     )
+
+
+@query(
+    "kmeans_assign",
+    oracle="""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS c
+                  FROM embeddings ORDER BY vec_id LIMIT 8),
+    d AS (SELECT e.vec_id, cent.cid,
+                 list_distance(CAST(e.embedding AS DOUBLE[]), CAST(cent.c AS DOUBLE[])) AS dist
+          FROM embeddings e CROSS JOIN cent),
+    best AS (SELECT vec_id, cid, dist,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM d)
+    SELECT cid, COUNT(*) AS n_assigned,
+           ROUND(CAST(SUM(CAST(dist AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 4) AS avg_dist
+    FROM best WHERE rn = 1 GROUP BY cid
+    """,
+)
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd's assignment step with deterministic
+    seeds (the 8 lowest-id vectors as centroids, broadcast): each
+    vector goes to its nearest centroid by L2 distance, ties to the
+    smaller centroid id. The per-cluster shape of the iteration MLlib
+    KMeans runs (the IVF index builder uses the MLlib version; this
+    is the exact-oracle twin). Output: cluster sizes + decimal-summed
+    mean distance."""
+    from pyspark.sql import Window as W
+
+    from streaming_cdc_spark.functions.vectors import as_double, l2_distance
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c"))
+    )
+    d = emb.crossJoin(F.broadcast(cent)).withColumn(
+        "dist", l2_distance(as_double("embedding"), as_double("c"))
+    )
+    w = W.partitionBy("vec_id").orderBy("dist", "cid")
+    best = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.round(
+            F.sum(F.col("dist").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_dist"),
+    )
