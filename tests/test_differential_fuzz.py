@@ -87,3 +87,70 @@ def test_differential(engines, seed):
     ssig = sorted("\x01".join(canon(r[i]) for i in so) for r in srows)
     dsig = sorted("\x01".join(canon(r[i]) for i in do) for r in drows)
     assert ssig == dsig, f"{sql}\nspark={ssig[:2]}\nduck={dsig[:2]}"
+
+
+@pytest.fixture(scope="module")
+def doc_engines(spark):
+    from streaming_cdc_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    yield spark, docs, con
+
+
+def _sig(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("\x01".join(canon(r[i]) for i in order) for r in rows)
+
+
+def _compare(sdf, con, sql):
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(sql)
+    dcols = [d[0] for d in res.description]
+    assert sorted(sdf.columns) == sorted(dcols), sql
+    assert _sig(sdf.columns, srows) == _sig(dcols, res.fetchall()), sql
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_ngram_repetition(doc_engines, seed):
+    """ngram_repetition at a random n vs generated DuckDB SQL."""
+    from streaming_cdc_spark.operators.text import ngram_repetition
+
+    spark, docs, con = doc_engines
+    n = random.Random(2000 + seed).choice([2, 3, 4, 5])
+    sdf = ngram_repetition(docs, n=n)
+    sql = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (SELECT doc_id, concat_ws(' ', {", ".join(f"t[i+{j}]" for j in range(n))}) AS ngram
+          FROM toks, UNNEST(range(1, greatest(len(t) - {n - 1}, 1) + 1)) AS u(i)),
+    per AS (SELECT doc_id, ngram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ngrams,
+           COUNT(*) AS n_distinct_ngrams, MAX(c) AS top_ngram_count,
+           ROUND(1.0 - (COUNT(*)::DOUBLE / SUM(c)::DOUBLE), 6) AS dup_ngram_frac
+    FROM per GROUP BY doc_id
+    """
+    _compare(sdf, con, sql)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_chunking(doc_engines, seed):
+    """chunk_documents at random chunk/overlap vs generated SQL."""
+    from streaming_cdc_spark.operators.text import chunk_documents
+
+    spark, docs, con = doc_engines
+    rng = random.Random(3000 + seed)
+    chunk = rng.choice([8, 16, 32, 64])
+    overlap = rng.randint(0, chunk // 2)
+    stride = chunk - overlap
+    sdf = chunk_documents(docs, chunk_tokens=chunk, overlap=overlap)
+    sql = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    ch AS (SELECT doc_id, t, i AS chunk_id
+           FROM toks, UNNEST(range(0, CAST(FLOOR((len(t) - 1) / {stride}.0) AS BIGINT) + 1)) AS u(i))
+    SELECT doc_id, chunk_id,
+           len(t[chunk_id * {stride} + 1 : chunk_id * {stride} + {chunk}]) AS n_tokens,
+           CAST(concat('0x', substr(md5(array_to_string(t[chunk_id * {stride} + 1 : chunk_id * {stride} + {chunk}], ' ')), 1, 15)) AS BIGINT) AS chunk_hash
+    FROM ch
+    """
+    _compare(sdf, con, sql)
