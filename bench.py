@@ -49,6 +49,11 @@ HEADLINE = [
     "ngram_repetition_stats",
     "near_dup_resolution",
     "quality_filter",
+    "doc_chunks",
+    "sequence_packing",
+    "training_mix_counts",
+    "user_sessions",
+    "kmeans_assign",
 ]
 
 
