@@ -46,3 +46,34 @@ def streaming_dedup(
     dropDuplicates keyed state with TTL — the streaming form of
     operators.dedup.exact_dedup_groups."""
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def streaming_sessions(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming gap-based sessionization via ``F.session_window`` —
+    the streaming twin of operators.temporal.sessionize: a session
+    closes when no event arrives for ``gap``, and its row finalizes
+    once the watermark passes the session end (append-mode safe).
+    State is per (key, open session), bounded by the watermark.
+
+    Output: (session_start, session_end, key, n_events, sum_value)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -53,3 +53,21 @@ def test_streaming_dedup(spark, tmp_path):
     got = _run(spark, tmp_path, rows, lambda s: streaming_dedup(s, ["user_id", "event_type"]))
     kinds = sorted(r["event_type"] for r in got)
     assert kinds == ["click", "view"]  # duplicate click dropped in-stream
+
+
+def test_streaming_sessions(spark, tmp_path):
+    from streaming_cdc_spark.streaming.windows import streaming_sessions
+
+    rows = [
+        {"ts": "2024-01-01 00:01:00", "event_type": "click", "value": 1.0, "user_id": 1},
+        {"ts": "2024-01-01 00:10:00", "event_type": "click", "value": 2.0, "user_id": 1},
+        # > 30 min gap -> user 1 starts a second session
+        {"ts": "2024-01-01 01:00:00", "event_type": "click", "value": 4.0, "user_id": 1},
+        # far-future event advances the watermark so sessions finalize
+        {"ts": "2024-01-01 09:00:00", "event_type": "click", "value": 8.0, "user_id": 2},
+    ]
+    got = _run(spark, tmp_path, rows, lambda s: streaming_sessions(s))
+    u1 = sorted(
+        ((str(r["session_start"]), r["n_events"]) for r in got if r["user_id"] == 1)
+    )
+    assert u1 == [("2024-01-01 00:01:00", 2), ("2024-01-01 01:00:00", 1)]
