@@ -69,3 +69,31 @@ def inv_sql2_kernel(a: Column | str, b: Column | str) -> Column:
     b = F.col(b) if isinstance(b, str) else b
     d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
     return F.lit(1.0) / (F.lit(1.0) + F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def quant_scale(v: Column | str, bits: int = 8) -> Column:
+    """Per-vector symmetric quantization scale: max|v| / (2^(bits-1)-1),
+    floored at 1e-12 so zero vectors stay finite."""
+    v = F.col(v) if isinstance(v, str) else v
+    qmax = float((1 << (bits - 1)) - 1)
+    return F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
+    ) / F.lit(qmax)
+
+
+def quantize(v: Column | str, scale: Column) -> Column:
+    """Symmetric scalar quantization to integer codes:
+    floor(x/scale + 0.5) — floor-based half-up so both engines round
+    identically (no ties-to-even ambiguity)."""
+    v = F.col(v) if isinstance(v, str) else v
+    return F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+
+
+def quant_abs_error(v: Column | str, scale: Column) -> Column:
+    """Max absolute reconstruction error of the quantized vector —
+    computed from v and scale alone (err_i = |x - floor(x/scale+0.5)
+    * scale|), no zip with the codes needed."""
+    v = F.col(v) if isinstance(v, str) else v
+    return F.array_max(
+        F.transform(v, lambda x: F.abs(x - F.floor(x / scale + F.lit(0.5)) * scale))
+    )

@@ -155,3 +155,44 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("dist").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1)), 4
         ).alias("avg_dist"),
     )
+
+
+@query(
+    "embedding_quantization",
+    oracle="""
+    WITH s AS (
+        SELECT label,
+               greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 1e-12) / 127.0 AS scale,
+               CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ),
+    err AS (
+        SELECT label,
+               list_max(list_transform(e, x -> abs(x - floor(x / scale + 0.5) * scale))) AS max_err
+        FROM s
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           ROUND(CAST(SUM(CAST(max_err AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*), 8) AS avg_max_err,
+           ROUND(MAX(max_err), 8) AS worst_err
+    FROM err GROUP BY label
+    """,
+)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric scalar quantization quality per label: the
+    compression step a billion-vector ANN index applies (4x memory
+    cut); reconstruction error bounded by scale/2, verified exactly
+    against the SQL twin. Floor-based half-up rounding keeps both
+    engines bit-identical."""
+    from streaming_cdc_spark.functions.vectors import as_double, quant_abs_error, quant_scale
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = as_double("embedding")
+    scale = quant_scale(e)
+    err = emb.select("label", quant_abs_error(e, scale).alias("max_err"))
+    return err.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.col("max_err").cast("decimal(28,14)")).cast("double") / F.count(F.lit(1)), 8
+        ).alias("avg_max_err"),
+        F.round(F.max("max_err"), 8).alias("worst_err"),
+    )

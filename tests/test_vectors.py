@@ -57,3 +57,24 @@ def test_cosine_top_k_blocked_matches_broadcast(spark):
         "q", "rank"
     ).collect()
     assert a == b
+
+
+def test_quantization_roundtrip(spark):
+    from streaming_cdc_spark.functions.vectors import (
+        quant_abs_error,
+        quant_scale,
+        quantize,
+    )
+
+    df = spark.createDataFrame(
+        [([1.0, -0.5, 0.25],), ([0.0, 0.0, 0.0],)], "v array<double>"
+    )
+    rows = df.select(
+        quant_scale("v").alias("s"),
+        quantize("v", quant_scale("v")).alias("q"),
+        quant_abs_error("v", quant_scale("v")).alias("e"),
+    ).collect()
+    # max|v|=1.0 -> scale=1/127; codes = round(v*127)
+    assert rows[0]["q"] == [127, -63, 32]
+    assert rows[0]["e"] <= rows[0]["s"] / 2 + 1e-12  # error bound scale/2
+    assert rows[1]["q"] == [0, 0, 0]  # zero vector stays finite
