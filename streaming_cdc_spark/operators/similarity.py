@@ -403,6 +403,18 @@ def _blocked_top_k(
     )
 
 
+def sign_lsh_probes(vec_col: str, n_bits: int = 8) -> F.Column:
+    """Multi-probe set for sign-LSH: the vector's own bucket plus
+    every bucket at Hamming distance 1 (one hyperplane flipped) —
+    n_bits+1 probes. Near-miss neighbors that land one sign-bit away
+    are recovered by probing instead of by adding hash tables; the
+    candidate join stays an equi-join on the probe value. A (u, v)
+    pair matches AT MOST one of u's probes (probes are distinct), so
+    the join emits no duplicate pairs."""
+    b = sign_lsh_bucket(vec_col, n_bits)
+    return F.array(b, *[b.bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)])
+
+
 def sign_lsh_bucket(vec_col: str, n_bits: int = 8) -> F.Column:
     """Deterministic LSH bucket id from the signs of the first n_bits
     coordinates — the scale path's candidate generator (SQL-expressible

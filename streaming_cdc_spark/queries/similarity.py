@@ -196,3 +196,45 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_max_err"),
         F.round(F.max("max_err"), 8).alias("worst_err"),
     )
+
+
+_PROBES_SQL = "[bucket" + "".join(f", xor(bucket, {1 << i})" for i in range(8)) + "]"
+
+
+@query(
+    "lsh_multiprobe_pairs",
+    oracle=f"""
+    WITH bucketed AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+    probing AS (SELECT vec_id, embedding, UNNEST({_PROBES_SQL}) AS probe FROM bucketed)
+    SELECT a.vec_id AS u, b.vec_id AS v, ROUND({_COS}, 6) AS sim_r
+    FROM probing a JOIN bucketed b ON a.probe = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_COS} >= 0.2
+    """,
+)
+def lsh_multiprobe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH: each vector probes its own bucket plus
+    all Hamming-1 buckets (9 probes at 8 bits), recovering near-miss
+    candidates without extra hash tables; candidates are exact
+    re-scored. Still an equi-join — candidate volume is
+    (n_bits+1) * n^2 / 2^bits."""
+    from streaming_cdc_spark.operators.similarity import sign_lsh_probes
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("u"),
+        F.col("embedding").alias("ea"),
+        F.explode(sign_lsh_probes("embedding", 8)).alias("bucket"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("v"),
+        F.col("embedding").alias("eb"),
+        sign_lsh_bucket("embedding", 8).alias("bucket"),
+    )
+    sim = cosine(as_double("ea"), as_double("eb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("u") < F.col("v"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.2)
+        .select("u", "v", F.round("sim", 6).alias("sim_r"))
+    )

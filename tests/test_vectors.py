@@ -78,3 +78,23 @@ def test_quantization_roundtrip(spark):
     assert rows[0]["q"] == [127, -63, 32]
     assert rows[0]["e"] <= rows[0]["s"] / 2 + 1e-12  # error bound scale/2
     assert rows[1]["q"] == [0, 0, 0]  # zero vector stays finite
+
+
+def test_multiprobe_recall_superset(spark):
+    """Hamming-1 probing must recover a superset of the single-bucket
+    candidates and improve recall vs the exact edge set."""
+    import __spark_entry__ as e
+
+    q = e.queries()
+    sf = "/root/testdata/sf0.001"
+    single = {(r["u"], r["v"]) for r in q["lsh_bucket_pairs"](spark, sf).collect()}
+    multi = {(r["u"], r["v"]) for r in q["lsh_multiprobe_pairs"](spark, sf).collect()}
+    assert single <= multi
+    exact = {
+        (r["u"], r["v"])
+        for r in q["cosine_edges"](spark, sf).collect()
+        if r["sim_r"] >= 0.2
+    }
+    if exact:
+        assert len(multi & exact) / len(exact) > len(single & exact) / len(exact) * 0.99
+        assert len(multi & exact) >= len(single & exact)
