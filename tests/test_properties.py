@@ -120,3 +120,68 @@ def test_metric_invariants(spark):
     assert m["muc_r"] == pytest.approx(1.0, abs=1e-6)
     b = b3_df(perfect).first()
     assert b["b3_f1"] == pytest.approx(1.0, abs=1e-6)
+
+
+# -- corpus-hygiene operator invariants (Spark: few examples) ----------
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(0, 10_000))
+def test_sessionize_invariants(seed):
+    """Within a session: consecutive gaps <= threshold; across
+    consecutive sessions of a user: the boundary gap > threshold."""
+    import datetime as dt
+
+    from streaming_cdc_spark.operators.temporal import sessionize
+    from streaming_cdc_spark.session import get_spark
+
+    spark = get_spark("tests", shuffle_partitions=4)
+    rng = np.random.default_rng(seed)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for eid in range(40):
+        rows.append(
+            (
+                eid,
+                int(rng.integers(0, 4)),
+                t0 + dt.timedelta(seconds=int(rng.integers(0, 20000))),
+            )
+        )
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = sessionize(df, "user_id", "ts", 1800, ["ts", "event_id"]).collect()
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for rs in by_user.values():
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        for prev, cur in zip(rs, rs[1:]):
+            gap = (cur["ts"] - prev["ts"]).total_seconds()
+            if cur["session_id"] == prev["session_id"]:
+                assert gap <= 1800
+            else:
+                assert gap > 1800
+                assert cur["session_id"] == prev["session_id"] + 1
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(0, 10_000), st.integers(10, 100))
+def test_pack_sequences_invariants(seed, budget):
+    """Sequences are contiguous in id order; every sequence except
+    possibly the last STARTS under the budget boundary."""
+    from streaming_cdc_spark.operators.text import pack_sequences
+    from streaming_cdc_spark.session import get_spark
+
+    spark = get_spark("tests", shuffle_partitions=4)
+    rng = np.random.default_rng(seed)
+    rows = [(i, " ".join(["w"] * int(rng.integers(1, 30)))) for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(pack_sequences(df, budget=budget).collect(), key=lambda r: r["doc_id"])
+    # cum_tokens is the inclusive prefix sum in id order
+    run = 0
+    for r in got:
+        run += r["n_tokens"]
+        assert r["cum_tokens"] == run
+        assert r["seq_id"] == (r["cum_tokens"] - r["n_tokens"]) // budget
+    # seq ids are nondecreasing in id order
+    sids = [r["seq_id"] for r in got]
+    assert sids == sorted(sids)
