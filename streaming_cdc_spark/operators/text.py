@@ -225,6 +225,38 @@ def pack_sequences(
     )
 
 
+def pack_sequences_exact(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact contiguous packing: the token stream is concatenated in
+    id order and cut every ``budget`` tokens, SPLITTING documents that
+    straddle a boundary — every sequence except the last carries
+    exactly ``budget`` tokens (the invariant a fixed-context trainer
+    needs). Each doc occupies token span [cum−n, cum) and is exploded
+    to the sequences it overlaps; tokens_in_seq is the overlap length.
+    Same two-pass prefix sum as pack_sequences; the explode adds one
+    row per boundary crossed, not per token.
+
+    Output: (id, seq_id, tokens_in_seq)."""
+    from streaming_cdc_spark.operators.ranking import running_sum_global
+
+    base = docs.select(id_col, F.size(tokens(text_col)).alias("n_tokens"))
+    run = running_sum_global(base, [id_col], "n_tokens", "cum_tokens")
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    first_seq = F.floor(start / budget).cast("long")
+    last_seq = F.floor((F.col("cum_tokens") - 1) / budget).cast("long")
+    s = run.withColumn("seq_id", F.explode(F.sequence(first_seq, last_seq)))
+    seq_lo = F.col("seq_id") * budget
+    seq_hi = seq_lo + budget
+    tokens_in_seq = F.least(F.col("cum_tokens"), seq_hi) - F.greatest(start, seq_lo)
+    return s.select(
+        id_col, "seq_id", tokens_in_seq.cast("long").alias("tokens_in_seq")
+    )
+
+
 def ngram_repetition(
     docs: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

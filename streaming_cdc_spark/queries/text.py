@@ -141,6 +141,35 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sequence_packing_exact",
+    oracle="""
+    WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t),
+    x AS (SELECT doc_id, n_tokens, cum, s.seq_id
+          FROM c, UNNEST(range(CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT),
+                               CAST(FLOOR((cum - 1) / 2048.0) AS BIGINT) + 1)) AS s(seq_id))
+    SELECT seq_id, COUNT(*) AS n_doc_slices,
+           CAST(SUM(least(cum, (seq_id + 1) * 2048) - greatest(cum - n_tokens, seq_id * 2048)) AS BIGINT) AS seq_tokens
+    FROM x GROUP BY seq_id
+    """,
+)
+def sequence_packing_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-splitting packing at 2048 tokens: per-sequence slice
+    counts and token totals — every sequence except the final one
+    totals exactly 2048."""
+    from streaming_cdc_spark.operators.text import pack_sequences_exact
+
+    docs = load(spark, sf_dir, "documents")
+    packed = pack_sequences_exact(docs, budget=2048)
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_doc_slices"),
+        F.sum("tokens_in_seq").cast("long").alias("seq_tokens"),
+    )
+
+
+@query(
     "training_mix_counts",
     oracle="""
     WITH b AS (

@@ -120,3 +120,24 @@ def test_chunk_documents(spark):
     assert d0 == [(0, 4), (1, 4), (2, 4), (3, 4), (4, 2)]
     d1 = [(r["chunk_id"], r["n_tokens"]) for r in rows if r["doc_id"] == 1]
     assert d1 == [(0, 2)]  # short doc: one truncated chunk
+
+
+def test_pack_sequences_exact(spark):
+    """Every sequence except the last carries exactly `budget` tokens,
+    and straddling docs split across the boundary."""
+    import pyspark.sql.functions as F
+
+    # 3 docs of 100 tokens, budget 80: doc0 -> seq0(80)+seq1(20),
+    # doc1 -> seq1(60)+seq2(40), doc2 -> seq2(40)+seq3(60)
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * 100)) for i in range(3)], "doc_id long, text string"
+    )
+    out = T.pack_sequences_exact(df, budget=80)
+    per_seq = {
+        r["seq_id"]: r["total"]
+        for r in out.groupBy("seq_id").agg(F.sum("tokens_in_seq").alias("total")).collect()
+    }
+    assert per_seq == {0: 80, 1: 80, 2: 80, 3: 60}
+    slices = {(r["doc_id"], r["seq_id"]): r["tokens_in_seq"] for r in out.collect()}
+    assert slices[(0, 0)] == 80 and slices[(0, 1)] == 20
+    assert slices[(1, 1)] == 60 and slices[(1, 2)] == 40
