@@ -238,3 +238,73 @@ def lsh_multiprobe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim") >= 0.2)
         .select("u", "v", F.round("sim", 6).alias("sim_r"))
     )
+
+
+@query(
+    "kmeans_update",
+    oracle="""
+    WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+                  FROM embeddings ORDER BY vec_id LIMIT 8),
+    d AS (SELECT e.vec_id, cent.cid, CAST(e.embedding AS DOUBLE[]) AS ev,
+                 list_distance(CAST(e.embedding AS DOUBLE[]), cent.c) AS dist
+          FROM embeddings e CROSS JOIN cent),
+    best AS (SELECT vec_id, cid, ev FROM (
+        SELECT vec_id, cid, ev,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d) WHERE rn = 1),
+    pos AS (SELECT cid, i AS pos, ev[i + 1] AS val
+            FROM best, UNNEST(range(0, len(ev))) AS u(i)),
+    newc AS (SELECT cid, pos,
+                    CAST(SUM(CAST(val AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS new_val
+             FROM pos GROUP BY cid, pos),
+    oldp AS (SELECT cid, i AS pos, c[i + 1] AS old_val
+             FROM cent, UNNEST(range(0, len(c))) AS u(i)),
+    shift AS (SELECT cid,
+                     ROUND(sqrt(CAST(SUM(CAST((new_val - old_val) * (new_val - old_val) AS DECIMAL(38,20))) AS DOUBLE)), 6) AS shift
+              FROM newc JOIN oldp USING (cid, pos) GROUP BY cid),
+    counts AS (SELECT cid, COUNT(*) AS n_assigned FROM best GROUP BY cid)
+    SELECT cid, n_assigned, shift FROM counts JOIN shift USING (cid)
+    """,
+)
+def kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A full distributed Lloyd's iteration: assignment (as in
+    kmeans_assign) followed by the centroid UPDATE — per-position
+    means via exact decimal sums (order-free across partitions, the
+    only way a float mean hash-matches), reported as each centroid's
+    L2 shift. This is the update MLlib runs internally, here with an
+    exact cross-engine oracle."""
+    from pyspark.sql import Window as W
+
+    from streaming_cdc_spark.functions.vectors import as_double, l2_distance
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c"))
+    )
+    d = emb.crossJoin(F.broadcast(cent)).withColumn(
+        "dist", l2_distance(as_double("embedding"), as_double("c"))
+    )
+    w = W.partitionBy("vec_id").orderBy("dist", "cid")
+    best = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "embedding")
+    )
+    pos = best.select("cid", F.posexplode(as_double("embedding")).alias("pos", "val"))
+    newc = pos.groupBy("cid", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(28,14)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("new_val")
+    )
+    oldp = cent.select("cid", F.posexplode(as_double("c")).alias("pos", "old_val"))
+    dd = (F.col("new_val") - F.col("old_val")) * (F.col("new_val") - F.col("old_val"))
+    shift = (
+        newc.join(oldp, ["cid", "pos"])
+        .groupBy("cid")
+        .agg(F.round(F.sqrt(F.sum(dd.cast("decimal(38,20)")).cast("double")), 6).alias("shift"))
+    )
+    counts = best.groupBy("cid").agg(F.count(F.lit(1)).alias("n_assigned"))
+    return counts.join(shift, "cid")
