@@ -77,3 +77,55 @@ def streaming_sessions(
             "sum_value",
         )
     )
+
+
+def correlate_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    lookback: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left event with the
+    right-stream events of the same key in the preceding ``lookback``
+    window. Both sides carry watermarks and the join condition bounds
+    event time on both, so Spark can expire join state — unbounded
+    state is the failure mode of naive stream-stream joins.
+
+    Output: (key, left ts/type/value as l_*, right ts/type/value as
+    r_*, lag_seconds)."""
+    l = (
+        left.withWatermark(ts_col, watermark)
+        .select(
+            F.col(key_col).alias("l_key"),
+            F.col(ts_col).alias("l_ts"),
+            F.col("event_type").alias("l_type"),
+            F.col("value").alias("l_value"),
+        )
+    )
+    r = (
+        right.withWatermark(ts_col, watermark)
+        .select(
+            F.col(key_col).alias("r_key"),
+            F.col(ts_col).alias("r_ts"),
+            F.col("event_type").alias("r_type"),
+            F.col("value").alias("r_value"),
+        )
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    joined = l.join(r, cond, "inner")
+    return joined.select(
+        F.col("l_key").alias(key_col),
+        "l_ts",
+        "l_type",
+        "l_value",
+        "r_ts",
+        "r_type",
+        "r_value",
+        (F.col("l_ts").cast("long") - F.col("r_ts").cast("long")).alias("lag_seconds"),
+    )

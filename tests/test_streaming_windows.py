@@ -71,3 +71,46 @@ def test_streaming_sessions(spark, tmp_path):
         ((str(r["session_start"]), r["n_events"]) for r in got if r["user_id"] == 1)
     )
     assert u1 == [("2024-01-01 00:01:00", 2), ("2024-01-01 01:00:00", 1)]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Clicks join views of the same user within the 10-minute
+    lookback; outside-window and cross-user views don't pair."""
+    import json
+
+    from streaming_cdc_spark.streaming.windows import correlate_streams
+
+    rows = [
+        {"ts": "2024-01-01 00:00:00", "event_type": "view", "value": 1.0, "user_id": 1},
+        {"ts": "2024-01-01 00:05:00", "event_type": "click", "value": 2.0, "user_id": 1},
+        {"ts": "2024-01-01 00:30:00", "event_type": "view", "value": 3.0, "user_id": 1},
+        {"ts": "2024-01-01 00:50:00", "event_type": "click", "value": 4.0, "user_id": 1},
+        {"ts": "2024-01-01 00:04:00", "event_type": "view", "value": 5.0, "user_id": 2},
+    ]
+    src = tmp_path / "src2"
+    src.mkdir()
+    (src / "a.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+
+    def build(stream):
+        clicks = stream.filter("event_type = 'click'")
+        views = stream.filter("event_type = 'view'")
+        return correlate_streams(clicks, views)
+
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double, user_id long"
+    ).json(str(src))
+    out = build(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_out")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from ssj_out").collect()
+    pairs = sorted((str(r["l_ts"]), str(r["r_ts"]), r["lag_seconds"]) for r in got)
+    # click@00:05 pairs with view@00:00 (lag 300); click@00:50 finds no
+    # view within 10 min (view@00:30 is 20 min earlier); user 2 never pairs
+    assert pairs == [("2024-01-01 00:05:00", "2024-01-01 00:00:00", 300)]
