@@ -1,0 +1,85 @@
+"""Scale stress harness: synthesize an N-document corpus IN MEMORY
+(spark.range + column expressions — no files, no driver data) and
+time the corpus-hygiene operators at sizes far beyond the sf0.1
+tables, at two sizes, to verify near-linear scaling (time ratio ~
+size ratio) and that nothing collects to the driver.
+
+Run: python tools/stress.py [n_docs_small] [n_docs_big]
+Default 100k / 400k documents (~10M / ~40M tokens).
+
+This is evidence for SCALING.md, not part of the gate or bench.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from streaming_cdc_spark.session import get_spark  # noqa: E402
+
+
+def synth_docs(spark, n: int, tokens_per_doc: int = 100, vocab: int = 1000):
+    """Deterministic synthetic corpus: doc i's token j is
+    w<xxhash64(i, j) % vocab> — generated distributed, never on the
+    driver."""
+    idx = F.sequence(F.lit(0), F.lit(tokens_per_doc - 1))
+    tok = lambda j: F.concat(  # noqa: E731
+        F.lit("w"), F.pmod(F.xxhash64(F.col("doc_id"), j), F.lit(vocab)).cast("string")
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(F.transform(idx, tok), " ").alias("text"),
+        F.concat(F.lit("src"), F.pmod(F.col("id"), F.lit(20)).cast("string")).alias("source"),
+    )
+
+
+def main() -> None:
+    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n_big = int(sys.argv[2]) if len(sys.argv) > 2 else 400_000
+    spark = get_spark("stress")
+
+    from streaming_cdc_spark.operators.dedup import (
+        minhash_band_candidates,
+        simhash_fingerprints,
+    )
+    from streaming_cdc_spark.operators.text import (
+        hash_sample,
+        ngram_repetition,
+        pack_sequences,
+        quality_features,
+    )
+
+    ops = {
+        "hash_sample": lambda d: hash_sample(d, 10),
+        "quality_features": lambda d: quality_features(d),
+        "ngram_repetition": lambda d: ngram_repetition(d, n=2),
+        "pack_sequences": lambda d: pack_sequences(d, budget=2048),
+        "simhash": lambda d: simhash_fingerprints(d, n_bits=16),
+        "minhash_bands": lambda d: minhash_band_candidates(d, num_hashes=4),
+    }
+
+    results: dict[str, list[float]] = {}
+    for n in (n_small, n_big):
+        docs = synth_docs(spark, n).persist()
+        docs.count()
+        for name, fn in ops.items():
+            t0 = time.time()
+            fn(docs).write.format("noop").mode("overwrite").save()
+            results.setdefault(name, []).append(round(time.time() - t0, 2))
+        docs.unpersist()
+
+    scale = n_big / n_small
+    print(f"\nn_small={n_small} n_big={n_big} (size ratio {scale:.1f}x)")
+    print(f"{'op':20s} {'t_small':>8s} {'t_big':>8s} {'ratio':>6s}")
+    for name, (a, b) in results.items():
+        print(f"{name:20s} {a:8.2f} {b:8.2f} {b / max(a, 0.01):6.2f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
