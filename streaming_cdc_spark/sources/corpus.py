@@ -20,13 +20,19 @@ def write_partitioned_corpus(
     partition_cols: list[str],
     mode: str = "overwrite",
     max_records_per_file: int | None = None,
+    sort_cols: list[str] | None = None,
 ) -> None:
     """Write a hive-partitioned parquet dataset. ``partition_cols``
     should be low-cardinality routing keys (lang, source, date
     bucket); high-cardinality keys explode into millions of tiny
     directories. ``max_records_per_file`` caps file size so one hot
     partition (one dominant language) still splits into parallel
-    scan units downstream."""
+    scan units downstream. ``sort_cols`` clusters rows WITHIN each
+    file (sortWithinPartitions — no extra shuffle): parquet then
+    stores tight min/max stats per row group, so point/range filters
+    on those columns skip row groups a random layout could not."""
+    if sort_cols:
+        df = df.sortWithinPartitions(*partition_cols, *sort_cols)
     w = df.write.mode(mode)
     if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", int(max_records_per_file))

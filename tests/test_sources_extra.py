@@ -156,3 +156,31 @@ def test_partitioned_corpus_roundtrip_and_pruning(spark, tmp_path):
     assert en.count() == 10
     plan = en._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(lang" in plan
+
+
+def test_partitioned_corpus_sorted_rowgroups(spark, tmp_path):
+    """sort_cols clusters rows inside each partition's files so
+    parquet min/max stats are tight per file."""
+    import pyarrow.parquet as pq
+    import os
+
+    from streaming_cdc_spark.sources.corpus import write_partitioned_corpus
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", ["en", "es"][i % 2]) for i in range(1000)],
+        "doc_id long, text string, lang string",
+    ).repartition(4)
+    path = str(tmp_path / "sorted_corpus")
+    write_partitioned_corpus(df, path, ["lang"], sort_cols=["doc_id"])
+    en_dir = os.path.join(path, "lang=en")
+    files = [f for f in os.listdir(en_dir) if f.endswith(".parquet")]
+    assert files
+    for f in files:
+        md = pq.ParquetFile(os.path.join(en_dir, f)).metadata
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # doc_id
+            assert col.statistics.min <= col.statistics.max
+        # within-file ordering: read back and check sorted
+        tbl = pq.read_table(os.path.join(en_dir, f), columns=["doc_id"])
+        ids = tbl["doc_id"].to_pylist()
+        assert ids == sorted(ids)
