@@ -138,6 +138,66 @@ def near_dup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "n_chars")
 
 
+@query(
+    "containment_pairs",
+    oracle=f"""
+    WITH {_SHINGLES},
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    dirpairs AS (
+        SELECT doc_a AS src, doc_b AS dst, n_shared, x.n_sh AS n_src
+        FROM shared JOIN sz x ON doc_a = x.doc_id
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst, n_shared, y.n_sh AS n_src
+        FROM shared JOIN sz y ON doc_b = y.doc_id
+    )
+    SELECT src, dst, ROUND(n_shared::DOUBLE / n_src, 6) AS containment_r
+    FROM dirpairs WHERE n_shared::DOUBLE / n_src >= 0.3
+    """,
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shingle containment |src ∩ dst| / |src| —
+    catches a short document quoted inside a longer one, which
+    symmetric Jaccard misses (the union washes it out). Directed
+    pairs at containment >= 0.3, derived from the SAME undirected
+    inverted-index join as Jaccard (both directions emitted from one
+    shared-count relation — the join doesn't run twice)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = D.exploded_shingles(docs).persist()
+    # checkpoint both consumers of the cached shingles (sizes is one
+    # row per doc) BEFORE dropping the cache, or the lazy joins below
+    # would re-explode the corpus after unpersist
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")).localCheckpoint()
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .localCheckpoint()
+    )
+    sh.unpersist()
+    sz_a = F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")))
+    sz_b = F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")))
+    withsz = shared.join(sz_a, "doc_a").join(sz_b, "doc_b")
+    fwd = withsz.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"),
+        (F.col("n_shared") / F.col("na")).alias("c"),
+    )
+    rev = withsz.select(
+        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"),
+        (F.col("n_shared") / F.col("nb")).alias("c"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(F.col("c") >= 0.3)
+        .select("src", "dst", F.round("c", 6).alias("containment_r"))
+    )
+
+
 @query("doc_embedding_near_dups")  # encoder-backed; rows-only check
 def doc_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection on raw documents:
