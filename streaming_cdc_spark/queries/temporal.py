@@ -120,3 +120,37 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.max("ts").cast("long") - F.min("ts").cast("long")).alias("session_seconds"),
     )
+
+
+@query(
+    "trailing_7d_value",
+    oracle="""
+    SELECT event_id,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS v7d,
+           COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS n7d
+    FROM events WHERE user_id < 20
+    """,
+)
+def trailing_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day per-user rolling aggregate — a RANGE-framed
+    event-time window (every event sees the decimal-exact sum and
+    count of its user's prior week). The frame is defined by the ts
+    VALUE, not row position, so ties and gaps behave identically in
+    both engines; keyed windows distribute across users."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"), 2).alias("v7d"),
+        F.count(F.lit(1)).over(w).alias("n7d"),
+    )
