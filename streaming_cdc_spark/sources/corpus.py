@@ -39,8 +39,47 @@ def write_partitioned_corpus(
     w.partitionBy(*partition_cols).parquet(path)
 
 
-def read_partitioned_corpus(spark: SparkSession, path: str) -> DataFrame:
+def read_partitioned_corpus(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
     """Read a partitioned dataset back; filters on partition columns
     prune directories at plan time (verified in
-    tests/test_sources_extra.py)."""
-    return spark.read.parquet(path)
+    tests/test_sources_extra.py). ``merge_schema=True`` unions the
+    schemas of all files — the read path for a corpus whose later
+    batches added columns (older rows surface NULLs); off by default
+    because schema merging reads every file's footer."""
+    r = spark.read
+    if merge_schema:
+        r = r.option("mergeSchema", "true")
+    return r.parquet(path)
+
+
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    partition_dir: str,
+    target_files: int = 1,
+) -> int:
+    """Compact one hive partition's small files into ``target_files``
+    larger ones — the maintenance pass a long-running ingest needs
+    (streaming/append writers accumulate tiny files; small files
+    multiply scan tasks and footer reads). Rewrites ONLY the given
+    partition directory (never the whole dataset) via
+    write-new + atomic-ish swap. Returns the resulting file count."""
+    import os
+    import shutil
+
+    full = os.path.join(path, partition_dir)
+    df = spark.read.parquet(full)
+    tmp = full + "__compact_tmp"
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    for f in os.listdir(full):
+        if f.endswith(".parquet") or f.startswith("part-"):
+            os.remove(os.path.join(full, f))
+    moved = 0
+    for f in os.listdir(tmp):
+        if f.startswith("part-"):
+            shutil.move(os.path.join(tmp, f), os.path.join(full, f))
+            moved += 1
+    shutil.rmtree(tmp)
+    return moved

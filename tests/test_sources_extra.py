@@ -184,3 +184,40 @@ def test_partitioned_corpus_sorted_rowgroups(spark, tmp_path):
         tbl = pq.read_table(os.path.join(en_dir, f), columns=["doc_id"])
         ids = tbl["doc_id"].to_pylist()
         assert ids == sorted(ids)
+
+
+def test_corpus_compaction_and_schema_merge(spark, tmp_path):
+    """Many small files compact to one per partition; a later batch
+    with an extra column reads back via mergeSchema with NULLs for
+    old rows."""
+    import os
+
+    from streaming_cdc_spark.sources.corpus import (
+        compact_partition,
+        read_partitioned_corpus,
+        write_partitioned_corpus,
+    )
+
+    path = str(tmp_path / "life")
+    v1 = spark.createDataFrame(
+        [(i, f"d{i}", "en") for i in range(100)], "doc_id long, text string, lang string"
+    ).repartition(8)
+    write_partitioned_corpus(v1, path, ["lang"])
+    en = os.path.join(path, "lang=en")
+    before = len([f for f in os.listdir(en) if f.startswith("part-")])
+    assert before > 1
+    n = compact_partition(spark, path, "lang=en", target_files=1)
+    assert n == 1
+    back = read_partitioned_corpus(spark, path)
+    assert back.count() == 100
+
+    # schema evolution: append a batch with an extra quality column
+    v2 = spark.createDataFrame(
+        [(100 + i, f"d{100+i}", "en", 0.5) for i in range(10)],
+        "doc_id long, text string, lang string, quality double",
+    )
+    write_partitioned_corpus(v2, path, ["lang"], mode="append")
+    merged = read_partitioned_corpus(spark, path, merge_schema=True)
+    assert "quality" in merged.columns
+    assert merged.count() == 110
+    assert merged.filter("quality IS NULL").count() == 100
