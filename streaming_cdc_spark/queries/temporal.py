@@ -154,3 +154,43 @@ def trailing_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"), 2).alias("v7d"),
         F.count(F.lit(1)).over(w).alias("n7d"),
     )
+
+
+@query(
+    "robust_outliers",
+    oracle="""
+    WITH med AS (SELECT event_type, ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS med_r
+                 FROM events GROUP BY event_type),
+    dev AS (SELECT e.event_type, abs(e.value - m.med_r) AS d, m.med_r
+            FROM events e JOIN med m USING (event_type)),
+    mad AS (SELECT event_type, ROUND(CAST(quantile_cont(d, 0.5) AS DOUBLE), 6) AS mad_r
+            FROM dev GROUP BY event_type)
+    SELECT d.event_type, d.med_r, m.mad_r,
+           CAST(SUM(CASE WHEN d.d > 3 * 1.4826 * m.mad_r THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, d.med_r, m.mad_r
+    """,
+)
+def robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier detection per event type — the robust
+    alternative to z-scores (immune to the outliers it hunts). Both
+    pivots are ROUNDED to 6dp before any downstream math, so the
+    engines' quantile-interpolation bit differences cannot flip a
+    threshold comparison. Two keyed aggregations + two broadcast
+    joins; nothing global."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med_r")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("med_r"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("d", F.lit(0.5)), 6).alias("mad_r")
+    )
+    j = dev.join(F.broadcast(mad), "event_type")
+    return j.groupBy("event_type", "med_r", "mad_r").agg(
+        F.sum(
+            F.when(F.col("d") > 3 * 1.4826 * F.col("mad_r"), 1).otherwise(0)
+        ).cast("long").alias("n_outliers")
+    )
