@@ -84,7 +84,9 @@ def quant_scale(v: Column | str, bits: int = 8) -> Column:
 def quantize(v: Column | str, scale: Column) -> Column:
     """Symmetric scalar quantization to integer codes:
     floor(x/scale + 0.5) — floor-based half-up so both engines round
-    identically (no ties-to-even ambiguity)."""
+    identically (no ties-to-even ambiguity). Pass ``scale`` as a
+    MATERIALIZED column (withColumn), not an inline quant_scale
+    expression — lambdas re-evaluate it per element (O(d^2))."""
     v = F.col(v) if isinstance(v, str) else v
     return F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
 
@@ -92,7 +94,8 @@ def quantize(v: Column | str, scale: Column) -> Column:
 def quant_abs_error(v: Column | str, scale: Column) -> Column:
     """Max absolute reconstruction error of the quantized vector —
     computed from v and scale alone (err_i = |x - floor(x/scale+0.5)
-    * scale|), no zip with the codes needed."""
+    * scale|), no zip with the codes needed. Same caveat as
+    quantize: pass scale as a materialized column."""
     v = F.col(v) if isinstance(v, str) else v
     return F.array_max(
         F.transform(v, lambda x: F.abs(x - F.floor(x / scale + F.lit(0.5)) * scale))

@@ -154,6 +154,7 @@ def find_threshold(
     lo: float = 0.0,
     hi: float = 1.0,
     vec_cols_weights: list[tuple[str, float]] | None = None,
+    n: int | None = None,
 ) -> tuple[float, DataFrame]:
     """C7 bisection (nn_thresh.py:118-135): binary-search the
     similarity threshold until the cluster count is within epsilon of
@@ -174,15 +175,23 @@ def find_threshold(
     persisted graph further — this is what keeps the cached edge set
     from being the dense O(n^2) score matrix the reference OOMs on.
     """
-    from streaming_cdc_spark.operators.similarity import blended_self_edges
+    from streaming_cdc_spark.operators.similarity import BROADCAST_MAX_ROWS, blended_self_edges
 
-    n = df.count()
+    if n is None:
+        n = df.count()
     if epsilon is None:
         epsilon = n / 1000.0
+    # n is already known — pick the kernel strategy here instead of
+    # letting strategy='auto' re-count the input
+    strategy = "broadcast" if n <= BROADCAST_MAX_ROWS else "blocked"
     if vec_cols_weights is not None:
-        scored = blended_self_edges(df, vec_cols_weights, threshold=lo, id_col=id_col)
+        scored = blended_self_edges(
+            df, vec_cols_weights, threshold=lo, id_col=id_col, strategy=strategy
+        )
     else:
-        scored = cosine_self_edges(df, threshold=lo, id_col=id_col, vec_col=vec_col)
+        scored = cosine_self_edges(
+            df, threshold=lo, id_col=id_col, vec_col=vec_col, strategy=strategy
+        )
     scored = scored.persist()
     vertices = df.select(id_col)
     best = None

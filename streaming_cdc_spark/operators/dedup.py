@@ -140,6 +140,35 @@ def minhash_band_candidates(
     )
 
 
+def shared_shingle_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Inverted-index shared-shingle pipeline common to Jaccard and
+    containment: returns (sizes, shared) — per-doc distinct-shingle
+    counts and per-pair (doc_a < doc_b) shared counts. Both are
+    localCheckpointed WHILE the exploded shingles are cached, so
+    callers compose further joins without re-exploding the corpus.
+    ``df_cap`` bounds candidate generation only (see cap_shingle_df);
+    sizes stay exact."""
+    sh = exploded_shingles(docs, id_col, text_col).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh")).localCheckpoint()
+    cand = cap_shingle_df(sh, df_cap) if df_cap is not None else sh
+    a = cand.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = cand.select(F.col(id_col).alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .localCheckpoint()
+    )
+    sh.unpersist()
+    return sizes, shared
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float,
@@ -156,28 +185,17 @@ def ngram_jaccard_pairs(
     frequency from CANDIDATE GENERATION and the shared counts —
     set sizes stay exact, so reported Jaccard is a lower bound and
     pairs overlapping only in hot shingles are missed (the standard
-    recall trade; see cap_shingle_df)."""
-    sh = exploded_shingles(docs, id_col, text_col).persist()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    cand = cap_shingle_df(sh, df_cap) if df_cap is not None else sh
-    a = cand.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = cand.select(F.col(id_col).alias("doc_b"), "shingle")
-    shared = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_shared"))
-    )
-    # per-doc size table is tiny (one row per doc) — broadcast both
-    # probes so the big shared-pairs relation never shuffles again
-    out = (
+    recall trade; see cap_shingle_df). The sizes join is left to
+    AQE's size-based strategy choice — sizes has one row per DOC, so
+    a forced broadcast would break exactly at the scale this
+    operator targets."""
+    sizes, shared = shared_shingle_counts(docs, id_col, text_col, df_cap)
+    return (
         shared.join(
-            F.broadcast(sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))),
-            "doc_a",
+            sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na")), "doc_a"
         )
         .join(
-            F.broadcast(sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))),
-            "doc_b",
+            sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b"
         )
         .withColumn(
             "jaccard",
@@ -186,11 +204,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_shared", F.round("jaccard", 6).alias("jaccard_r"))
     )
-    # surviving pairs are few; materialize them so the cached shingle
-    # explode can be dropped instead of leaking in the cache
-    out = out.localCheckpoint()
-    sh.unpersist()
-    return out
 
 
 def resolve_near_dups(

@@ -73,10 +73,12 @@ def extract_media_features(media: DataFrame, use_real_codec: bool | None = None)
     DataFrame of blobs in, one feature frame out (Arrow transfer both
     ways).
 
-    use_real_codec: True = decode with PIL (raises RuntimeError with
-    an install hint when absent); False = deterministic fake; None
-    (default) = PIL when importable AND the batch is image/* mime,
-    fake otherwise — so the same pipeline code runs in codec-free and
+    use_real_codec: True = decode image/* blobs with PIL (raises
+    RuntimeError with an install hint when absent; non-image mimes
+    still take the fake path — the flag never feeds text/audio bytes
+    to the image decoder); False = deterministic fake; None
+    (default) = PIL when importable AND image/* mime, fake
+    otherwise — so the same pipeline code runs in codec-free and
     production environments with identical schemas."""
     from streaming_cdc_spark.session import ensure_package_on_executors
 
@@ -94,8 +96,12 @@ def extract_media_features(media: DataFrame, use_real_codec: bool | None = None)
             rows = []
             for mid, blob, mime in zip(pdf["media_id"], pdf["media"], pdf["mime"]):
                 b = bytes(blob)
-                real = use_real_codec or (
-                    use_real_codec is None and pil_ok and str(mime).startswith("image/")
+                # the mime gate applies in BOTH real modes: forcing
+                # use_real_codec=True must not shove text/audio bytes
+                # into the image decoder (UnidentifiedImageError)
+                real = (
+                    (use_real_codec or (use_real_codec is None and pil_ok))
+                    and str(mime).startswith("image/")
                 )
                 content, w, h, nf = _pil_decode(b) if real else _fake_decode(b)
                 rows.append((int(mid), len(b), content, w, h, nf))

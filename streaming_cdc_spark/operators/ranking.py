@@ -126,6 +126,9 @@ def running_sum_global(
     )
     local = part.withColumn("_run", F.sum(val_col).over(w))
     out = _with_offsets(local, F.sum(val_col), out_col)
-    return out.withColumn(out_col, (F.col("_run") + F.col("_off")).cast("long")).drop(
-        "_pid", "_run", "_off"
-    )
+    total = F.col("_run") + F.col("_off")
+    # keep the historical long output for integral inputs; fractional
+    # types pass through un-truncated
+    if dict(df.dtypes).get(val_col) in {"tinyint", "smallint", "int", "bigint"}:
+        total = total.cast("long")
+    return out.withColumn(out_col, total).drop("_pid", "_run", "_off")

@@ -76,7 +76,10 @@ def _ep1_vectorize(mentions: DataFrame, vocab_size: int) -> tuple[DataFrame, int
     # pipeline runs (3 MLlib fits, transforms, kernel, CC) don't pay
     # 32-task scheduling overhead each on a handful of rows
     if df.count() < 100_000:
+        wide = df
         df = df.coalesce(8).persist()
+        df.count()
+        wide.unpersist()
     m_model = fit_char_bigram_tf(df, "mention", vocab_size=vocab_size)
     c_model = fit_word_tfidf(df, "context", vocab_size=vocab_size)
     vec = transform_char_bigram(m_model, df, "mention")
@@ -145,7 +148,7 @@ def ep1_bisect_to_gold(
     from cosine to the EP1 feature kernels (combo.py:21-41)."""
     from streaming_cdc_spark.operators.clustering import find_threshold
 
-    vec, _ = _ep1_vectorize(mentions, vocab_size)
+    vec, n = _ep1_vectorize(mentions, vocab_size)
     target = mentions.select(F.countDistinct("entity_id")).first()[0]
     thr, assign = find_threshold(
         vec,
@@ -154,6 +157,7 @@ def ep1_bisect_to_gold(
         max_iters=max_iters,
         epsilon=epsilon,
         vec_cols_weights=[("mention_vec", weights[0]), ("context_vec", weights[1])],
+        n=n,
     )
     return {"threshold": thr, "target": target, "assignments": assign}
 

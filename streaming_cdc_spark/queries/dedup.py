@@ -165,23 +165,9 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index join as Jaccard (both directions emitted from one
     shared-count relation — the join doesn't run twice)."""
     docs = load(spark, sf_dir, "documents")
-    sh = D.exploded_shingles(docs).persist()
-    # checkpoint both consumers of the cached shingles (sizes is one
-    # row per doc) BEFORE dropping the cache, or the lazy joins below
-    # would re-explode the corpus after unpersist
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")).localCheckpoint()
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    shared = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .localCheckpoint()
-    )
-    sh.unpersist()
-    sz_a = F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")))
-    sz_b = F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")))
+    sizes, shared = D.shared_shingle_counts(docs)
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     withsz = shared.join(sz_a, "doc_a").join(sz_b, "doc_b")
     fwd = withsz.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"),

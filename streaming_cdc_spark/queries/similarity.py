@@ -172,8 +172,8 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s
     )
     SELECT label, COUNT(*) AS n_vecs,
-           ROUND(CAST(SUM(CAST(max_err AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*), 8) AS avg_max_err,
-           ROUND(MAX(max_err), 8) AS worst_err
+           ROUND(CAST(SUM(CAST(max_err AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*), 6) AS avg_max_err,
+           ROUND(MAX(max_err), 6) AS worst_err
     FROM err GROUP BY label
     """,
 )
@@ -187,14 +187,18 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     e = as_double("embedding")
-    scale = quant_scale(e)
-    err = emb.select("label", quant_abs_error(e, scale).alias("max_err"))
+    # materialize the scale as a column FIRST: expressions inside
+    # transform() lambdas re-evaluate per element, so an inline
+    # array_max-based scale would cost O(d^2) per vector
+    err = emb.withColumn("_scale", quant_scale(e)).select(
+        "label", quant_abs_error(e, F.col("_scale")).alias("max_err")
+    )
     return err.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(
-            F.sum(F.col("max_err").cast("decimal(28,14)")).cast("double") / F.count(F.lit(1)), 8
+            F.sum(F.col("max_err").cast("decimal(28,14)")).cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_max_err"),
-        F.round(F.max("max_err"), 8).alias("worst_err"),
+        F.round(F.max("max_err"), 6).alias("worst_err"),
     )
 
 

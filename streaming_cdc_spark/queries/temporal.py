@@ -127,20 +127,22 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
-               PARTITION BY user_id ORDER BY ts
-               RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS v7d,
+               PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS v7d,
            COUNT(*) OVER (
-               PARTITION BY user_id ORDER BY ts
-               RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS n7d
+               PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS n7d
     FROM events WHERE user_id < 20
     """,
 )
 def trailing_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day per-user rolling aggregate — a RANGE-framed
     event-time window (every event sees the decimal-exact sum and
-    count of its user's prior week). The frame is defined by the ts
-    VALUE, not row position, so ties and gaps behave identically in
-    both engines; keyed windows distribute across users."""
+    count of its user's prior week). BOTH engines frame over
+    whole-second epochs (Spark casts ts to long = floor(epoch);
+    DuckDB orders by floor(epoch(ts))) — framing raw timestamps on
+    one side and truncated seconds on the other would diverge on
+    sub-second components. Keyed windows distribute across users."""
     from pyspark.sql import Window as W
 
     ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)

@@ -64,22 +64,33 @@ def compact_partition(
     larger ones — the maintenance pass a long-running ingest needs
     (streaming/append writers accumulate tiny files; small files
     multiply scan tasks and footer reads). Rewrites ONLY the given
-    partition directory (never the whole dataset) via
-    write-new + atomic-ish swap. Returns the resulting file count."""
+    partition directory (never the whole dataset). Returns the
+    resulting file count.
+
+    Safety: the temp output lives OUTSIDE the dataset root (readers
+    listing the dataset never see it as a bogus partition value), and
+    new files move in BEFORE old ones are deleted — a crash mid-swap
+    leaves duplicate rows (re-runnable) rather than a lost partition.
+    True atomic swap needs a table format (Delta/Iceberg); out of
+    scope for plain parquet."""
     import os
     import shutil
+    import uuid
 
     full = os.path.join(path, partition_dir)
+    old = [f for f in os.listdir(full) if f.startswith("part-")]
     df = spark.read.parquet(full)
-    tmp = full + "__compact_tmp"
+    tmp = os.path.join(
+        os.path.dirname(os.path.normpath(path)),
+        f".compact_tmp_{uuid.uuid4().hex[:8]}",
+    )
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    for f in os.listdir(full):
-        if f.endswith(".parquet") or f.startswith("part-"):
-            os.remove(os.path.join(full, f))
     moved = 0
     for f in os.listdir(tmp):
         if f.startswith("part-"):
-            shutil.move(os.path.join(tmp, f), os.path.join(full, f))
+            shutil.move(os.path.join(tmp, f), os.path.join(full, f"compacted-{f}"))
             moved += 1
+    for f in old:
+        os.remove(os.path.join(full, f))
     shutil.rmtree(tmp)
     return moved
