@@ -33,11 +33,12 @@ def tokens(text: Column | str) -> Column:
     return F.split(text, " ")
 
 
-def word_shingles(t: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles from a TOKEN ARRAY column,
-    matching the oracle construction: positions 1..greatest(len-(n-1),
-    1); concat_ws skips trailing nulls on short docs identically in
-    both engines.
+def word_shingles(t: Column | str, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles from a TOKEN ARRAY column, matching the
+    oracle construction: positions 1..greatest(len-(n-1), 1);
+    concat_ws skips trailing nulls on short docs identically in both
+    engines. ``distinct=False`` keeps every occurrence — the weighted
+    (multiset) variant.
 
     Takes the pre-split token array, not the raw text: expressions
     inside transform() lambdas are re-evaluated per element, so
@@ -49,7 +50,7 @@ def word_shingles(t: Column | str, n: int = 3) -> Column:
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.try_element_at(t, i + F.lit(j)) for j in range(n)])
     )
-    return F.array_distinct(grams)
+    return F.array_distinct(grams) if distinct else grams
 
 
 def exploded_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -109,17 +110,11 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def minhash_band_candidates(
-    docs: DataFrame,
-    num_hashes: int = 4,
-    rows_per_band: int = 1,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def _band_join(
+    sig: DataFrame, num_hashes: int, rows_per_band: int, id_col: str
 ) -> DataFrame:
-    """Banded-LSH candidate pairs: docs sharing >=1 band bucket.
-    Output: (doc_a, doc_b, n_shared_bands). rows_per_band=1 is the
-    high-recall config; raise it for precision at scale."""
-    sig = minhash_signatures(docs, num_hashes, id_col, text_col)
+    """Band a signature DataFrame (id_col, h0..h{K-1}) and equi-join
+    on bucket values. Output: (doc_a, doc_b, n_shared_bands)."""
     n_bands = num_hashes // rows_per_band
     band_keys = [
         F.concat_ws(
@@ -138,6 +133,123 @@ def minhash_band_candidates(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared_bands"))
     )
+
+
+def minhash_band_candidates(
+    docs: DataFrame,
+    num_hashes: int = 4,
+    rows_per_band: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Banded-LSH candidate pairs: docs sharing >=1 band bucket.
+    Output: (doc_a, doc_b, n_shared_bands). rows_per_band=1 is the
+    high-recall config; raise it for precision at scale."""
+    sig = minhash_signatures(docs, num_hashes, id_col, text_col)
+    return _band_join(sig, num_hashes, rows_per_band, id_col)
+
+
+def weighted_minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 4,
+    weight_cap: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Weighted MinHash over the shingle MULTISET: a shingle occurring
+    w times contributes min(w, weight_cap) replicas 'shingle#r', so the
+    signature estimates weighted Jaccard over capped counts (the
+    integer-weight expansion construction) instead of treating a
+    200x-repeated boilerplate line the same as a one-off. Repetitive
+    near-dups (templated pages, log spam) that set-MinHash washes out
+    stay detectable.
+
+    weight_cap bounds the explode fan-out: the per-row blowup is at
+    most cap * n_shingles, so the shuffle stays linear in corpus size
+    at any scale. Hashing is md5_long so the oracle replays it."""
+    from streaming_cdc_spark.session import fan_out
+
+    tokenized = fan_out(docs.select(id_col, tokens(text_col).alias("_t")))
+    sh = tokenized.select(
+        F.col(id_col), F.explode(word_shingles(F.col("_t"), distinct=False)).alias("shingle")
+    )
+    counts = sh.groupBy(id_col, "shingle").agg(
+        F.least(F.count(F.lit(1)), F.lit(weight_cap)).alias("_w")
+    )
+    reps = counts.select(
+        F.col(id_col),
+        "shingle",
+        F.explode(F.sequence(F.lit(1), F.col("_w"))).alias("_r"),
+    ).select(
+        F.col(id_col),
+        F.concat(F.col("shingle"), F.lit("#"), F.col("_r").cast("string")).alias("k"),
+    )
+    aggs = [
+        F.min(md5_long(F.col("k"), salt=f"{i}|")).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    return reps.groupBy(id_col).agg(*aggs)
+
+
+def weighted_minhash_band_candidates(
+    docs: DataFrame,
+    num_hashes: int = 4,
+    rows_per_band: int = 1,
+    weight_cap: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Banded LSH over weighted-MinHash signatures — same bucket
+    equi-join physical plan as the set variant (never all-pairs)."""
+    sig = weighted_minhash_signatures(docs, num_hashes, weight_cap, id_col, text_col)
+    return _band_join(sig, num_hashes, rows_per_band, id_col)
+
+
+def benchmark_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination check: for each training document,
+    the fraction of its distinct word-3-gram shingles that appear
+    anywhere in the benchmark (eval) corpus. The standard
+    train-set-hygiene pass before LLM training — docs with high
+    overlap leak eval answers.
+
+    Physical plan: the benchmark's DISTINCT shingle set is broadcast
+    (eval sets are small by construction — benchmarks are thousands of
+    documents, not billions, so their shingle set fits in executor
+    memory even when the training side is 100 TB); the training side
+    streams through one semi-join probe plus its own size aggregate.
+    No shuffle touches the benchmark side after the distinct.
+
+    Output: (id_col, n_sh, n_hit, contaminated_frac[6dp])."""
+    bsh = (
+        exploded_shingles(benchmark, id_col, text_col)
+        .select("shingle")
+        .distinct()
+    )
+    tsh = exploded_shingles(train, id_col, text_col).persist()
+    sizes = tsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        tsh.join(F.broadcast(bsh), "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    out = (
+        sizes.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_sh",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_sh"), 6
+            ).alias("contaminated_frac"),
+        )
+        .localCheckpoint()
+    )
+    tsh.unpersist()
+    return out
 
 
 def shared_shingle_counts(

@@ -137,6 +137,69 @@ def doc_fingerprints(
     )
 
 
+def regex_redact(
+    docs: DataFrame,
+    patterns: dict[str, str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    replacement: str = "[REDACTED]",
+) -> DataFrame:
+    """PII / denylist scrubbing: per-document match counts for each
+    named regex plus the length of the text after replacing every
+    match (C4-style badword filtering and email/phone/IP redaction are
+    both this operator with different pattern tables). Pure codegen'd
+    string expressions — the scan's the only pass, no shuffle.
+
+    Patterns are applied in sorted-name order for the redacted text so
+    the output is deterministic regardless of dict ordering. Output:
+    (id, n_<name> per pattern, redacted_len)."""
+    out_cols: list[Column] = [F.col(id_col)]
+    red = F.col(text_col)
+    for name in sorted(patterns):
+        pat = patterns[name]
+        out_cols.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        )
+        red = F.regexp_replace(red, pat, replacement)
+    out_cols.append(F.length(red).alias("redacted_len"))
+    return docs.select(*out_cols)
+
+
+def token_budget_selection(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-ranked token-budget selection: order documents by a
+    quality score (lexical diversity, ties on id), keep documents
+    while the running token total stays within ``budget`` — the "best
+    N tokens" curation step that turns a scored corpus into a training
+    set of a fixed size. The running sum uses the two-pass
+    range-partitioned form (operators.ranking), so the global order
+    never collapses to one partition at scale.
+
+    Output: (id, n_tokens, cum_tokens) for the kept documents."""
+    from streaming_cdc_spark.operators.ranking import running_sum_global
+
+    t = tokens(text_col)
+    scored = docs.select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        # negated so the ascending two-pass sum visits best-first
+        (-F.round(F.size(F.array_distinct(t)).cast("double") / F.size(t), 6)).alias(
+            "_neg_score"
+        ),
+    )
+    ranked = running_sum_global(
+        scored, ["_neg_score", id_col], "n_tokens", "cum_tokens"
+    )
+    return (
+        ranked.filter(F.col("cum_tokens") <= budget)
+        .select(id_col, "n_tokens", "cum_tokens")
+    )
+
+
 def hash_sample(
     df: DataFrame, rate_pct: int, key_col: str = "doc_id", salt: str = "sample"
 ) -> DataFrame:

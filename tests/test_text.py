@@ -141,3 +141,33 @@ def test_pack_sequences_exact(spark):
     slices = {(r["doc_id"], r["seq_id"]): r["tokens_in_seq"] for r in out.collect()}
     assert slices[(0, 0)] == 80 and slices[(0, 1)] == 20
     assert slices[(1, 1)] == 60 and slices[(1, 2)] == 40
+
+
+def test_regex_redact(spark):
+    df = spark.createDataFrame(
+        [(0, "mail me at a.b@test.com or c@d.org please"),
+         (1, "no pii here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in T.regex_redact(
+        df, {"email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"}
+    ).collect()}
+    assert got[0]["n_email"] == 2
+    assert got[1]["n_email"] == 0
+    assert got[0]["redacted_len"] == len(
+        "mail me at [REDACTED] or [REDACTED] please")
+    assert got[1]["redacted_len"] == len("no pii here")
+
+
+def test_token_budget_selection(spark):
+    # doc 1 all-distinct (score 1.0), doc 0 repetitive, doc 2 middle
+    df = spark.createDataFrame(
+        [(0, "w w w w w w"), (1, "a b c d"), (2, "x y x y")],
+        "doc_id long, text string",
+    )
+    got = [(r["doc_id"], r["cum_tokens"]) for r in
+           T.token_budget_selection(df, budget=8)
+           .orderBy("cum_tokens").collect()]
+    # order: doc1 (1.0, 4 tokens, cum 4) -> doc2 (0.5, cum 8) -> doc0
+    # (0.1667, cum 14 > 8 dropped)
+    assert got == [(1, 4), (2, 8)]
