@@ -98,7 +98,7 @@ def threshold_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_label AS (SELECT cluster_id, label, COUNT(*) AS cnt FROM joined GROUP BY 1, 2),
     ranked AS (
         SELECT cluster_id, label, cnt,
-               SUM(cnt) OVER (PARTITION BY cluster_id) AS n_members,
+               CAST(SUM(cnt) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
                COUNT(*) OVER (PARTITION BY cluster_id) AS n_gold_labels,
                ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY cnt DESC, label) AS rn
         FROM by_label
@@ -195,8 +195,8 @@ def b3_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conflation_errors",
     oracle=f"""
     WITH pairs AS ({_PAIRS_SQL})
-    SELECT (SELECT SUM(c) FROM (SELECT COUNT(DISTINCT true_id) - 1 AS c FROM pairs GROUP BY pred_id)) AS conflated,
-           (SELECT SUM(d) FROM (SELECT COUNT(DISTINCT pred_id) - 1 AS d FROM pairs GROUP BY true_id)) AS divided
+    SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM (SELECT COUNT(DISTINCT true_id) - 1 AS c FROM pairs GROUP BY pred_id)) AS conflated,
+           (SELECT CAST(SUM(d) AS BIGINT) FROM (SELECT COUNT(DISTINCT pred_id) - 1 AS d FROM pairs GROUP BY true_id)) AS divided
     """,
 )
 def conflation_errors(spark: SparkSession, sf_dir: str) -> DataFrame:

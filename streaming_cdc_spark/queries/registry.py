@@ -8,7 +8,17 @@ driver sorts columns by name before hashing values.
 Determinism rules for every registered query:
 - no LIMIT without a total deterministic ORDER BY tiebreak;
 - every float aggregate rounded (2-6 dp) identically on both sides;
-- no reliance on row order (the driver's hash is order-insensitive).
+- no reliance on row order (the driver's hash is order-insensitive);
+- every DuckDB integer SUM (plain or windowed) must be CAST to
+  BIGINT: SUM(int) yields HUGEINT, which pandas-based fetching
+  renders as float64 ("150.0" vs Spark's "150" — hash mismatch even
+  though fetchall() compares equal). `python tools/audit_types.py`
+  checks all oracles for this class of hazard.
+
+The driver checks only the FIRST 50 entries of queries() — keep the
+registration order (queries/__init__.py import order + per-module
+definition order) covering every judged operator family within the
+first 50 slots.
 """
 
 from __future__ import annotations

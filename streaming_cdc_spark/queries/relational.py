@@ -251,7 +251,7 @@ def composite_key_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT e + 1 AS pos, -1 AS delta FROM intervals
     )
-    SELECT MAX(running) AS max_active FROM (
+    SELECT CAST(MAX(running) AS BIGINT) AS max_active FROM (
         SELECT SUM(delta) OVER (ORDER BY pos, delta ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
         FROM deltas
     )

@@ -56,7 +56,8 @@ def redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
         FROM q
     )
-    SELECT doc_id, n_tokens, cum_tokens FROM o WHERE cum_tokens <= 10000
+    SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM o WHERE cum_tokens <= 10000
     """,
 )
 def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,7 +300,7 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_stats",
     oracle="""
     SELECT source, COUNT(*) AS n_blobs,
-           SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
+           CAST(SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes,
            ROUND(CAST(SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS DOUBLE) / COUNT(*), 4) AS avg_bytes,
            COUNT(DISTINCT md5(text)) AS n_distinct_hashes
     FROM documents GROUP BY source

@@ -58,8 +58,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_package_on_executors(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANO_TS_COLUMNS.get(name, ()):
-        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+        if col not in df.columns:
+            continue
+        dtype = dict(df.dtypes)[col]
+        if dtype == "bigint":  # TIMESTAMP(NANOS) read as long nanos
             df = df.withColumn(
                 col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
             )
+        elif dtype == "timestamp_ntz":
+            # Some scale dirs store micros without UTC adjustment;
+            # session TZ is pinned UTC so this cast keeps wall values
+            # identical to DuckDB's naive read.
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
