@@ -1,0 +1,39 @@
+"""The driver correctness gate checks only the first 50 registered
+queries — pin the priority ordering so refactors can't silently push
+a judged family out of the checked window."""
+
+from streaming_cdc_spark.queries import ORACLES, QUERIES
+from streaming_cdc_spark.queries import _PRIORITY
+
+
+def test_priority_is_50_unique_known():
+    assert len(_PRIORITY) == 50
+    assert len(set(_PRIORITY)) == 50
+    assert all(n in QUERIES for n in _PRIORITY)
+
+
+def test_first_50_match_priority():
+    assert list(QUERIES)[:50] == _PRIORITY
+
+
+def test_every_family_in_checked_window():
+    first = set(list(QUERIES)[:50])
+    families = {
+        "relational": {"revenue_by_nation", "max_active_sweep"},
+        "cdc_metrics": {"muc_prf", "b3_prf", "conflation_errors", "ceaf_e_prf"},
+        "clustering": {"threshold_cc_clusters", "greedy_parity_clusters", "grinch_flat_clusters"},
+        "dedup": {"exact_dedup_prefix", "minhash_band_candidates", "simhash_fingerprints"},
+        "ann": {"cosine_topk", "lsh_bucket_pairs", "ivf_topk"},
+        "text": {"text_quality", "lang_id_confusion", "token_histogram"},
+        "multimodal": {"media_stats"},
+        "packing": {"sequence_packing_exact"},
+        "temporal": {"asof_join_orders"},
+    }
+    for fam, members in families.items():
+        assert members <= first, f"family {fam} dropped from driver-checked window"
+
+
+def test_registry_consistency():
+    # every oracle belongs to a registered query; rows-only queries
+    # are intentional (non-SQL-expressible semantics)
+    assert set(ORACLES) <= set(QUERIES)
