@@ -130,6 +130,12 @@ def media_stats(
 def doc_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
+    # one md5 per character position: the heaviest per-row expression
+    # in the package — fan out first so a single-row-group scan doesn't
+    # serialize the whole corpus through one task
+    from streaming_cdc_spark.session import fan_out
+
+    docs = fan_out(docs.select(id_col, text_col))
     return docs.select(
         F.col(id_col),
         char_fingerprint(text_col).alias("fingerprint"),
