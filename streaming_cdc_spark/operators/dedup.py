@@ -360,3 +360,61 @@ def simhash_fingerprints(
             F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(0)
         ).alias("simhash")
     )
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    max_distance: int = 1,
+    n_bits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming ball (the Manku/
+    Jain/Sarma WWW'07 web-dedup scheme): pigeonhole-banded candidate
+    generation + exact popcount verify.
+
+    The fingerprint is split into ``max_distance + 1`` bit blocks; two
+    fingerprints within Hamming distance ``max_distance`` differ in at
+    most that many blocks, so they MUST agree exactly on at least one
+    block (pigeonhole) — candidates come from an EQUI-join on
+    (block_index, block_value), never an all-pairs comparison. The
+    verify step is one XOR + bit_count per candidate, both JVM
+    built-ins. At 100 TB this shuffles fingerprints (16 bytes/doc),
+    not documents, and bucket cardinality is 2^block_width per block.
+
+    Output: (doc_a, doc_b, hamming) with hamming <= max_distance,
+    doc_a < doc_b, one row per pair.
+    """
+    n_blocks = max_distance + 1
+    width = -(-n_bits // n_blocks)  # ceil
+    fp = simhash_fingerprints(docs, n_bits, id_col, text_col)
+    blocks = fp.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.expr(f"(simhash >> {b * width}) & {(1 << width) - 1}").alias("bv"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("_blk"),
+    ).select("_id", "simhash", F.col("_blk.b").alias("b"), F.col("_blk.bv").alias("bv"))
+    a = blocks.select(F.col("_id").alias("doc_a"), F.col("simhash").alias("_fa"), "b", "bv")
+    c = blocks.select(F.col("_id").alias("doc_b"), F.col("simhash").alias("_fb"), "b", "bv")
+    cand = (
+        a.join(c, ["b", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        # a d=0 pair matches on every block — one row per pair
+        .distinct()
+    )
+    return cand

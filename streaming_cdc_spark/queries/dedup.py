@@ -291,3 +291,36 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints (word-hash bit voting)."""
     docs = load(spark, sf_dir, "documents")
     return D.simhash_fingerprints(docs, n_bits=32)
+
+
+_SIMHASH_FP = f"""
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    w AS (SELECT DISTINCT doc_id, u.word FROM toks, UNNEST(t) AS u(word)),
+    bits AS (SELECT doc_id, b.i,
+                    SUM(CASE WHEN ({_md5i('word')} >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+             FROM w, (SELECT UNNEST(range(0, 32)) AS i) b
+             GROUP BY 1, 2),
+    fp AS (SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+           FROM bits GROUP BY doc_id)
+"""
+
+
+@query(
+    "simhash_hamming_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_FP}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+    """,
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball near-dup join (Manku et al. WWW'07):
+    pigeonhole bit-block equi-join candidates + exact XOR popcount
+    verify, distance <= 1 over 32-bit fingerprints. The oracle replays
+    it as the brute-force pairwise distance — same pairs, because the
+    banded candidate set is complete for the ball."""
+    docs = load(spark, sf_dir, "documents")
+    return D.simhash_hamming_pairs(docs, max_distance=1, n_bits=32)

@@ -139,3 +139,29 @@ def test_benchmark_contamination(spark):
     assert got[0]["n_sh"] == 4 and got[0]["n_hit"] == 3
     assert got[0]["contaminated_frac"] == 0.75
     assert got[1]["n_hit"] == 0 and got[1]["contaminated_frac"] == 0.0
+
+
+def test_simhash_hamming_pairs_match_bruteforce(spark):
+    docs = docs_df(spark)
+    for k in (0, 1, 2):
+        got = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in D.simhash_hamming_pairs(docs, max_distance=k).collect()
+        }
+        fps = {r["doc_id"]: r["simhash"] for r in D.simhash_fingerprints(docs).collect()}
+        ids = sorted(fps)
+        want = {
+            (a, b): bin(fps[a] ^ fps[b]).count("1")
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(fps[a] ^ fps[b]).count("1") <= k
+        }
+        assert got == want
+    # exact dups are always at distance 0
+    assert got[(0, 3)] == 0
+
+
+def test_simhash_hamming_plan_has_no_cartesian(spark):
+    plan = D.simhash_hamming_pairs(docs_df(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
