@@ -129,3 +129,72 @@ def correlate_streams(
         "r_value",
         (F.col("l_ts").cast("long") - F.col("r_ts").cast("long")).alias("lag_seconds"),
     )
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: the dim side is a bounded
+    DataFrame (entity vocab, source metadata), broadcast to every
+    micro-batch — stateless, so it composes freely before or after
+    stateful operators."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def multi_stream_join(
+    anchor: DataFrame,
+    others: list[tuple[str, DataFrame]],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    lookback: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Multi-table streaming join: chain an interval join per extra
+    stream, pairing each anchor event with same-key events from EVERY
+    other stream within the preceding ``lookback``.
+
+    Each side carries its own watermark and every join predicate
+    bounds both event times, so the state for each of the N-1 joins
+    expires independently — the per-join state is what Spark tracks,
+    and chaining stateful joins is supported since multiple-stateful-
+    operator support landed in Spark 3.5 (SPARK-42376).
+
+    Output: (key, ts, event_type, value, then per stream
+    <name>_ts/<name>_type/<name>_value, <name>_lag_seconds).
+    """
+    out = anchor.withWatermark(ts_col, watermark).select(
+        F.col(key_col).alias("_key"),
+        F.col(ts_col).alias("_ts"),
+        F.col("event_type").alias("event_type"),
+        F.col("value").alias("value"),
+    )
+    for name, s in others:
+        side = s.withWatermark(ts_col, watermark).select(
+            F.col(key_col).alias(f"{name}_key"),
+            F.col(ts_col).alias(f"{name}_ts"),
+            F.col("event_type").alias(f"{name}_type"),
+            F.col("value").alias(f"{name}_value"),
+        )
+        cond = (
+            (F.col("_key") == F.col(f"{name}_key"))
+            & (F.col(f"{name}_ts") <= F.col("_ts"))
+            & (F.col(f"{name}_ts") >= F.col("_ts") - F.expr(f"INTERVAL {lookback}"))
+        )
+        out = (
+            out.join(side, cond, "inner")
+            .drop(f"{name}_key")
+            # strip the event-time metadata off the joined side's ts
+            # (cast round-trip): the NEXT chained stateful join needs
+            # exactly one event-time column — the anchor's
+            .withColumn(
+                f"{name}_ts", F.col(f"{name}_ts").cast("long").cast("timestamp")
+            )
+            .withColumn(
+                f"{name}_lag_seconds",
+                F.col("_ts").cast("long") - F.col(f"{name}_ts").cast("long"),
+            )
+        )
+    return out.withColumnRenamed("_key", key_col).withColumnRenamed("_ts", ts_col)

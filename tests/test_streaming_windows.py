@@ -114,3 +114,85 @@ def test_stream_stream_interval_join(spark, tmp_path):
     # click@00:05 pairs with view@00:00 (lag 300); click@00:50 finds no
     # view within 10 min (view@00:30 is 20 min earlier); user 2 never pairs
     assert pairs == [("2024-01-01 00:05:00", "2024-01-01 00:00:00", 300)]
+
+
+def test_multi_stream_join_three_tables(spark, tmp_path):
+    """Clicks pair with the same user's view AND purchase within the
+    lookback; a user missing either stream produces no row."""
+    from streaming_cdc_spark.streaming.windows import multi_stream_join
+
+    def write(name, rows):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "a.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+        return spark.readStream.schema(
+            "ts timestamp, event_type string, value double, user_id long"
+        ).json(str(d))
+
+    clicks = write(
+        "clicks",
+        [
+            {"ts": "2024-01-01 00:10:00", "event_type": "click", "value": 1.0, "user_id": 1},
+            {"ts": "2024-01-01 00:10:00", "event_type": "click", "value": 1.0, "user_id": 2},
+            {"ts": "2024-01-01 09:00:00", "event_type": "click", "value": 0.0, "user_id": 99},
+        ],
+    )
+    views = write(
+        "views",
+        [
+            {"ts": "2024-01-01 00:05:00", "event_type": "view", "value": 2.0, "user_id": 1},
+            {"ts": "2024-01-01 00:06:00", "event_type": "view", "value": 2.0, "user_id": 2},
+            {"ts": "2024-01-01 09:00:00", "event_type": "view", "value": 0.0, "user_id": 98},
+        ],
+    )
+    buys = write(
+        "buys",
+        [
+            {"ts": "2024-01-01 00:08:00", "event_type": "buy", "value": 9.0, "user_id": 1},
+            # user 2's buy is OUTSIDE the 10-minute lookback
+            {"ts": "2024-01-01 23:50:00", "event_type": "buy", "value": 9.0, "user_id": 2},
+            {"ts": "2024-01-01 09:00:00", "event_type": "buy", "value": 0.0, "user_id": 97},
+        ],
+    )
+    out = multi_stream_join(clicks, [("view", views), ("buy", buys)])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("msj_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from msj_out").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["user_id"] == 1
+    assert r["view_lag_seconds"] == 300
+    assert r["buy_lag_seconds"] == 120
+
+
+def test_enrich_stream_static_dim(spark, tmp_path):
+    from streaming_cdc_spark.streaming.windows import enrich_stream
+
+    src = tmp_path / "esrc"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        json.dumps({"ts": "2024-01-01 00:01:00", "event_type": "click", "value": 1.0, "user_id": 5})
+    )
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double, user_id long"
+    ).json(str(src))
+    dim = spark.createDataFrame([(5, "gold"), (6, "basic")], "user_id long, tier string")
+    out = enrich_stream(stream, dim, "user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enrich_out")
+        .option("checkpointLocation", str(tmp_path / "eck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from enrich_out").collect()
+    assert len(got) == 1 and got[0]["tier"] == "gold"
