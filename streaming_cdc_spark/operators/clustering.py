@@ -48,9 +48,19 @@ def _driver_union_find(vertices: DataFrame, edge_pairs: list, id_col: str) -> Da
                 parent[rv] = ru
             else:
                 parent[ru] = rv
-    mapping = [(x, find(x)) for x in parent]
+    import pandas as pd
+
     spark = vertices.sparkSession
-    map_df = spark.createDataFrame(mapping, f"{id_col} long, _root long")
+    # Arrow path: near the 2M-edge cutoff the mapping is ~millions of
+    # rows, where the pickle-per-row createDataFrame is seconds and
+    # the Arrow batch is milliseconds
+    map_pdf = pd.DataFrame(
+        {id_col: list(parent), "_root": [find(x) for x in parent]},
+        dtype="int64",
+    )
+    if len(map_pdf) == 0:
+        map_pdf = pd.DataFrame({id_col: pd.array([], dtype="int64"), "_root": pd.array([], dtype="int64")})
+    map_df = spark.createDataFrame(map_pdf)
     return (
         vertices.join(F.broadcast(map_df), id_col, "left")
         .select(
