@@ -3,13 +3,13 @@ UDF surface (embed.py, modeling_mention_encoder.py, encode_w_blink.py)
 as Arrow-batched ``mapInPandas`` with broadcast weights.
 
 Transformer weights aren't available in this environment, so the
-default encoder is FEATURE HASHING + seeded random projection: token
--> md5-derived hash -> row of a deterministic Gaussian projection
-matrix -> mean-pool -> L2 normalize. That is a REAL (if simple)
-encoder — deterministic, vocabulary-free, and with exactly the
-physical shape of a transformer encoder UDF: weights broadcast once,
-Arrow batches in, (B, D) float matrix out. Swapping in BERT/BLINK
-means replacing ``_embed_batch`` with a model forward pass.
+default encoder is FEATURE HASHING + random projection: token ->
+md5-chain uniform vector (SQL-replayable, see ``_token_vector``) ->
+mean-pool -> L2 normalize. That is a REAL (if simple) encoder —
+deterministic, vocabulary-free, and with exactly the physical shape
+of a transformer encoder UDF: weights derived per batch, Arrow
+batches in, (B, D) float matrix out. Swapping in BERT/BLINK means
+replacing the token-vector kernel with a model forward pass.
 """
 
 from __future__ import annotations
@@ -24,10 +24,16 @@ from pyspark.sql import functions as F
 
 
 def _token_vector(token: str, dim: int) -> np.ndarray:
-    """Deterministic per-token Gaussian vector seeded from md5."""
-    seed = int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8], "big")
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal(dim)
+    """Deterministic per-token uniform[-1,1) vector via an md5 chain:
+    component j = md5_long(f"{token}|{j}") / 2^59 - 1. Matches
+    functions.hashing.md5_long exactly, so the whole encoder is
+    replayable in the DuckDB oracle (dividing by the power of two is
+    exact in both engines — one correctly-rounded double each)."""
+    vals = [
+        int(hashlib.md5(f"{token}|{j}".encode("utf-8")).hexdigest()[:15], 16) / 2**59 - 1.0
+        for j in range(dim)
+    ]
+    return np.array(vals, dtype=np.float64)
 
 
 def recenter_tokens(

@@ -81,13 +81,48 @@ def l2_kernel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("hash_encoded_mentions")  # seeded random projection; rows-only
+@query(
+    "hash_encoded_mentions",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS mention_index,
+               list_filter(string_split(text, ' ')[1:2], x -> x <> '') AS mt,
+               list_filter(string_split(text, ' ')[3:22], x -> x <> '') AS lt,
+               list_filter(string_split(text, ' ')[23:42], x -> x <> '') AS rt
+        FROM documents),
+    rec AS (
+        SELECT mention_index, mt, lt, rt,
+               LEAST(len(lt), 8 + GREATEST(0, 8 - len(rt))) AS tl,
+               LEAST(len(rt), 8 + GREATEST(0, 8 - len(lt))) AS tr
+        FROM m),
+    seq AS (
+        SELECT mention_index,
+               list_concat(list_concat(lt[len(lt) - tl + 1 : len(lt)], mt), rt[1:tr]) AS toks
+        FROM rec),
+    tok AS (SELECT mention_index, u.t FROM seq, UNNEST(toks) AS u(t)),
+    comp AS (
+        SELECT mention_index, j.j,
+               AVG(CAST(concat('0x', substr(md5(concat(t, '|', CAST(j.j AS VARCHAR))), 1, 15)) AS BIGINT)
+                   / 576460752303423488.0 - 1.0) AS c
+        FROM tok, (SELECT UNNEST(range(0, 32)) AS j) j
+        GROUP BY 1, 2),
+    vec AS (
+        SELECT mention_index, SQRT(SUM(c * c)) AS nrm, SUM(c) AS s,
+               SUM(CASE WHEN j = 0 THEN c END) AS c0
+        FROM comp GROUP BY 1)
+    SELECT mention_index,
+           ROUND(c0 / nrm, 6) AS e0_r,
+           ROUND(s / nrm, 6) AS checksum_r
+    FROM vec
+    """,
+)
 def hash_encoded_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V4-V6 encoder surface: feature-hashing encoder over synthetic
-    mention records (documents split into mention + contexts),
-    mean-pooled + L2-normalized; output norms summarize the vectors.
-    The mapInPandas shape is exactly a transformer encoder UDF."""
-    from streaming_cdc_spark.functions.vectors import l2_norm
+    mention records (documents split into mention + contexts), P8
+    recentring, mean-pool + L2 normalize. The mapInPandas shape is
+    exactly a transformer encoder UDF; the md5-chain token vectors
+    make the whole encoder hash-checkable against the SQL oracle
+    (first component + component checksum of every embedding)."""
     from streaming_cdc_spark.operators.encoder import hash_encode_mentions
 
     docs = load(spark, sf_dir, "documents")
@@ -100,7 +135,9 @@ def hash_encoded_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     enc = hash_encode_mentions(mentions, dim=32, context_budget=8)
     return enc.select(
-        "mention_index", F.round(l2_norm("embedding"), 6).alias("norm")
+        "mention_index",
+        F.round(F.element_at("embedding", 1), 6).alias("e0_r"),
+        F.round(F.expr("aggregate(embedding, 0d, (a, x) -> a + x)"), 6).alias("checksum_r"),
     )
 
 

@@ -246,13 +246,41 @@ def benchmark_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.benchmark_contamination(train, bench)
 
 
-@query("doc_embedding_near_dups")  # encoder-backed; rows-only check
+@query(
+    "doc_embedding_near_dups",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               list_concat(list_filter(string_split(text, ' ')[1:4], x -> x <> ''),
+                           list_filter(string_split(text, ' ')[5:64], x -> x <> '')) AS toks
+        FROM documents),
+    tok AS (SELECT doc_id, u.t FROM m, UNNEST(toks) AS u(t)),
+    comp AS (
+        SELECT doc_id, j.j,
+               AVG(CAST(concat('0x', substr(md5(concat(t, '|', CAST(j.j AS VARCHAR))), 1, 15)) AS BIGINT)
+                   / 576460752303423488.0 - 1.0) AS c
+        FROM tok, (SELECT UNNEST(range(0, 48)) AS j) j
+        GROUP BY 1, 2),
+    vec AS (
+        SELECT doc_id, list(c ORDER BY j) AS v, SQRT(SUM(c * c)) AS nrm
+        FROM comp GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim_r
+    FROM vec a JOIN vec b ON a.doc_id < b.doc_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.9
+    """,
+)
 def doc_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection on raw documents:
     feature-hashing encoder -> cosine self-join at 0.9 via the
     auto-strategy kernel (broadcast matmul small-n, exact triangle
     blocking at scale) — the semantic-dedup path (encoder swaps for a
-    real model; minhash/LSH remain the recall-traded alternatives)."""
+    real model; minhash/LSH remain the recall-traded alternatives).
+    With context_budget=30 and a 60-token right context, recentring
+    keeps every token, so the oracle replays the encoder directly
+    (mention + context token mean, md5-chain components); the oracle's
+    brute-force pairwise cosine checks the kernel's candidate set is
+    the full >0.9 ball."""
     from streaming_cdc_spark.operators.encoder import hash_encode_mentions
     from streaming_cdc_spark.operators.similarity import cosine_self_edges
 
