@@ -34,6 +34,7 @@ HEADLINE = [
     "minhash_band_candidates",
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
+    "simhash_hamming_pairs",
     "text_quality",
     "token_histogram",
     "cosine_topk",

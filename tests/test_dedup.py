@@ -165,3 +165,28 @@ def test_simhash_hamming_plan_has_no_cartesian(spark):
     plan = D.simhash_hamming_pairs(docs_df(spark))._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_hamming_random_corpus_matches_bruteforce(spark):
+    """Randomized (seeded) corpus: banding must reproduce the exact
+    brute-force Hamming ball — the pigeonhole completeness argument
+    holds for every fingerprint distribution."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [(i, " ".join(rng.choices(vocab, k=12))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r["doc_id"]: r["simhash"] for r in D.simhash_fingerprints(docs).collect()}
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.simhash_hamming_pairs(docs, max_distance=2).collect()
+    }
+    ids = sorted(fps)
+    want = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= 2
+    }
+    assert got == want

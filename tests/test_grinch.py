@@ -143,3 +143,47 @@ def test_cut_dendrogram_unnormalized_hand_tree(spark):
     # threshold below the root score keeps everything together
     got_all = {r["cluster_id"] for r in cut_dendrogram(edges, vecs, -0.5, normalize=False).collect()}
     assert got_all == {"a"}
+
+
+def test_grinch_stream_service_matches_offline(spark, tmp_path):
+    """foreachBatch driver service over a 3-file stream
+    (maxFilesPerTrigger=1 => three sequential micro-batches) builds
+    the SAME tree as the offline sequential build."""
+    import json as _json
+
+    from streaming_cdc_spark.streaming.grinch_service import GrinchStreamService
+
+    rows = clustered_vectors()
+    src = tmp_path / "gsrc"
+    src.mkdir()
+    # file names in lexical order = arrival order
+    for f in range(3):
+        chunk = rows[f * 8 : (f + 1) * 8]
+        (src / f"part-{f}.jsonl").write_text(
+            "\n".join(
+                _json.dumps({"vec_id": i, "embedding": v, "label": lab})
+                for i, v, lab in chunk
+            )
+        )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>, label string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    svc = GrinchStreamService()
+    q = svc.start(stream, str(tmp_path / "gck"))
+    q.awaitTermination(120)
+    assert svc.n_batches == 3
+
+    from streaming_cdc_spark.operators.grinch import GrinchTree
+
+    offline = GrinchTree(dim=3)
+    for i, v, lab in rows:
+        offline.insert(np.array(v), external=i, label=lab)
+    got = svc.flat_clusters(0.9)
+    want = offline.flat_clusters(0.9)
+    assert got == want
+    sizes = sorted(
+        len([1 for _, c in got.items() if c == cid]) for cid in set(got.values())
+    )
+    assert sizes == [8, 8, 8]

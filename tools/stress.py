@@ -46,6 +46,7 @@ def main() -> None:
     from streaming_cdc_spark.operators.dedup import (
         minhash_band_candidates,
         simhash_fingerprints,
+        simhash_hamming_pairs,
     )
     from streaming_cdc_spark.operators.text import (
         hash_sample,
@@ -61,6 +62,7 @@ def main() -> None:
         "pack_sequences": lambda d: pack_sequences(d, budget=2048),
         "simhash": lambda d: simhash_fingerprints(d, n_bits=16),
         "minhash_bands": lambda d: minhash_band_candidates(d, num_hashes=4),
+        "simhash_hamming": lambda d: simhash_hamming_pairs(d, max_distance=1),
     }
 
     results: dict[str, list[float]] = {}
