@@ -418,3 +418,32 @@ def simhash_hamming_pairs(
         .distinct()
     )
     return cand
+
+
+def resolve_near_dups_by_quality(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware near-dup resolution: for every verified pair drop
+    the LOWER-quality member (ties -> the larger id), keep everything
+    never dropped. Same greedy star rule as resolve_near_dups but the
+    survivor is the best document, not the smallest id — what corpus
+    pipelines actually want when near-dups differ in cleanliness.
+    One join against the (small) pair set + one anti-join; no
+    connected components."""
+    q = docs.select(F.col(id_col), F.col(quality_col))
+    qa = q.select(F.col(id_col).alias("doc_a"), F.col(quality_col).alias("_qa"))
+    qb = q.select(F.col(id_col).alias("doc_b"), F.col(quality_col).alias("_qb"))
+    scored = pairs.select("doc_a", "doc_b").join(qa, "doc_a").join(qb, "doc_b")
+    losers = scored.select(
+        F.when(
+            (F.col("_qa") < F.col("_qb"))
+            | ((F.col("_qa") == F.col("_qb")) & (F.col("doc_a") > F.col("doc_b"))),
+            F.col("doc_a"),
+        )
+        .otherwise(F.col("doc_b"))
+        .alias(id_col)
+    ).distinct()
+    return docs.join(losers, id_col, "left_anti")

@@ -360,3 +360,32 @@ def ngram_repetition(
             6,
         ).alias("dup_ngram_frac"),
     )
+
+
+def shard_corpus(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic training-shard assignment + seeded global
+    shuffle: shard = salted md5 bucket of the id (uniform, no RNG
+    state), within-shard position = rank by (hash, id) — so reading
+    shards in position order replays one reproducible permutation of
+    the corpus on any engine and any cluster size.
+
+    The window partitions by shard (parallel, no global sort); the
+    only shuffle is the shard hash-partition — exactly the write
+    pattern of the final corpus->trainer handoff at 100 TB.
+
+    Output: (id, shard, pos)."""
+    h = md5_long(F.col(id_col).cast("string"), salt=salt)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("shard").orderBy("_h", id_col)
+    return (
+        docs.select(F.col(id_col), h.alias("_h"))
+        .withColumn("shard", F.pmod(F.col("_h"), F.lit(n_shards)))
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+    )

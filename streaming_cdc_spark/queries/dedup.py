@@ -352,3 +352,35 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded candidate set is complete for the ball."""
     docs = load(spark, sf_dir, "documents")
     return D.simhash_hamming_pairs(docs, max_distance=1, n_bits=32)
+
+
+@query(
+    "quality_near_dup_resolution",
+    oracle=f"""
+    WITH {_SHINGLES},
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    p AS (SELECT doc_a, doc_b
+          FROM shared JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+          WHERE n_shared / (x.n_sh + y.n_sh - n_shared) >= 0.2),
+    losers AS (SELECT DISTINCT
+                      CASE WHEN qa.n_chars < qb.n_chars
+                                OR (qa.n_chars = qb.n_chars AND doc_a > doc_b)
+                           THEN doc_a ELSE doc_b END AS doc_id
+               FROM p JOIN documents qa ON doc_a = qa.doc_id
+                      JOIN documents qb ON doc_b = qb.doc_id)
+    SELECT d.doc_id, d.n_chars FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+)
+def quality_near_dup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup resolution: same verified Jaccard>=0.2
+    pairs as near_dup_resolution, but each pair drops its LOWER-
+    quality member (n_chars as the quality signal; ties drop the
+    larger id) — the survivor is the best document, not the smallest
+    id."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.2)
+    return D.resolve_near_dups_by_quality(docs, pairs, "n_chars").select("doc_id", "n_chars")

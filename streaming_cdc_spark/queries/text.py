@@ -310,3 +310,23 @@ def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary column aggregation pattern (multimodal plumbing):
     byte sizes + content hashes per source."""
     return T.media_stats(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "corpus_shards",
+    oracle="""
+    WITH h AS (SELECT doc_id,
+                      CAST(concat('0x', substr(md5(concat('shard', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS _h
+               FROM documents)
+    SELECT doc_id, _h % 8 AS shard,
+           ROW_NUMBER() OVER (PARTITION BY _h % 8 ORDER BY _h, doc_id) AS pos
+    FROM h
+    """,
+)
+def corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment + seeded within-shard
+    shuffle order (salted md5 bucket + rank by hash): the reproducible
+    corpus->trainer handoff, one hash shuffle, per-shard windows."""
+    from streaming_cdc_spark.operators.text import shard_corpus
+
+    return shard_corpus(load(spark, sf_dir, "documents"), n_shards=8)

@@ -190,3 +190,17 @@ def test_simhash_hamming_random_corpus_matches_bruteforce(spark):
         if bin(fps[a] ^ fps[b]).count("1") <= 2
     }
     assert got == want
+
+
+def test_resolve_near_dups_by_quality(spark):
+    docs = spark.createDataFrame(
+        [(0, "x", 10), (1, "y", 50), (2, "z", 50), (3, "w", 7)],
+        "doc_id long, text string, q long",
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (0, 3)], "doc_a long, doc_b long")
+    kept = sorted(
+        r["doc_id"]
+        for r in D.resolve_near_dups_by_quality(docs, pairs, "q").collect()
+    )
+    # 0-1: drop 0 (10<50); 1-2: tie 50 -> drop larger id 2; 0-3: drop 3
+    assert kept == [1]

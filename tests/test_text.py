@@ -171,3 +171,24 @@ def test_token_budget_selection(spark):
     # order: doc1 (1.0, 4 tokens, cum 4) -> doc2 (0.5, cum 8) -> doc0
     # (0.1667, cum 14 > 8 dropped)
     assert got == [(1, 4), (2, 8)]
+
+
+def test_shard_corpus_invariants(spark):
+    from streaming_cdc_spark.operators.text import shard_corpus
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(200)], "doc_id long, text string")
+    got = shard_corpus(docs, n_shards=4).collect()
+    assert len(got) == 200 and len({r["doc_id"] for r in got}) == 200
+    by_shard = {}
+    for r in got:
+        assert 0 <= r["shard"] < 4
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    # contiguous 1..n positions per shard; all four shards populated
+    assert len(by_shard) == 4
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # deterministic: same assignment on re-run
+    again = shard_corpus(docs, n_shards=4).collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in got} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in again
+    }
