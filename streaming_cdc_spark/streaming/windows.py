@@ -198,3 +198,44 @@ def multi_stream_join(
             )
         )
     return out.withColumnRenamed("_key", key_col).withColumnRenamed("_ts", ts_col)
+
+
+def streaming_minhash_dedup(
+    stream: DataFrame,
+    num_hashes: int = 4,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """In-stream NEAR-dup suppression: the batch MinHash pipeline
+    recast for a stream. The per-document signature is a pure
+    projection (word-3-gram shingles as an array expression -> min
+    salted md5 per hash function — no shuffle, no aggregation state),
+    so the only stateful operator is dropDuplicatesWithinWatermark on
+    the signature columns: a later document whose shingle set
+    minhash-collides with an earlier one inside the watermark horizon
+    is dropped. State is one row per distinct signature with a TTL —
+    bounded, key-partitioned, unbounded-stream safe."""
+    from streaming_cdc_spark.functions.hashing import md5_long
+    from streaming_cdc_spark.operators.dedup import tokens, word_shingles
+
+    sig_src = F.array_distinct(word_shingles(tokens(text_col)))
+    out = stream.withColumn("_sh", sig_src)
+
+    def hasher(salt):
+        # MUST be a single-argument lambda: F.transform hands a
+        # 2-arg callable (element, index) — a defaulted second
+        # parameter would silently receive the array index
+        return lambda g: md5_long(g, salt=salt)
+
+    sig_cols = []
+    for i in range(num_hashes):
+        out = out.withColumn(
+            f"mh{i}", F.array_min(F.transform(F.col("_sh"), hasher(f"{i}|")))
+        )
+        sig_cols.append(f"mh{i}")
+    return (
+        out.drop("_sh")
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(sig_cols)
+    )

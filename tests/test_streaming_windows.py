@@ -196,3 +196,46 @@ def test_enrich_stream_static_dim(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("select * from enrich_out").collect()
     assert len(got) == 1 and got[0]["tier"] == "gold"
+
+
+def test_streaming_minhash_dedup(spark, tmp_path):
+    """Near-identical docs (same shingle set) collide in-stream; a
+    distinct doc survives."""
+    from streaming_cdc_spark.streaming.windows import streaming_minhash_dedup
+
+    src = tmp_path / "mhsrc"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01 00:01:00", "doc_id": 0, "text": "the quick brown fox jumps over the lazy dog"},
+        {"ts": "2024-01-01 00:02:00", "doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+        {"ts": "2024-01-01 00:03:00", "doc_id": 2, "text": "completely different words entirely here now today"},
+    ]
+    (src / "a.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("ts timestamp, doc_id long, text string").json(str(src))
+    out = streaming_minhash_dedup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mh_out")
+        .option("checkpointLocation", str(tmp_path / "mhck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.sql("select * from mh_out").collect())
+    assert got == [0, 2]
+
+    # batch parity: the same signature expression equals the batch
+    # minhash_signatures aggregate
+    from streaming_cdc_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+    )
+    batch = {r["doc_id"]: (r["h0"], r["h1"], r["h2"], r["h3"]) for r in minhash_signatures(docs).collect()}
+    stream_sigs = {
+        r["doc_id"]: (r["mh0"], r["mh1"], r["mh2"], r["mh3"])
+        for r in spark.sql("select * from mh_out").collect()
+    }
+    for did, sig in stream_sigs.items():
+        assert batch[did] == sig
