@@ -251,12 +251,60 @@ def grinch_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dendrogram_purity_df(edges)
 
 
-@query("tfidf_blend_clusters")  # MLlib IDF model fit; rows-only check
+_BLEND_SQL = r"""
+    WITH RECURSIVE
+    m AS (
+        SELECT doc_id,
+               array_to_string(string_split(text, ' ')[1:2], ' ') AS mention,
+               concat_ws(' ', array_to_string(string_split(text, ' ')[3:10], ' '),
+                              array_to_string(string_split(text, ' ')[11:18], ' ')) AS context
+        FROM documents),
+    bg AS (SELECT doc_id, substring(mention, i, 2) AS t, COUNT(*) AS tf
+           FROM m, UNNEST(range(1, length(mention))) AS u(i)
+           GROUP BY 1, 2),
+    bnorm AS (SELECT doc_id, SQRT(SUM(CAST(tf*tf AS DOUBLE))) AS n FROM bg GROUP BY 1),
+    bcos AS (SELECT a.doc_id AS u, b.doc_id AS v,
+                    SUM(CAST(a.tf*b.tf AS DOUBLE)) / (x.n*y.n) AS cm
+             FROM bg a JOIN bg b ON a.t = b.t AND a.doc_id < b.doc_id
+                  JOIN bnorm x ON a.doc_id = x.doc_id JOIN bnorm y ON b.doc_id = y.doc_id
+             GROUP BY 1, 2, x.n, y.n),
+    w AS (SELECT doc_id, u.t, COUNT(*) AS tf
+          FROM m, UNNEST(string_split_regex(context, '\s+')) AS u(t)
+          GROUP BY 1, 2),
+    idf AS (SELECT t, LN(((SELECT COUNT(*) FROM m) + 1.0) / (COUNT(*) + 1.0)) AS idf
+            FROM w GROUP BY t),
+    ti AS (SELECT w.doc_id, w.t, w.tf * i.idf AS x FROM w JOIN idf i USING (t)),
+    wnorm AS (SELECT doc_id, SQRT(SUM(x*x)) AS n FROM ti GROUP BY 1),
+    wcos AS (SELECT a.doc_id AS u, b.doc_id AS v,
+                    SUM(a.x*b.x) / (x.n*y.n) AS cc
+             FROM ti a JOIN ti b ON a.t = b.t AND a.doc_id < b.doc_id
+                  JOIN wnorm x ON a.doc_id = x.doc_id JOIN wnorm y ON b.doc_id = y.doc_id
+             GROUP BY 1, 2, x.n, y.n),
+    blend AS (SELECT COALESCE(bc.u, wc.u) AS u, COALESCE(bc.v, wc.v) AS v,
+                     0.8*COALESCE(bc.cm, 0) + 0.2*COALESCE(wc.cc, 0) AS s
+              FROM bcos bc FULL JOIN wcos wc ON bc.u = wc.u AND bc.v = wc.v),
+    bedges AS (SELECT u, v FROM blend WHERE s > 0.75
+               UNION ALL SELECT v, u FROM blend WHERE s > 0.75),
+    reach(v, l) AS (
+        SELECT doc_id, doc_id FROM m
+        UNION
+        SELECT e.v, r.l FROM reach r JOIN bedges e ON e.u = r.v)
+    SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v
+"""
+
+
+@query("tfidf_blend_clusters", oracle=_BLEND_SQL)
 def tfidf_blend_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP1 (V1/V2/P13/C16 + C1): char-bigram TF kernel on a mention
     surface blended 0.8/0.2 with word TF-IDF on the document text,
     thresholded, connected components. Deterministic: kernel values
-    are invariant to CountVectorizer's vocab permutation."""
+    are invariant to CountVectorizer's vocab permutation, and neither
+    vocabulary truncates (113 bigrams / 31 words << 4096 cap), so the
+    oracle replays both kernels exactly: per-term counts, MLlib's
+    idf = ln((m+1)/(df+1)), L2 norms, the 0.8/0.2 blend, then the
+    same recursive-CTE transitive closure as threshold_cc_clusters.
+    Closest blend value to the 0.75 threshold is 4.9e-4 away at
+    sf0.01 — six orders above cross-engine float drift."""
     from streaming_cdc_spark.pipelines import ep1_feature_baseline
 
     docs = load(spark, sf_dir, "documents")
