@@ -212,11 +212,29 @@ def ceaf_e_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ceaf_e_df(_pairs(spark, sf_dir))
 
 
-@query("greedy_parity_clusters")  # order-dependent sequential fold; rows-only check
+@query(
+    "greedy_parity_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    e AS ({_EDGES_SQL} WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > {TAU}),
+    parent AS (SELECT v AS i, MAX(u) AS p FROM e GROUP BY v),
+    cl(i, c) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        WHERE vec_id NOT IN (SELECT i FROM parent)
+        UNION ALL
+        SELECT pa.i, cl.c FROM parent pa JOIN cl ON cl.i = pa.p)
+    SELECT i AS vec_id, c AS cluster_id FROM cl
+    """,
+)
 def greedy_parity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1/C2 exact replay (nn_thresh.py:138-152) — sorted
-    single-partition fold, parity mode. Deterministic but inherently
-    sequential, hence no SQL oracle."""
+    single-partition fold, parity mode. The reference's forward
+    id-propagation through the transposed adjacency reduces (by
+    induction over columns) to: cluster(j) = cluster(parent(j)) with
+    parent(j) = the LARGEST predecessor above threshold — so the
+    oracle replays it as a MAX-parent forest + recursive root chase.
+    Closest pair sim to TAU is 2.9e-5 away at sf0.01, far above
+    cross-engine float drift."""
     emb = load(spark, sf_dir, "embeddings")
     return greedy_clusters(emb, TAU)
 

@@ -107,3 +107,34 @@ def test_threshold_clusters_matches_union_find(spark):
     expected = {m: min(ms) for ms in truth.values() for m in ms}
     got = {r["vec_id"]: r["cluster_id"] for r in threshold_clusters(df, tau).collect()}
     assert got == expected
+
+
+def test_greedy_propagation_equals_max_parent_chase():
+    """The oracle for greedy_parity_clusters relies on: the
+    reference's forward id-propagation == parent-chase with
+    parent(j) = max predecessor above threshold. Fuzz it."""
+    import numpy as np
+
+    from streaming_cdc_spark.operators.greedy import greedy_cluster_numpy
+
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        n, d = rng.integers(5, 40), 4
+        mat = rng.normal(size=(int(n), d))
+        tau = float(rng.uniform(0.1, 0.9))
+        labels = greedy_cluster_numpy(mat, tau)
+        e = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = e @ e.T
+        parent = {}
+        for j in range(int(n)):
+            preds = [i for i in range(j) if sims[j, i] > tau]
+            if preds:
+                parent[j] = max(preds)
+        chase = {}
+        for j in range(int(n)):
+            r = j
+            while r in parent:
+                r = parent[r]
+            chase[j] = chase.get(parent.get(j, j), r)
+        want = np.array([chase[j] for j in range(int(n))])
+        assert (labels == want).all(), (trial, labels, want)
