@@ -330,3 +330,40 @@ def corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_cdc_spark.operators.text import shard_corpus
 
     return shard_corpus(load(spark, sf_dir, "documents"), n_shards=8)
+
+
+@query(
+    "corpus_diff_status",
+    oracle="""
+    WITH old AS (SELECT doc_id,
+                        CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+                 FROM documents WHERE doc_id % 3 <> 0),
+    new AS (SELECT doc_id,
+                   CAST(concat('0x', substr(md5(CASE WHEN doc_id % 7 = 0
+                                                     THEN concat(text, ' v2')
+                                                     ELSE text END), 1, 15)) AS BIGINT) AS h
+            FROM documents WHERE doc_id % 5 <> 0)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.h IS NULL THEN 'added'
+                WHEN n.h IS NULL THEN 'removed'
+                WHEN o.h = n.h THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
+    """,
+)
+def corpus_diff_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest snapshot diff: two synthetic snapshots of
+    the documents table (drop id%3 from old, drop id%5 from new,
+    rewrite id%7 in new) classified added/removed/changed/unchanged
+    by content hash."""
+    from streaming_cdc_spark.operators.text import corpus_diff
+
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" v2"))).otherwise(
+            F.col("text")
+        ),
+    )
+    return corpus_diff(old, new)

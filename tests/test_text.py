@@ -192,3 +192,16 @@ def test_shard_corpus_invariants(spark):
     assert {(r["doc_id"], r["shard"], r["pos"]) for r in got} == {
         (r["doc_id"], r["shard"], r["pos"]) for r in again
     }
+
+
+def test_corpus_diff_classes(spark):
+    from streaming_cdc_spark.operators.text import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C2"), (4, "d")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
