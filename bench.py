@@ -30,6 +30,7 @@ HEADLINE = [
     "threshold_cc_clusters",
     "cluster_summary",
     "muc_prf",
+    "tfidf_blend_clusters",
     "b3_prf",
     "minhash_band_candidates",
     "ngram_jaccard_pairs",
@@ -53,6 +54,8 @@ HEADLINE = [
     "doc_chunks",
     "sequence_packing",
     "training_mix_counts",
+    "corpus_shards",
+    "corpus_diff_status",
     "user_sessions",
     "kmeans_assign",
 ]
@@ -70,6 +73,18 @@ def main() -> None:
     load(spark, sf_dir, "events").selectExpr(
         "sum(cast(value as decimal(18,2)))", "count(distinct user_id)"
     ).collect()
+    # MLlib warmup: the first estimator fit pays a one-time RDD
+    # python-worker + codegen cost (~10s) otherwise attributed to
+    # whichever headline query touches MLlib first
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import IDF, CountVectorizer
+
+    tiny = spark.createDataFrame(
+        [([w],) for w in ("a", "b", "a", "c")], "toks array<string>"
+    )
+    cv = CountVectorizer(inputCol="toks", outputCol="_c")
+    idf = IDF(inputCol="_c", outputCol="_i")
+    Pipeline(stages=[cv, idf]).fit(tiny).transform(tiny).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
