@@ -384,3 +384,91 @@ def quality_near_dup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
     pairs = D.ngram_jaccard_pairs(docs, threshold=0.2)
     return D.resolve_near_dups_by_quality(docs, pairs, "n_chars").select("doc_id", "n_chars")
+
+
+_EP2_VEC = """
+    m AS (
+        SELECT doc_id,
+               list_concat(list_filter(string_split(text, ' ')[1:4], x -> x <> ''),
+                           list_filter(string_split(text, ' ')[5:64], x -> x <> '')) AS toks
+        FROM documents),
+    tok AS (SELECT doc_id, u.t FROM m, UNNEST(toks) AS u(t)),
+    comp AS (
+        SELECT doc_id, j.j,
+               AVG(CAST(concat('0x', substr(md5(concat(t, '|', CAST(j.j AS VARCHAR))), 1, 15)) AS BIGINT)
+                   / 576460752303423488.0 - 1.0) AS c
+        FROM tok, (SELECT UNNEST(range(0, 48)) AS j) j
+        GROUP BY 1, 2),
+    vec AS (SELECT doc_id, list(c ORDER BY j) AS v, SQRT(SUM(c * c)) AS nrm
+            FROM comp GROUP BY doc_id)
+"""
+
+
+@query(
+    "ep2_cluster_summary",
+    oracle=f"""
+    WITH RECURSIVE
+    {_EP2_VEC},
+    e AS (SELECT a.doc_id AS u, b.doc_id AS v
+          FROM vec a JOIN vec b ON a.doc_id <> b.doc_id
+          WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.9),
+    reach(v, l) AS (
+        SELECT doc_id, doc_id FROM m
+        UNION
+        SELECT e.v, r.l FROM reach r JOIN e ON e.u = r.v),
+    assign AS (SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v),
+    joined AS (SELECT a.cluster_id, d.lang FROM assign a JOIN documents d USING (doc_id)),
+    by_label AS (SELECT cluster_id, lang, COUNT(*) AS cnt FROM joined GROUP BY 1, 2),
+    ranked AS (
+        SELECT cluster_id, lang, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS n_langs,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY cnt DESC, lang) AS rn
+        FROM by_label)
+    SELECT cluster_id, n_members, n_langs, lang AS majority_lang,
+           ROUND(CAST(cnt AS DOUBLE) / n_members, 6) AS majority_frac
+    FROM ranked WHERE rn = 1 AND n_members > 1
+    """,
+)
+def ep2_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2 END-TO-END, hash-verified: md5-chain hash encoder over raw
+    documents (encode_mentions) -> cosine threshold 0.9 -> connected
+    components (nn_thresh scalable semantics) -> per-cluster size +
+    majority gold label (lang). With both the encoder and the kernel
+    SQL-replayable, the whole reference pipeline chain is one
+    differential check (closest sim to the 0.9 threshold: 5e-6 at
+    sf0.01, far above cross-engine drift). Non-singleton clusters."""
+    from streaming_cdc_spark.operators.clustering import threshold_clusters
+    from streaming_cdc_spark.operators.encoder import hash_encode_mentions
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    mentions = docs.select(
+        F.col("doc_id").alias("mention_index"),
+        F.array_join(F.slice(toks, 1, 4), " ").alias("mention"),
+        F.lit("").alias("left_context"),
+        F.array_join(F.slice(toks, 5, 60), " ").alias("right_context"),
+    )
+    emb = hash_encode_mentions(mentions, dim=48, context_budget=30)
+    assign = threshold_clusters(emb, 0.9, id_col="mention_index", vec_col="embedding")
+    joined = assign.join(
+        docs.select(F.col("doc_id").alias("mention_index"), "lang"), "mention_index"
+    )
+    by_label = joined.groupBy("cluster_id", "lang").agg(F.count("*").alias("cnt"))
+    wc = W.partitionBy("cluster_id")
+    ranked = by_label.select(
+        "cluster_id",
+        "lang",
+        "cnt",
+        F.sum("cnt").over(wc).alias("n_members"),
+        F.count("*").over(wc).alias("n_langs"),
+        F.row_number().over(wc.orderBy(F.desc("cnt"), F.asc("lang"))).alias("rn"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("n_members") > 1)).select(
+        "cluster_id",
+        "n_members",
+        "n_langs",
+        F.col("lang").alias("majority_lang"),
+        F.round(F.col("cnt").cast("double") / F.col("n_members"), 6).alias("majority_frac"),
+    )
