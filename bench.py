@@ -31,6 +31,7 @@ HEADLINE = [
     "cluster_summary",
     "muc_prf",
     "tfidf_blend_clusters",
+    "ep2_cluster_summary",
     "b3_prf",
     "minhash_band_candidates",
     "ngram_jaccard_pairs",
