@@ -79,3 +79,27 @@ def test_exploded_shingles_parallelize(spark):
     docs = load(spark, SF, "documents")
     sh = exploded_shingles(docs)
     assert sh.rdd.getNumPartitions() > 1
+
+
+def test_shard_corpus_window_is_partitioned(spark):
+    """The within-shard rank must window over the shard key, never a
+    global single-partition window."""
+    from streaming_cdc_spark.operators.text import shard_corpus
+    from streaming_cdc_spark.tables import load
+
+    df = shard_corpus(load(spark, SF, "documents"), n_shards=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # an unpartitioned window plans as 'Window [...], [orderBy]' with
+    # a SinglePartition exchange — assert the shard key partitions it
+    assert "SinglePartition" not in plan
+
+
+def test_simhash_hamming_no_cartesian_at_table_scale(spark):
+    from streaming_cdc_spark.operators.dedup import simhash_hamming_pairs
+    from streaming_cdc_spark.tables import load
+
+    df = simhash_hamming_pairs(load(spark, SF, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
