@@ -154,3 +154,83 @@ def test_fuzz_chunking(doc_engines, seed):
     FROM ch
     """
     _compare(sdf, con, sql)
+
+
+def _encoder_oracle_sql(ms, me, ls, le, rs, re_, budget, dim):
+    """Parameterized DuckDB replay of hash_encode_mentions incl. P8
+    recentring, mirroring the hash_encoded_mentions oracle."""
+    return f"""
+    WITH m AS (
+        SELECT doc_id AS mention_index,
+               list_filter(string_split(text, ' ')[{ms}:{me}], x -> x <> '') AS mt,
+               list_filter(string_split(text, ' ')[{ls}:{le}], x -> x <> '') AS lt,
+               list_filter(string_split(text, ' ')[{rs}:{re_}], x -> x <> '') AS rt
+        FROM documents),
+    rec AS (
+        SELECT mention_index, mt, lt, rt,
+               LEAST(len(lt), {budget} + GREATEST(0, {budget} - len(rt))) AS tl,
+               LEAST(len(rt), {budget} + GREATEST(0, {budget} - len(lt))) AS tr
+        FROM m),
+    seq AS (
+        SELECT mention_index,
+               list_concat(list_concat(lt[len(lt) - tl + 1 : len(lt)], mt), rt[1:tr]) AS toks
+        FROM rec),
+    tok AS (SELECT mention_index, u.t FROM seq, UNNEST(toks) AS u(t)),
+    comp AS (
+        SELECT mention_index, j.j,
+               AVG(CAST(concat('0x', substr(md5(concat(t, '|', CAST(j.j AS VARCHAR))), 1, 15)) AS BIGINT)
+                   / 576460752303423488.0 - 1.0) AS c
+        FROM tok, (SELECT UNNEST(range(0, {dim})) AS j) j
+        GROUP BY 1, 2),
+    vec AS (
+        SELECT mention_index, SQRT(SUM(c * c)) AS nrm, SUM(c) AS s,
+               SUM(CASE WHEN j = 0 THEN c END) AS c0
+        FROM comp GROUP BY 1)
+    SELECT mention_index, ROUND(c0 / nrm, 6) AS e0_r, ROUND(s / nrm, 6) AS checksum_r
+    FROM vec
+    """
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_encoder_differential_fuzz(spark, seed):
+    """Random mention/context slicings, dims, and budgets: the Spark
+    md5-chain encoder must replay exactly in DuckDB every time, not
+    just for the registered query's parameters."""
+    from pyspark.sql import functions as F
+
+    from streaming_cdc_spark.operators.encoder import hash_encode_mentions
+    from streaming_cdc_spark.tables import load
+
+    rng = random.Random(seed)
+    m_len = rng.randint(1, 4)
+    l_len = rng.randint(0, 12)
+    r_len = rng.randint(1, 12)
+    ms, me = 1, m_len
+    ls, le = me + 1, me + l_len
+    rs, re_ = le + 1, le + r_len
+    budget = rng.randint(1, 8)
+    dim = rng.choice([8, 16, 24])
+
+    docs = load(spark, SF_DIR, "documents")
+    toks = F.split("text", " ")
+    mentions = docs.select(
+        F.col("doc_id").alias("mention_index"),
+        F.array_join(F.slice(toks, ms, m_len), " ").alias("mention"),
+        F.array_join(F.slice(toks, ls, max(l_len, 0)), " ").alias("left_context"),
+        F.array_join(F.slice(toks, rs, r_len), " ").alias("right_context"),
+    )
+    enc = hash_encode_mentions(mentions, dim=dim, context_budget=budget)
+    got = enc.select(
+        "mention_index",
+        F.round(F.element_at("embedding", 1), 6).alias("e0_r"),
+        F.round(F.expr("aggregate(embedding, 0d, (a, x) -> a + x)"), 6).alias("checksum_r"),
+    )
+    spark_sig = sorted(
+        (r["mention_index"], canon(r["e0_r"]), canon(r["checksum_r"])) for r in got.collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    drows = con.execute(_encoder_oracle_sql(ms, me, ls, le, rs, re_, budget, dim)).fetchall()
+    duck_sig = sorted((r[0], canon(r[1]), canon(r[2])) for r in drows)
+    assert spark_sig == duck_sig, (m_len, l_len, r_len, budget, dim)
