@@ -338,28 +338,35 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """32-bit SimHash: distinct words vote +1/-1 per bit of their
     60-bit md5 hash; fingerprint bit j set iff the vote sum > 0.
-    Output: (doc_id, simhash long)."""
+    Output: (doc_id, simhash long).
+
+    Physical form: one pure array expression per row — hash each
+    distinct word ONCE (`transform`), fold votes with
+    `aggregate`+`zip_with`, assemble the bit field with one more
+    fold. Zero shuffles and no words x n_bits row explosion (the
+    explode form shuffled that twice); the hamming join downstream
+    keeps the only shuffle. Same math, same fingerprints — the
+    DuckDB oracle pins that."""
     from streaming_cdc_spark.session import fan_out
 
-    words = fan_out(docs.select(F.col(id_col), F.array_distinct(tokens(text_col)).alias("_w")))
-    words = words.select(id_col, F.explode("_w").alias("word")).withColumn(
-        "h", md5_long("word")
+    hs = (
+        f"transform(array_distinct(split({text_col}, ' ')), "
+        f"w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT))"
     )
-    bits = words.select(
-        id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("i")
+    votes = (
+        f"aggregate({hs}, array_repeat(0, {n_bits}), "
+        f"(acc, h) -> zip_with(acc, "
+        f"transform(sequence(0, {n_bits - 1}), "
+        f"i -> CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END), "
+        f"(a, b) -> a + b))"
     )
-    # shiftright/shiftleft with a *column* shift amount needs the SQL
-    # form (the python wrappers only take int literals)
-    votes = bits.groupBy(id_col, "i").agg(
-        F.sum(
-            F.when(F.expr("shiftright(h, i)").bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias("v")
+    fp = (
+        f"aggregate(zip_with({votes}, sequence(0, {n_bits - 1}), "
+        f"(v, i) -> CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), i) "
+        f"ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a, x) -> a + x)"
     )
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(0)
-        ).alias("simhash")
-    )
+    docs = fan_out(docs.select(F.col(id_col), F.col(text_col)))
+    return docs.select(F.col(id_col), F.expr(fp).alias("simhash"))
 
 
 def simhash_hamming_pairs(
