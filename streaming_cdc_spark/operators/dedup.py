@@ -101,13 +101,28 @@ def minhash_signatures(
     text_col: str = "text",
 ) -> DataFrame:
     """Per-doc MinHash signature columns h0..h{K-1} over word 3-gram
-    shingles; hash i salts the shingle with '{i}|'."""
-    sh = exploded_shingles(docs, id_col, text_col)
-    aggs = [
-        F.min(md5_long(F.col("shingle"), salt=f"{i}|")).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    shingles; hash i salts the shingle with '{i}|'.
+
+    Pure array expressions (array_min over a transform of the
+    materialized shingle array) — no shingle explode, no groupBy
+    shuffle; the band equi-join downstream is the only shuffle."""
+    from streaming_cdc_spark.session import fan_out
+
+    base = fan_out(docs.select(F.col(id_col), tokens(text_col).alias("_t")))
+    base = base.select(id_col, F.array_distinct(word_shingles(F.col("_t"))).alias("_sh"))
+
+    def hasher(salt):
+        # single-argument lambda: F.transform would pass the array
+        # index into any second (even defaulted) parameter
+        return lambda g: md5_long(g, salt=salt)
+
+    return base.select(
+        id_col,
+        *[
+            F.array_min(F.transform(F.col("_sh"), hasher(f"{i}|"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
 
 
 def _band_join(
