@@ -414,3 +414,65 @@ def corpus_diff(
         .otherwise(F.lit("changed"))
     )
     return a.join(b, id_col, "full_outer").select(F.col(id_col), status.alias("status"))
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    top_n: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """First merge step of BPE tokenizer training: corpus-wide counts
+    of adjacent symbol pairs (character bigrams WITHIN words, word
+    boundaries never pair). The full trainer iterates merge->recount;
+    each iteration is this same shape, so the one-step operator is the
+    scalable kernel. fan_out then explode (chars x corpus rows);
+    groupBy is partial-aggregated; top-N via the two-pass global rank.
+    Output: (pair, n, rank)."""
+    from streaming_cdc_spark.operators.ranking import row_number_global
+    from streaming_cdc_spark.session import fan_out
+
+    words = fan_out(docs.select(tokens(text_col).alias("_w")))
+    w = words.select(F.explode("_w").alias("word"))
+    pairs = w.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(word) - 1, 1)), "
+                "i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        F.length("word").alias("_len"),
+    ).filter(F.col("_len") >= 2)
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    return row_number_global(counts, [F.desc("n"), F.asc("pair")], "rank").filter(
+        F.col("rank") <= top_n
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Perplexity-proxy quality score: mean unigram log-probability of
+    each document under the corpus's own unigram distribution (the
+    KenLM-filter stand-in real pipelines run; a trained LM slots into
+    the same shape). Two passes: corpus token frequencies (partial
+    agg), then a broadcast-or-shuffle join back to the exploded
+    tokens and one mean per doc. Output: (id, n_tokens,
+    mean_logprob_r) rounded 6dp."""
+    from streaming_cdc_spark.session import fan_out
+
+    toks = fan_out(docs.select(F.col(id_col), tokens(text_col).alias("_t"))).select(
+        id_col, F.explode("_t").alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("tf"))
+    total = freq.agg(F.sum("tf").alias("_total"))
+    freq = freq.crossJoin(F.broadcast(total))
+    scored = toks.join(freq, "token").select(
+        F.col(id_col),
+        (F.log(F.col("tf").cast("double")) - F.log(F.col("_total").cast("double"))).alias("_lp"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("_lp"), 6).alias("mean_logprob_r"),
+    )

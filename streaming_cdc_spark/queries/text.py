@@ -367,3 +367,45 @@ def corpus_diff_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return corpus_diff(old, new)
+
+
+@query(
+    "bpe_pair_counts",
+    oracle="""
+    WITH w AS (SELECT u.word FROM (SELECT string_split(text, ' ') AS t FROM documents), UNNEST(t) AS u(word)),
+    p AS (SELECT substring(word, i, 2) AS pair
+          FROM w, UNNEST(range(1, greatest(length(word), 2))) AS u(i)
+          WHERE length(word) >= 2),
+    c AS (SELECT pair, COUNT(*) AS n FROM p GROUP BY pair)
+    SELECT pair, n, rank FROM (
+        SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank FROM c
+    ) WHERE rank <= 50
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training kernel: top-50 adjacent character pairs
+    within words across the corpus, deterministically ranked."""
+    from streaming_cdc_spark.operators.text import bpe_pair_counts as op
+
+    return op(load(spark, sf_dir, "documents"), top_n=50)
+
+
+@query(
+    "unigram_logprob",
+    oracle="""
+    WITH toks AS (SELECT doc_id, u.token
+                  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents), UNNEST(t) AS u(token)),
+    freq AS (SELECT token, COUNT(*) AS tf FROM toks GROUP BY token),
+    total AS (SELECT SUM(tf) AS tot FROM freq)
+    SELECT t.doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(LN(f.tf) - LN((SELECT tot FROM total))), 6) AS mean_logprob_r
+    FROM toks t JOIN freq f USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style quality proxy: per-document mean unigram log-prob
+    under the corpus's own unigram distribution."""
+    from streaming_cdc_spark.operators.text import unigram_logprob as op
+
+    return op(load(spark, sf_dir, "documents"))

@@ -205,3 +205,28 @@ def test_corpus_diff_classes(spark):
     )
     got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_bpe_pair_counts_micro(spark):
+    from streaming_cdc_spark.operators.text import bpe_pair_counts
+
+    docs = spark.createDataFrame([(0, "abab ab x")], "doc_id long, text string")
+    got = {r["pair"]: (r["n"], r["rank"]) for r in bpe_pair_counts(docs, top_n=10).collect()}
+    # 'abab' -> ab,ba,ab ; 'ab' -> ab ; 'x' single char contributes nothing
+    assert got["ab"] == (3, 1)
+    assert got["ba"] == (1, 2)
+    assert "x" not in got
+
+
+def test_unigram_logprob_uniform(spark):
+    import math
+
+    from streaming_cdc_spark.operators.text import unigram_logprob
+
+    # four equally frequent tokens -> every doc's mean logprob = ln(1/4)
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "c d")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["mean_logprob_r"] for r in unigram_logprob(docs).collect()}
+    want = round(math.log(1 / 4), 6)
+    assert got == {0: want, 1: want}
