@@ -469,3 +469,53 @@ def resolve_near_dups_by_quality(
         .alias(id_col)
     ).distinct()
     return docs.join(losers, id_col, "left_anti")
+
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    threshold: float,
+    n: int = 2,
+) -> DataFrame:
+    """Cross-TABLE fuzzy join (record linkage): pair left rows with
+    right rows whose key strings have character-n-gram Jaccard >=
+    threshold. Candidates come from an inverted-index gram equi-join —
+    the cross product never materializes — and the exact Jaccard is
+    recomputed from shared-gram counts, so the pairs are identical to
+    the brute-force nested loop's.
+
+    Distinct keys are joined (values, not rows), so duplicate keys on
+    either side cost one comparison. Output:
+    (lk, rk, jaccard_r[6dp]) with lk/rk the matched key strings."""
+    from streaming_cdc_spark.session import fan_out
+
+    def gram_rows(df: DataFrame, key: str, out: str) -> DataFrame:
+        base = fan_out(df.select(F.col(key).cast("string").alias(out)).distinct())
+        arr = F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(length({out}) - {n - 1}, 1)), "
+                f"i -> substring({out}, i, {n}))"
+            )
+        )
+        return base.select(out, F.size(arr).alias(f"_n_{out}"), F.explode(arr).alias("_g"))
+
+    lg = gram_rows(left, left_key, "lk")
+    rg = gram_rows(right, right_key, "rk")
+    shared = (
+        lg.join(rg, "_g")
+        .groupBy("lk", "rk")
+        .agg(
+            F.count("*").alias("_shared"),
+            F.first("_n_lk").alias("_nl"),
+            F.first("_n_rk").alias("_nr"),
+        )
+    )
+    jac = F.col("_shared") / (F.col("_nl") + F.col("_nr") - F.col("_shared"))
+    return (
+        shared.withColumn("_j", jac)
+        .filter(F.col("_j") >= threshold)
+        .select("lk", "rk", F.round("_j", 6).alias("jaccard_r"))
+    )

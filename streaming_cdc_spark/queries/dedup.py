@@ -472,3 +472,34 @@ def ep2_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("majority_lang"),
         F.round(F.col("cnt").cast("double") / F.col("n_members"), 6).alias("majority_frac"),
     )
+
+
+@query(
+    "fuzzy_name_join",
+    oracle="""
+    WITH lg AS (
+      SELECT lk, len(gs) AS nl, u.g
+      FROM (SELECT DISTINCT c_name AS lk,
+                   list_distinct(list_transform(range(1, greatest(length(c_name) - 1, 1) + 1),
+                                 i -> substring(c_name, i, 2))) AS gs
+            FROM customer), UNNEST(gs) AS u(g)),
+    rg AS (
+      SELECT rk, len(gs) AS nr, u.g
+      FROM (SELECT DISTINCT s_name AS rk,
+                   list_distinct(list_transform(range(1, greatest(length(s_name) - 1, 1) + 1),
+                                 i -> substring(s_name, i, 2))) AS gs
+            FROM supplier), UNNEST(gs) AS u(g)),
+    shared AS (SELECT lk, rk, COUNT(*) AS s, ANY_VALUE(nl) AS nl, ANY_VALUE(nr) AS nr
+               FROM lg JOIN rg USING (g) GROUP BY lk, rk)
+    SELECT lk, rk, ROUND(s / (nl + nr - s), 6) AS jaccard_r
+    FROM shared WHERE s / (nl + nr - s) >= 0.33
+    """,
+)
+def fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table record linkage: customer names fuzzy-joined to
+    supplier names at char-bigram Jaccard >= 0.33 via the inverted-
+    index gram equi-join (never a cross product). Jaccard from
+    integer gram counts — bit-identical across engines."""
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    return D.fuzzy_join(cust, supp, "c_name", "s_name", threshold=0.33, n=2)

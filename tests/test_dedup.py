@@ -204,3 +204,42 @@ def test_resolve_near_dups_by_quality(spark):
     )
     # 0-1: drop 0 (10<50); 1-2: tie 50 -> drop larger id 2; 0-3: drop 3
     assert kept == [1]
+
+
+def test_fuzzy_join_matches_bruteforce(spark):
+    left = spark.createDataFrame(
+        [(1, "jonathan smith"), (2, "zzzz")], "id long, name string"
+    )
+    right = spark.createDataFrame(
+        [(10, "jonathon smith"), (11, "abcd")], "id long, name string"
+    )
+    got = {
+        (r["lk"], r["rk"]): r["jaccard_r"]
+        for r in D.fuzzy_join(left, right, "name", "name", threshold=0.1).collect()
+    }
+
+    def grams(s):
+        return {s[i : i + 2] for i in range(max(len(s) - 1, 1))}
+
+    want = {}
+    for l in ("jonathan smith", "zzzz"):
+        for r in ("jonathon smith", "abcd"):
+            g1, g2 = grams(l), grams(r)
+            j = len(g1 & g2) / len(g1 | g2)
+            if j >= 0.1:
+                want[(l, r)] = round(j, 6)
+    assert got == want
+    assert ("jonathan smith", "jonathon smith") in got
+
+
+def test_fuzzy_join_no_cartesian(spark):
+    left = spark.createDataFrame([(1, "ab")], "id long, name string")
+    right = spark.createDataFrame([(2, "cd")], "id long, name string")
+    plan = (
+        D.fuzzy_join(left, right, "name", "name", 0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
