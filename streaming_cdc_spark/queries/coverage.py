@@ -192,3 +192,36 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("total"),
         F.count("*").alias("n_orders"),
     )
+
+
+@query(
+    "salted_event_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation under the gate: the explicit two-phase salted
+    aggregation (operators/skew.py, for hot keys AQE can't salt —
+    aggregations) must combine to EXACTLY the plain GROUP BY — counts
+    and decimal partial sums are re-combinable by summation, which is
+    what the oracle checks."""
+    from streaming_cdc_spark.operators.skew import salted_agg
+
+    ev = load(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        "event_type",
+        {
+            "n": F.count(F.lit(1)),
+            "_sum_d": F.sum(F.col("value").cast("decimal(18,2)")),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("_sum_d").cast("double"), 2).alias("sum_value"),
+    )
