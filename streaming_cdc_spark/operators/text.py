@@ -476,3 +476,28 @@ def unigram_logprob(
         F.count("*").alias("n_tokens"),
         F.round(F.avg("_lp"), 6).alias("mean_logprob_r"),
     )
+
+
+def stratified_take(
+    docs: DataFrame,
+    per_group: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic per-group quota: keep the ``per_group`` documents
+    with the smallest salted md5 of their id within each group — the
+    per-domain cap step of a data-mixing pipeline, reproducible across
+    engines and runs (hash order stands in for a seeded reservoir).
+    One shuffle keyed by the group; the rank window partitions by
+    group, so no global sort. Output: group, id, take_rank."""
+    from pyspark.sql import Window as W
+
+    h = md5_long(F.col(id_col).cast("string"), salt=salt)
+    w = W.partitionBy(group_col).orderBy("_h", id_col)
+    return (
+        docs.select(F.col(group_col), F.col(id_col), h.alias("_h"))
+        .withColumn("take_rank", F.row_number().over(w))
+        .filter(F.col("take_rank") <= per_group)
+        .select(group_col, id_col, "take_rank")
+    )

@@ -409,3 +409,24 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_cdc_spark.operators.text import unigram_logprob as op
 
     return op(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "stratified_take",
+    oracle="""
+    SELECT source, doc_id, take_rank FROM (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST(concat('0x', substr(md5(concat('strat', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT),
+                            doc_id) AS take_rank
+        FROM documents)
+    WHERE take_rank <= 10
+    """,
+)
+def stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic quota: the 10 hash-smallest documents
+    of every source (seeded-reservoir stand-in for balanced mixing)."""
+    from streaming_cdc_spark.operators.text import stratified_take as op
+
+    return op(load(spark, sf_dir, "documents"), per_group=10)

@@ -230,3 +230,20 @@ def test_unigram_logprob_uniform(spark):
     got = {r["doc_id"]: r["mean_logprob_r"] for r in unigram_logprob(docs).collect()}
     want = round(math.log(1 / 4), 6)
     assert got == {0: want, 1: want}
+
+
+def test_stratified_take_quota_and_determinism(spark):
+    from streaming_cdc_spark.operators.text import stratified_take
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(60)], "doc_id long, source string"
+    )
+    got = stratified_take(docs, per_group=5, group_col="source").collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r["take_rank"])
+    assert set(by_src) == {"s0", "s1", "s2"}
+    for ranks in by_src.values():
+        assert sorted(ranks) == [1, 2, 3, 4, 5]
+    again = stratified_take(docs, per_group=5, group_col="source").collect()
+    assert {tuple(r) for r in got} == {tuple(r) for r in again}
