@@ -432,16 +432,15 @@ def bpe_pair_counts(
     from streaming_cdc_spark.session import fan_out
 
     words = fan_out(docs.select(tokens(text_col).alias("_w")))
-    w = words.select(F.explode("_w").alias("word"))
+    w = words.select(F.explode("_w").alias("word")).filter(F.length("word") >= 2)
     pairs = w.select(
         F.explode(
             F.expr(
                 "transform(sequence(1, greatest(length(word) - 1, 1)), "
                 "i -> substring(word, i, 2))"
             )
-        ).alias("pair"),
-        F.length("word").alias("_len"),
-    ).filter(F.col("_len") >= 2)
+        ).alias("pair")
+    )
     counts = pairs.groupBy("pair").agg(F.count("*").alias("n"))
     return row_number_global(counts, [F.desc("n"), F.asc("pair")], "rank").filter(
         F.col("rank") <= top_n
