@@ -519,3 +519,49 @@ def fuzzy_join(
         .filter(F.col("_j") >= threshold)
         .select("lk", "rk", F.round("_j", 6).alias("jaccard_r"))
     )
+
+
+def span_dedup(
+    docs: DataFrame,
+    span_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style span-level corpus dedup: split every document into
+    consecutive ``span_tokens``-token spans, and across the WHOLE
+    corpus keep only the first occurrence of each exact span (first =
+    smallest (doc, span index)); every later occurrence is removed.
+
+    Physical plan: explode spans with their index, one groupBy
+    (min_by) to elect each span's first occurrence, one equi-join
+    back — shuffles keyed by span text, linear in corpus tokens, the
+    same shape C4 ran over its web crawl.
+
+    Output per doc: (id, n_spans, n_kept_spans, kept_tokens)."""
+    from streaming_cdc_spark.session import fan_out
+
+    base = fan_out(docs.select(F.col(id_col), tokens(text_col).alias("_t")))
+    n_spans_expr = F.ceil(F.size("_t") / F.lit(span_tokens)).cast("int")
+    spans = base.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(_t) / {span_tokens}.0) AS INT) - 1), "
+                f"s -> struct(s AS idx, "
+                f"array_join(slice(_t, s * {span_tokens} + 1, {span_tokens}), ' ') AS seg, "
+                f"size(slice(_t, s * {span_tokens} + 1, {span_tokens})) AS n_tok))"
+            )
+        ).alias("_s"),
+    ).select(id_col, F.col("_s.idx").alias("idx"), F.col("_s.seg").alias("seg"), F.col("_s.n_tok").alias("n_tok"))
+    first = spans.groupBy("seg").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("idx").alias("i"))).alias("_f")
+    )
+    joined = spans.join(first, "seg").withColumn(
+        "_keep",
+        (F.col(id_col) == F.col("_f.d")) & (F.col("idx") == F.col("_f.i")),
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).cast("long").alias("n_kept_spans"),
+        F.sum(F.when(F.col("_keep"), F.col("n_tok")).otherwise(0)).cast("long").alias("kept_tokens"),
+    )

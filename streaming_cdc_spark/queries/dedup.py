@@ -503,3 +503,31 @@ def fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     supp = load(spark, sf_dir, "supplier")
     return D.fuzzy_join(cust, supp, "c_name", "s_name", threshold=0.33, n=2)
+
+
+@query(
+    "span_dedup_stats",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    spans AS (
+        SELECT doc_id, s.s AS idx,
+               array_to_string(t[s.s * 8 + 1 : s.s * 8 + 8], ' ') AS seg,
+               len(t[s.s * 8 + 1 : s.s * 8 + 8]) AS n_tok
+        FROM toks, UNNEST(range(0, CAST(CEIL(len(t) / 8.0) AS BIGINT))) AS s(s)),
+    firsts AS (
+        SELECT seg, doc_id, idx,
+               ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
+        FROM spans)
+    SELECT s.doc_id, COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN f.rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_spans,
+           CAST(SUM(CASE WHEN f.rn = 1 THEN s.n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM spans s JOIN firsts f ON s.seg = f.seg AND s.doc_id = f.doc_id AND s.idx = f.idx
+    GROUP BY s.doc_id
+    """,
+)
+def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span dedup over 8-token spans: per-document span
+    counts, spans surviving first-occurrence dedup, and the kept
+    token budget."""
+    docs = load(spark, sf_dir, "documents")
+    return D.span_dedup(docs, span_tokens=8)

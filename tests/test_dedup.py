@@ -243,3 +243,18 @@ def test_fuzzy_join_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_span_dedup_first_occurrence(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d"),   # spans (with span=2): "a b", "c d"
+            (1, "a b x y"),   # "a b" duplicates doc 0's first span
+            (2, "c d"),       # duplicates doc 0's second span
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in D.span_dedup(docs, span_tokens=2).collect()}
+    assert got[0]["n_spans"] == 2 and got[0]["n_kept_spans"] == 2 and got[0]["kept_tokens"] == 4
+    assert got[1]["n_spans"] == 2 and got[1]["n_kept_spans"] == 1 and got[1]["kept_tokens"] == 2
+    assert got[2]["n_spans"] == 1 and got[2]["n_kept_spans"] == 0 and got[2]["kept_tokens"] == 0
