@@ -500,3 +500,51 @@ def stratified_take(
         .filter(F.col("take_rank") <= per_group)
         .select(group_col, id_col, "take_rank")
     )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram-LM quality score with add-one smoothing: per document,
+    the mean of ln P(w_i | w_{i-1}) where
+    P = (c(w_{i-1} w_i) + 1) / (c_ctx(w_{i-1}) + V), counts from the
+    corpus itself (c_ctx = bigrams starting with the word, V =
+    corpus vocabulary size). The next step up from unigram_logprob
+    toward the KenLM-filter shape; same physical plan — two
+    partial-aggregated count passes + one join back, all shuffles
+    keyed by token values. Docs with fewer than 2 tokens emit no row
+    (they have no bigram evidence). Output: (id, n_bigrams,
+    mean_logprob_r[6dp])."""
+    from streaming_cdc_spark.session import fan_out
+
+    base = fan_out(docs.select(F.col(id_col), tokens(text_col).alias("_t")))
+    bg = base.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(_t) - 1, 1)), "
+                "i -> struct(_t[i - 1] AS w1, _t[i] AS w2))"
+            )
+        ).alias("_b"),
+    ).filter(F.col("_b.w2").isNotNull()).select(
+        id_col, F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2")
+    )
+    big_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    ctx_counts = bg.groupBy("w1").agg(F.count("*").alias("cc"))
+    vocab = base.select(F.explode("_t").alias("w")).agg(
+        F.countDistinct("w").alias("_v")
+    )
+    stats = big_counts.join(ctx_counts, "w1").crossJoin(F.broadcast(vocab))
+    scored = bg.join(stats, ["w1", "w2"]).select(
+        F.col(id_col),
+        (
+            F.log((F.col("cb") + 1).cast("double"))
+            - F.log((F.col("cc") + F.col("_v")).cast("double"))
+        ).alias("_lp"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("_lp"), 6).alias("mean_logprob_r"),
+    )

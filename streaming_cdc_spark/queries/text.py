@@ -430,3 +430,29 @@ def stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_cdc_spark.operators.text import stratified_take as op
 
     return op(load(spark, sf_dir, "documents"), per_group=10)
+
+
+@query(
+    "bigram_logprob",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+           FROM toks, UNNEST(range(1, greatest(len(t), 2))) AS u(i)
+           WHERE i + 1 <= len(t)),
+    bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+    cc AS (SELECT w1, COUNT(*) AS cc FROM bg GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT u.w) AS v
+          FROM toks, UNNEST(t) AS u(w))
+    SELECT g.doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(LN(CAST(bc.cb + 1 AS DOUBLE)) - LN(CAST(cc.cc + (SELECT v FROM v) AS DOUBLE))), 6) AS mean_logprob_r
+    FROM bg g JOIN bc ON g.w1 = bc.w1 AND g.w2 = bc.w2
+              JOIN cc ON g.w1 = cc.w1
+    GROUP BY g.doc_id
+    """,
+)
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram LM quality proxy: per-document mean
+    conditional log-probability under corpus bigram statistics."""
+    from streaming_cdc_spark.operators.text import bigram_logprob as op
+
+    return op(load(spark, sf_dir, "documents"))

@@ -247,3 +247,20 @@ def test_stratified_take_quota_and_determinism(spark):
         assert sorted(ranks) == [1, 2, 3, 4, 5]
     again = stratified_take(docs, per_group=5, group_col="source").collect()
     assert {tuple(r) for r in got} == {tuple(r) for r in again}
+
+
+def test_bigram_logprob_uniform(spark):
+    import math
+
+    from streaming_cdc_spark.operators.text import bigram_logprob
+
+    # one doc "a b a b": bigrams (a,b) x2, (b,a) x1; V=2
+    docs = spark.createDataFrame([(0, "a b a b")], "doc_id long, text string")
+    got = bigram_logprob(docs).collect()[0]
+    assert got["n_bigrams"] == 3
+    # P(b|a) = (2+1)/(2+2), P(a|b) = (1+1)/(1+2)
+    want = round((2 * math.log(3 / 4) + math.log(2 / 3)) / 3, 6)
+    assert got["mean_logprob_r"] == want
+    # single-token docs have no bigram evidence -> no row
+    single = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    assert bigram_logprob(single).count() == 0
