@@ -524,8 +524,10 @@ def bigram_logprob(
         id_col,
         F.explode(
             F.expr(
+                # try_element_at (1-based): OOB -> NULL instead of the
+                # ANSI error a 1-token doc would raise; filtered below
                 "transform(sequence(1, greatest(size(_t) - 1, 1)), "
-                "i -> struct(_t[i - 1] AS w1, _t[i] AS w2))"
+                "i -> struct(try_element_at(_t, i) AS w1, try_element_at(_t, i + 1) AS w2))"
             )
         ).alias("_b"),
     ).filter(F.col("_b.w2").isNotNull()).select(
