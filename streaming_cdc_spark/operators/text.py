@@ -550,3 +550,14 @@ def bigram_logprob(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("_lp"), 6).alias("mean_logprob_r"),
     )
+
+
+def normalize_text(text_col: str = "text") -> Column:
+    """Canonical text normalization for dedup keys: lowercase, strip
+    every non-alphanumeric-non-space character, collapse whitespace
+    runs, trim. Pure codegen'd string expressions — the usual first
+    step before exact/near dedup so cosmetic variants collide."""
+    c = F.lower(F.col(text_col) if isinstance(text_col, str) else text_col)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", "")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)

@@ -456,3 +456,24 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_cdc_spark.operators.text import bigram_logprob as op
 
     return op(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "normalized_dedup",
+    oracle="""
+    SELECT dup_key, COUNT(*) AS n_dups, MIN(doc_id) AS canonical_doc_id
+    FROM (SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS dup_key
+          FROM documents)
+    GROUP BY dup_key HAVING COUNT(*) > 1
+    """,
+)
+def normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the NORMALIZED text (lowercase, punctuation
+    stripped, whitespace collapsed) — catches cosmetic variants the
+    raw-key dedup misses."""
+    from streaming_cdc_spark.operators.dedup import exact_dedup_groups
+    from streaming_cdc_spark.operators.text import normalize_text
+
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, normalize_text("text"))

@@ -239,3 +239,32 @@ def streaming_minhash_dedup(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(sig_cols)
     )
+
+
+def streaming_token_counts(
+    stream: DataFrame,
+    window_duration: str = "10 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Windowed corpus statistics on a document stream: explode
+    tokens inside each event-time window and count per (window,
+    token) — the streaming twin of token_histogram's aggregation
+    (the top-N rank is a batch post-step: rank windows aren't
+    append-mode safe). Watermarked, so per-window state finalizes
+    and expires. Output: (window_start, window_end, token, n)."""
+    toks = stream.select(
+        F.col(ts_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    return (
+        toks.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), F.col("token"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "token",
+            "n",
+        )
+    )

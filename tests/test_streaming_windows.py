@@ -239,3 +239,33 @@ def test_streaming_minhash_dedup(spark, tmp_path):
     }
     for did, sig in stream_sigs.items():
         assert batch[did] == sig
+
+
+def test_streaming_token_counts(spark, tmp_path):
+    from streaming_cdc_spark.streaming.windows import streaming_token_counts
+
+    src = tmp_path / "tok_src"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01 00:01:00", "text": "a b a"},
+        {"ts": "2024-01-01 00:05:00", "text": "b c"},
+        {"ts": "2024-01-01 09:00:00", "text": "z"},  # advances watermark
+    ]
+    (src / "a.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("ts timestamp, text string").json(str(src))
+    out = streaming_token_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tok_out")
+        .option("checkpointLocation", str(tmp_path / "tok_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["token"]): r["n"]
+        for r in spark.sql("select * from tok_out").collect()
+    }
+    w = "2024-01-01 00:00:00"
+    assert got[(w, "a")] == 2 and got[(w, "b")] == 2 and got[(w, "c")] == 1
