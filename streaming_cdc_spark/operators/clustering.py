@@ -88,15 +88,25 @@ def connected_components(
         F.col("u") != F.col("v")
     )
     if driver_cutoff:
-        # take(cutoff+1) both sizes the graph AND collects it when
-        # small — one job instead of count+collect, and it short-
-        # circuits partition evaluation when the graph is big
-        head = e.take(driver_cutoff + 1)
-        if len(head) <= driver_cutoff:
-            if not head:
-                return vs.select(F.col("v").alias(id_col), F.col("v").alias("cluster_id"))
-            pairs = [(r["u"], r["v"]) for r in head]
-            return _driver_union_find(vs, pairs, "v").withColumnRenamed("v", id_col)
+        # Size the graph with ONE fully-parallel pass over a persisted
+        # edge set. take(cutoff+1) looks cheaper but wave-scans the
+        # result stage (1, 4, 16... partitions SEQUENTIALLY) — when
+        # edges come off an expensive kernel stage that serializes the
+        # whole matmul. The big path re-reads the cache it would have
+        # had to materialize anyway; the small path collects via Arrow.
+        e = e.persist()
+        n_edges = e.count()
+        if n_edges <= driver_cutoff:
+            try:
+                if n_edges == 0:
+                    return vs.select(
+                        F.col("v").alias(id_col), F.col("v").alias("cluster_id")
+                    )
+                pdf = e.toPandas()
+                pairs = list(zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()))
+                return _driver_union_find(vs, pairs, "v").withColumnRenamed("v", id_col)
+            finally:
+                e.unpersist()
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().persist()
 
     touched = sym.select(F.col("u").alias("v")).distinct()
@@ -130,6 +140,7 @@ def connected_components(
             break
         prev_sum = cur_sum
     sym.unpersist()
+    e.unpersist()
     # edges may reference ids absent from `vertices`; keep output rows
     # only for the requested vertex set (matches the driver-union-find
     # path, which joins back to vertices)

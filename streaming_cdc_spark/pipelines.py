@@ -97,6 +97,7 @@ def ep1_feature_baseline(
     threshold: float = 0.5,
     weights: tuple[float, float] = (0.8, 0.2),
     vocab_size: int = 4096,
+    with_metrics: bool = True,
 ) -> dict[str, object]:
     """EP1 (Shrimpton-style feature baseline, baseline.py):
 
@@ -106,7 +107,10 @@ def ep1_feature_baseline(
 
     mentions: (mention_index long, mention string, left_context,
     right_context, entity_id). Returns dict with 'assignments',
-    'pairs', and the metric DataFrames.
+    'pairs', and (when ``with_metrics``) the metric DataFrames.
+    ``with_metrics=False`` skips the metric suite — CEAF's Hungarian
+    assignment collects the contingency eagerly, so callers that only
+    need assignments shouldn't pay for it.
     """
     from streaming_cdc_spark.operators.similarity import BROADCAST_MAX_ROWS
 
@@ -132,7 +136,10 @@ def ep1_feature_baseline(
             F.col("cluster_id").alias("pred_id"),
         )
     )
-    return {"assignments": assign, "pairs": pairs, **evaluate_pairs(pairs)}
+    out = {"assignments": assign, "pairs": pairs}
+    if with_metrics:
+        out.update(evaluate_pairs(pairs))
+    return out
 
 
 def ep1_bisect_to_gold(
@@ -167,6 +174,7 @@ def ep2_encode_and_cluster(
     threshold: float,
     dim: int = 64,
     context_budget: int = 16,
+    with_metrics: bool = True,
 ) -> dict[str, object]:
     """EP2 end-to-end (encode_mentions -> nn_thresh -> eval): encoder
     UDF over raw mention records, cosine-threshold clustering on the
@@ -178,7 +186,12 @@ def ep2_encode_and_cluster(
     enc = hash_encode_mentions(mentions, dim=dim, context_budget=context_budget)
     emb = enc.join(mentions.select("mention_index", "entity_id"), "mention_index")
     return ep2_nn_threshold(
-        emb, threshold, id_col="mention_index", vec_col="embedding", label_col="entity_id"
+        emb,
+        threshold,
+        id_col="mention_index",
+        vec_col="embedding",
+        label_col="entity_id",
+        with_metrics=with_metrics,
     )
 
 
@@ -188,6 +201,7 @@ def ep2_nn_threshold(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    with_metrics: bool = True,
 ) -> dict[str, object]:
     """EP2 batch form (nn_thresh.py): cosine-threshold clustering over
     dense embeddings -> metrics vs gold labels."""
@@ -197,7 +211,10 @@ def ep2_nn_threshold(
         F.col(label_col).alias("true_id"),
         F.col("cluster_id").alias("pred_id"),
     )
-    return {"assignments": assign, "pairs": pairs, **evaluate_pairs(pairs)}
+    out = {"assignments": assign, "pairs": pairs}
+    if with_metrics:
+        out.update(evaluate_pairs(pairs))
+    return out
 
 
 def ep2_streaming(

@@ -334,7 +334,7 @@ def tfidf_blend_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(toks, 11, 8), " ").alias("right_context"),
         F.col("lang").alias("entity_id"),
     )
-    out = ep1_feature_baseline(mentions, threshold=0.75)
+    out = ep1_feature_baseline(mentions, threshold=0.75, with_metrics=False)
     return out["assignments"].select(F.col("mention_index").alias("doc_id"), "cluster_id")
 
 
