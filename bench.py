@@ -59,6 +59,9 @@ HEADLINE = [
     "corpus_diff_status",
     "user_sessions",
     "kmeans_assign",
+    "semantic_dedup",
+    "ivf_topk_exact",
+    "temperature_mix",
 ]
 
 

@@ -16,7 +16,7 @@ import numpy as np
 import pandas as pd
 from pyspark.ml.clustering import KMeans
 from pyspark.ml.functions import array_to_vector
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -95,4 +95,106 @@ def ivf_top_k(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q", "neighbor", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+def collect_seed_centroids(
+    df: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Deterministic seeds: the k lowest-id vectors, collected to the
+    driver. Centroid sets are driver-sized by construction in Lloyd's
+    (MLlib holds them on the driver too) — k rows, not data-sized."""
+    rows = df.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def _lit_vec(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def nearest_centroid(
+    vec_col: str | Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """struct(dist, cid) of the nearest centroid by L2, ties to the
+    smaller centroid id — as ONE shuffle-free expression: the centroid
+    set is inlined as literals (the Lloyd's-assignment analogue of a
+    broadcast join, minus the 8x row expansion and the argmin window).
+    Struct comparison is lexicographic, so array_min implements
+    (min dist, then min cid) exactly."""
+    from streaming_cdc_spark.functions.vectors import as_double, l2_distance
+
+    v = as_double(vec_col)
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(l2_distance(v, _lit_vec(c)).alias("dist"), F.lit(cid).cast("long").alias("cid"))
+                for cid, c in centroids
+            ]
+        )
+    )
+
+
+def centroid_ranking(
+    vec_col: str | Column, centroids: list[tuple[int, list[float]]], n_probe: int
+) -> Column:
+    """Array of the n_probe nearest centroid ids (L2, ties to smaller
+    cid) — the IVF probe list, again as one shuffle-free expression
+    over inlined centroids."""
+    from streaming_cdc_spark.functions.vectors import as_double, l2_distance
+
+    v = as_double(vec_col)
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(l2_distance(v, _lit_vec(c)).alias("dist"), F.lit(cid).cast("long").alias("cid"))
+                for cid, c in centroids
+            ]
+        )
+    )
+    return F.slice(ranked, 1, n_probe).getField("cid")
+
+
+def semantic_dedup_flags(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cells
+    bound the candidate set, then embedding-cosine near-dups above
+    ``tau`` are dropped WITHIN each cell only — the O(n^2) pairwise
+    scan becomes k independent O((n/k)^2) cell scans, the property
+    that makes embedding dedup tractable at corpus scale.
+
+    Deterministic keep rule: a vector is dropped iff some same-cell
+    vector with a SMALLER id is within tau (greedy min-id keep, the
+    same rule as resolve_near_dups). Returns (id_col, cid, dropped).
+
+    Physical plan: assignment is a shuffle-free literal-centroid map
+    (nearest_centroid); candidates are an equi-join on cell id. Scale
+    knob is k: grow it with the corpus so cells stay bounded (SemDeDup
+    uses n/k ~ 10^4 at 10^9 docs); skewed cells fall to AQE skew-join.
+    """
+    from streaming_cdc_spark.functions.vectors import as_double, cosine
+
+    best = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).alias("_v"),
+        nearest_centroid(vec_col, centroids).getField("cid").alias("cid"),
+    )
+    a = best.select(F.col("cid"), F.col("_id").alias("_u"), F.col("_v").alias("_va"))
+    b = best.select(F.col("cid"), F.col("_id").alias("_w"), F.col("_v").alias("_vb"))
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("_u") < F.col("_w"))
+        .filter(cosine(as_double("_va"), as_double("_vb")) > F.lit(tau))
+        .select(F.col("_w").alias("_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return best.join(dropped, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        "cid",
+        F.coalesce("_dropped", F.lit(False)).alias("dropped"),
     )

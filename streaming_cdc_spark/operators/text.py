@@ -561,3 +561,48 @@ def normalize_text(text_col: str = "text") -> Column:
     c = F.regexp_replace(c, "[^a-z0-9 ]", "")
     c = F.regexp_replace(c, " +", " ")
     return F.trim(c)
+
+
+def temperature_mix(
+    docs: DataFrame,
+    scale: float = 10.0,
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-style source balancing (the UniMax / multilingual-T5
+    mixing rule, alpha = 0.5): per-source keep rate
+    ``min(1, scale / sqrt(source_tokens))`` — big sources are
+    downsampled toward sqrt-proportional token budgets, small ones
+    kept whole. Deterministic: the rate derives only from the EXACT
+    integer per-source token sum (no order-dependent float reduction),
+    and selection is md5-bucketed, so a replay selects identical docs.
+
+    Output: per-doc (key, source, n_tok, sel) flags; aggregate for the
+    mix report, filter sel for the sampled corpus. One scan + one
+    broadcast join of the dimension-sized source table."""
+    tok = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(key_col).alias("key"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_tok"),
+    )
+    per_src = tok.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("src_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    rate = F.least(
+        F.lit(1.0), F.lit(float(scale)) / F.sqrt(F.col("src_tokens").cast("double"))
+    )
+    flagged = tok.join(F.broadcast(per_src), "source").select(
+        "source",
+        "key",
+        "n_tok",
+        "src_tokens",
+        "n_docs",
+        rate.alias("rate"),
+        (
+            F.pmod(md5_long(F.col("key").cast("string"), salt="tmix"), F.lit(1_000_000))
+            < F.floor(rate * 1_000_000).cast("long")
+        ).cast("int").alias("sel"),
+    )
+    return flagged

@@ -32,6 +32,10 @@ from streaming_cdc_spark.queries import (  # noqa: E402,F401
 # variant, ANN/similarity, text analysis, multimodal, packing, as-of.
 # Queries past slot 50 remain fully registered: the local gate
 # (tools/check_oracle.py) and bench still exercise them every round.
+# r3 window swaps: semantic_dedup (full oracle) replaced
+# weighted_minhash_candidates (same candidate-generation family, still
+# registered + locally gated); ivf_topk_exact (full oracle) replaced
+# the rows-only MLlib ivf_topk — a strict verification upgrade.
 _PRIORITY = [
     # relational core
     "revenue_by_nation",
@@ -72,13 +76,13 @@ _PRIORITY = [
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
     "containment_pairs",
-    "weighted_minhash_candidates",
+    "semantic_dedup",
     "near_dup_resolution",
     "doc_embedding_near_dups",
     # similarity / ANN family
     "cosine_topk",
     "lsh_bucket_pairs",
-    "ivf_topk",
+    "ivf_topk_exact",
     "embedding_norm_stats",
     "kmeans_assign",
     # text analysis / multimodal / training-pipeline

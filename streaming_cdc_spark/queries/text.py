@@ -477,3 +477,44 @@ def normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return exact_dedup_groups(docs, normalize_text("text"))
+
+
+@query(
+    "temperature_mix",
+    oracle="""
+    WITH tok AS (SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+                 FROM documents),
+    per AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens,
+                   COUNT(*) AS n_docs
+            FROM tok GROUP BY source),
+    r AS (SELECT source, src_tokens, n_docs,
+                 least(1.0, 10.0 / sqrt(CAST(src_tokens AS DOUBLE))) AS rate
+          FROM per),
+    f AS (SELECT t.source, t.n_tok, r.src_tokens, r.n_docs, r.rate,
+                 CASE WHEN CAST(concat('0x', substr(md5(concat('tmix', CAST(t.doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000
+                           < CAST(FLOOR(r.rate * 1000000) AS BIGINT)
+                      THEN 1 ELSE 0 END AS sel
+          FROM tok t JOIN r ON t.source = r.source)
+    SELECT source, MIN(n_docs) AS n_docs, MIN(src_tokens) AS src_tokens,
+           ROUND(MIN(rate), 6) AS rate_r,
+           CAST(SUM(sel) AS BIGINT) AS n_selected,
+           CAST(SUM(sel * n_tok) AS BIGINT) AS sel_tokens
+    FROM f GROUP BY source
+    """,
+)
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source balancing (UniMax / mT5 alpha=0.5):
+    keep rate min(1, 10/sqrt(source_tokens)) per source, md5-gated per
+    doc — the sampling step that flattens a skewed source mix toward
+    sqrt-proportional token budgets. Deterministic end to end: the
+    rate is a pure function of the EXACT integer token sum, so the
+    oracle replays the selection bit-for-bit. Output: per-source mix
+    report (docs, tokens, rate, selected docs/tokens)."""
+    flagged = T.temperature_mix(load(spark, sf_dir, "documents"), scale=10.0)
+    return flagged.groupBy("source").agg(
+        F.min("n_docs").alias("n_docs"),
+        F.min("src_tokens").alias("src_tokens"),
+        F.round(F.min("rate"), 6).alias("rate_r"),
+        F.sum("sel").cast("long").alias("n_selected"),
+        F.sum(F.col("sel") * F.col("n_tok")).cast("long").alias("sel_tokens"),
+    )

@@ -47,3 +47,64 @@ def test_ivf_deterministic(spark):
     a = sorted(map(tuple, ivf_top_k(df.filter("vec_id<5"), a_assigned, a_cent, k=2).collect()))
     b = sorted(map(tuple, ivf_top_k(df.filter("vec_id<5"), b_assigned, b_cent, k=2).collect()))
     assert a == b
+
+
+def test_nearest_centroid_matches_numpy(spark):
+    from streaming_cdc_spark.operators.ann import collect_seed_centroids, nearest_centroid
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 6))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = collect_seed_centroids(df, 4)
+    out = df.select(
+        "vec_id", nearest_centroid("embedding", cents).getField("cid").alias("cid")
+    ).collect()
+    cmat = np.stack([np.array(c) for _, c in cents])
+    for r in out:
+        d = np.linalg.norm(vecs[r.vec_id] - cmat, axis=1)
+        # ties to smaller centroid id == first argmin
+        assert cents[int(np.argmin(d))][0] == r.cid
+
+
+def test_centroid_ranking_order(spark):
+    from streaming_cdc_spark.operators.ann import centroid_ranking, collect_seed_centroids
+
+    rng = np.random.default_rng(4)
+    vecs = rng.normal(size=(20, 5))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = collect_seed_centroids(df, 5)
+    out = df.select(
+        "vec_id", centroid_ranking("embedding", cents, 3).alias("probes")
+    ).collect()
+    cmat = np.stack([np.array(c) for _, c in cents])
+    cids = np.array([cid for cid, _ in cents])
+    for r in out:
+        d = np.linalg.norm(vecs[r.vec_id] - cmat, axis=1)
+        expect = [int(cids[i]) for i in np.lexsort((cids, d))[:3]]
+        assert list(r.probes) == expect
+
+
+def test_semantic_dedup_flags(spark):
+    from streaming_cdc_spark.operators.ann import semantic_dedup_flags
+
+    # two tight duplicate groups + one singleton, all in one cell
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (0, base),
+        (1, [2.0, 0.0, 0.0, 0.0]),          # same direction as 0 -> dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),          # orthogonal -> kept
+        (3, [1.000001, 0.0, 0.0, 0.0]),     # near-identical -> dup of 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, base)]  # one cell: pure pairwise semantics
+    out = {
+        r.vec_id: r.dropped
+        for r in semantic_dedup_flags(df, cents, tau=0.95).collect()
+    }
+    assert out == {0: False, 1: True, 2: False, 3: True}

@@ -23,7 +23,8 @@ def test_every_family_in_checked_window():
         "cdc_metrics": {"muc_prf", "b3_prf", "conflation_errors", "ceaf_e_prf"},
         "clustering": {"threshold_cc_clusters", "greedy_parity_clusters", "grinch_flat_clusters"},
         "dedup": {"exact_dedup_prefix", "minhash_band_candidates", "simhash_fingerprints"},
-        "ann": {"cosine_topk", "lsh_bucket_pairs", "ivf_topk"},
+        "ann": {"cosine_topk", "lsh_bucket_pairs", "ivf_topk_exact"},
+        "semantic_dedup": {"semantic_dedup"},
         "text": {"text_quality", "lang_id_confusion", "token_histogram"},
         "multimodal": {"media_stats"},
         "packing": {"sequence_packing_exact"},
