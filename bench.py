@@ -62,6 +62,10 @@ HEADLINE = [
     "semantic_dedup",
     "ivf_topk_exact",
     "temperature_mix",
+    # streaming: drains the embeddings file stream through the keyed
+    # incremental linker (availableNow); measures stateful-streaming
+    # throughput, not just batch plans
+    "ep2_streaming_clusters",
 ]
 
 

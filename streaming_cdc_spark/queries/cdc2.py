@@ -101,3 +101,61 @@ def bisect_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(round(threshold, 6), int(n_clusters))], "threshold double, n_clusters long"
     )
+
+
+@query("ep2_streaming_clusters")  # stateful streaming fold; rows-only
+def ep2_streaming_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2 streaming form end to end (nn_thresh.py:155-194 semantics):
+    the embeddings table replayed as a parquet FILE STREAM ->
+    bounded-memory incremental linker (applyInPandasWithState, cache
+    strategy, limit=64, keyed by gold label = the partitionable case)
+    -> per-key cluster summary. availableNow drains the stream to
+    completion inside the query; each micro-batch folds its rows in
+    id order, so the result is deterministic. Output: per key
+    (n_mentions, n_clusters, n_singletons). Memory per key is
+    O(limit * dim) regardless of stream length — the bounded-memory
+    claim the reference's paper makes, here as keyed streaming
+    state."""
+    import tempfile
+
+    from streaming_cdc_spark.pipelines import ep2_streaming
+    from streaming_cdc_spark.tables import load as _load
+
+    emb = _load(spark, sf_dir, "embeddings")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        # a glob (not the bare file path) so the source's basePath
+        # resolves to the sf directory, as the file source requires
+        .parquet(f"{sf_dir}/embeddings*.parquet")
+        .select(
+            F.col("label").cast("string").alias("category"),
+            F.col("vec_id").alias("mention_index"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    gold = emb.select(
+        F.col("vec_id").alias("mention_index"), F.col("label").cast("string").alias("entity_id")
+    )
+    out = ep2_streaming(
+        stream,
+        gold,
+        # synthetic embeddings are near-orthogonal (within-label p90
+        # cosine ~0.16); 0.25 makes the fold actually link and the
+        # limit=40 < 50-per-key stream makes eviction actually fire
+        threshold=0.25,
+        limit=40,
+        strategy="cache",
+        checkpoint_dir=tempfile.mkdtemp(prefix="ep2sc_ckpt_"),
+        with_metrics=False,
+    )
+    assign = out["assignments"]
+    clus = (
+        assign.join(gold, "mention_index")
+        .groupBy("entity_id", "cluster_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return clus.groupBy(F.col("entity_id").alias("key")).agg(
+        F.sum("sz").cast("long").alias("n_mentions"),
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum((F.col("sz") == 1).cast("int")).cast("long").alias("n_singletons"),
+    )
