@@ -94,6 +94,26 @@ def main() -> None:
     idf = IDF(inputCol="_c", outputCol="_i")
     Pipeline(stages=[cv, idf]).fit(tiny).transform(tiny).count()
 
+    # Python-worker warmup: the first Arrow mapInPandas stage pays
+    # worker spawn + numpy/pandas/package import (~5s across the
+    # pool) — session startup cost, not query cost; pay it here so it
+    # isn't attributed to whichever kernel query runs first
+    from streaming_cdc_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+
+    def _warm(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        import streaming_cdc_spark.operators.similarity  # noqa: F401
+
+        yield from batches
+
+    spark.range(0, 64, 1, 64).mapInPandas(_warm, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)

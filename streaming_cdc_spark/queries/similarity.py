@@ -340,12 +340,17 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector with a smaller-id same-cell neighbor above tau=0.35 (margin
     to the closest pair sim is 8.4e-5 at sf0.01). Output: per-cell
     totals. Assignment is the shuffle-free literal-centroid argmin;
-    candidates are an equi-join on cell id."""
-    from streaming_cdc_spark.operators.ann import collect_seed_centroids, semantic_dedup_flags
+    each cell scores itself with one Arrow-batched numpy matmul
+    (applyInPandas) — the candidate pair set never materializes as
+    rows."""
+    from streaming_cdc_spark.operators.ann import (
+        collect_seed_centroids,
+        semantic_dedup_flags_cells,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
     cents = collect_seed_centroids(emb, 8)
-    flags = semantic_dedup_flags(emb, cents, tau=0.35)
+    flags = semantic_dedup_flags_cells(emb, cents, tau=0.35)
     return flags.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum(F.col("dropped").cast("int")).cast("long").alias("n_dropped"),
@@ -379,35 +384,12 @@ def ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production index builder; this twin pins the probe/re-rank
     machinery with a full value-hash oracle. Min adjacent-sim gap in
     the top-4 is 1.8e-5 at sf0.01 — rank order cannot flip from
-    cross-engine float drift."""
-    from pyspark.sql import Window as W
-
-    from streaming_cdc_spark.operators.ann import (
-        centroid_ranking,
-        collect_seed_centroids,
-        nearest_centroid,
-    )
+    cross-engine float drift. Physical form: per-cell (probes x
+    members) numpy matmul via cogroup applyInPandas emitting only the
+    per-cell top-k; a final window ranks <= n_probe*k rows per query,
+    so the n^2*n_probe/k candidate volume never becomes rows."""
+    from streaming_cdc_spark.operators.ann import collect_seed_centroids, ivf_exact_top_k
 
     emb = load(spark, sf_dir, "embeddings")
     cents = collect_seed_centroids(emb, 8)
-    probes = emb.select(
-        F.col("vec_id").alias("q"),
-        F.col("embedding").alias("qv"),
-        F.explode(centroid_ranking("embedding", cents, 2)).alias("cid"),
-    )
-    corpus = emb.select(
-        F.col("vec_id").alias("neighbor"),
-        F.col("embedding").alias("nv"),
-        nearest_centroid("embedding", cents).getField("cid").alias("cid"),
-    )
-    cand = (
-        probes.join(corpus, "cid")
-        .filter(F.col("q") != F.col("neighbor"))
-        .withColumn("sim", cosine(as_double("qv"), as_double("nv")))
-    )
-    w = W.partitionBy("q").orderBy(F.desc("sim"), F.asc("neighbor"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("q", "neighbor", "rank", F.round("sim", 6).alias("sim_r"))
-    )
+    return ivf_exact_top_k(emb, cents, k=3, n_probe=2)

@@ -108,3 +108,26 @@ def test_semantic_dedup_flags(spark):
         for r in semantic_dedup_flags(df, cents, tau=0.95).collect()
     }
     assert out == {0: False, 1: True, 2: False, 3: True}
+
+
+def test_semantic_dedup_cells_matches_fold(spark):
+    """The Arrow-batched per-cell matmul path and the expression-fold
+    path produce identical flags."""
+    from streaming_cdc_spark.operators.ann import (
+        collect_seed_centroids,
+        semantic_dedup_flags,
+        semantic_dedup_flags_cells,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(80, 8))
+    vecs[40:44] = vecs[0] * 1.5  # planted dups
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = collect_seed_centroids(df, 4)
+    a = sorted(map(tuple, semantic_dedup_flags(df, cents, tau=0.8).collect()))
+    b = sorted(map(tuple, semantic_dedup_flags_cells(df, cents, tau=0.8).collect()))
+    assert a == b
+    assert any(r[2] for r in a)  # the planted dups actually drop

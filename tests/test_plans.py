@@ -103,3 +103,32 @@ def test_simhash_hamming_no_cartesian_at_table_scale(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_assign_no_expansion_no_window(spark):
+    """Literal-centroid Lloyd assignment: no join of any kind (the
+    centroid set is inlined), no argmin window — one scan, one
+    aggregate exchange."""
+    df = QUERIES["kmeans_assign"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 1
+
+
+def test_semantic_dedup_candidates_are_equi_join(spark):
+    """SemDeDup: the pairwise scan is bounded by cell equi-joins —
+    never a cartesian/broadcast-nested-loop over the corpus."""
+    from streaming_cdc_spark.plans.inspect import join_strategies
+
+    df = QUERIES["semantic_dedup"](spark, SF)
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+
+
+def test_ivf_topk_exact_probe_is_equi_join(spark):
+    df = QUERIES["ivf_topk_exact"](spark, SF)
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
