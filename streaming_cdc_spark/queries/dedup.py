@@ -292,7 +292,9 @@ def doc_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("").alias("left_context"),
         F.array_join(F.slice(toks, 5, 60), " ").alias("right_context"),
     )
-    emb = hash_encode_mentions(mentions, dim=48, context_budget=30)
+    # persist: collect side + probe side would otherwise each re-run
+    # the encoder stage
+    emb = hash_encode_mentions(mentions, dim=48, context_budget=30).persist()
     edges = cosine_self_edges(emb, 0.9, id_col="mention_index", vec_col="embedding")
     return edges.select(
         F.col("u").alias("doc_a"),
@@ -450,7 +452,9 @@ def ep2_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("").alias("left_context"),
         F.array_join(F.slice(toks, 5, 60), " ").alias("right_context"),
     )
-    emb = hash_encode_mentions(mentions, dim=48, context_budget=30)
+    # persist: the kernel's collect side and probe side otherwise
+    # each re-run the encoder stage
+    emb = hash_encode_mentions(mentions, dim=48, context_budget=30).persist()
     assign = threshold_clusters(emb, 0.9, id_col="mention_index", vec_col="embedding")
     joined = assign.join(
         docs.select(F.col("doc_id").alias("mention_index"), "lang"), "mention_index"

@@ -187,3 +187,27 @@ def test_grinch_stream_service_matches_offline(spark, tmp_path):
         len([1 for _, c in got.items() if c == cid]) for cid in set(got.values())
     )
     assert sizes == [8, 8, 8]
+
+
+def test_grinch_per_key_purity_golden(spark):
+    """Per-key trees preserve per-key dendrogram purity: each key gets
+    well-separated clusters -> purity ~1.0 per key, and a deliberately
+    label-shuffled key scores strictly lower (the fixture-tree golden
+    logic applied per key)."""
+    good = clustered_vectors()
+    # shuffled labels: same geometry, labels decoupled from structure
+    # (i%2 alternates WITHIN each i%3 geometric cluster, so every
+    # cluster holds a label mix — a pure relabeling like (i+1)%3
+    # would keep purity at 1.0)
+    bad = [(i, v, ["x", "y"][i % 2]) for i, (_, v, _) in enumerate(good)]
+    rows = [("good", i, v, lab) for i, v, lab in good] + [
+        ("bad", i + 1000, v, lab) for i, v, lab in bad
+    ]
+    df = spark.createDataFrame(rows, "cat string, vec_id long, embedding array<double>, label string")
+    edges = grinch_per_key(df, key_col="cat", id_col="vec_id", label_col="label").persist()
+    purities = {}
+    for key in ("good", "bad"):
+        p = dendrogram_purity_df(edges.filter(edges.key == key).drop("key")).first()["purity"]
+        purities[key] = p
+    assert purities["good"] > 0.95
+    assert purities["bad"] < purities["good"]
