@@ -51,6 +51,7 @@ HEADLINE = [
     "lang_id_confusion",
     "ngram_repetition_stats",
     "near_dup_resolution",
+    "minhash_dedup_groups",
     "quality_filter",
     "doc_chunks",
     "sequence_packing",

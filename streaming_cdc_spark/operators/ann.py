@@ -213,14 +213,10 @@ def semantic_dedup_flags_cells(
     corpus scale. Cell size is the task-memory bound: grow k with the
     corpus (SemDeDup uses n/k ~ 1e4); AQE skew-join handles hot cells.
     """
-    from streaming_cdc_spark.session import ensure_package_on_executors, fan_out
+    from streaming_cdc_spark.session import ensure_package_on_executors
 
     ensure_package_on_executors(df.sparkSession)
-    best = fan_out(df).select(
-        F.col(id_col).cast("long").alias("_id"),
-        F.col(vec_col).alias("_v"),
-        nearest_centroid(vec_col, centroids).getField("cid").alias("cid"),
-    )
+    best = assign_cells(df, centroids, id_col, vec_col, out_id="_id")
 
     def score(key, pdf):
         ids = pdf["_id"].to_numpy()
@@ -229,10 +225,18 @@ def semantic_dedup_flags_cells(
         mat = np.stack(pdf["_v"].to_numpy()[order]).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0.0] = 1.0
-        sims = (mat / norms) @ (mat / norms).T
-        # dropped(j) = exists i<j (id-sorted) with sim > tau
-        upper = np.triu(sims > tau, k=1)
-        dropped = upper.any(axis=0)
+        mat = mat / norms
+        n = len(ids)
+        # dropped(j) = exists i<j (id-sorted) with sim > tau.
+        # Column-chunked: peak memory O(n * block), not O(n^2) — a
+        # skewed cell must not hold its full similarity matrix.
+        block = 1024
+        dropped = np.zeros(n, dtype=bool)
+        for s0 in range(0, n, block):
+            s1 = min(s0 + block, n)
+            simb = mat[:s1] @ mat[s0:s1].T
+            lt = np.arange(s1)[:, None] < np.arange(s0, s1)[None, :]
+            dropped[s0:s1] = (lt & (simb > tau)).any(axis=0)
         return pd.DataFrame(
             {"vec_id": ids, "cid": int(key[0]), "dropped": dropped}
         )
@@ -258,19 +262,11 @@ def ivf_exact_top_k(
     per-cell top-k rows (n * n_probe * k) reach the shuffle."""
     from pyspark.sql import Window as W
 
-    from streaming_cdc_spark.session import ensure_package_on_executors, fan_out
+    from streaming_cdc_spark.session import ensure_package_on_executors
 
     ensure_package_on_executors(df.sparkSession)
-    probes = fan_out(df).select(
-        F.col(id_col).cast("long").alias("q"),
-        F.col(vec_col).alias("qv"),
-        F.explode(centroid_ranking(vec_col, centroids, n_probe)).alias("cid"),
-    )
-    corpus = fan_out(df).select(
-        F.col(id_col).cast("long").alias("neighbor"),
-        F.col(vec_col).alias("nv"),
-        nearest_centroid(vec_col, centroids).getField("cid").alias("cid"),
-    )
+    probes = probe_cells_ranked(df, centroids, n_probe, id_col, vec_col, out_id="q")
+    corpus = assign_cells(df, centroids, id_col, vec_col, out_id="neighbor")
 
     def _norm(col):
         mat = np.stack(col.to_numpy()).astype(np.float64)
@@ -283,18 +279,40 @@ def ivf_exact_top_k(
             return pd.DataFrame({"q": [], "neighbor": [], "sim": []}).astype(
                 {"q": "int64", "neighbor": "int64", "sim": "float64"}
             )
-        q_ids = left["q"].to_numpy()
+        q_all = left["q"].to_numpy()
         n_ids = right["neighbor"].to_numpy()
-        sims = _norm(left["qv"]) @ _norm(right["nv"]).T
+        C = _norm(right["_v"])
+        n_cand = len(n_ids)
         out_q, out_n, out_s = [], [], []
-        for i in range(len(q_ids)):
-            row = sims[i]
-            mask = n_ids != q_ids[i]
-            cand = np.nonzero(mask)[0]
-            top = cand[np.lexsort((n_ids[cand], -row[cand]))][:k]
-            out_q.extend([q_ids[i]] * len(top))
-            out_n.extend(n_ids[top])
-            out_s.extend(row[top])
+        # probe-chunked: peak memory O(block * members), not
+        # O(probes * members) — a skewed cell must not hold its full
+        # similarity matrix (32 concurrent 1 GB tasks thrash)
+        block = 1024
+        for b0 in range(0, len(left), block):
+            lb = left.iloc[b0 : b0 + block]
+            q_ids = q_all[b0 : b0 + block]
+            sims = _norm(lb["_v"]) @ C.T
+            # self-pairs out of contention before selection
+            sims[q_ids[:, None] == n_ids[None, :]] = -np.inf
+            if n_cand > k:
+                # O(c) top-k per row: argpartition for the kth value,
+                # then take EVERY candidate >= kth (exact under sim
+                # ties) and rank only that tiny set by (-sim, neighbor)
+                part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+            for i in range(len(q_ids)):
+                row = sims[i]
+                if n_cand > k:
+                    kth = row[part[i]].min()
+                    # the -inf guard matters when a row has < k real
+                    # candidates: kth is then -inf and plain >= would
+                    # resurrect the masked self-pairs
+                    cand = np.nonzero((row >= kth) & (row > -np.inf))[0]
+                else:
+                    cand = np.nonzero(row > -np.inf)[0]
+                top = cand[np.lexsort((n_ids[cand], -row[cand]))][:k]
+                out_q.extend([q_ids[i]] * len(top))
+                out_n.extend(n_ids[top])
+                out_s.extend(row[top])
         return pd.DataFrame({"q": out_q, "neighbor": out_n, "sim": out_s})
 
     cand = (
@@ -308,3 +326,107 @@ def ivf_exact_top_k(
         .filter(F.col("rank") <= k)
         .select("q", "neighbor", "rank", F.round("sim", 6).alias("sim_r"))
     )
+
+
+# Above this many centroids the inlined-literal expression (O(k*dim)
+# interpreted work per row) loses to one numpy (rows x dim) @ (dim x k)
+# matmul per Arrow batch. k grows with the corpus (cells stay ~const
+# size), so the large-k path is what runs at scale.
+LITERAL_CENTROID_MAX = 32
+
+
+def _centroid_arrays(centroids: list[tuple[int, list[float]]]):
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+    cmat = np.stack([np.asarray(c, dtype=np.float64) for _, c in centroids])
+    order = np.argsort(cids, kind="stable")
+    return cids[order], cmat[order]
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+) -> DataFrame:
+    """(out_id, vec_col, cid): each vector's nearest centroid by L2,
+    ties to the smaller centroid id. k <= LITERAL_CENTROID_MAX uses
+    the shuffle-free literal expression (JVM, codegen); larger k uses
+    one numpy distance matmul per Arrow batch — same result, linear
+    in k instead of the k-expressions-per-row interpreted cost."""
+    from streaming_cdc_spark.session import ensure_package_on_executors, fan_out
+
+    base = fan_out(df).select(
+        F.col(id_col).cast("long").alias(out_id), F.col(vec_col).alias("_v")
+    )
+    if len(centroids) <= LITERAL_CENTROID_MAX:
+        return base.withColumn("cid", nearest_centroid("_v", centroids).getField("cid"))
+    ensure_package_on_executors(df.sparkSession)
+    cids, cmat = _centroid_arrays(centroids)
+    bc = df.sparkSession.sparkContext.broadcast((cids, cmat))
+
+    def gen(batches):
+        c_ids, c_mat = bc.value
+        c_sq = (c_mat * c_mat).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            # ||a-c||^2 = ||a||^2 + ||c||^2 - 2 a.c ; argmin over the
+            # cid-sorted axis -> first minimum == smallest cid on ties
+            d2 = c_sq[None, :] - 2.0 * (a @ c_mat.T)
+            best = np.argmin(d2, axis=1)
+            out = pdf[[out_id]].copy()
+            out["_v"] = pdf["_v"]
+            out["cid"] = c_ids[best]
+            yield out
+
+    return base.mapInPandas(gen, f"{out_id} long, _v array<double>, cid long")
+
+
+def probe_cells_ranked(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+) -> DataFrame:
+    """(out_id, vec_col, cid) with one row per probed cell — the
+    n_probe nearest centroids per vector. Same literal/numpy strategy
+    switch as assign_cells."""
+    from streaming_cdc_spark.session import ensure_package_on_executors, fan_out
+
+    base = fan_out(df).select(
+        F.col(id_col).cast("long").alias(out_id), F.col(vec_col).alias("_v")
+    )
+    if len(centroids) <= LITERAL_CENTROID_MAX:
+        return base.select(
+            out_id, "_v", F.explode(centroid_ranking("_v", centroids, n_probe)).alias("cid")
+        )
+    ensure_package_on_executors(df.sparkSession)
+    cids, cmat = _centroid_arrays(centroids)
+    bc = df.sparkSession.sparkContext.broadcast((cids, cmat))
+
+    def gen(batches):
+        c_ids, c_mat = bc.value
+        c_sq = (c_mat * c_mat).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            d2 = c_sq[None, :] - 2.0 * (a @ c_mat.T)
+            # stable argsort on (d2, cid-order axis): ties -> smaller cid
+            top = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+            n = len(pdf)
+            rep = np.repeat(np.arange(n), n_probe)
+            out = pd.DataFrame(
+                {
+                    out_id: pdf[out_id].to_numpy()[rep],
+                    "_v": pdf["_v"].to_numpy()[rep],
+                    "cid": c_ids[top.ravel()],
+                }
+            )
+            yield out
+
+    return base.mapInPandas(gen, f"{out_id} long, _v array<double>, cid long")

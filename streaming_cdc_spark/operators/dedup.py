@@ -565,3 +565,44 @@ def span_dedup(
         F.sum(F.when(F.col("_keep"), 1).otherwise(0)).cast("long").alias("n_kept_spans"),
         F.sum(F.when(F.col("_keep"), F.col("n_tok")).otherwise(0)).cast("long").alias("kept_tokens"),
     )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    num_hashes: int = 4,
+    rows_per_band: int = 1,
+    jaccard_threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The full production MinHash dedup chain as ONE operator:
+    banded-LSH candidates -> exact-Jaccard verify ON CANDIDATES ONLY
+    -> connected components -> min-id canonical per duplicate group.
+    Returns (id_col, cluster_id); cluster_id is the canonical doc.
+
+    This is the scale shape (Lee et al. 2022 / RefinedWeb dedup):
+    every stage is an equi-join or bounded-pair verify — the exact
+    verify touches only pairs sharing a band bucket (recall traded at
+    the LSH step and ONLY there), so the n^2 comparison never runs.
+    """
+    from streaming_cdc_spark.operators.clustering import connected_components
+    from streaming_cdc_spark.session import fan_out
+
+    cand = minhash_band_candidates(docs, num_hashes, rows_per_band, id_col, text_col)
+    shset = fan_out(docs.select(F.col(id_col), tokens(text_col).alias("_t"))).select(
+        F.col(id_col), F.array_distinct(word_shingles(F.col("_t"))).alias("_sh")
+    )
+    a = shset.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sha"))
+    b = shset.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_shb"))
+    joined = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("_i", F.size(F.array_intersect("_sha", "_shb")).cast("double"))
+    )
+    jac = F.col("_i") / (
+        F.size("_sha").cast("double") + F.size("_shb").cast("double") - F.col("_i")
+    )
+    verified = joined.filter(jac >= F.lit(jaccard_threshold)).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    return connected_components(docs.select(id_col), verified, id_col=id_col)

@@ -535,3 +535,66 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     token budget."""
     docs = load(spark, sf_dir, "documents")
     return D.span_dedup(docs, span_tokens=8)
+
+
+@query(
+    "minhash_dedup_groups",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SHINGLES},
+    mh AS (SELECT doc_id,
+                  MIN({_md5i("concat('0|', shingle)")}) AS h0,
+                  MIN({_md5i("concat('1|', shingle)")}) AS h1,
+                  MIN({_md5i("concat('2|', shingle)")}) AS h2,
+                  MIN({_md5i("concat('3|', shingle)")}) AS h3
+           FROM sh GROUP BY doc_id),
+    bands AS (SELECT doc_id, UNNEST([concat('0_', h0), concat('1_', h1),
+                                     concat('2_', h2), concat('3_', h3)]) AS bucket
+              FROM mh),
+    cand AS (SELECT DISTINCT a.doc_id AS u, c.doc_id AS v
+             FROM bands a JOIN bands c ON a.bucket = c.bucket AND a.doc_id < c.doc_id),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT cand.u, cand.v, COUNT(*) AS i
+              FROM cand JOIN sh x ON x.doc_id = cand.u
+                        JOIN sh y ON y.doc_id = cand.v AND x.shingle = y.shingle
+              GROUP BY 1, 2),
+    ver AS (SELECT u, v FROM inter JOIN sz sa ON sa.doc_id = u JOIN sz sb ON sb.doc_id = v
+            WHERE i / (sa.n + sb.n - i) >= 0.2),
+    edges AS (SELECT u, v FROM ver UNION ALL SELECT v, u FROM ver),
+    reach(v, l) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.v),
+    assign AS (SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v)
+    SELECT cluster_id, COUNT(*) AS n_members,
+           CAST(SUM(CASE WHEN d.doc_id <> cluster_id THEN d.n_chars ELSE 0 END) AS BIGINT)
+               AS removed_chars
+    FROM assign JOIN documents d USING (doc_id)
+    GROUP BY cluster_id HAVING COUNT(*) > 1
+    """,
+)
+def minhash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE MinHash dedup pipeline, differential-checked end
+    to end: banded LSH candidates -> exact-Jaccard verify on candidate
+    pairs ONLY -> connected components -> min-id canonical. Output:
+    each duplicate group's canonical id, size, and the chars a dedup
+    pass would remove. The n^2 comparison never runs — recall is
+    traded exactly once (at the banding step), and the oracle replays
+    that same trade, so the check pins the LSH config too."""
+    from streaming_cdc_spark.operators.dedup import minhash_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    assign = minhash_dedup(docs, num_hashes=4, rows_per_band=1, jaccard_threshold=0.2)
+    return (
+        assign.join(load(spark, sf_dir, "documents").select("doc_id", "n_chars"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("cluster_id"), F.col("n_chars")).otherwise(0)
+            )
+            .cast("long")
+            .alias("removed_chars"),
+        )
+        .filter(F.col("n_members") > 1)
+    )

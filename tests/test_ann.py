@@ -1,6 +1,7 @@
 """IVF ANN: recall against brute force on clustered data."""
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from streaming_cdc_spark.operators.ann import fit_ivf_index, ivf_top_k
 
@@ -131,3 +132,64 @@ def test_semantic_dedup_cells_matches_fold(spark):
     b = sorted(map(tuple, semantic_dedup_flags_cells(df, cents, tau=0.8).collect()))
     assert a == b
     assert any(r[2] for r in a)  # the planted dups actually drop
+
+
+def test_assign_cells_numpy_path_matches_literal(spark):
+    """Above LITERAL_CENTROID_MAX the assignment switches to the
+    Arrow-batched argmin — same cells as the literal expression."""
+    from streaming_cdc_spark.operators import ann
+
+    rng = np.random.default_rng(21)
+    vecs = rng.normal(size=(120, 6))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = ann.collect_seed_centroids(df, 40)  # > LITERAL_CENTROID_MAX
+    assert len(cents) > ann.LITERAL_CENTROID_MAX
+    got = sorted(
+        map(tuple, ann.assign_cells(df, cents, "vec_id", "embedding", "_id")
+            .select("_id", "cid").collect())
+    )
+    lit = sorted(
+        map(
+            tuple,
+            df.select(
+                F.col("vec_id").alias("_id"),
+                ann.nearest_centroid("embedding", cents).getField("cid").alias("cid"),
+            ).collect(),
+        )
+    )
+    assert got == lit
+
+    probes = sorted(
+        map(tuple, ann.probe_cells_ranked(df, cents, 2, "vec_id", "embedding", "q")
+            .select("q", "cid").collect())
+    )
+    lit_probes = sorted(
+        map(
+            tuple,
+            df.select(
+                F.col("vec_id").alias("q"),
+                F.explode(ann.centroid_ranking("embedding", cents, 2)).alias("cid"),
+            ).collect(),
+        )
+    )
+    assert probes == lit_probes
+
+
+def test_ivf_exact_topk_small_cell_no_self(spark):
+    """A cell with fewer than k real candidates must not resurrect
+    masked self-pairs through the -inf kth boundary."""
+    from streaming_cdc_spark.operators.ann import collect_seed_centroids, ivf_exact_top_k
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = collect_seed_centroids(df, 2)
+    out = ivf_exact_top_k(df, cents, k=3, n_probe=1).collect()
+    assert all(r.q != r.neighbor for r in out)
+    assert all(np.isfinite(r.sim_r) for r in out)

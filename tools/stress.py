@@ -38,6 +38,17 @@ def synth_docs(spark, n: int, tokens_per_doc: int = 100, vocab: int = 1000):
     )
 
 
+def synth_embeddings(spark, n: int, dim: int = 32):
+    """Deterministic synthetic embeddings, generated distributed."""
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    comp = lambda j: (  # noqa: E731
+        F.pmod(F.xxhash64(F.col("vec_id"), j), F.lit(2000)).cast("double") / 1000.0 - 1.0
+    )
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), F.transform(idx, comp).alias("embedding")
+    )
+
+
 def main() -> None:
     n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     n_big = int(sys.argv[2]) if len(sys.argv) > 2 else 400_000
@@ -74,6 +85,30 @@ def main() -> None:
             fn(docs).write.format("noop").mode("overwrite").save()
             results.setdefault(name, []).append(round(time.time() - t0, 2))
         docs.unpersist()
+
+        # embedding-space operators: cells sized ~1.5k vectors (k grows
+        # with n — the SemDeDup scale knob), n_probe=2 IVF
+        from streaming_cdc_spark.operators.ann import (
+            collect_seed_centroids,
+            ivf_exact_top_k,
+            semantic_dedup_flags_cells,
+        )
+
+        emb = synth_embeddings(spark, n).persist()
+        emb.count()
+        k_cells = max(8, n // 1500)
+        cents = collect_seed_centroids(emb, k_cells)
+        t0 = time.time()
+        semantic_dedup_flags_cells(emb, cents, tau=0.9).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        results.setdefault("semantic_dedup", []).append(round(time.time() - t0, 2))
+        t0 = time.time()
+        ivf_exact_top_k(emb, cents, k=3, n_probe=2).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        results.setdefault("ivf_exact_topk", []).append(round(time.time() - t0, 2))
+        emb.unpersist()
 
     scale = n_big / n_small
     print(f"\nn_small={n_small} n_big={n_big} (size ratio {scale:.1f}x)")
