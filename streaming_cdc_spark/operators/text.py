@@ -337,8 +337,11 @@ def ngram_repetition(
     dup_ngram_frac[6dp]). Same n-gram construction as the dedup
     shingles (positions 1..greatest(len-(n-1), 1), try_element_at for
     short docs) but WITHOUT the distinct — repetition needs
-    multiplicities. Two partial-aggregated shuffles ((id, ngram) then
-    id); linear in corpus size.
+    multiplicities. ZERO shuffles: the statistic is doc-local, so it
+    folds over the per-row n-gram array (array_sort + run-length
+    aggregate) instead of exploding the corpus into (id, ngram) rows —
+    at 400k docs that explode+groupBy shuffled 40M rows for what one
+    map stage computes.
     """
     from streaming_cdc_spark.session import fan_out
 
@@ -348,15 +351,39 @@ def ngram_repetition(
         idx,
         lambda i: F.concat_ws(" ", *[F.try_element_at(F.col("_t"), i + F.lit(j)) for j in range(n)]),
     )
-    g = toks.select(id_col, F.explode(grams).alias("ngram"))
-    per = g.groupBy(id_col, "ngram").agg(F.count(F.lit(1)).alias("c"))
-    return per.groupBy(id_col).agg(
-        F.sum("c").alias("n_ngrams"),
-        F.count(F.lit(1)).alias("n_distinct_ngrams"),
-        F.max("c").alias("top_ngram_count"),
+    # materialize shared arrays FIRST: lambdas re-evaluate inline
+    # expressions per element
+    base = toks.select(id_col, grams.alias("_g")).select(
+        id_col, "_g", F.array_sort("_g").alias("_gs")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc.getField("prev"), acc.getField("run") + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.getField("best"), run).alias("best"),
+        )
+
+    top = F.aggregate(
+        F.col("_gs"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        step,
+        lambda acc: acc.getField("best"),
+    )
+    n_ngrams = F.size("_g").cast("long")
+    n_distinct = F.size(F.array_distinct("_g")).cast("long")
+    return base.select(
+        F.col(id_col),
+        n_ngrams.alias("n_ngrams"),
+        n_distinct.alias("n_distinct_ngrams"),
+        top.alias("top_ngram_count"),
         F.round(
-            F.lit(1.0)
-            - F.count(F.lit(1)).cast("double") / F.sum("c").cast("double"),
+            F.lit(1.0) - n_distinct.cast("double") / n_ngrams.cast("double"),
             6,
         ).alias("dup_ngram_frac"),
     )
