@@ -132,3 +132,12 @@ def test_ivf_topk_exact_probe_is_equi_join(spark):
     strategies = join_strategies(df)
     assert "CartesianProduct" not in strategies
     assert "BroadcastNestedLoopJoin" not in strategies
+
+
+def test_ngram_repetition_no_aggregate_shuffle(spark):
+    """Doc-local statistic: no hash-partitioned Exchange (the only
+    allowed exchange is fan_out's round-robin repartition of the
+    narrow scan)."""
+    df = QUERIES["ngram_repetition_stats"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan
