@@ -588,10 +588,28 @@ def minhash_dedup(
     from streaming_cdc_spark.operators.clustering import connected_components
     from streaming_cdc_spark.session import fan_out
 
-    cand = minhash_band_candidates(docs, num_hashes, rows_per_band, id_col, text_col)
-    shset = fan_out(docs.select(F.col(id_col), tokens(text_col).alias("_t"))).select(
-        F.col(id_col), F.array_distinct(word_shingles(F.col("_t"))).alias("_sh")
+    # ONE corpus scan: the shingle arrays feed both the signatures
+    # (banding) and the exact verify — persisted so neither side
+    # re-derives them
+    shset = (
+        fan_out(docs.select(F.col(id_col), tokens(text_col).alias("_t")))
+        .select(F.col(id_col), F.array_distinct(word_shingles(F.col("_t"))).alias("_sh"))
+        .persist()
     )
+
+    def hasher(salt):
+        # single-argument lambda: a second (even defaulted) parameter
+        # would receive the ARRAY INDEX
+        return lambda g: md5_long(g, salt=salt)
+
+    sig = shset.select(
+        id_col,
+        *[
+            F.array_min(F.transform(F.col("_sh"), hasher(f"{i}|"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    cand = _band_join(sig, num_hashes, rows_per_band, id_col)
     a = shset.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sha"))
     b = shset.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_shb"))
     joined = (

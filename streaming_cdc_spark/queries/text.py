@@ -518,3 +518,35 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sel").cast("long").alias("n_selected"),
         F.sum(F.col("sel") * F.col("n_tok")).cast("long").alias("sel_tokens"),
     )
+
+
+@query(
+    "length_curriculum",
+    oracle="""
+    WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+    b AS (SELECT doc_id, n_tok, length(bin(n_tok)) AS bucket FROM t)
+    SELECT bucket, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS bucket_tokens,
+           MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok
+    FROM b GROUP BY bucket
+    """,
+)
+def length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-based curriculum binning: documents bucketed by the BIT
+    LENGTH of their token count (power-of-two bands — the shortest
+    docs train first in a length curriculum). Bit length via integer
+    base-2 string conversion, so both engines bucket by exact integer
+    semantics — no floating log2 at the band edges. Per bucket: doc
+    count, token budget, token range."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    b = docs.select(
+        n_tok.alias("n_tok"),
+        F.length(F.conv(n_tok.cast("string"), 10, 2)).cast("long").alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("bucket_tokens"),
+        F.min("n_tok").cast("long").alias("min_tok"),
+        F.max("n_tok").cast("long").alias("max_tok"),
+    )
