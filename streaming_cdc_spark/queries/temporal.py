@@ -196,3 +196,37 @@ def robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("d") > 3 * 1.4826 * F.col("mad_r"), 1).otherwise(0)
         ).cast("long").alias("n_outliers")
     )
+
+
+@query(
+    "scd2_user_value",
+    oracle="""
+    SELECT user_id,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(LEAD(ts) OVER w) AS valid_to_us,
+           ROUND(value, 2) AS value_r,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM events WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from an event stream: each
+    event opens a version valid [ts, next_ts) per user; the latest
+    version stays open (is_current). The CDC-materialization step a
+    warehouse runs over change streams — one keyed window, no global
+    sort. Validity bounds as exact epoch microseconds (unix_micros /
+    epoch_us) so both engines compare integers, not rendered
+    timestamps."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
+        F.round("value", 2).alias("value_r"),
+        nxt.isNull().alias("is_current"),
+    )
