@@ -60,6 +60,10 @@ HEADLINE = [
     "corpus_diff_status",
     "user_sessions",
     "kmeans_assign",
+    # EP3: sequential GRINCH build (driver, 5000 pts) + the per-key
+    # scalable form (independent trees via applyInPandas)
+    "grinch_flat_clusters",
+    "grinch_per_key_trees",
     "semantic_dedup",
     "ivf_topk_exact",
     "temperature_mix",

@@ -324,7 +324,7 @@ def top_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "orders_by_month",
     oracle="""
-    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+    SELECT strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m') AS order_month,
            COUNT(*) AS n_orders,
            ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
     FROM orders
@@ -332,10 +332,14 @@ def top_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date bucketing (R6 sort-by-date, preprocess_medmentions.py:108)."""
+    """Date bucketing (R6 sort-by-date, preprocess_medmentions.py:108).
+    The month is emitted as a 'YYYY-MM' STRING: date-typed outputs
+    render differently across pandas fetch paths (datetime.date
+    objects vs datetime64 '... 00:00:00'), which hash-mismatches even
+    when values agree."""
     orders = load(spark, sf_dir, "orders")
     return (
-        orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month"))
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
         .agg(
             F.count("*").alias("n_orders"),
             F.round(F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 2).alias("total_price"),
