@@ -206,6 +206,51 @@ def token_budget_selection(
     )
 
 
+def quality_decile_bins(
+    docs: DataFrame,
+    n_bins: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-decile curriculum binning: rank every document by a
+    quality score (type-token ratio — distinct tokens / tokens, the
+    lexical-diversity signal quality filters use) and assign decile
+    ``floor(n_bins * (rank-1) / N)`` — the binning step of a
+    quality-ordered curriculum (lowest decile = weakest documents).
+
+    Determinism: the score is ONE IEEE division of two exact integers
+    (bit-identical across engines — no order-dependent float
+    reduction), the rank is a total order (score, id), and the decile
+    is exact-integer arithmetic whose double quotient is correctly
+    rounded, so FLOOR agrees everywhere. Scale: the global rank runs
+    as the two-pass range-partitioned form (operators.ranking) — one
+    range shuffle, never a single-partition window; the doc total
+    joins back as a broadcast scalar. At 100 TB an approxQuantile
+    threshold pass would replace the exact rank (driver-sized
+    thresholds, no global order needed), at the price of the exact
+    oracle.
+
+    Output: one row per doc (id, n_tok, ttr, decile)."""
+    from streaming_cdc_spark.operators.ranking import row_number_global
+
+    t = tokens(text_col)
+    scored = docs.select(
+        F.col(id_col),
+        F.size(t).cast("long").alias("n_tok"),
+        (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias("ttr"),
+    )
+    ranked = row_number_global(scored, ["ttr", id_col], "_rnk")
+    total = scored.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(
+            "decile",
+            F.floor(F.lit(n_bins) * (F.col("_rnk") - 1) / F.col("_n")).cast("long"),
+        )
+        .drop("_rnk", "_n")
+    )
+
+
 def hash_sample(
     df: DataFrame, rate_pct: int, key_col: str = "doc_id", salt: str = "sample"
 ) -> DataFrame:

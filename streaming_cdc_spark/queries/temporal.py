@@ -203,7 +203,7 @@ def robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            epoch_us(ts) AS valid_from_us,
-           epoch_us(LEAD(ts) OVER w) AS valid_to_us,
+           COALESCE(epoch_us(LEAD(ts) OVER w), 253402214400000000) AS valid_to_us,
            ROUND(value, 2) AS value_r,
            (LEAD(ts) OVER w IS NULL) AS is_current
     FROM events WHERE user_id < 20
@@ -217,7 +217,9 @@ def scd2_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse runs over change streams — one keyed window, no global
     sort. Validity bounds as exact epoch microseconds (unix_micros /
     epoch_us) so both engines compare integers, not rendered
-    timestamps."""
+    timestamps; the open version closes at the 9999-12-31 sentinel
+    (a NULL bound would fetch as pandas float64 on the DuckDB side —
+    the audit_types hazard)."""
     from pyspark.sql import Window as W
 
     ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
@@ -226,7 +228,9 @@ def scd2_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id",
         F.unix_micros("ts").alias("valid_from_us"),
-        F.unix_micros(nxt).alias("valid_to_us"),
+        F.coalesce(F.unix_micros(nxt), F.lit(253402214400000000)).alias(
+            "valid_to_us"
+        ),
         F.round("value", 2).alias("value_r"),
         nxt.isNull().alias("is_current"),
     )

@@ -550,3 +550,44 @@ def length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_tok").cast("long").alias("min_tok"),
         F.max("n_tok").cast("long").alias("max_tok"),
     )
+
+
+@query(
+    "quality_decile_curriculum",
+    oracle="""
+    WITH s AS (SELECT doc_id,
+                      len(string_split(text, ' ')) AS n_tok,
+                      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                        / len(string_split(text, ' ')) AS ttr
+               FROM documents),
+    r AS (SELECT doc_id, n_tok, ttr,
+                 ROW_NUMBER() OVER (ORDER BY ttr, doc_id) AS rnk,
+                 COUNT(*) OVER () AS n
+          FROM s)
+    SELECT CAST(FLOOR((10 * (rnk - 1)) / n) AS BIGINT) AS decile,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS decile_tokens,
+           ROUND(MIN(ttr), 6) AS min_ttr_r,
+           ROUND(MAX(ttr), 6) AS max_ttr_r
+    FROM r GROUP BY decile
+    """,
+)
+def quality_decile_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile curriculum: documents ranked by type-token
+    ratio and binned into 10 equal-frequency deciles — the binning a
+    quality-ordered training curriculum feeds from (train on the top
+    deciles first / weight deciles differently). Exact-rank form with
+    a full oracle: the score is one int/int IEEE division (no float
+    reduction), the rank a total order via the two-pass
+    range-partitioned row_number (never a single-partition window).
+    Per decile: doc count, token budget, score range."""
+    from streaming_cdc_spark.operators.text import quality_decile_bins
+
+    docs = load(spark, sf_dir, "documents")
+    binned = quality_decile_bins(docs, n_bins=10)
+    return binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("decile_tokens"),
+        F.round(F.min("ttr"), 6).alias("min_ttr_r"),
+        F.round(F.max("ttr"), 6).alias("max_ttr_r"),
+    )
