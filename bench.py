@@ -67,10 +67,12 @@ HEADLINE = [
     "semantic_dedup",
     "ivf_topk_exact",
     "temperature_mix",
-    # streaming: drains the embeddings file stream through the keyed
-    # incremental linker (availableNow); measures stateful-streaming
-    # throughput, not just batch plans
-    "ep2_streaming_clusters",
+    # streaming: drains the embeddings stream through the keyed
+    # incremental linker as FOUR micro-batches (maxFilesPerTrigger=1)
+    # so per-batch state-store write/reload is measured, not just the
+    # in-memory fold (r3: replaces the single-drain entry, which
+    # stays registered)
+    "ep2_streaming_multibatch",
 ]
 
 

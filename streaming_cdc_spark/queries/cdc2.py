@@ -159,3 +159,76 @@ def ep2_streaming_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum((F.col("sz") == 1).cast("int")).cast("long").alias("n_singletons"),
     )
+
+
+@query("ep2_streaming_multibatch")  # stateful streaming fold; rows-only
+def ep2_streaming_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ep2_streaming_clusters with the stream FORCED through multiple
+    micro-batches (maxFilesPerTrigger=1 over four id-range splits), so
+    the keyed linker state is written to the state store at each batch
+    boundary and reloaded by the next — the carry-over path a real
+    24/7 stream exercises, which the single-file availableNow drain
+    never leaves Python memory for. The splits are written in id
+    order (the file source picks oldest-mtime first), so the global
+    fold order equals the single-batch run and the output is
+    IDENTICAL to ep2_streaming_clusters — pinned by
+    tests/test_streaming.py. Production would point the reader at an
+    arriving directory or Kafka topic; the split-write here only
+    builds the multi-file fixture."""
+    import os
+    import tempfile
+
+    from streaming_cdc_spark.pipelines import ep2_streaming
+    from streaming_cdc_spark.tables import load as _load
+
+    emb = _load(spark, sf_dir, "embeddings")
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    src_dir = tempfile.mkdtemp(prefix="ep2mb_src_")
+    n_splits = 4
+    step = (hi - lo + n_splits) // n_splits
+    for i in range(n_splits):
+        part = emb.filter(
+            (F.col("vec_id") >= lo + i * step) & (F.col("vec_id") < lo + (i + 1) * step)
+        )
+        path = os.path.join(src_dir, f"split_{i}")
+        part.coalesce(1).write.parquet(path)
+        # the file source admits oldest-modification-time first: pin
+        # split i strictly older than split i+1 so batch order == id
+        # order regardless of write speed / fs timestamp granularity
+        for root, _dirs, files in os.walk(path):
+            for f_ in files:
+                os.utime(os.path.join(root, f_), (1_000_000 + i, 1_000_000 + i))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/split_*/*.parquet")
+        .select(
+            F.col("label").cast("string").alias("category"),
+            F.col("vec_id").alias("mention_index"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    gold = emb.select(
+        F.col("vec_id").alias("mention_index"),
+        F.col("label").cast("string").alias("entity_id"),
+    )
+    out = ep2_streaming(
+        stream,
+        gold,
+        threshold=0.25,
+        limit=40,
+        strategy="cache",
+        checkpoint_dir=tempfile.mkdtemp(prefix="ep2mb_ckpt_"),
+        with_metrics=False,
+    )
+    assign = out["assignments"]
+    clus = (
+        assign.join(gold, "mention_index")
+        .groupBy("entity_id", "cluster_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return clus.groupBy(F.col("entity_id").alias("key")).agg(
+        F.sum("sz").cast("long").alias("n_mentions"),
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum((F.col("sz") == 1).cast("int")).cast("long").alias("n_singletons"),
+    )

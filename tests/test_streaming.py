@@ -147,3 +147,15 @@ def test_transform_with_state_linker_matches_offline(spark, tmp_path):
     rows = mention_rows()
     got = run_stream_tws(spark, tmp_path, [rows[:2], rows[2:4], rows[4:]])
     assert got == offline_fold(rows)
+
+
+def test_ep2_multibatch_query_equals_single_batch(spark):
+    """The registry-level multi-batch variant (4 id-range files,
+    maxFilesPerTrigger=1) must reproduce the single-drain query
+    exactly: batch order == id order, state carried between batches."""
+    from streaming_cdc_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    single = {tuple(r) for r in QUERIES["ep2_streaming_clusters"](spark, sf).collect()}
+    multi = {tuple(r) for r in QUERIES["ep2_streaming_multibatch"](spark, sf).collect()}
+    assert multi == single and len(single) > 0
