@@ -57,9 +57,10 @@ def node_histograms(edges: DataFrame) -> DataFrame:
     )
 
 
-def dendrogram_purity_df(edges: DataFrame) -> DataFrame:
-    """One row: (purity double). Golden: the reference's 7-node
-    fixture tree scores exactly 0.75 (dendrogram_purity_test.py)."""
+def _node_contributions(edges: DataFrame) -> DataFrame:
+    """(node, c): each internal node-label pair's purity summand
+    h_left * h_right * h / leaves — the shared core of the global and
+    per-key purity forms."""
     hist = node_histograms(edges).persist()
     child_edges = edges.filter(F.col("parent_uid").isNotNull()).select(
         F.col("uid").alias("child"), F.col("parent_uid").alias("node")
@@ -79,18 +80,65 @@ def dendrogram_purity_df(edges: DataFrame) -> DataFrame:
         pair_products.join(hist, ["node", "label"])
         .join(leaves_per_node, "node")
         .select(
-            (F.col("pair_product") * F.col("h") / F.col("n_leaves")).alias("c")
+            "node",
+            (F.col("pair_product") * F.col("h") / F.col("n_leaves")).alias("c"),
         )
     )
-    summand = contrib.agg(F.coalesce(F.sum("c"), F.lit(0.0)).alias("s"))
+    hist.unpersist()
+    return contrib
+
+
+def dendrogram_purity_df(edges: DataFrame) -> DataFrame:
+    """One row: (purity double). Golden: the reference's 7-node
+    fixture tree scores exactly 0.75 (dendrogram_purity_test.py)."""
+    summand = _node_contributions(edges).agg(
+        F.coalesce(F.sum("c"), F.lit(0.0)).alias("s")
+    )
     totals = (
         edges.filter(F.col("label").isNotNull())
         .groupBy("label")
         .agg(F.count("*").alias("t"))
         .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).alias("p_star"))
     )
-    out = summand.crossJoin(totals).select(
+    return summand.crossJoin(totals).select(
         F.round(F.col("s") / F.col("p_star"), 6).alias("purity")
     )
-    hist.unpersist()
-    return out
+
+
+def dendrogram_purity_per_key(edges: DataFrame, key_col: str = "key") -> DataFrame:
+    """(key, purity) for a FOREST: edges carry ``key_col`` naming the
+    tree each node belongs to (grinch_per_key output). Node ids are
+    prefixed with the key so the one shared closure/histogram pass
+    stays within each tree even when uids collide across keys, then
+    the summand and the p* pair total aggregate per key instead of
+    globally. Keys must not contain '|'. Keys whose tree has no
+    same-label sibling pair score 0.0 (p* > 0 assumed: >=2 leaves of
+    some label per key)."""
+    k = F.col(key_col).cast("string")
+    pref = edges.select(
+        F.concat_ws("|", k, F.col("uid")).alias("uid"),
+        F.when(
+            F.col("parent_uid").isNotNull(), F.concat_ws("|", k, F.col("parent_uid"))
+        ).alias("parent_uid"),
+        "label",
+    )
+    per_key_s = (
+        _node_contributions(pref)
+        .withColumn("key", F.substring_index("node", "|", 1))
+        .groupBy("key")
+        .agg(F.sum("c").alias("s"))
+    )
+    totals = (
+        pref.filter(F.col("label").isNotNull())
+        .withColumn("key", F.substring_index("uid", "|", 1))
+        .groupBy("key", "label")
+        .agg(F.count("*").alias("t"))
+        .groupBy("key")
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).alias("p_star"))
+    )
+    return totals.join(per_key_s, "key", "left").select(
+        "key",
+        F.round(F.coalesce(F.col("s"), F.lit(0.0)) / F.col("p_star"), 6).alias(
+            "purity"
+        ),
+    )

@@ -401,6 +401,23 @@ def grinch_per_key_trees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("grinch_per_key_purity")  # sequential per-key tree build; rows-only
+def grinch_per_key_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 per key: dendrogram purity of EACH per-key GRINCH tree
+    (dendrogram_purity.py:64-84 scored per forest member) — the
+    quality gate for the partitioned-parallel clustering mode. The
+    partition key is decorrelated from the gold label (vec_id % 3),
+    so per-key purity measures tree quality, not label-partition
+    alignment. One shared distributed closure/histogram pass scores
+    all trees; output (key, purity)."""
+    from streaming_cdc_spark.metrics.purity import dendrogram_purity_per_key
+    from streaming_cdc_spark.operators.grinch import grinch_per_key
+
+    emb = load(spark, sf_dir, "embeddings").withColumn("part", F.col("vec_id") % 3)
+    edges = grinch_per_key(emb, key_col="part", id_col="vec_id", label_col="label")
+    return dendrogram_purity_per_key(edges, key_col="key")
+
+
 def flagship_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entry-point flagship (driver smoke check)."""
     return cluster_summary(spark, sf_dir)

@@ -211,3 +211,27 @@ def test_grinch_per_key_purity_golden(spark):
         purities[key] = p
     assert purities["good"] > 0.95
     assert purities["bad"] < purities["good"]
+
+
+def test_per_key_purity_matches_per_tree_golden(spark):
+    """dendrogram_purity_per_key on a forest == dendrogram_purity_df
+    per member tree: the 0.75 fixture and the perfect tree under one
+    forest, with COLLIDING uids across keys (the prefix must isolate
+    the closures)."""
+    from streaming_cdc_spark.metrics.purity import dendrogram_purity_per_key
+
+    perfect = [
+        ("0", None, None),
+        ("a", "0", None),
+        ("1", "0", None),
+        ("b", "a", "A"),
+        ("c", "a", "A"),
+        ("d", "1", "B"),
+        ("e", "1", "B"),
+    ]
+    rows = [("f075",) + e for e in FIXTURE_EDGES] + [("p1",) + e for e in perfect]
+    edges = spark.createDataFrame(
+        rows, "key string, uid string, parent_uid string, label string"
+    )
+    got = {r["key"]: r["purity"] for r in dendrogram_purity_per_key(edges).collect()}
+    assert got == {"f075": pytest.approx(0.75), "p1": pytest.approx(1.0)}
