@@ -35,7 +35,11 @@ from streaming_cdc_spark.queries import (  # noqa: E402,F401
 # r3 window swaps: semantic_dedup (full oracle) replaced
 # weighted_minhash_candidates (same candidate-generation family, still
 # registered + locally gated); ivf_topk_exact (full oracle) replaced
-# the rows-only MLlib ivf_topk — a strict verification upgrade.
+# the rows-only MLlib ivf_topk — a strict verification upgrade;
+# quality_decile_curriculum (full oracle, curriculum family otherwise
+# unrepresented in-window) replaced doc_embedding_near_dups (near-dup
+# family keeps 6 in-window reps incl. semantic_dedup and the encoder
+# query hash_encoded_mentions).
 _PRIORITY = [
     # relational core
     "revenue_by_nation",
@@ -78,7 +82,6 @@ _PRIORITY = [
     "containment_pairs",
     "semantic_dedup",
     "near_dup_resolution",
-    "doc_embedding_near_dups",
     # similarity / ANN family
     "cosine_topk",
     "lsh_bucket_pairs",
@@ -92,6 +95,7 @@ _PRIORITY = [
     "doc_fingerprints",
     "media_stats",
     "sequence_packing_exact",
+    "quality_decile_curriculum",
     # temporal
     "asof_join_orders",
 ]
