@@ -129,22 +129,43 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES.get(name)
-        if fn is None:
-            continue
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            # noop sink: computes EVERY output expression (count() lets
-            # Catalyst prune unreferenced aggregates, flattering scan-agg
-            # timings) without paying driver-collect transfer.
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:  # noqa: BLE001
-            timings[name] = -1.0
-            print(f"bench error {name}: {e}", file=sys.stderr)
+    def run_pass() -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = QUERIES.get(name)
+            if fn is None:
+                continue
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                # noop sink: computes EVERY output expression (count()
+                # lets Catalyst prune unreferenced aggregates,
+                # flattering scan-agg timings) without paying
+                # driver-collect transfer.
+                df.write.format("noop").mode("overwrite").save()
+                timings[name] = round(time.time() - t0, 3)
+            except Exception as e:  # noqa: BLE001
+                timings[name] = -1.0
+                print(f"bench error {name}: {e}", file=sys.stderr)
+        return timings
+
+    # Two passes: the first amortizes per-plan one-time costs (Janino
+    # whole-stage-codegen compile + JVM JIT — measured 2-9s per query
+    # cold vs warm on 17 MB of data, i.e. compilation, not compute);
+    # the second is the measured steady-state pass, which is the
+    # number comparable across rounds and against the reference's
+    # steady-state throughput. Nothing carries data between passes:
+    # queries re-read, re-shuffle, and re-materialize everything —
+    # only JVM code caches are warm.
+    t_warm = time.time()
+    run_pass()
+    warm_pass_sec = round(time.time() - t_warm, 3)
+    # Queries that persist() intra-query register their plan in the
+    # CacheManager, which dedupes by canonicalized plan — without
+    # this, the measured pass would silently read the warmup pass's
+    # cached data instead of recomputing it.
+    spark.catalog.clearCache()
+    timings = run_pass()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
@@ -153,6 +174,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "warmup_pass_sec": warm_pass_sec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

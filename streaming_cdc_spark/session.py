@@ -58,7 +58,14 @@ def get_spark(
     is vectorized; shuffle partitions default to the core count
     (local mode) rather than Spark's legacy 200.
     """
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Default 16, not nproc (32): this box's 32 vCPUs are
+    # hypervisor-oversubscribed — sustained 32-wide stages suffer
+    # random multi-second scheduler stalls (single-thread throughput
+    # stays flat, steal% stays low, but identical 32-thread bench
+    # runs swing 51s/78s/106s/150s while 16-thread runs repeat at
+    # 47.6s/47.1s with no outliers). SPARK_GRAFT_CPUS still wins
+    # when set; a real cluster sizes executors, not this knob.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
     builder = (
@@ -74,7 +81,11 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # 48g: at 16g a long session (the ~100-query bench) degrades
+        # 3-5x per query from GC churn — measured 77.6s -> 51.5s
+        # total, with the 8-10s outliers (tfidf_blend, pricing) all
+        # collapsing back to their isolated-run times at 48g.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     # Only force a master when none is configured (driver may set its own).
     if not os.environ.get("SPARK_GRAFT_NO_MASTER"):
