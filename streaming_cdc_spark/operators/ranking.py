@@ -84,20 +84,31 @@ def row_number_global(
     """df + ``out_col`` = row_number() over (ORDER BY order_cols) —
     order_cols may be names or sort expressions (e.g. F.desc("n"))
     and MUST define a total order (row_number under a partial order is
-    nondeterministic in the single-partition form too)."""
+    nondeterministic in the single-partition form too).
+
+    The local row number comes from ``monotonically_increasing_id``
+    decoded AFTER the range sort (id = pid << 33 | position-in-
+    partition), not from a Window PARTITION BY spark_partition_id():
+    Catalyst cannot see that the range exchange already clusters rows
+    by physical partition, so the window form inserts a SECOND
+    full-data hashpartitioning(_pid) exchange + re-sort. Decoding the
+    id is a projection — the corpus moves exactly once. The position
+    is deterministic because the sort is a total order (same caveat
+    either way)."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    part = (
+    local = (
         df.repartitionByRange(n, *cols)
         .sortWithinPartitions(*cols)
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    local = part.withColumn(
-        "_lrn", F.row_number().over(W.partitionBy("_pid").orderBy(*cols))
+        .withColumn("_mono", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright(F.col("_mono"), 33).cast("int"))
+        .withColumn(
+            "_lrn", F.col("_mono").bitwiseAND(F.lit((1 << 33) - 1)) + F.lit(1)
+        )
     )
     out = _with_offsets(local, F.count(F.lit(1)), out_col)
     return out.withColumn(out_col, (F.col("_lrn") + F.col("_off")).cast("long")).drop(
-        "_pid", "_lrn", "_off"
+        "_pid", "_lrn", "_off", "_mono"
     )
 
 

@@ -141,3 +141,18 @@ def test_ngram_repetition_no_aggregate_shuffle(spark):
     df = QUERIES["ngram_repetition_stats"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning" not in plan
+
+
+def test_row_number_global_single_data_shuffle(spark):
+    """The two-pass global row number must move the corpus exactly
+    once: the local position is decoded from monotonically_increasing_id
+    after the range sort, not from a Window PARTITION BY partition-id
+    (which plans a second full-data hashpartitioning(_pid) exchange —
+    the old form showed two; the offsets groupBy keeps the only one,
+    and it is map-side combined to one row per partition)."""
+    from streaming_cdc_spark.operators.text import quality_decile_bins
+    from streaming_cdc_spark.tables import load
+
+    df = quality_decile_bins(load(spark, SF, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("hashpartitioning(_pid") == 1
