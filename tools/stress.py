@@ -59,10 +59,12 @@ def main() -> None:
         simhash_fingerprints,
         simhash_hamming_pairs,
     )
+    from streaming_cdc_spark.operators.dedup import minhash_dedup
     from streaming_cdc_spark.operators.text import (
         hash_sample,
         ngram_repetition,
         pack_sequences,
+        quality_decile_bins,
         quality_features,
     )
 
@@ -71,9 +73,11 @@ def main() -> None:
         "quality_features": lambda d: quality_features(d),
         "ngram_repetition": lambda d: ngram_repetition(d, n=2),
         "pack_sequences": lambda d: pack_sequences(d, budget=2048),
+        "quality_deciles": lambda d: quality_decile_bins(d),
         "simhash": lambda d: simhash_fingerprints(d, n_bits=16),
         "minhash_bands": lambda d: minhash_band_candidates(d, num_hashes=4),
         "simhash_hamming": lambda d: simhash_hamming_pairs(d, max_distance=1),
+        "minhash_dedup_e2e": lambda d: minhash_dedup(d, jaccard_threshold=0.5),
     }
 
     results: dict[str, list[float]] = {}
