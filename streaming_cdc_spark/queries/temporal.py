@@ -234,3 +234,42 @@ def scd2_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("value_r"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "materialized_user_value",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_rows,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value_r
+    FROM events GROUP BY user_id
+    """,
+)
+def materialized_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-CDC materialized aggregate end to end: the events
+    table replayed as a file stream -> foreachBatch UPSERT into a
+    versioned parquet table (streaming/materialize.py: partial
+    aggregate per batch, keyed merge, atomic pointer flip, replayed
+    batches skipped) -> read the committed table back. Full oracle:
+    counts and DECIMAL sums merge order-free, so the drained table
+    equals the batch GROUP BY bit-for-bit. Multi-batch replay safety
+    is pinned by tests/test_materialize.py."""
+    import tempfile
+
+    from streaming_cdc_spark.streaming.materialize import MaterializedAggregate
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, value double")
+        .parquet(f"{sf_dir}/events*.parquet")
+        .select("user_id", "value")
+    )
+    mat = MaterializedAggregate(
+        tempfile.mkdtemp(prefix="matagg_state_"), ["user_id"], ["value"]
+    )
+    q = mat.start(stream, tempfile.mkdtemp(prefix="matagg_ckpt_"))
+    q.awaitTermination()
+    t = mat.table(spark)
+    return t.select(
+        "user_id",
+        F.col("n_rows").alias("n_rows"),
+        F.round(F.col("sum_value").cast("double"), 2).alias("sum_value_r"),
+    )

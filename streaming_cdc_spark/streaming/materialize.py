@@ -1,0 +1,139 @@
+"""Continuously-materialized aggregate table (streaming-CDC -> warehouse).
+
+The reference's pipeline stages communicate through files that are
+rewritten wholesale per run (e.g. the cluster-pair CSV sink,
+nn_thresh.py:192-194); the streaming equivalent a warehouse actually
+runs is an UPSERT sink: a change stream folds into a persistent
+aggregate table that readers can query at any time. This module
+implements that as a ``foreachBatch`` merge over mergeable aggregates
+(count / sum — the classic commutative-monoid pair), with the two
+properties a production sink needs:
+
+- **Atomic publish**: each merge writes a NEW versioned directory and
+  then flips a one-line ``_LATEST`` pointer with ``os.replace`` —
+  readers never observe a half-written table. (Parquet-on-FS stand-in
+  for a table format's ACID commit; on a cluster the same shape backs
+  onto Delta/Iceberg ``MERGE INTO``.)
+- **Exactly-once under replay**: the pointer records the last applied
+  micro-batch id; a batch re-delivered after a crash-restart
+  (foreachBatch is at-least-once) is detected and skipped, so sums
+  are never double-counted.
+
+Scale: each micro-batch is partially aggregated (one row per key per
+batch) BEFORE the merge; the merge unions two keyed aggregates and
+re-groups — a shuffle proportional to the DISTINCT KEY COUNT, never
+the stream volume. State on disk is one row per key.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class MaterializedAggregate:
+    """Maintain ``state_dir`` as a keyed (count, sums) table that a
+    stream continuously upserts into.
+
+    key_cols: grouping keys; sum_cols: numeric columns accumulated as
+    DECIMAL(18,2) sums (exact, order-free merging — float sums would
+    depend on merge order). Every batch adds ``n_rows`` counts too.
+    """
+
+    def __init__(
+        self,
+        state_dir: str,
+        key_cols: list[str],
+        sum_cols: list[str],
+        keep_versions: int = 2,
+    ):
+        self.state_dir = state_dir
+        self.key_cols = list(key_cols)
+        self.sum_cols = list(sum_cols)
+        self.keep_versions = max(1, keep_versions)
+        os.makedirs(state_dir, exist_ok=True)
+
+    # -- pointer management ------------------------------------------------
+    def _pointer(self) -> tuple[int, int]:
+        """(version, last_applied_batch_id); (-1, -1) when empty."""
+        p = os.path.join(self.state_dir, "_LATEST")
+        if not os.path.exists(p):
+            return -1, -1
+        with open(p, encoding="ascii") as fh:
+            v, b = fh.read().split()
+        return int(v), int(b)
+
+    def _flip(self, version: int, batch_id: int) -> None:
+        p = os.path.join(self.state_dir, "_LATEST")
+        tmp = p + ".tmp"
+        with open(tmp, "w", encoding="ascii") as fh:
+            fh.write(f"{version} {batch_id}")
+        os.replace(tmp, p)  # atomic on POSIX
+
+    def _version_dir(self, version: int) -> str:
+        return os.path.join(self.state_dir, f"v{version:06d}")
+
+    # -- aggregation -------------------------------------------------------
+    def _partial(self, df: DataFrame) -> DataFrame:
+        aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")] + [
+            F.sum(F.col(c).cast("decimal(18,2)")).alias(f"sum_{c}")
+            for c in self.sum_cols
+        ]
+        return df.groupBy(*self.key_cols).agg(*aggs)
+
+    def _merge(self, current: DataFrame, partial: DataFrame) -> DataFrame:
+        both = current.unionByName(partial)
+        aggs = [F.sum("n_rows").cast("long").alias("n_rows")] + [
+            F.sum(f"sum_{c}").cast("decimal(18,2)").alias(f"sum_{c}")
+            for c in self.sum_cols
+        ]
+        return both.groupBy(*self.key_cols).agg(*aggs)
+
+    # -- sink --------------------------------------------------------------
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch body: partial-aggregate, merge, publish."""
+        version, last_applied = self._pointer()
+        if batch_id <= last_applied:
+            return  # replayed batch after restart: already folded in
+        partial = self._partial(batch_df)
+        if version >= 0:
+            spark = batch_df.sparkSession
+            current = spark.read.parquet(self._version_dir(version))
+            merged = self._merge(current, partial)
+        else:
+            merged = partial
+        new_version = version + 1
+        merged.write.mode("overwrite").parquet(self._version_dir(new_version))
+        self._flip(new_version, batch_id)
+        # retention: an unbounded stream writes one version per batch;
+        # keep the last few (concurrent readers may hold the previous
+        # pointer) and drop the rest
+        import shutil
+
+        for old in range(new_version - self.keep_versions, -1, -1):
+            d = self._version_dir(old)
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+            else:
+                break
+
+    def start(self, stream: DataFrame, checkpoint_dir: str | None = None):
+        """Attach to a streaming DataFrame; availableNow drains a
+        finite stream to completion (caller awaits termination)."""
+        ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="matagg_ckpt_")
+        return (
+            stream.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def table(self, spark: SparkSession) -> DataFrame:
+        """The current materialized table (empty-version safe)."""
+        version, _ = self._pointer()
+        if version < 0:
+            raise FileNotFoundError("materialized table has no committed version")
+        return spark.read.parquet(self._version_dir(version))
