@@ -53,7 +53,6 @@ _PRIORITY = [
     "union_except_keys",
     "entity_vocab",
     "seen_unseen_split",
-    "event_gaps",
     "revenue_rollup",
     # CDC pipeline (oracle-checked)
     "cosine_edges",
@@ -96,8 +95,13 @@ _PRIORITY = [
     "media_stats",
     "sequence_packing_exact",
     "quality_decile_curriculum",
-    # temporal
+    # temporal / streaming
     "asof_join_orders",
+    # r3: materialized_user_value (streaming upsert sink, FULL oracle —
+    # the only in-window streaming evidence) replaced event_gaps (plain
+    # lag window; the temporal family keeps asof/rollup/sessions reps,
+    # event_gaps stays registered + locally gated)
+    "materialized_user_value",
 ]
 
 
