@@ -73,6 +73,9 @@ HEADLINE = [
     # in-memory fold (r3: replaces the single-drain entry, which
     # stays registered)
     "ep2_streaming_multibatch",
+    # streaming upsert sink: foreachBatch keyed merge + versioned
+    # atomic publish over the events stream
+    "materialized_user_value",
 ]
 
 
