@@ -598,3 +598,74 @@ def minhash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_members") > 1)
     )
+
+
+@query(
+    "leakage_safe_splits",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SHINGLES},
+    mh AS (SELECT doc_id,
+                  MIN({_md5i("concat('0|', shingle)")}) AS h0,
+                  MIN({_md5i("concat('1|', shingle)")}) AS h1,
+                  MIN({_md5i("concat('2|', shingle)")}) AS h2,
+                  MIN({_md5i("concat('3|', shingle)")}) AS h3
+           FROM sh GROUP BY doc_id),
+    bands AS (SELECT doc_id, UNNEST([concat('0_', h0), concat('1_', h1),
+                                     concat('2_', h2), concat('3_', h3)]) AS bucket
+              FROM mh),
+    cand AS (SELECT DISTINCT a.doc_id AS u, c.doc_id AS v
+             FROM bands a JOIN bands c ON a.bucket = c.bucket AND a.doc_id < c.doc_id),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT cand.u, cand.v, COUNT(*) AS i
+              FROM cand JOIN sh x ON x.doc_id = cand.u
+                        JOIN sh y ON y.doc_id = cand.v AND x.shingle = y.shingle
+              GROUP BY 1, 2),
+    ver AS (SELECT u, v FROM inter JOIN sz sa ON sa.doc_id = u JOIN sz sb ON sb.doc_id = v
+            WHERE i / (sa.n + sb.n - i) >= 0.2),
+    edges AS (SELECT u, v FROM ver UNION ALL SELECT v, u FROM ver),
+    reach(v, l) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.v),
+    assign AS (SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v),
+    gs AS (SELECT cluster_id, COUNT(*) AS c FROM assign GROUP BY cluster_id),
+    s AS (SELECT a.doc_id, a.cluster_id, gs.c,
+                 {_md5i("concat('split|', CAST(a.cluster_id AS VARCHAR))")} % 100 AS bkt
+          FROM assign a JOIN gs USING (cluster_id))
+    SELECT CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+    FROM s GROUP BY 1
+    """,
+)
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split is hashed from the
+    NEAR-DUP GROUP's canonical id (minhash_dedup chain), not the doc
+    id, so two near-duplicate documents can never straddle train and
+    test — the contamination a doc-hashed 80/10/10 split silently
+    permits. Group assignment and split hashing are both
+    deterministic (md5 buckets), and the oracle replays the whole
+    chain: LSH candidates -> verify -> CC -> canonical -> split.
+    Output per split: docs, groups, docs-with-a-near-dup."""
+    from streaming_cdc_spark.functions.hashing import md5_long
+
+    docs = load(spark, sf_dir, "documents")
+    assign = D.minhash_dedup(docs, num_hashes=4, rows_per_band=1, jaccard_threshold=0.2)
+    gs = assign.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_c"))
+    b = assign.join(gs, "cluster_id").withColumn(
+        "_bkt",
+        F.pmod(md5_long(F.col("cluster_id").cast("string"), salt="split|"), F.lit(100)),
+    )
+    split = (
+        F.when(F.col("_bkt") < 80, "train")
+        .when(F.col("_bkt") < 90, "val")
+        .otherwise("test")
+    )
+    return b.withColumn("split", split).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_groups"),
+        F.sum(F.when(F.col("_c") > 1, 1).otherwise(0)).cast("long").alias("n_dup_docs"),
+    )
