@@ -624,3 +624,115 @@ def minhash_dedup(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
     return connected_components(docs.select(id_col), verified, id_col=id_col)
+
+
+def incremental_minhash_dedup(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    num_hashes: int = 4,
+    rows_per_band: int = 1,
+    jaccard_threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental MinHash dedup: compare a NEW batch against the
+    existing corpus AND itself, never corpus-vs-corpus — the shape an
+    incremental crawl runs daily (the corpus side is petabytes and
+    already deduped; re-verifying it would dominate the job).
+
+    Output one row per new doc: (id_col, status) with status
+    'dup_of_corpus' (verified near-dup of an existing doc — wins over
+    any batch match), 'dup_in_batch' (near-dup of a SMALLER-id new
+    doc — keep-first within the batch), else 'fresh'.
+
+    Every stage is the bucketed shape of minhash_dedup: band buckets
+    equi-join new-side buckets against both sides, so candidate
+    volume scales with bucket collisions, not |corpus| x |batch|;
+    the exact verify touches candidates only. At 100 TB the corpus
+    side's signatures/shingle sets would be precomputed and stored —
+    here they derive from one tagged scan."""
+    from streaming_cdc_spark.session import fan_out
+
+    tagged = old_docs.select(
+        F.col(id_col), F.col(text_col), F.lit("old").alias("_side")
+    ).unionByName(
+        new_docs.select(F.col(id_col), F.col(text_col), F.lit("new").alias("_side"))
+    )
+    shset = (
+        fan_out(tagged.select(id_col, "_side", tokens(text_col).alias("_t")))
+        .select(
+            F.col(id_col),
+            "_side",
+            F.array_distinct(word_shingles(F.col("_t"))).alias("_sh"),
+        )
+        .persist()
+    )
+
+    def hasher(salt):
+        # single-argument lambda (a second parameter would receive the
+        # array index — see CLAUDE.md)
+        return lambda g: md5_long(g, salt=salt)
+
+    sig = shset.select(
+        id_col,
+        "_side",
+        *[
+            F.array_min(F.transform(F.col("_sh"), hasher(f"{i}|"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    n_bands = num_hashes // rows_per_band
+    band_keys = [
+        F.concat_ws(
+            "_",
+            F.lit(str(b)),
+            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+        )
+        for b in range(n_bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col), "_side", F.explode(F.array(*band_keys)).alias("bucket")
+    )
+    probe = buckets.filter(F.col("_side") == "new").select(
+        F.col(id_col).alias("_nid"), "bucket"
+    )
+    build = buckets.select(
+        F.col(id_col).alias("_pid"), F.col("_side").alias("_pside"), "bucket"
+    )
+    cand = (
+        probe.join(build, "bucket")
+        .filter(
+            (F.col("_pside") == "old")
+            | ((F.col("_pside") == "new") & (F.col("_pid") < F.col("_nid")))
+        )
+        .select("_nid", "_pid", "_pside")
+        .distinct()
+    )
+    a = shset.select(F.col(id_col).alias("_nid"), F.col("_sh").alias("_sha"))
+    b = shset.select(F.col(id_col).alias("_pid"), F.col("_sh").alias("_shb"))
+    joined = (
+        cand.join(a, "_nid")
+        .join(b, "_pid")
+        .withColumn("_i", F.size(F.array_intersect("_sha", "_shb")).cast("double"))
+    )
+    jac = F.col("_i") / (
+        F.size("_sha").cast("double") + F.size("_shb").cast("double") - F.col("_i")
+    )
+    verified = joined.filter(jac >= F.lit(jaccard_threshold)).select(
+        "_nid", (F.col("_pside") == "old").cast("int").alias("_hit_old")
+    )
+    hits = verified.groupBy("_nid").agg(F.max("_hit_old").alias("_best"))
+    out = (
+        new_docs.select(F.col(id_col))
+        .join(hits.withColumnRenamed("_nid", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_best") == 1, "dup_of_corpus")
+            .when(F.col("_best") == 0, "dup_in_batch")
+            .otherwise("fresh")
+            .alias("status"),
+        )
+        .localCheckpoint()
+    )
+    shset.unpersist()
+    return out

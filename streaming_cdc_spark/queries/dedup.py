@@ -669,3 +669,65 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("cluster_id").alias("n_groups"),
         F.sum(F.when(F.col("_c") > 1, 1).otherwise(0)).cast("long").alias("n_dup_docs"),
     )
+
+
+@query(
+    "incremental_dedup_status",
+    oracle=f"""
+    WITH {_SHINGLES},
+    mh AS (SELECT doc_id,
+                  MIN({_md5i("concat('0|', shingle)")}) AS h0,
+                  MIN({_md5i("concat('1|', shingle)")}) AS h1,
+                  MIN({_md5i("concat('2|', shingle)")}) AS h2,
+                  MIN({_md5i("concat('3|', shingle)")}) AS h3
+           FROM sh GROUP BY doc_id),
+    bands AS (SELECT doc_id, UNNEST([concat('0_', h0), concat('1_', h1),
+                                     concat('2_', h2), concat('3_', h3)]) AS bucket
+              FROM mh),
+    sb AS (SELECT doc_id, bucket,
+                  CASE WHEN doc_id % 2 = 0 THEN 'old' ELSE 'new' END AS side
+           FROM bands),
+    cand AS (SELECT DISTINCT n.doc_id AS nid, p.doc_id AS pid, p.side AS pside
+             FROM sb n JOIN sb p ON n.bucket = p.bucket
+             WHERE n.side = 'new'
+               AND (p.side = 'old' OR (p.side = 'new' AND p.doc_id < n.doc_id))),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT cand.nid, cand.pid, cand.pside, COUNT(*) AS i
+              FROM cand JOIN sh x ON x.doc_id = cand.nid
+                        JOIN sh y ON y.doc_id = cand.pid AND x.shingle = y.shingle
+              GROUP BY 1, 2, 3),
+    ver AS (SELECT nid, MAX(CASE WHEN pside = 'old' THEN 1 ELSE 0 END) AS best
+            FROM inter JOIN sz sa ON sa.doc_id = nid
+                       JOIN sz sp ON sp.doc_id = pid
+            WHERE i / (sa.n + sp.n - i) >= 0.2 GROUP BY nid),
+    st AS (SELECT d.doc_id, d.n_chars,
+                  CASE WHEN v.best = 1 THEN 'dup_of_corpus'
+                       WHEN v.best = 0 THEN 'dup_in_batch'
+                       ELSE 'fresh' END AS status
+           FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 1) d
+           LEFT JOIN ver v ON v.nid = d.doc_id)
+    SELECT status, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM st GROUP BY status
+    """,
+)
+def incremental_dedup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new batch (odd doc ids) against the
+    existing corpus (even ids): new docs are flagged dup_of_corpus /
+    dup_in_batch (keep-first) / fresh, and the corpus side is NEVER
+    compared against itself — the daily-crawl shape where the corpus
+    is petabytes and already deduped. Full-chain oracle (bands ->
+    side-filtered candidates -> verify -> status)."""
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    st = D.incremental_minhash_dedup(
+        old, new, num_hashes=4, rows_per_band=1, jaccard_threshold=0.2
+    )
+    return (
+        st.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )

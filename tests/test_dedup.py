@@ -258,3 +258,36 @@ def test_span_dedup_first_occurrence(spark):
     assert got[0]["n_spans"] == 2 and got[0]["n_kept_spans"] == 2 and got[0]["kept_tokens"] == 4
     assert got[1]["n_spans"] == 2 and got[1]["n_kept_spans"] == 1 and got[1]["kept_tokens"] == 2
     assert got[2]["n_spans"] == 1 and got[2]["n_kept_spans"] == 0 and got[2]["kept_tokens"] == 0
+
+
+def test_incremental_dedup_statuses_and_corpus_skip(spark):
+    """dup_of_corpus beats dup_in_batch; old-vs-old pairs are never
+    compared (identical corpus docs yield no output rows at all —
+    only NEW docs are classified)."""
+    from streaming_cdc_spark.operators.dedup import incremental_minhash_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    old = spark.createDataFrame(
+        [(0, base), (2, base), (4, "totally different words here entirely now")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),  # dup of corpus docs 0/2
+            (3, base),  # dup of corpus AND of new doc 1 -> corpus wins
+            (5, "unrelated fresh content nothing shared anywhere at all"),
+            (7, "unrelated fresh content nothing shared anywhere at all"),
+            # ^ 5 is fresh (first), 7 dups new doc 5 only
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in incremental_minhash_dedup(old, new, jaccard_threshold=0.5).collect()
+    }
+    assert got == {
+        1: "dup_of_corpus",
+        3: "dup_of_corpus",
+        5: "fresh",
+        7: "dup_in_batch",
+    }
