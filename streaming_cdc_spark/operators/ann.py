@@ -430,3 +430,70 @@ def probe_cells_ranked(
             yield out
 
     return base.mapInPandas(gen, f"{out_id} long, _v array<double>, cid long")
+
+
+def incremental_semantic_dedup_cells(
+    old: DataFrame,
+    new: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental SemDeDup: classify each NEW vector against the
+    existing corpus and the smaller-id part of its own batch, never
+    corpus-vs-corpus — the embedding twin of
+    dedup.incremental_minhash_dedup (the corpus is already deduped;
+    its cells are only probed, not re-scanned). ``centroids`` is the
+    CORPUS index (in production: the stored IVF centroids).
+
+    Output one row per new vector: (id_col, cid, status) with status
+    'dup_of_corpus' (cosine > tau to any same-cell corpus vector —
+    wins), 'dup_in_batch' (to a smaller-id same-cell new vector),
+    else 'fresh'. Per-cell kernel: column-chunked numpy matmul with
+    only NEW columns — peak memory O(cell * block), compute
+    O(cell * new-in-cell)."""
+    import numpy as np
+    import pandas as pd
+
+    from streaming_cdc_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(old.sparkSession)
+    both = assign_cells(old, centroids, id_col, vec_col, out_id="_id").withColumn(
+        "_side", F.lit(0)
+    ).unionByName(
+        assign_cells(new, centroids, id_col, vec_col, out_id="_id").withColumn(
+            "_side", F.lit(1)
+        )
+    )
+
+    def score(key, pdf):
+        ids = pdf["_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        side = pdf["_side"].to_numpy()[order]
+        mat = np.stack(pdf["_v"].to_numpy()[order]).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        mat = mat / norms
+        new_idx = np.nonzero(side == 1)[0]
+        m = len(new_idx)
+        corpus_hit = np.zeros(m, dtype=bool)
+        batch_hit = np.zeros(m, dtype=bool)
+        old_rows = (side == 0)[:, None]
+        block = 1024
+        for c0 in range(0, m, block):
+            cols = new_idx[c0 : c0 + block]
+            above = (mat @ mat[cols].T) > tau
+            corpus_hit[c0 : c0 + block] = (above & old_rows).any(axis=0)
+            lt = (ids[:, None] < ids[cols][None, :]) & (side == 1)[:, None]
+            batch_hit[c0 : c0 + block] = (above & lt).any(axis=0)
+        status = np.where(
+            corpus_hit, "dup_of_corpus", np.where(batch_hit, "dup_in_batch", "fresh")
+        )
+        return pd.DataFrame(
+            {"vec_id": ids[new_idx], "cid": int(key[0]), "status": status}
+        )
+
+    out = both.groupBy("cid").applyInPandas(score, "vec_id long, cid long, status string")
+    return out.withColumnRenamed("vec_id", id_col)
