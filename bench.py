@@ -52,6 +52,7 @@ HEADLINE = [
     "ngram_repetition_stats",
     "near_dup_resolution",
     "minhash_dedup_groups",
+    "incremental_dedup_status",
     "quality_filter",
     "doc_chunks",
     "sequence_packing",
