@@ -94,7 +94,9 @@ def row_number_global(
     full-data hashpartitioning(_pid) exchange + re-sort. Decoding the
     id is a projection — the corpus moves exactly once. The position
     is deterministic because the sort is a total order (same caveat
-    either way)."""
+    either way). Bound: Spark's id layout caps a partition at 2^33
+    rows (~8.6B) — size num_partitions so range partitions stay far
+    below that (they must anyway: a partition is one task's sort)."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     local = (

@@ -40,12 +40,15 @@ def read_embeddings_tsv(spark: SparkSession, path: str) -> DataFrame:
     Dimension-agnostic: the tail of the split is the vector."""
     raw = spark.read.text(path)
     parts = F.split(F.col("value"), "\t")
+    # try_cast: a malformed uid or vector component nulls out instead
+    # of failing the whole read (Spark 4 ANSI mode makes plain cast
+    # THROW on bad numerics — interchange files are untrusted input)
     return raw.select(
-        parts[0].cast("long").alias("mention_index"),
+        parts[0].try_cast("long").alias("mention_index"),
         parts[1].alias("entity_id"),
         F.transform(
             F.slice(parts, 3, F.greatest(F.size(parts) - 2, F.lit(0))),
-            lambda x: x.cast("float"),
+            lambda x: x.try_cast("float"),
         ).alias("embedding"),
     )
 

@@ -22,14 +22,19 @@ def _parse_block(block: Column) -> Column:
     title_parts = F.split(F.try_element_at(lines, F.lit(1)), r"\|")
     abstract_parts = F.split(F.try_element_at(lines, F.lit(2)), r"\|")
     mention_lines = F.slice(lines, 3, F.greatest(F.size(lines) - 2, F.lit(0)))
+    # try_element_at + try_cast: a truncated or non-numeric mention
+    # line yields null fields instead of an ANSI out-of-bounds /
+    # cast error killing the whole file (untrusted interchange input)
     mentions = F.transform(
         mention_lines,
         lambda l: F.struct(
-            F.split(l, "\t")[1].cast("int").alias("start"),
-            F.split(l, "\t")[2].cast("int").alias("end"),
-            F.split(l, "\t")[3].alias("text"),
-            F.split(F.split(l, "\t")[4], ",").alias("semantic_types"),
-            F.split(l, "\t")[5].alias("entity_id"),
+            F.try_element_at(F.split(l, "\t"), F.lit(2)).try_cast("int").alias("start"),
+            F.try_element_at(F.split(l, "\t"), F.lit(3)).try_cast("int").alias("end"),
+            F.try_element_at(F.split(l, "\t"), F.lit(4)).alias("text"),
+            F.split(F.try_element_at(F.split(l, "\t"), F.lit(5)), ",").alias(
+                "semantic_types"
+            ),
+            F.try_element_at(F.split(l, "\t"), F.lit(6)).alias("entity_id"),
         ),
     )
     return F.struct(

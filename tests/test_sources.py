@@ -151,3 +151,65 @@ def test_write_embeddings_tsv_stdout(spark):
     n = write_embeddings_tsv_stdout(df.orderBy("vec_id"), out=buf)
     assert n == 2
     assert buf.getvalue().splitlines() == ["0\t7\t1.0\t-0.5", "1\t8\t0.25\t2.0"]
+
+
+def test_mentions_jsonl_malformed_lines(spark, tmp_path):
+    """Interchange robustness: invalid JSON, wrong field types, and
+    missing fields must not throw (PERMISSIVE schema read) — bad
+    lines null out, good lines survive, ANSI mode notwithstanding."""
+    import json
+
+    p = tmp_path / "m.jsonl"
+    good = {
+        "left_context": "a", "mention": "m", "right_context": "b",
+        "entity_id": "E1", "mention_index": 0,
+    }
+    lines = [
+        json.dumps(good),
+        "{not json at all",
+        json.dumps({**good, "mention_index": "NaNsense"}),  # wrong type
+        json.dumps({"mention": "only-this-field"}),  # missing fields
+        "",
+    ]
+    p.write_text("\n".join(lines))
+    from streaming_cdc_spark.sources.mentions import read_mentions_jsonl
+
+    df = read_mentions_jsonl(spark, str(p))
+    rows = df.collect()
+    ok = [r for r in rows if r["entity_id"] == "E1" and r["mention_index"] == 0]
+    assert len(ok) == 1  # the good line parses
+    # no exception raised on any malformed line, partial rows allowed
+    assert any(r["mention"] == "only-this-field" for r in rows)
+
+
+def test_embeddings_tsv_malformed_lines(spark, tmp_path):
+    """Short rows and non-numeric vector components null out instead
+    of throwing (try-cast semantics under ANSI)."""
+    p = tmp_path / "e.tsv"
+    p.write_text("0\tE1\t0.5\t0.25\nnot_a_number\tE2\t0.5\tbad\n1\tE3\n")
+    from streaming_cdc_spark.sources.mentions import read_embeddings_tsv
+
+    df = read_embeddings_tsv(spark, str(p))
+    rows = {r["entity_id"]: r for r in df.collect()}
+    assert rows["E1"]["mention_index"] == 0 and rows["E1"]["embedding"] == [0.5, 0.25]
+    assert rows["E2"]["mention_index"] is None
+    assert rows["E3"]["embedding"] == []
+
+
+def test_pubtator_malformed_block(spark, tmp_path):
+    """Truncated mention rows and non-numeric spans null out instead
+    of failing the scan under ANSI mode."""
+    p = tmp_path / "bad.pubtator"
+    p.write_text(
+        "123|t|A title\n"
+        "123|a|An abstract\n"
+        "123\tnot_an_int\t5\tspan text\tT1,T2\tE9\n"
+        "123\t0\n"  # truncated row
+    )
+    from streaming_cdc_spark.sources.pubtator import read_pubtator
+
+    doc = read_pubtator(spark, str(p)).collect()[0]
+    assert doc["pmid"] == "123" and doc["title"] == "A title"
+    m0, m1 = doc["mentions"]
+    assert m0["start"] is None and m0["end"] == 5 and m0["entity_id"] == "E9"
+    assert m1["end"] is None and m1["text"] is None
