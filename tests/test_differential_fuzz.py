@@ -234,3 +234,41 @@ def test_encoder_differential_fuzz(spark, seed):
     drows = con.execute(_encoder_oracle_sql(ms, me, ls, le, rs, re_, budget, dim)).fetchall()
     duck_sig = sorted((r[0], canon(r[1]), canon(r[2])) for r in drows)
     assert spark_sig == duck_sig, (m_len, l_len, r_len, budget, dim)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_decile_binning_differential(spark, seed):
+    """quality_decile_bins vs a DuckDB replay, PER DOCUMENT, on
+    tie-heavy corpora (tiny vocab, short docs -> few distinct TTR
+    values): equal scores must land in identical deciles on both
+    engines via the (ttr, doc_id) total-order tiebreak."""
+    import pandas as pd
+
+    from streaming_cdc_spark.operators.text import quality_decile_bins
+
+    rng = random.Random(1000 + seed)
+    vocab = ["a", "b", "c", "d"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 8))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["decile"] for r in quality_decile_bins(df).collect()}
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = dict(
+        con.execute(
+            """
+            WITH s AS (SELECT doc_id,
+                              CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                                / len(string_split(text, ' ')) AS ttr
+                       FROM docs),
+            r AS (SELECT doc_id, ttr,
+                         ROW_NUMBER() OVER (ORDER BY ttr, doc_id) AS rnk,
+                         COUNT(*) OVER () AS n
+                  FROM s)
+            SELECT doc_id, CAST(FLOOR((10 * (rnk - 1)) / n) AS BIGINT) FROM r
+            """
+        ).fetchall()
+    )
+    assert got == want
