@@ -77,9 +77,16 @@ class MaterializedAggregate:
         return os.path.join(self.state_dir, f"v{version:06d}")
 
     # -- aggregation -------------------------------------------------------
+    # Accumulator type: every stored version uses decimal(28,2) — one
+    # fixed schema across versions, exact order-free merging, and
+    # 10^26 of headroom before an (ANSI-throwing) overflow. Per-batch
+    # inputs are cast to decimal(18,2) first, matching the gate's
+    # money-sum convention.
+    _ACC = "decimal(28,2)"
+
     def _partial(self, df: DataFrame) -> DataFrame:
         aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")] + [
-            F.sum(F.col(c).cast("decimal(18,2)")).alias(f"sum_{c}")
+            F.sum(F.col(c).cast("decimal(18,2)")).cast(self._ACC).alias(f"sum_{c}")
             for c in self.sum_cols
         ]
         return df.groupBy(*self.key_cols).agg(*aggs)
@@ -87,7 +94,7 @@ class MaterializedAggregate:
     def _merge(self, current: DataFrame, partial: DataFrame) -> DataFrame:
         both = current.unionByName(partial)
         aggs = [F.sum("n_rows").cast("long").alias("n_rows")] + [
-            F.sum(f"sum_{c}").cast("decimal(18,2)").alias(f"sum_{c}")
+            F.sum(f"sum_{c}").cast(self._ACC).alias(f"sum_{c}")
             for c in self.sum_cols
         ]
         return both.groupBy(*self.key_cols).agg(*aggs)
