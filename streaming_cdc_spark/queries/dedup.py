@@ -731,3 +731,42 @@ def incremental_dedup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("n_chars"),
         )
     )
+
+
+@query(
+    "meta_blocking_pairs",
+    oracle=f"""
+    WITH {_SHINGLES},
+    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    edges AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cbs
+              FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    avgw AS (SELECT AVG(cbs) AS w FROM edges)
+    SELECT doc_a, doc_b, cbs
+    FROM edges, avgw WHERE cbs > avgw.w
+    """,
+)
+def meta_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-blocking (SparkER, EDBT 2019; see PAPERS.md): token
+    blocking (blocks = word 3-grams) with BLOCK PURGING (drop blocks
+    with document frequency > 50 — cap_shingle_df) builds the blocking
+    graph, edges weighted by common-block count (CBS), then
+    weight-edge pruning keeps edges ABOVE THE GLOBAL MEAN weight —
+    the standard WEP scheme that shrinks the match workload before
+    any expensive comparison runs. The mean is exact (integer sum /
+    count, one IEEE division), so the pruning replays bit-for-bit.
+    Every stage is an equi-join or aggregate; the blocking graph
+    never materializes all pairs."""
+    sizes, shared = D.shared_shingle_counts(
+        load(spark, sf_dir, "documents"), df_cap=50
+    )
+    edges = shared.select(
+        "doc_a", "doc_b", F.col("n_shared").alias("cbs")
+    )
+    avgw = edges.agg(F.avg("cbs").alias("_w"))
+    return (
+        edges.crossJoin(F.broadcast(avgw))
+        .filter(F.col("cbs") > F.col("_w"))
+        .select("doc_a", "doc_b", "cbs")
+    )
