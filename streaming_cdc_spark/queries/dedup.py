@@ -770,3 +770,61 @@ def meta_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cbs") > F.col("_w"))
         .select("doc_a", "doc_b", "cbs")
     )
+
+
+@query(
+    "progressive_resolution",
+    oracle=f"""
+    WITH {_SHINGLES},
+    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    edges AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cbs
+              FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    budget AS (SELECT doc_a, doc_b, cbs FROM (
+        SELECT doc_a, doc_b, cbs,
+               ROW_NUMBER() OVER (ORDER BY cbs DESC, doc_a, doc_b) AS rn
+        FROM edges) WHERE rn <= 200),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+    SELECT cbs, COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN cbs / (x.n + y.n - cbs) >= 0.2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matches
+    FROM budget JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+    GROUP BY cbs
+    """,
+)
+def progressive_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive entity resolution (ICDE 2017/2021 parallel
+    progressive ER; see PAPERS.md): under a comparison budget (200
+    pairs), verify candidates in DESCENDING blocking-weight order —
+    highest-CBS edges first, deterministic (cbs DESC, ids) tiebreak —
+    so most true matches surface before the budget runs out. Output
+    per weight level: pairs verified and pairs matching (capped-
+    shared Jaccard >= 0.2). The budget cut is a top-k over the
+    blocking graph (edges, not documents), so the ordered prefix is
+    cheap at any scale."""
+    sizes, shared = D.shared_shingle_counts(
+        load(spark, sf_dir, "documents"), df_cap=50
+    )
+    budget = (
+        shared.select("doc_a", "doc_b", F.col("n_shared").alias("cbs"))
+        .orderBy(F.desc("cbs"), "doc_a", "doc_b")
+        .limit(200)
+    )
+    verified = (
+        budget.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .withColumn(
+            "_m", F.col("cbs") / (F.col("na") + F.col("nb") - F.col("cbs")) >= 0.2
+        )
+    )
+    return verified.groupBy("cbs").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("_m").cast("int")).cast("long").alias("n_matches"),
+    )
