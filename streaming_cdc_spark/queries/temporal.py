@@ -273,3 +273,82 @@ def materialized_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").alias("n_rows"),
         F.round(F.col("sum_value").cast("double"), 2).alias("sum_value_r"),
     )
+
+
+@query(
+    "user_series_similarity",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, EXTRACT(hour FROM ts) AS h,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s
+        FROM events WHERE user_id < 30 GROUP BY 1, 2),
+    series AS (
+        SELECT user_id,
+               [COALESCE(MAX(CASE WHEN h = 0 THEN s END), 0.0),
+                COALESCE(MAX(CASE WHEN h = 1 THEN s END), 0.0),
+                COALESCE(MAX(CASE WHEN h = 2 THEN s END), 0.0),
+                COALESCE(MAX(CASE WHEN h = 3 THEN s END), 0.0),
+                COALESCE(MAX(CASE WHEN h = 4 THEN s END), 0.0),
+                COALESCE(MAX(CASE WHEN h = 5 THEN s END), 0.0),
+                COALESCE(MAX(CASE WHEN h = 6 THEN s END), 0.0),
+                COALESCE(MAX(CASE WHEN h = 7 THEN s END), 0.0),
+                COALESCE(MAX(CASE WHEN h = 8 THEN s END), 0.0),
+                COALESCE(MAX(CASE WHEN h = 9 THEN s END), 0.0),
+                COALESCE(MAX(CASE WHEN h = 10 THEN s END), 0.0),
+                COALESCE(MAX(CASE WHEN h = 11 THEN s END), 0.0),
+                COALESCE(MAX(CASE WHEN h = 12 THEN s END), 0.0),
+                COALESCE(MAX(CASE WHEN h = 13 THEN s END), 0.0),
+                COALESCE(MAX(CASE WHEN h = 14 THEN s END), 0.0),
+                COALESCE(MAX(CASE WHEN h = 15 THEN s END), 0.0),
+                COALESCE(MAX(CASE WHEN h = 16 THEN s END), 0.0),
+                COALESCE(MAX(CASE WHEN h = 17 THEN s END), 0.0),
+                COALESCE(MAX(CASE WHEN h = 18 THEN s END), 0.0),
+                COALESCE(MAX(CASE WHEN h = 19 THEN s END), 0.0),
+                COALESCE(MAX(CASE WHEN h = 20 THEN s END), 0.0),
+                COALESCE(MAX(CASE WHEN h = 21 THEN s END), 0.0),
+                COALESCE(MAX(CASE WHEN h = 22 THEN s END), 0.0),
+                COALESCE(MAX(CASE WHEN h = 23 THEN s END), 0.0)] AS v
+        FROM hourly GROUP BY user_id)
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim_r
+    FROM series a JOIN series b ON a.user_id < b.user_id
+    """,
+)
+def user_series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (distributed streaming-series
+    search; see PAPERS.md): each user's activity becomes a fixed
+    24-dim hour-of-day value profile (exact DECIMAL sums per cell, so
+    the vectors replay bit-for-bit), compared pairwise by cosine.
+    The profile build is one keyed aggregation (24 conditional sums —
+    no pivot shuffle, no collect_list order hazard); the pair join is
+    the small-side self-join over users, with the LSH/IVF paths as
+    the corpus-scale alternative (same vectors, same kernels)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    hourly_sum = [
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.hour("ts") == h, F.col("value").cast("decimal(18,2)")
+                )
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias(f"_h{h}")
+        for h in range(24)
+    ]
+    series = (
+        ev.groupBy("user_id")
+        .agg(*hourly_sum)
+        .select("user_id", F.array(*[f"_h{h}" for h in range(24)]).alias("v"))
+    )
+    from streaming_cdc_spark.functions.vectors import cosine
+
+    a = series.select(F.col("user_id").alias("user_a"), F.col("v").alias("_va"))
+    b = series.select(F.col("user_id").alias("user_b"), F.col("v").alias("_vb"))
+    return (
+        a.join(b, F.col("user_a") < F.col("user_b"))
+        .select(
+            "user_a",
+            "user_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("sim_r"),
+        )
+    )
