@@ -1,0 +1,67 @@
+"""Registry-wide physical-plan audit: build every registered query's
+plan at sf0.001 and fail on scale red flags.
+
+Red flags:
+- CartesianProduct anywhere (an unkeyed all-pairs join);
+- a Window fed directly by an Exchange SinglePartition (global-order
+  window collapsing to one task);
+- BroadcastNestedLoopJoin outside the whitelist below (legitimate
+  only for one-row scalar broadcasts: metric denominators, corpus
+  totals, mean-weight pruning thresholds — and the explicitly
+  documented small-n series self-join).
+
+Run: python tools/audit_plans.py    (exit 0 = clean)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# BroadcastNestedLoopJoin is acceptable here: every entry joins a
+# ONE-ROW (or documented tiny) broadcast side.
+BNLJ_WHITELIST = {
+    "muc_prf",  # scalar metric denominator
+    "conflation_errors",  # scalar denominator
+    "grinch_purity",  # scalar p* total
+    "quality_decile_curriculum",  # scalar corpus count
+    "meta_blocking_pairs",  # scalar mean edge weight
+    "unigram_logprob",  # scalar vocab totals
+    "bigram_logprob",  # scalar vocab totals
+    "user_series_similarity",  # documented small-n series self-join
+}
+
+
+def main() -> int:
+    from streaming_cdc_spark.queries import QUERIES
+    from streaming_cdc_spark.session import get_spark
+
+    spark = get_spark("audit_plans")
+    bad: list[str] = []
+    for name, fn in QUERIES.items():
+        try:
+            plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            bad.append(f"{name}: plan build failed: {str(e)[:100]}")
+            continue
+        if "CartesianProduct" in plan:
+            bad.append(f"{name}: CartesianProduct")
+        if re.search(r"Window .*\n\s*\+- Exchange SinglePartition", plan):
+            bad.append(f"{name}: single-partition Window")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_WHITELIST:
+            bad.append(f"{name}: BroadcastNestedLoopJoin (not whitelisted)")
+    if bad:
+        print("\n".join(bad))
+        print(f"{len(bad)} violations")
+        return 1
+    print(f"clean: {len(QUERIES)} query plans, 0 violations")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
