@@ -159,3 +159,49 @@ def test_ep2_multibatch_query_equals_single_batch(spark):
     single = {tuple(r) for r in QUERIES["ep2_streaming_clusters"](spark, sf).collect()}
     multi = {tuple(r) for r in QUERIES["ep2_streaming_multibatch"](spark, sf).collect()}
     assert multi == single and len(single) > 0
+
+
+def test_restart_recovers_linker_state(spark, tmp_path):
+    """Production restart semantics: drain the first files, STOP, add
+    more files, restart from the SAME checkpoint — the file source
+    must skip already-processed files and the keyed state store must
+    restore the active set, so run1 ∪ run2 equals the uninterrupted
+    offline fold."""
+    rows = mention_rows()
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(qname):
+        # foreachBatch, not the memory sink: memory does not support
+        # checkpoint recovery (it is the recovery we are testing)
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        out = streaming_linker(stream, 0.9)
+        got = {}
+
+        def sink(batch_df, _bid):
+            for r in batch_df.collect():
+                got[r["mention_index"]] = r["cluster_id"]
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    (src / "f0.jsonl").write_text("\n".join(json.dumps(r) for r in rows[:3]))
+    got1 = drain("restart_a")
+    assert set(got1) == {0, 1, 2}
+    time.sleep(0.05)
+    (src / "f1.jsonl").write_text("\n".join(json.dumps(r) for r in rows[3:]))
+    got2 = drain("restart_b")
+    # second run emits ONLY the new mentions (f0 already committed)
+    assert set(got2) == {3, 4, 5}
+    assert {**got1, **got2} == offline_fold(rows)
