@@ -79,3 +79,48 @@ def test_empty_state_raises(spark, tmp_path):
     mat = MaterializedAggregate(str(tmp_path / "empty"), ["user_id"], ["value"])
     with pytest.raises(FileNotFoundError):
         mat.table(spark)
+
+
+def test_restart_resumes_materialization(spark, tmp_path):
+    """Checkpoint restart: a second start() on the same checkpoint
+    processes only files added since the stop, and the versioned table
+    keeps accumulating — final state equals the batch aggregate of
+    everything ever streamed."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    mat = MaterializedAggregate(str(tmp_path / "state"), ["user_id"], ["value"])
+
+    def drain():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = mat.start(stream, ckpt)
+        q.awaitTermination(120)
+
+    for i, rs in enumerate([rows(0), rows(1)]):
+        (src / f"f{i}.jsonl").write_text("\n".join(json.dumps(r) for r in rs))
+        time.sleep(0.05)
+    drain()
+    v1, _ = mat._pointer()
+    (src / "f2.jsonl").write_text("\n".join(json.dumps(r) for r in rows(2)))
+    drain()
+    v2, _ = mat._pointer()
+    assert v2 == v1 + 1  # exactly ONE new batch applied after restart
+    got = {
+        r["user_id"]: (r["n_rows"], float(r["sum_value"]))
+        for r in mat.table(spark).collect()
+    }
+    flat = [r for k in range(3) for r in rows(k)]
+    batch = (
+        spark.createDataFrame(flat, SCHEMA)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        )
+    )
+    want = {r["user_id"]: (r["n"], float(r["s"])) for r in batch.collect()}
+    assert got == want
