@@ -126,10 +126,24 @@ def minhash_signatures(
 
 
 def _band_join(
-    sig: DataFrame, num_hashes: int, rows_per_band: int, id_col: str
+    sig: DataFrame,
+    num_hashes: int,
+    rows_per_band: int,
+    id_col: str,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Band a signature DataFrame (id_col, h0..h{K-1}) and equi-join
-    on bucket values. Output: (doc_a, doc_b, n_shared_bands)."""
+    on bucket values. Output: (doc_a, doc_b, n_shared_bands).
+
+    ``bucket_cap`` is the hot-bucket guard for web scale: a bucket
+    with m members contributes m^2/2 candidate pairs, and a clique of
+    byte-identical documents (one hot signature) makes that quadratic
+    in the clique size. Buckets above the cap are dropped BEFORE the
+    self-join — the standard LSH move, because oversized buckets are
+    either exact duplicates (caught upstream by exact_dedup, which
+    real pipelines run first) or degenerate junk signatures. Oracles
+    that replay a capped chain must replay the cap (HAVING COUNT(*)
+    <= cap on the bucket)."""
     n_bands = num_hashes // rows_per_band
     band_keys = [
         F.concat_ws(
@@ -140,6 +154,14 @@ def _band_join(
         for b in range(n_bands)
     ]
     buckets = sig.select(F.col(id_col), F.explode(F.array(*band_keys)).alias("bucket"))
+    if bucket_cap is not None:
+        keep = (
+            buckets.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .filter(F.col("_m") <= bucket_cap)
+            .select("bucket")
+        )
+        buckets = buckets.join(keep, "bucket", "left_semi")
     a = buckets.select(F.col(id_col).alias("doc_a"), "bucket")
     b = buckets.select(F.col(id_col).alias("doc_b"), "bucket")
     return (
@@ -574,6 +596,7 @@ def minhash_dedup(
     jaccard_threshold: float = 0.2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bucket_cap: int | None = 500,
 ) -> DataFrame:
     """The full production MinHash dedup chain as ONE operator:
     banded-LSH candidates -> exact-Jaccard verify ON CANDIDATES ONLY
@@ -609,7 +632,7 @@ def minhash_dedup(
             for i in range(num_hashes)
         ],
     )
-    cand = _band_join(sig, num_hashes, rows_per_band, id_col)
+    cand = _band_join(sig, num_hashes, rows_per_band, id_col, bucket_cap)
     a = shset.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sha"))
     b = shset.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_shb"))
     joined = (
@@ -634,6 +657,7 @@ def incremental_minhash_dedup(
     jaccard_threshold: float = 0.2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bucket_cap: int = 500,
 ) -> DataFrame:
     """Incremental MinHash dedup: compare a NEW batch against the
     existing corpus AND itself, never corpus-vs-corpus — the shape an
@@ -693,6 +717,14 @@ def incremental_minhash_dedup(
     buckets = sig.select(
         F.col(id_col), "_side", F.explode(F.array(*band_keys)).alias("bucket")
     )
+    # hot-bucket guard (see _band_join): cap measured over BOTH sides
+    keep = (
+        buckets.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .filter(F.col("_m") <= bucket_cap)
+        .select("bucket")
+    )
+    buckets = buckets.join(keep, "bucket", "left_semi")
     probe = buckets.filter(F.col("_side") == "new").select(
         F.col(id_col).alias("_nid"), "bucket"
     )

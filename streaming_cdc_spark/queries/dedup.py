@@ -548,9 +548,11 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   MIN({_md5i("concat('2|', shingle)")}) AS h2,
                   MIN({_md5i("concat('3|', shingle)")}) AS h3
            FROM sh GROUP BY doc_id),
-    bands AS (SELECT doc_id, UNNEST([concat('0_', h0), concat('1_', h1),
-                                     concat('2_', h2), concat('3_', h3)]) AS bucket
-              FROM mh),
+    bands0 AS (SELECT doc_id, UNNEST([concat('0_', h0), concat('1_', h1),
+                                      concat('2_', h2), concat('3_', h3)]) AS bucket
+               FROM mh),
+    bkeep AS (SELECT bucket FROM bands0 GROUP BY bucket HAVING COUNT(*) <= 500),
+    bands AS (SELECT bands0.* FROM bands0 JOIN bkeep USING (bucket)),
     cand AS (SELECT DISTINCT a.doc_id AS u, c.doc_id AS v
              FROM bands a JOIN bands c ON a.bucket = c.bucket AND a.doc_id < c.doc_id),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -611,9 +613,11 @@ def minhash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                   MIN({_md5i("concat('2|', shingle)")}) AS h2,
                   MIN({_md5i("concat('3|', shingle)")}) AS h3
            FROM sh GROUP BY doc_id),
-    bands AS (SELECT doc_id, UNNEST([concat('0_', h0), concat('1_', h1),
-                                     concat('2_', h2), concat('3_', h3)]) AS bucket
-              FROM mh),
+    bands0 AS (SELECT doc_id, UNNEST([concat('0_', h0), concat('1_', h1),
+                                      concat('2_', h2), concat('3_', h3)]) AS bucket
+               FROM mh),
+    bkeep AS (SELECT bucket FROM bands0 GROUP BY bucket HAVING COUNT(*) <= 500),
+    bands AS (SELECT bands0.* FROM bands0 JOIN bkeep USING (bucket)),
     cand AS (SELECT DISTINCT a.doc_id AS u, c.doc_id AS v
              FROM bands a JOIN bands c ON a.bucket = c.bucket AND a.doc_id < c.doc_id),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -684,9 +688,11 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands AS (SELECT doc_id, UNNEST([concat('0_', h0), concat('1_', h1),
                                      concat('2_', h2), concat('3_', h3)]) AS bucket
               FROM mh),
-    sb AS (SELECT doc_id, bucket,
-                  CASE WHEN doc_id % 2 = 0 THEN 'old' ELSE 'new' END AS side
-           FROM bands),
+    sb0 AS (SELECT doc_id, bucket,
+                   CASE WHEN doc_id % 2 = 0 THEN 'old' ELSE 'new' END AS side
+            FROM bands),
+    skeep AS (SELECT bucket FROM sb0 GROUP BY bucket HAVING COUNT(*) <= 500),
+    sb AS (SELECT sb0.* FROM sb0 JOIN skeep USING (bucket)),
     cand AS (SELECT DISTINCT n.doc_id AS nid, p.doc_id AS pid, p.side AS pside
              FROM sb n JOIN sb p ON n.bucket = p.bucket
              WHERE n.side = 'new'

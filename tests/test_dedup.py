@@ -291,3 +291,30 @@ def test_incremental_dedup_statuses_and_corpus_skip(spark):
         5: "fresh",
         7: "dup_in_batch",
     }
+
+
+def test_bucket_cap_guards_hot_signatures(spark):
+    """A clique of identical documents lands in one signature bucket;
+    with bucket_cap below the clique size the chain skips it (those
+    are exact_dedup's job — run first in a real pipeline), while
+    genuine near-dup pairs in small buckets still come through."""
+    from streaming_cdc_spark.operators.dedup import minhash_dedup
+
+    clique_text = "zeta eta theta iota kappa lambda mu nu"
+    near_a = "alpha beta gamma delta epsilon one two three"
+    near_b = "alpha beta gamma delta epsilon one two four"
+    rows = [(i, clique_text) for i in range(10)] + [(100, near_a), (101, near_b)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = minhash_dedup(docs, jaccard_threshold=0.3, bucket_cap=5)
+    groups = {}
+    for r in capped.collect():
+        groups.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+    # the near-dup pair still clusters; the hot clique stays singleton
+    assert groups[100] == {100, 101}
+    assert all(groups[i] == {i} for i in range(10))
+    # uncapped, the clique collapses to one group
+    full = minhash_dedup(docs, jaccard_threshold=0.3, bucket_cap=None)
+    fgroups = {}
+    for r in full.collect():
+        fgroups.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+    assert fgroups[0] == set(range(10))
