@@ -177,14 +177,12 @@ def main() -> None:
     pass_a = run_pass()
     spark.catalog.clearCache()
     pass_b = run_pass()
-    timings = {
-        name: (
-            round(min(pass_a[name], pass_b.get(name, pass_a[name])), 3)
-            if pass_a[name] >= 0
-            else pass_b.get(name, -1.0)
-        )
-        for name in pass_a
-    }
+    # per-query min over the VALID measurements only: a transient
+    # failure in either pass (-1.0) must not override a real timing
+    timings = {}
+    for name in pass_a:
+        valid = [t for t in (pass_a[name], pass_b.get(name, -1.0)) if t >= 0]
+        timings[name] = round(min(valid), 3) if valid else -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(

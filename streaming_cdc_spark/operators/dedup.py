@@ -125,6 +125,35 @@ def minhash_signatures(
     )
 
 
+def _band_keys(num_hashes: int, rows_per_band: int) -> list[Column]:
+    """Band bucket keys 'b_<h...>' over signature columns h0..h{K-1} —
+    the ONE definition of the bucket format (the chain oracles replay
+    it as concat('b_', hb))."""
+    n_bands = num_hashes // rows_per_band
+    return [
+        F.concat_ws(
+            "_",
+            F.lit(str(b)),
+            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+        )
+        for b in range(n_bands)
+    ]
+
+
+def _cap_buckets(buckets: DataFrame, bucket_cap: int | None) -> DataFrame:
+    """Hot-bucket guard (one definition for every chain): drop buckets
+    with more than ``bucket_cap`` members before any self-join."""
+    if bucket_cap is None:
+        return buckets
+    keep = (
+        buckets.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .filter(F.col("_m") <= bucket_cap)
+        .select("bucket")
+    )
+    return buckets.join(keep, "bucket", "left_semi")
+
+
 def _band_join(
     sig: DataFrame,
     num_hashes: int,
@@ -139,29 +168,14 @@ def _band_join(
     with m members contributes m^2/2 candidate pairs, and a clique of
     byte-identical documents (one hot signature) makes that quadratic
     in the clique size. Buckets above the cap are dropped BEFORE the
-    self-join — the standard LSH move, because oversized buckets are
-    either exact duplicates (caught upstream by exact_dedup, which
-    real pipelines run first) or degenerate junk signatures. Oracles
-    that replay a capped chain must replay the cap (HAVING COUNT(*)
-    <= cap on the bucket)."""
-    n_bands = num_hashes // rows_per_band
-    band_keys = [
-        F.concat_ws(
-            "_",
-            F.lit(str(b)),
-            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
-        )
-        for b in range(n_bands)
-    ]
+    self-join (_cap_buckets) — the standard LSH move, because
+    oversized buckets are either exact duplicates (caught upstream by
+    exact_dedup, which real pipelines run first) or degenerate junk
+    signatures. Oracles that replay a capped chain must replay the
+    cap (HAVING COUNT(*) <= cap on the bucket)."""
+    band_keys = _band_keys(num_hashes, rows_per_band)
     buckets = sig.select(F.col(id_col), F.explode(F.array(*band_keys)).alias("bucket"))
-    if bucket_cap is not None:
-        keep = (
-            buckets.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("_m"))
-            .filter(F.col("_m") <= bucket_cap)
-            .select("bucket")
-        )
-        buckets = buckets.join(keep, "bucket", "left_semi")
+    buckets = _cap_buckets(buckets, bucket_cap)
     a = buckets.select(F.col(id_col).alias("doc_a"), "bucket")
     b = buckets.select(F.col(id_col).alias("doc_b"), "bucket")
     return (
@@ -294,7 +308,8 @@ def shared_shingle_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
     df_cap: int | None = None,
-) -> tuple[DataFrame, DataFrame]:
+    with_sizes: bool = True,
+) -> tuple[DataFrame | None, DataFrame]:
     """Inverted-index shared-shingle pipeline common to Jaccard and
     containment: returns (sizes, shared) — per-doc distinct-shingle
     counts and per-pair (doc_a < doc_b) shared counts. Both are
@@ -303,7 +318,13 @@ def shared_shingle_counts(
     ``df_cap`` bounds candidate generation only (see cap_shingle_df);
     sizes stay exact."""
     sh = exploded_shingles(docs, id_col, text_col).persist()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh")).localCheckpoint()
+    # sizes materialize EAGERLY (localCheckpoint) — callers that only
+    # need the shared counts (meta-blocking) skip the whole pass
+    sizes = (
+        sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh")).localCheckpoint()
+        if with_sizes
+        else None
+    )
     cand = cap_shingle_df(sh, df_cap) if df_cap is not None else sh
     a = cand.select(F.col(id_col).alias("doc_a"), "shingle")
     b = cand.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -705,26 +726,12 @@ def incremental_minhash_dedup(
             for i in range(num_hashes)
         ],
     )
-    n_bands = num_hashes // rows_per_band
-    band_keys = [
-        F.concat_ws(
-            "_",
-            F.lit(str(b)),
-            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
-        )
-        for b in range(n_bands)
-    ]
+    band_keys = _band_keys(num_hashes, rows_per_band)
     buckets = sig.select(
         F.col(id_col), "_side", F.explode(F.array(*band_keys)).alias("bucket")
     )
-    # hot-bucket guard (see _band_join): cap measured over BOTH sides
-    keep = (
-        buckets.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("_m"))
-        .filter(F.col("_m") <= bucket_cap)
-        .select("bucket")
-    )
-    buckets = buckets.join(keep, "bucket", "left_semi")
+    # hot-bucket guard (shared with _band_join): cap over BOTH sides
+    buckets = _cap_buckets(buckets, bucket_cap)
     probe = buckets.filter(F.col("_side") == "new").select(
         F.col(id_col).alias("_nid"), "bucket"
     )

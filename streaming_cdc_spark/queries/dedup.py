@@ -764,8 +764,8 @@ def meta_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, one IEEE division), so the pruning replays bit-for-bit.
     Every stage is an equi-join or aggregate; the blocking graph
     never materializes all pairs."""
-    sizes, shared = D.shared_shingle_counts(
-        load(spark, sf_dir, "documents"), df_cap=50
+    _, shared = D.shared_shingle_counts(
+        load(spark, sf_dir, "documents"), df_cap=50, with_sizes=False
     )
     edges = shared.select(
         "doc_a", "doc_b", F.col("n_shared").alias("cbs")

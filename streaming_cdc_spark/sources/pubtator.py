@@ -24,17 +24,17 @@ def _parse_block(block: Column) -> Column:
     mention_lines = F.slice(lines, 3, F.greatest(F.size(lines) - 2, F.lit(0)))
     # try_element_at + try_cast: a truncated or non-numeric mention
     # line yields null fields instead of an ANSI out-of-bounds /
-    # cast error killing the whole file (untrusted interchange input)
+    # cast error killing the whole file (untrusted interchange input).
+    # Two-stage transform: lambdas re-evaluate per use, so split each
+    # line ONCE in the inner pass, then index the parts array.
     mentions = F.transform(
-        mention_lines,
-        lambda l: F.struct(
-            F.try_element_at(F.split(l, "\t"), F.lit(2)).try_cast("int").alias("start"),
-            F.try_element_at(F.split(l, "\t"), F.lit(3)).try_cast("int").alias("end"),
-            F.try_element_at(F.split(l, "\t"), F.lit(4)).alias("text"),
-            F.split(F.try_element_at(F.split(l, "\t"), F.lit(5)), ",").alias(
-                "semantic_types"
-            ),
-            F.try_element_at(F.split(l, "\t"), F.lit(6)).alias("entity_id"),
+        F.transform(mention_lines, lambda l: F.split(l, "\t")),
+        lambda p: F.struct(
+            F.try_element_at(p, F.lit(2)).try_cast("int").alias("start"),
+            F.try_element_at(p, F.lit(3)).try_cast("int").alias("end"),
+            F.try_element_at(p, F.lit(4)).alias("text"),
+            F.split(F.try_element_at(p, F.lit(5)), ",").alias("semantic_types"),
+            F.try_element_at(p, F.lit(6)).alias("entity_id"),
         ),
     )
     return F.struct(

@@ -51,7 +51,14 @@ def main() -> int:
             continue
         if "CartesianProduct" in plan:
             bad.append(f"{name}: CartesianProduct")
-        if re.search(r"Window .*\n\s*\+- Exchange SinglePartition", plan):
+        # Spark interposes a Sort between a Window and its Exchange
+        # (requiredChildOrdering), so match Window -> (Sort ->)?
+        # Exchange SinglePartition, tolerating codegen '*(n)' prefixes
+        if re.search(
+            r"Window .*\n(?:\s*(?:\+-|:-)? ?(?:\*\(\d+\) )?Sort .*\n)?"
+            r"\s*(?:\+-|:-)? ?Exchange SinglePartition",
+            plan,
+        ):
             bad.append(f"{name}: single-partition Window")
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_WHITELIST:
             bad.append(f"{name}: BroadcastNestedLoopJoin (not whitelisted)")
