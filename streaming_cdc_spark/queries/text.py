@@ -591,3 +591,122 @@ def quality_decile_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("ttr"), 6).alias("min_ttr_r"),
         F.round(F.max("ttr"), 6).alias("max_ttr_r"),
     )
+
+
+@query(
+    "pipeline_manifest",
+    oracle="""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    base AS (SELECT doc_id, t, len(t) AS n_tok,
+                    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+             FROM toks),
+    k0 AS (SELECT doc_id, t, n_tok FROM base WHERE n_tok >= 20 AND ttr >= 0.33),
+    pref AS (SELECT doc_id, t, n_tok, array_to_string(t[1:5], ' ') AS pfx FROM k0),
+    k1 AS (SELECT p.doc_id, p.t, p.n_tok FROM pref p
+           JOIN (SELECT pfx, MIN(doc_id) AS doc_id FROM pref GROUP BY pfx) m
+             ON p.pfx = m.pfx AND p.doc_id = m.doc_id),
+    sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+           FROM k1, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+    mh AS (SELECT doc_id,
+                  MIN(CAST(concat('0x', substr(md5(concat('0|', shingle)), 1, 15)) AS BIGINT)) AS h0,
+                  MIN(CAST(concat('0x', substr(md5(concat('1|', shingle)), 1, 15)) AS BIGINT)) AS h1,
+                  MIN(CAST(concat('0x', substr(md5(concat('2|', shingle)), 1, 15)) AS BIGINT)) AS h2,
+                  MIN(CAST(concat('0x', substr(md5(concat('3|', shingle)), 1, 15)) AS BIGINT)) AS h3
+           FROM sh GROUP BY doc_id),
+    bands0 AS (SELECT doc_id, UNNEST([concat('0_', h0), concat('1_', h1),
+                                      concat('2_', h2), concat('3_', h3)]) AS bucket
+               FROM mh),
+    bkeep AS (SELECT bucket FROM bands0 GROUP BY bucket HAVING COUNT(*) <= 500),
+    bands AS (SELECT bands0.* FROM bands0 JOIN bkeep USING (bucket)),
+    cand AS (SELECT DISTINCT a.doc_id AS u, c.doc_id AS v
+             FROM bands a JOIN bands c ON a.bucket = c.bucket AND a.doc_id < c.doc_id),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT cand.u, cand.v, COUNT(*) AS i
+              FROM cand JOIN sh x ON x.doc_id = cand.u
+                        JOIN sh y ON y.doc_id = cand.v AND x.shingle = y.shingle
+              GROUP BY 1, 2),
+    ver AS (SELECT u, v FROM inter JOIN sz sa ON sa.doc_id = u JOIN sz sb ON sb.doc_id = v
+            WHERE i / (sa.n + sb.n - i) >= 0.2),
+    edges AS (SELECT u, v FROM ver UNION ALL SELECT v, u FROM ver),
+    reach(v, l) AS (
+        SELECT doc_id, doc_id FROM k1
+        UNION
+        SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.v),
+    assign AS (SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v),
+    k2 AS (SELECT k1.doc_id, k1.n_tok FROM k1
+           JOIN assign ON assign.doc_id = k1.doc_id
+           WHERE assign.cluster_id = k1.doc_id),
+    sp AS (SELECT doc_id, n_tok,
+                  CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM (SELECT doc_id, n_tok,
+                        CAST(concat('0x', substr(md5(concat('split|', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS bkt
+                 FROM k2)),
+    c AS (SELECT doc_id, n_tok, split,
+                 SUM(n_tok) OVER (PARTITION BY split ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM sp)
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT CAST(FLOOR((cum - n_tok) / 2048.0) AS BIGINT)) AS BIGINT) AS n_sequences
+    FROM c GROUP BY split
+    """,
+)
+def pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE preprocessing pipeline as one declarative DAG with one
+    differential check: quality filter (length >= 20, TTR >= 0.33 —
+    exact int-division predicates) -> exact dedup (keep min-id doc
+    per 5-word prefix) -> MinHash near-dup dedup on the survivors
+    (banded LSH + hot-bucket cap + verify + CC, keep canonicals) ->
+    leakage-safe train/val/test split hashed from the canonical id ->
+    2048-token sequence packing per split. Output: the training
+    manifest (per split: docs, tokens, packed sequences). The oracle
+    replays every stage, so the end-to-end composition — not just
+    each operator — is value-hash-checked. Per-split packing uses a
+    keyed window (3 partitions); production shards each split before
+    packing (split x shard), same math."""
+    from pyspark.sql import Window as W
+
+    from streaming_cdc_spark.functions.hashing import md5_long
+    from streaming_cdc_spark.operators.dedup import minhash_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        "text",
+        F.size(t).alias("n_tok"),
+        (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias("ttr"),
+        F.array_join(F.slice(t, 1, 5), " ").alias("_pfx"),
+    )
+    k0 = base.filter((F.col("n_tok") >= 20) & (F.col("ttr") >= 0.33))
+    firsts = k0.groupBy("_pfx").agg(F.min("doc_id").alias("doc_id"))
+    k1 = k0.join(firsts, ["_pfx", "doc_id"], "left_semi")
+    assign = minhash_dedup(
+        k1.select("doc_id", "text"),
+        num_hashes=4,
+        rows_per_band=1,
+        jaccard_threshold=0.2,
+    )
+    k2 = (
+        k1.join(assign, "doc_id")
+        .filter(F.col("cluster_id") == F.col("doc_id"))
+        .select("doc_id", "n_tok")
+    )
+    bkt = F.pmod(md5_long(F.col("doc_id").cast("string"), salt="split|"), F.lit(100))
+    sp = k2.withColumn(
+        "split",
+        F.when(bkt < 80, "train").when(bkt < 90, "val").otherwise("test"),
+    )
+    w = (
+        W.partitionBy("split")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = sp.withColumn("cum", F.sum("n_tok").over(w))
+    seq = F.floor((F.col("cum") - F.col("n_tok")) / 2048.0).cast("long")
+    return c.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.countDistinct(seq).alias("n_sequences"),
+    )
