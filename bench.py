@@ -53,6 +53,7 @@ HEADLINE = [
     "near_dup_resolution",
     "minhash_dedup_groups",
     "incremental_dedup_status",
+    "pipeline_manifest",
     "quality_filter",
     "doc_chunks",
     "sequence_packing",

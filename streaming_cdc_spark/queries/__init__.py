@@ -78,7 +78,10 @@ _PRIORITY = [
     "minhash_band_candidates",
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
-    "containment_pairs",
+    # r3: pipeline_manifest (the whole filter->dedup->split->pack DAG
+    # under ONE oracle) replaced containment_pairs (shingle family
+    # keeps jaccard+minhash reps; containment stays registered)
+    "pipeline_manifest",
     "semantic_dedup",
     "near_dup_resolution",
     # similarity / ANN family
