@@ -1,0 +1,113 @@
+"""Per-query bench regression diff between two BENCH json records.
+
+Accepts either bench.py's raw one-line output or the driver's
+BENCH_r{N}.json wrapper (which nests the parsed line under "parsed").
+Prints per-query deltas sorted worst-first and exits non-zero when a
+query regressed beyond the threshold — the guard against a perf fix
+in one operator silently slowing another (shared session confs,
+fan_out defaults, warmup changes).
+
+Cross-round caveat (CLAUDE.md): totals are only comparable when both
+records ran the same query set, the same pass discipline (two-pass
+best-of), and the same cpu count — the tool prints those alongside
+the diff instead of pretending a single scalar verdict.
+
+Usage:
+  python tools/bench_compare.py OLD.json NEW.json [--threshold 1.5]
+  python bench.py > /tmp/b.json && python tools/bench_compare.py \
+      BENCH_r02.json /tmp/b.json
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load_record(path: str) -> dict:
+    with open(path) as f:
+        text = f.read().strip()
+    # the file is either a (pretty-printed) JSON document, or bench.py
+    # stdout where the record is the last line that parses as JSON
+    try:
+        rec = json.loads(text)
+    except json.JSONDecodeError:
+        rec = None
+        for line in text.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+    if rec is None:
+        raise SystemExit(f"{path}: no JSON object found")
+    if "parsed" in rec and isinstance(rec["parsed"], dict):
+        inner = dict(rec["parsed"])
+        inner.setdefault("cpus", rec.get("cpus"))
+        rec = inner
+    if "queries" not in rec:
+        raise SystemExit(f"{path}: record has no 'queries' map")
+    return rec
+
+
+def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description="diff two bench records per query")
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--threshold", type=float, default=1.5)
+    ns = ap.parse_args()
+    threshold = ns.threshold
+    old, new = load_record(ns.old), load_record(ns.new)
+    oq, nq = old["queries"], new["queries"]
+    both = sorted(set(oq) & set(nq))
+    only_old = sorted(set(oq) - set(nq))
+    only_new = sorted(set(nq) - set(oq))
+
+    rows = []
+    for name in both:
+        a, b = oq[name], nq[name]
+        if a is None or b is None or a < 0 or b < 0:
+            rows.append((float("inf"), name, a, b, "ERR"))
+            continue
+        ratio = b / a if a > 0 else float("inf")
+        rows.append((ratio, name, a, b, ""))
+    rows.sort(reverse=True)
+
+    print(
+        f"old: total={old.get('value')}s sf={old.get('sf')} "
+        f"cpus={old.get('cpus', '?')} n={len(oq)}"
+    )
+    print(
+        f"new: total={new.get('value')}s sf={new.get('sf')} "
+        f"cpus={new.get('cpus', '?')} n={len(nq)}"
+    )
+    if only_old:
+        print(f"dropped ({len(only_old)}): {', '.join(only_old)}")
+    if only_new:
+        print(f"added ({len(only_new)}): {', '.join(only_new)}")
+
+    regressions = []
+    print(f"\n{'ratio':>7}  {'old_s':>8}  {'new_s':>8}  query")
+    for ratio, name, a, b, err in rows:
+        flag = ""
+        if err:
+            flag = "  <-- error/missing timing"
+        elif ratio >= threshold and (b - a) >= 0.5:
+            # ratio alone flags 0.1s->0.2s noise; require absolute
+            # movement too
+            flag = f"  <-- regressed >{threshold}x"
+            regressions.append(name)
+        r = f"{ratio:.2f}" if ratio != float("inf") else "inf"
+        print(f"{r:>7}  {a!s:>8}  {b!s:>8}  {name}{flag}")
+
+    if regressions:
+        print(f"\n{len(regressions)} regression(s): {', '.join(regressions)}")
+        sys.exit(1)
+    print("\nno regressions beyond threshold")
+
+
+if __name__ == "__main__":
+    main()
