@@ -78,6 +78,9 @@ HEADLINE = [
     # streaming upsert sink: foreachBatch keyed merge + versioned
     # atomic publish over the events stream
     "materialized_user_value",
+    # budgeted progressive ER over a 4-micro-batch document stream:
+    # per-batch top-50 verify against accumulated corpus state
+    "progressive_stream_resolution",
 ]
 
 

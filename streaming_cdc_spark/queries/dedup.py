@@ -834,3 +834,95 @@ def progressive_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(F.col("_m").cast("int")).cast("long").alias("n_matches"),
     )
+
+
+_PROGSTREAM_SPLITS: dict[str, str] = {}
+
+
+@query(
+    "progressive_stream_resolution",
+    oracle=f"""
+    WITH {_SHINGLES},
+    bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+    bat AS (SELECT d.doc_id,
+                   CAST((d.doc_id - b.lo) // ((b.hi - b.lo + 4) // 4) AS INT) AS bk
+            FROM documents d, bounds b),
+    sbat AS (SELECT sh.doc_id, sh.shingle, bat.bk FROM sh JOIN bat USING (doc_id)),
+    ks AS (SELECT UNNEST([0, 1, 2, 3]) AS k),
+    dfk AS (SELECT ks.k, s.shingle, COUNT(*) AS c
+            FROM ks JOIN sbat s ON s.bk <= ks.k GROUP BY 1, 2),
+    keepk AS (SELECT k, shingle FROM dfk WHERE c <= 50),
+    cand AS (SELECT sb.bk AS batch_id, sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+                    COUNT(*) AS cbs
+             FROM sbat sa
+             JOIN sbat sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+             JOIN keepk kk ON kk.k = sb.bk AND kk.shingle = sa.shingle
+             GROUP BY 1, 2, 3),
+    bud AS (SELECT batch_id, doc_a, doc_b, cbs FROM (
+                SELECT batch_id, doc_a, doc_b, cbs,
+                       ROW_NUMBER() OVER (PARTITION BY batch_id
+                                          ORDER BY cbs DESC, doc_a, doc_b) AS rn
+                FROM cand) WHERE rn <= 50),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+    SELECT batch_id, cbs, COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN cbs / (x.n + y.n - cbs) >= 0.2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matches
+    FROM bud JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def progressive_stream_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """progressive_resolution as a STREAM with a budget PER MICRO-BATCH
+    (streaming/progressive.py): documents arrive as four id-range
+    micro-batches (maxFilesPerTrigger=1, mtime-pinned order); each
+    batch blocks its new docs against the accumulated corpus state,
+    ranks the newly-discovered edges by common-block score, verifies
+    only the top 50 (4 x 50 = the batch query's 200 budget), and folds
+    into the corpus. A pair's discovery batch is the id-range bucket
+    of its LARGER doc, so the entire run — including each batch's
+    budget cut and the df-cap over the then-visible corpus — replays
+    as SQL: the oracle computes per-batch shingle frequencies with a
+    prefix join and cuts each batch's top-50 with a partitioned
+    row_number. Output per (batch, weight level): pairs verified,
+    pairs matched (capped-Jaccard >= 0.2). The only streaming query
+    whose BUDGETED work schedule is oracle-checked end to end."""
+    import os
+    import tempfile
+
+    from streaming_cdc_spark.streaming.progressive import ProgressiveResolver
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    src = _PROGSTREAM_SPLITS.get(sf_dir)
+    if src is None or not os.path.isdir(src):
+        lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+        n_splits = 4
+        step = (hi - lo + n_splits) // n_splits
+        src = tempfile.mkdtemp(prefix="progstream_src_")
+        for i in range(n_splits):
+            part = docs.filter(
+                (F.col("doc_id") >= lo + i * step)
+                & (F.col("doc_id") < lo + (i + 1) * step)
+            ).withColumn("bucket", F.lit(i))
+            path = os.path.join(src, f"split_{i}")
+            part.coalesce(1).write.parquet(path)
+            # oldest-mtime-first admission: pin batch order == id order
+            for root, _dirs, files in os.walk(path):
+                for f_ in files:
+                    os.utime(os.path.join(root, f_), (1_000_000 + i, 1_000_000 + i))
+        _PROGSTREAM_SPLITS[sf_dir] = src
+    resolver = ProgressiveResolver(
+        tempfile.mkdtemp(prefix="progstream_state_"), budget=50, df_cap=50, tau=0.2
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, bucket int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/split_*/*.parquet")
+    )
+    q = (
+        stream.writeStream.foreachBatch(resolver.apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="progstream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return resolver.results(spark).select("batch_id", "cbs", "n_pairs", "n_matches")

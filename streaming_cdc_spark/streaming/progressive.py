@@ -1,0 +1,149 @@
+"""Streaming progressive entity resolution: a per-micro-batch
+comparison budget over the blocking graph.
+
+Batch progressive ER (queries/dedup.py progressive_resolution; SparkER
+/ ICDE progressive-ER literature per PAPERS.md) ranks ALL candidate
+edges once and verifies a global top-B prefix. A 24/7 ingest can't do
+that — the edge set grows forever — so the production form re-ranks
+per arriving batch: each micro-batch discovers only the edges whose
+LATER member just arrived (new-vs-corpus + new-vs-new), spends a fixed
+verification budget on the highest-weight edges, and folds the rest of
+the batch into the corpus state for future batches to block against.
+
+Scale shape (every stage bounded per batch, none by stream length):
+- corpus state is one parquet row per seen doc, appended per batch
+  (at 100 TB the state would also carry each doc's posting list and
+  distinct-shingle count so blocking probes an index instead of
+  re-shingling the corpus; here the corpus re-shingles per batch,
+  which is the same O(|visible|) scan the batch query pays);
+- candidate edges come from the capped shingle equi-join (df cap over
+  the VISIBLE corpus — a shingle that later goes hot is cheap early,
+  exactly how a real accumulating blocker behaves);
+- the budget cut is a per-batch top-B (total order: weight desc, ids)
+  so each micro-batch verifies at most B pairs regardless of arrival
+  volume;
+- per-bucket result/state writes are whole-directory overwrites, so a
+  replayed micro-batch (foreachBatch is at-least-once) is idempotent.
+
+Determinism: with id-range splits admitted in mtime order, a pair's
+discovery batch is a pure function of its larger doc id, so the whole
+run — including the budget cut — is replayable in SQL; the registered
+query carries a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class ProgressiveResolver:
+    """foreachBatch body for budgeted progressive resolution.
+
+    Parameters mirror the batch query: ``df_cap`` bounds shingle
+    document frequency (computed over the corpus visible at each
+    batch), ``budget`` is the per-batch verified-pair cap, ``tau`` the
+    capped-Jaccard match threshold.
+    """
+
+    def __init__(
+        self,
+        state_dir: str,
+        budget: int = 50,
+        df_cap: int = 50,
+        tau: float = 0.2,
+    ):
+        self.state_root = os.path.join(state_dir, "corpus")
+        self.result_root = os.path.join(state_dir, "results")
+        os.makedirs(self.state_root, exist_ok=True)
+        os.makedirs(self.result_root, exist_ok=True)
+        self.budget = budget
+        self.df_cap = df_cap
+        self.tau = tau
+
+    def _seen(self, spark, exclude_bucket: int) -> DataFrame | None:
+        """Corpus state, EXCLUDING the current batch's own bucket — a
+        replayed micro-batch (at-least-once delivery) already wrote
+        its docs to state, and including them would double-count
+        every shingle of the batch being reprocessed."""
+        subdirs = [
+            os.path.join(self.state_root, d)
+            for d in sorted(os.listdir(self.state_root))
+            if os.path.isdir(os.path.join(self.state_root, d))
+            and d != f"b{exclude_bucket}"
+        ]
+        if not subdirs:
+            return None
+        return spark.read.parquet(*subdirs)
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from streaming_cdc_spark.operators.dedup import exploded_shingles
+
+        spark = batch_df.sparkSession
+        batch = batch_df.select("doc_id", "text", "bucket").localCheckpoint()
+        if batch.isEmpty():
+            return
+        bucket = batch.agg(F.min("bucket")).first()[0]
+        seen = self._seen(spark, exclude_bucket=bucket)
+        visible = seen.unionByName(batch) if seen is not None else batch
+        # capped inverted index over the visible corpus (hashed 8-byte
+        # shingle keys — see exploded_shingles)
+        sh = exploded_shingles(visible, hashed=True).persist()
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= self.df_cap)
+            .select("shingle")
+        )
+        shc = sh.join(keep, "shingle", "left_semi")
+        # edges discovered THIS batch: the larger doc just arrived
+        b_side = shc.join(
+            batch.select("doc_id"), "doc_id", "left_semi"
+        ).select(F.col("doc_id").alias("doc_b"), "shingle")
+        a_side = shc.select(F.col("doc_id").alias("doc_a"), "shingle")
+        edges = (
+            a_side.join(b_side, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("cbs"))
+        )
+        top = edges.orderBy(F.desc("cbs"), "doc_a", "doc_b").limit(self.budget)
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        verified = (
+            top.join(
+                sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+                "doc_a",
+            )
+            .join(
+                sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+                "doc_b",
+            )
+            .withColumn(
+                "_m",
+                F.col("cbs") / (F.col("na") + F.col("nb") - F.col("cbs"))
+                >= F.lit(self.tau),
+            )
+        )
+        out = verified.groupBy("cbs").agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("_m").cast("int")).cast("long").alias("n_matches"),
+        ).select(F.lit(int(bucket)).cast("int").alias("batch_id"), "*")
+        # idempotent per-bucket publishes: a replayed batch overwrites
+        # its own directories with identical content
+        out.write.mode("overwrite").parquet(
+            os.path.join(self.result_root, f"b{bucket}")
+        )
+        batch.write.mode("overwrite").parquet(
+            os.path.join(self.state_root, f"b{bucket}")
+        )
+        sh.unpersist()
+
+    def results(self, spark) -> DataFrame:
+        subdirs = [
+            os.path.join(self.result_root, d)
+            for d in sorted(os.listdir(self.result_root))
+            if os.path.isdir(os.path.join(self.result_root, d))
+        ]
+        return spark.read.parquet(*subdirs)

@@ -205,3 +205,34 @@ def test_restart_recovers_linker_state(spark, tmp_path):
     # second run emits ONLY the new mentions (f0 already committed)
     assert set(got2) == {3, 4, 5}
     assert {**got1, **got2} == offline_fold(rows)
+
+
+def test_progressive_stream_budget_and_idempotency(spark, tmp_path):
+    """The budgeted streaming resolver: (a) never verifies more than
+    the per-batch budget, (b) a replayed micro-batch (foreachBatch
+    at-least-once) overwrites its own outputs — results identical
+    after a double apply."""
+    from streaming_cdc_spark.streaming.progressive import ProgressiveResolver
+
+    docs = spark.createDataFrame(
+        [(i, "w%d common tokens here repeated often enough %d" % (i % 3, i), 0)
+         for i in range(10)]
+        + [(i, "other batch text block shared shingle run %d" % (i % 2), 1)
+           for i in range(10, 20)],
+        "doc_id long, text string, bucket int",
+    )
+    r = ProgressiveResolver(str(tmp_path / "st"), budget=5, df_cap=50, tau=0.05)
+    b0 = docs.filter("bucket = 0")
+    b1 = docs.filter("bucket = 1")
+    r.apply_batch(b0, 0)
+    r.apply_batch(b1, 1)
+    first = {tuple(x) for x in r.results(spark).collect()}
+    per_batch = (
+        r.results(spark).groupBy("batch_id").sum("n_pairs").collect()
+    )
+    assert first, "resolver produced no rows"
+    assert all(row[1] <= 5 for row in per_batch), "budget exceeded"
+    # replay batch 1: identical state afterwards
+    r.apply_batch(b1, 1)
+    again = {tuple(x) for x in r.results(spark).collect()}
+    assert again == first
