@@ -11,11 +11,12 @@ verification budget on the highest-weight edges, and folds the rest of
 the batch into the corpus state for future batches to block against.
 
 Scale shape (every stage bounded per batch, none by stream length):
-- corpus state is one parquet row per seen doc, appended per batch
-  (at 100 TB the state would also carry each doc's posting list and
-  distinct-shingle count so blocking probes an index instead of
-  re-shingling the corpus; here the corpus re-shingles per batch,
-  which is the same O(|visible|) scan the batch query pays);
+- corpus state is the POSTING LIST — one parquet row per (seen doc,
+  hashed shingle), appended per batch; each micro-batch shingles only
+  its own documents and probes the stored index, so the corpus is
+  never re-tokenized (the accumulating-blocker shape; at 100 TB the
+  postings would live in a bucketed table co-partitioned on the
+  shingle hash so the probe join is shuffle-free on the corpus side);
 - candidate edges come from the capped shingle equi-join (df cap over
   the VISIBLE corpus — a shingle that later goes hot is cheap early,
   exactly how a real accumulating blocker behaves);
@@ -64,10 +65,10 @@ class ProgressiveResolver:
         self.tau = tau
 
     def _seen(self, spark, exclude_bucket: int) -> DataFrame | None:
-        """Corpus state, EXCLUDING the current batch's own bucket — a
-        replayed micro-batch (at-least-once delivery) already wrote
-        its docs to state, and including them would double-count
-        every shingle of the batch being reprocessed."""
+        """Corpus posting lists, EXCLUDING the current batch's own
+        bucket — a replayed micro-batch (at-least-once delivery)
+        already wrote its postings to state, and including them would
+        double-count every shingle of the batch being reprocessed."""
         subdirs = [
             os.path.join(self.state_root, d)
             for d in sorted(os.listdir(self.state_root))
@@ -86,11 +87,17 @@ class ProgressiveResolver:
         if batch.isEmpty():
             return
         bucket = batch.agg(F.min("bucket")).first()[0]
-        seen = self._seen(spark, exclude_bucket=bucket)
-        visible = seen.unionByName(batch) if seen is not None else batch
-        # capped inverted index over the visible corpus (hashed 8-byte
-        # shingle keys — see exploded_shingles)
-        sh = exploded_shingles(visible, hashed=True).persist()
+        # corpus state is the POSTING LIST (doc_id, hashed shingle),
+        # not raw text: each batch shingles only its own docs and
+        # reads prior batches' postings back as-is — the index-probe
+        # shape a 100 TB accumulating blocker runs (re-shingling the
+        # corpus per batch would re-pay the whole-corpus scan 1/2 +
+        # 2/4 + 3/4 + ... times over)
+        post_batch = exploded_shingles(batch, hashed=True)
+        post_seen = self._seen(spark, exclude_bucket=bucket)
+        sh = (
+            post_seen.unionByName(post_batch) if post_seen is not None else post_batch
+        ).persist()
         keep = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_df"))
@@ -135,7 +142,10 @@ class ProgressiveResolver:
         out.write.mode("overwrite").parquet(
             os.path.join(self.result_root, f"b{bucket}")
         )
-        batch.write.mode("overwrite").parquet(
+        # few-file state layout: postings are narrow (two longs), so
+        # a handful of parquet files per bucket beats one per shuffle
+        # partition — later batches re-open every prior bucket's files
+        post_batch.coalesce(2).write.mode("overwrite").parquet(
             os.path.join(self.state_root, f"b{bucket}")
         )
         sh.unpersist()
