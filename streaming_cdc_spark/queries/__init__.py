@@ -83,7 +83,12 @@ _PRIORITY = [
     # keeps jaccard+minhash reps; containment stays registered)
     "pipeline_manifest",
     "semantic_dedup",
-    "near_dup_resolution",
+    # r3: progressive_stream_resolution (budgeted streaming ER, FULL
+    # oracle over the whole per-batch schedule) replaced
+    # near_dup_resolution — the near-dup family keeps 6 in-window
+    # reps incl. the full minhash chain inside pipeline_manifest;
+    # near_dup_resolution stays registered + locally gated
+    "progressive_stream_resolution",
     # similarity / ANN family
     "cosine_topk",
     "lsh_bucket_pairs",
