@@ -895,6 +895,8 @@ def progressive_stream_resolution(spark: SparkSession, sf_dir: str) -> DataFrame
     src = _PROGSTREAM_SPLITS.get(sf_dir)
     if src is None or not os.path.isdir(src):
         lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+        if lo is None:  # empty table: nothing to stream
+            return spark.createDataFrame([], ProgressiveResolver.RESULT_SCHEMA)
         n_splits = 4
         step = (hi - lo + n_splits) // n_splits
         src = tempfile.mkdtemp(prefix="progstream_src_")
@@ -910,9 +912,9 @@ def progressive_stream_resolution(spark: SparkSession, sf_dir: str) -> DataFrame
                 for f_ in files:
                     os.utime(os.path.join(root, f_), (1_000_000 + i, 1_000_000 + i))
         _PROGSTREAM_SPLITS[sf_dir] = src
-    resolver = ProgressiveResolver(
-        tempfile.mkdtemp(prefix="progstream_state_"), budget=50, df_cap=50, tau=0.2
-    )
+    state_dir = tempfile.mkdtemp(prefix="progstream_state_")
+    ckpt_dir = tempfile.mkdtemp(prefix="progstream_ckpt_")
+    resolver = ProgressiveResolver(state_dir, budget=50, df_cap=50, tau=0.2)
     stream = (
         spark.readStream.schema("doc_id long, text string, bucket int")
         .option("maxFilesPerTrigger", 1)
@@ -920,9 +922,22 @@ def progressive_stream_resolution(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q = (
         stream.writeStream.foreachBatch(resolver.apply_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="progstream_ckpt_"))
+        .option("checkpointLocation", ckpt_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return resolver.results(spark).select("batch_id", "cbs", "n_pairs", "n_matches")
+    # pin the (tiny) result in block-manager memory so the per-run
+    # state + checkpoint dirs can be deleted now — bench/gate call
+    # this query repeatedly and each run's dirs would otherwise pile
+    # up in /tmp for the process lifetime
+    out = (
+        resolver.results(spark)
+        .select("batch_id", "cbs", "n_pairs", "n_matches")
+        .localCheckpoint()
+    )
+    import shutil
+
+    shutil.rmtree(state_dir, ignore_errors=True)
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return out

@@ -80,13 +80,25 @@ class ProgressiveResolver:
         return spark.read.parquet(*subdirs)
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch body. A micro-batch may carry MORE than one
+        bucket (e.g. availableNow without maxFilesPerTrigger admits
+        every file at once): buckets are processed independently in
+        ascending id order, which is exactly the fold the one-bucket-
+        per-trigger stream performs — results are identical either
+        way."""
+        batch_all = batch_df.select("doc_id", "text", "bucket").localCheckpoint()
+        if batch_all.isEmpty():
+            return
+        buckets = sorted(
+            r[0] for r in batch_all.select("bucket").distinct().collect()
+        )
+        for bucket in buckets:
+            self._apply_bucket(batch_all.filter(F.col("bucket") == bucket), bucket)
+
+    def _apply_bucket(self, batch: DataFrame, bucket: int) -> None:
         from streaming_cdc_spark.operators.dedup import exploded_shingles
 
-        spark = batch_df.sparkSession
-        batch = batch_df.select("doc_id", "text", "bucket").localCheckpoint()
-        if batch.isEmpty():
-            return
-        bucket = batch.agg(F.min("bucket")).first()[0]
+        spark = batch.sparkSession
         # corpus state is the POSTING LIST (doc_id, hashed shingle),
         # not raw text: each batch shingles only its own docs and
         # reads prior batches' postings back as-is — the index-probe
@@ -98,13 +110,17 @@ class ProgressiveResolver:
         sh = (
             post_seen.unionByName(post_batch) if post_seen is not None else post_batch
         ).persist()
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= self.df_cap)
-            .select("shingle")
-        )
-        shc = sh.join(keep, "shingle", "left_semi")
+        try:
+            self._resolve_and_publish(sh, post_batch, batch, bucket)
+        finally:
+            sh.unpersist()
+
+    def _resolve_and_publish(
+        self, sh: DataFrame, post_batch: DataFrame, batch: DataFrame, bucket: int
+    ) -> None:
+        from streaming_cdc_spark.operators.dedup import cap_shingle_df
+
+        shc = cap_shingle_df(sh, self.df_cap)
         # edges discovered THIS batch: the larger doc just arrived
         b_side = shc.join(
             batch.select("doc_id"), "doc_id", "left_semi"
@@ -148,7 +164,8 @@ class ProgressiveResolver:
         post_batch.coalesce(2).write.mode("overwrite").parquet(
             os.path.join(self.state_root, f"b{bucket}")
         )
-        sh.unpersist()
+
+    RESULT_SCHEMA = "batch_id int, cbs bigint, n_pairs bigint, n_matches bigint"
 
     def results(self, spark) -> DataFrame:
         subdirs = [
@@ -156,4 +173,6 @@ class ProgressiveResolver:
             for d in sorted(os.listdir(self.result_root))
             if os.path.isdir(os.path.join(self.result_root, d))
         ]
+        if not subdirs:  # empty stream: no batch ever published
+            return spark.createDataFrame([], self.RESULT_SCHEMA)
         return spark.read.parquet(*subdirs)

@@ -236,3 +236,8 @@ def test_progressive_stream_budget_and_idempotency(spark, tmp_path):
     r.apply_batch(b1, 1)
     again = {tuple(x) for x in r.results(spark).collect()}
     assert again == first
+    # a single micro-batch carrying BOTH buckets (availableNow without
+    # maxFilesPerTrigger) must fold bucket-by-bucket to the same result
+    r2 = ProgressiveResolver(str(tmp_path / "st2"), budget=5, df_cap=50, tau=0.05)
+    r2.apply_batch(docs, 0)
+    assert {tuple(x) for x in r2.results(spark).collect()} == first

@@ -89,7 +89,14 @@ def main() -> None:
     if only_new:
         print(f"added ({len(only_new)}): {', '.join(only_new)}")
 
-    regressions = []
+    # a query that BROKE (-1.0 timing in the new record) or silently
+    # disappeared is worse than a slowdown — both gate
+    regressions = [
+        f"{n} (broke)"
+        for _, n, a, b, err in rows
+        if err and (a is not None and a >= 0) and (b is None or b < 0)
+    ]
+    regressions += [f"{n} (dropped)" for n in only_old]
     print(f"\n{'ratio':>7}  {'old_s':>8}  {'new_s':>8}  query")
     for ratio, name, a, b, err in rows:
         flag = ""
