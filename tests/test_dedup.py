@@ -318,3 +318,26 @@ def test_bucket_cap_guards_hot_signatures(spark):
     for r in full.collect():
         fgroups.setdefault(r["cluster_id"], set()).add(r["doc_id"])
     assert fgroups[0] == set(range(10))
+
+
+def test_hashed_shingle_key_injective_on_testdata(spark):
+    """The hashed join key (exploded_shingles hashed=True) matches the
+    string-keyed DuckDB oracles ONLY while the 60-bit md5 is injective
+    on the corpus — assert zero collisions on the sf0.01 documents
+    shingle set so an (astronomically unlikely) collision after a
+    testdata regeneration fails HERE with a clear message instead of
+    as an opaque value-hash mismatch in the gate."""
+    from streaming_cdc_spark.operators.dedup import exploded_shingles
+    from streaming_cdc_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.01", "documents")
+    strings = (
+        exploded_shingles(docs).select("shingle").distinct().count()
+    )
+    hashes = (
+        exploded_shingles(docs, hashed=True).select("shingle").distinct().count()
+    )
+    assert strings == hashes, (
+        f"md5_long collided on {strings - hashes} shingle(s): hashed-key "
+        "joins no longer replay the string-keyed oracles exactly"
+    )
