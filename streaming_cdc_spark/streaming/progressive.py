@@ -17,6 +17,11 @@ Scale shape (every stage bounded per batch, none by stream length):
   never re-tokenized (the accumulating-blocker shape; at 100 TB the
   postings would live in a bucketed table co-partitioned on the
   shingle hash so the probe join is shuffle-free on the corpus side);
+- shingle document frequencies are INCREMENTAL partial aggregates
+  (per-bucket (shingle, df) tables, monoid-merged per batch), and
+  per-doc sizes are computed only for the <=2*budget docs in the cut
+  via a broadcast semi-join — the probe join is the ONLY stage that
+  touches the full postings; nothing re-aggregates the corpus;
 - candidate edges come from the capped shingle equi-join (df cap over
   the VISIBLE corpus — a shingle that later goes hot is cheap early,
   exactly how a real accumulating blocker behaves);
@@ -56,24 +61,28 @@ class ProgressiveResolver:
         df_cap: int = 50,
         tau: float = 0.2,
     ):
+        # two per-bucket state tables, both written idempotently:
+        # corpus  — posting lists (doc_id, hashed shingle): the probe index
+        # df      — per-bucket partial shingle document frequencies
+        #           (counts are monoids; visible df = sum of partials)
         self.state_root = os.path.join(state_dir, "corpus")
+        self.df_root = os.path.join(state_dir, "df")
         self.result_root = os.path.join(state_dir, "results")
-        os.makedirs(self.state_root, exist_ok=True)
-        os.makedirs(self.result_root, exist_ok=True)
+        for d in (self.state_root, self.df_root, self.result_root):
+            os.makedirs(d, exist_ok=True)
         self.budget = budget
         self.df_cap = df_cap
         self.tau = tau
 
-    def _seen(self, spark, exclude_bucket: int) -> DataFrame | None:
-        """Corpus posting lists, EXCLUDING the current batch's own
+    def _seen(self, spark, root: str, exclude_bucket: int) -> DataFrame | None:
+        """State rows under ``root``, EXCLUDING the current batch's own
         bucket — a replayed micro-batch (at-least-once delivery)
-        already wrote its postings to state, and including them would
-        double-count every shingle of the batch being reprocessed."""
+        already wrote its rows, and including them would double-count
+        everything about the batch being reprocessed."""
         subdirs = [
-            os.path.join(self.state_root, d)
-            for d in sorted(os.listdir(self.state_root))
-            if os.path.isdir(os.path.join(self.state_root, d))
-            and d != f"b{exclude_bucket}"
+            os.path.join(root, d)
+            for d in sorted(os.listdir(root))
+            if os.path.isdir(os.path.join(root, d)) and d != f"b{exclude_bucket}"
         ]
         if not subdirs:
             return None
@@ -104,9 +113,11 @@ class ProgressiveResolver:
         # reads prior batches' postings back as-is — the index-probe
         # shape a 100 TB accumulating blocker runs (re-shingling the
         # corpus per batch would re-pay the whole-corpus scan 1/2 +
-        # 2/4 + 3/4 + ... times over)
-        post_batch = exploded_shingles(batch, hashed=True)
-        post_seen = self._seen(spark, exclude_bucket=bucket)
+        # 2/4 + 3/4 + ... times over). The batch's postings are
+        # cached (lazily): they feed the probe union, the partial
+        # aggregates, AND the state write.
+        post_batch = exploded_shingles(batch, hashed=True).persist()
+        post_seen = self._seen(spark, self.state_root, exclude_bucket=bucket)
         sh = (
             post_seen.unionByName(post_batch) if post_seen is not None else post_batch
         ).persist()
@@ -114,13 +125,33 @@ class ProgressiveResolver:
             self._resolve_and_publish(sh, post_batch, batch, bucket)
         finally:
             sh.unpersist()
+            post_batch.unpersist()
 
     def _resolve_and_publish(
         self, sh: DataFrame, post_batch: DataFrame, batch: DataFrame, bucket: int
     ) -> None:
-        from streaming_cdc_spark.operators.dedup import cap_shingle_df
-
-        shc = cap_shingle_df(sh, self.df_cap)
+        spark = batch.sparkSession
+        # shingle document frequencies come from MERGED PARTIAL
+        # AGGREGATES, not a re-aggregation of the cumulative postings:
+        # each bucket stores its own (shingle, df) partial — counts
+        # are monoids, so the visible-corpus df is a groupBy-sum over
+        # per-bucket partials (rows ~ distinct shingles per bucket,
+        # orders of magnitude fewer than postings). The full postings
+        # table is touched ONCE per batch, by the probe join itself.
+        df_batch = post_batch.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        df_seen = self._seen(spark, self.df_root, exclude_bucket=bucket)
+        df_all = (
+            df_seen.unionByName(df_batch) if df_seen is not None else df_batch
+        )
+        keep = (
+            df_all.groupBy("shingle")
+            .agg(F.sum("df").alias("_df"))
+            .filter(F.col("_df") <= self.df_cap)
+            .select("shingle")
+        )
+        shc = sh.join(keep, "shingle", "left_semi")
         # edges discovered THIS batch: the larger doc just arrived
         b_side = shc.join(
             batch.select("doc_id"), "doc_id", "left_semi"
@@ -132,8 +163,27 @@ class ProgressiveResolver:
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("cbs"))
         )
-        top = edges.orderBy(F.desc("cbs"), "doc_a", "doc_b").limit(self.budget)
-        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        # pin the ≤budget winning edges so the verify below doesn't
+        # re-run the whole candidate pipeline per consumer
+        top = (
+            edges.orderBy(F.desc("cbs"), "doc_a", "doc_b")
+            .limit(self.budget)
+            .localCheckpoint()
+        )
+        # exact sizes ONLY for the ≤2*budget docs in the cut: a
+        # broadcast semi-join against the cached postings — never a
+        # corpus-wide size aggregate (at any scale, sizes for 100
+        # docs beat sizes for every doc)
+        top_ids = (
+            top.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(top.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sizes = (
+            sh.join(F.broadcast(top_ids), "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_sh"))
+        )
         verified = (
             top.join(
                 sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
@@ -163,6 +213,9 @@ class ProgressiveResolver:
         # partition — later batches re-open every prior bucket's files
         post_batch.coalesce(2).write.mode("overwrite").parquet(
             os.path.join(self.state_root, f"b{bucket}")
+        )
+        df_batch.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.df_root, f"b{bucket}")
         )
 
     RESULT_SCHEMA = "batch_id int, cbs bigint, n_pairs bigint, n_matches bigint"
