@@ -74,6 +74,34 @@ class ProgressiveResolver:
         self.df_cap = df_cap
         self.tau = tau
 
+    @staticmethod
+    def _live_dirs(root: str) -> list[str]:
+        """Dir names under ``root`` that are CURRENT state: every
+        bucket dir plus the newest compaction generation, minus any
+        bucket already merged into that generation (its _MANIFEST
+        lists them — so a crash between a compaction's atomic rename
+        and its input cleanup can never double-count)."""
+        names = sorted(
+            d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+        )
+        compacts = sorted(
+            (n for n in names if n.startswith("compact_v")),
+            key=lambda n: int(n.rsplit("v", 1)[1]),
+        )
+        merged: set[str] = set()
+        live = []
+        if compacts:
+            latest = compacts[-1]
+            with open(os.path.join(root, latest, "_MANIFEST"), encoding="ascii") as fh:
+                merged = set(fh.read().split())
+            live.append(latest)
+        live += [
+            n
+            for n in names
+            if n.startswith("b") and not n.startswith("compact") and n not in merged
+        ]
+        return live
+
     def _seen(self, spark, root: str, exclude_bucket: int) -> DataFrame | None:
         """State rows under ``root``, EXCLUDING the current batch's own
         bucket — a replayed micro-batch (at-least-once delivery)
@@ -81,12 +109,72 @@ class ProgressiveResolver:
         everything about the batch being reprocessed."""
         subdirs = [
             os.path.join(root, d)
-            for d in sorted(os.listdir(root))
-            if os.path.isdir(os.path.join(root, d)) and d != f"b{exclude_bucket}"
+            for d in self._live_dirs(root)
+            if d != f"b{exclude_bucket}"
         ]
         if not subdirs:
             return None
         return spark.read.parquet(*subdirs)
+
+    def compact(self, spark, keep_last: int = 2) -> None:
+        """Fold old per-bucket state dirs into one compacted
+        generation per state table. A 24/7 stream writes one dir per
+        micro-batch; after thousands of batches the probe's listing +
+        file-open cost dominates, so real deployments compact — this
+        is the OPTIMIZE/rewrite step table formats run, expressed on
+        the same layout.
+
+        The newest ``keep_last`` bucket dirs are left alone: an
+        at-least-once replay overwrites its own bucket dir, which is
+        only safe while that dir still exists (a replayed bucket that
+        had been merged would double-count). Crash safety: the merged
+        data + a _MANIFEST of its inputs are written to a temp name
+        and renamed into place atomically; readers always take the
+        newest complete generation and skip manifest-listed inputs,
+        so a crash before input cleanup changes nothing.
+
+        df partials are re-aggregated during the merge (counts are
+        monoids), so the compacted df table is one row per shingle —
+        compaction SHRINKS it, not just concatenates."""
+        import shutil
+
+        for root, agg in ((self.state_root, False), (self.df_root, True)):
+            live = self._live_dirs(root)
+            # numeric order: lexical sort would place b10 before b2
+            buckets = sorted(
+                (n for n in live if not n.startswith("compact_v")),
+                key=lambda n: int(n[1:]),
+            )
+            inputs = [n for n in live if n.startswith("compact_v")] + buckets[
+                : max(0, len(buckets) - keep_last)
+            ]
+            if len(inputs) < 2:
+                continue  # nothing worth folding
+            gens = [
+                int(n.rsplit("v", 1)[1]) for n in live if n.startswith("compact_v")
+            ]
+            new_name = f"compact_v{(max(gens) + 1) if gens else 0}"
+            merged = spark.read.parquet(*[os.path.join(root, n) for n in inputs])
+            if agg:
+                merged = merged.groupBy("shingle").agg(
+                    F.sum("df").cast("long").alias("df")
+                )
+            tmp = os.path.join(root, "_tmp_" + new_name)
+            shutil.rmtree(tmp, ignore_errors=True)  # stale crash leftover
+            merged.coalesce(4).write.mode("overwrite").parquet(tmp)
+            # record inputs BEFORE publishing: readers of the new
+            # generation must know which bucket dirs it subsumes
+            prior_merged: set[str] = set()
+            for n in inputs:
+                mpath = os.path.join(root, n, "_MANIFEST")
+                if os.path.exists(mpath):
+                    with open(mpath, encoding="ascii") as fh:
+                        prior_merged |= set(fh.read().split())
+            with open(os.path.join(tmp, "_MANIFEST"), "w", encoding="ascii") as fh:
+                fh.write(" ".join(sorted(prior_merged | set(inputs))))
+            os.replace(tmp, os.path.join(root, new_name))  # atomic publish
+            for n in inputs:  # cleanup; safe to crash anywhere in here
+                shutil.rmtree(os.path.join(root, n), ignore_errors=True)
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body. A micro-batch may carry MORE than one

@@ -241,3 +241,42 @@ def test_progressive_stream_budget_and_idempotency(spark, tmp_path):
     r2 = ProgressiveResolver(str(tmp_path / "st2"), budget=5, df_cap=50, tau=0.05)
     r2.apply_batch(docs, 0)
     assert {tuple(x) for x in r2.results(spark).collect()} == first
+
+
+def test_progressive_compaction_preserves_results(spark, tmp_path):
+    """compact() folds old bucket state into one generation without
+    changing anything the resolver computes: a run compacted between
+    batches equals the uncompacted run; a replay of the newest
+    (kept) bucket after compaction stays idempotent; and old bucket
+    dirs are actually gone."""
+    import os
+
+    from streaming_cdc_spark.streaming.progressive import ProgressiveResolver
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta shared run %d %d" % (i % 4, i), i // 5)
+         for i in range(15)],
+        "doc_id long, text string, bucket int",
+    )
+    batches = [docs.filter(f"bucket = {b}") for b in range(3)]
+
+    plain = ProgressiveResolver(str(tmp_path / "plain"), budget=5, df_cap=50, tau=0.05)
+    for i, b in enumerate(batches):
+        plain.apply_batch(b, i)
+    expected = {tuple(x) for x in plain.results(spark).collect()}
+    assert expected
+
+    comp = ProgressiveResolver(str(tmp_path / "comp"), budget=5, df_cap=50, tau=0.05)
+    for i, b in enumerate(batches):
+        comp.apply_batch(b, i)
+    comp.compact(spark, keep_last=1)  # folds b0+b1 -> compact_v0; keeps b2
+    state_dirs = sorted(os.listdir(comp.state_root))
+    assert "compact_v0" in state_dirs
+    assert "b0" not in state_dirs and "b1" not in state_dirs and "b2" in state_dirs
+    comp.apply_batch(batches[2], 2)  # replay of the kept bucket
+    assert {tuple(x) for x in comp.results(spark).collect()} == expected
+    # second compaction folds the generation + the last bucket
+    comp.compact(spark, keep_last=0)
+    state_dirs = sorted(os.listdir(comp.state_root))
+    assert "compact_v1" in state_dirs and "compact_v0" not in state_dirs
+    assert {tuple(x) for x in comp.results(spark).collect()} == expected
