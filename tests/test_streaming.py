@@ -280,3 +280,34 @@ def test_progressive_compaction_preserves_results(spark, tmp_path):
     state_dirs = sorted(os.listdir(comp.state_root))
     assert "compact_v1" in state_dirs and "compact_v0" not in state_dirs
     assert {tuple(x) for x in comp.results(spark).collect()} == expected
+
+
+def test_progressive_compaction_crash_between_publish_and_cleanup(spark, tmp_path):
+    """If compaction crashes AFTER publishing compact_v0 but BEFORE
+    deleting its inputs, the manifest must make readers skip the
+    still-present subsumed bucket dirs — no double counting."""
+    import os
+    import shutil
+
+    from streaming_cdc_spark.streaming.progressive import ProgressiveResolver
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta shared run %d %d" % (i % 4, i), i // 5)
+         for i in range(15)],
+        "doc_id long, text string, bucket int",
+    )
+    batches = [docs.filter(f"bucket = {b}") for b in range(3)]
+    r = ProgressiveResolver(str(tmp_path / "st"), budget=5, df_cap=50, tau=0.05)
+    for i, b in enumerate(batches):
+        r.apply_batch(b, i)
+    expected = {tuple(x) for x in r.results(spark).collect()}
+    # snapshot b0's postings, compact, then "un-delete" b0 to simulate
+    # a crash after the atomic rename
+    b0 = os.path.join(r.state_root, "b0")
+    saved = str(tmp_path / "b0_saved")
+    shutil.copytree(b0, saved)
+    r.compact(spark, keep_last=1)
+    shutil.copytree(saved, b0)  # crash left the subsumed dir behind
+    assert "b0" not in ProgressiveResolver._live_dirs(r.state_root)
+    r.apply_batch(batches[2], 2)  # replay reads state: must skip b0
+    assert {tuple(x) for x in r.results(spark).collect()} == expected
