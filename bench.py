@@ -17,6 +17,10 @@ from streaming_cdc_spark.session import get_spark  # noqa: E402
 
 # Representative operator mix: scan-agg, multi-join, window/ids, band
 # join, sweep, similarity join, connected components, metrics.
+# r3 final: grew 52 -> 60 (contamination, leakage splits,
+# meta-blocking, progressive ER batch+stream, incremental semantic,
+# SCD2, series similarity, decile curriculum) — totals are NOT
+# comparable to earlier records; diff per query via bench_compare.py.
 HEADLINE = [
     "pricing_summary",
     "revenue_by_nation",
@@ -53,6 +57,11 @@ HEADLINE = [
     "near_dup_resolution",
     "minhash_dedup_groups",
     "incremental_dedup_status",
+    "incremental_semantic_status",
+    "benchmark_contamination",
+    "leakage_safe_splits",
+    "meta_blocking_pairs",
+    "progressive_resolution",
     "pipeline_manifest",
     "quality_filter",
     "doc_chunks",
@@ -61,6 +70,9 @@ HEADLINE = [
     "corpus_shards",
     "corpus_diff_status",
     "user_sessions",
+    "scd2_user_value",
+    "user_series_similarity",
+    "quality_decile_curriculum",
     "kmeans_assign",
     # EP3: sequential GRINCH build (driver, 5000 pts) + the per-key
     # scalable form (independent trees via applyInPandas)
