@@ -311,3 +311,24 @@ def test_progressive_compaction_crash_between_publish_and_cleanup(spark, tmp_pat
     assert "b0" not in ProgressiveResolver._live_dirs(r.state_root)
     r.apply_batch(batches[2], 2)  # replay reads state: must skip b0
     assert {tuple(x) for x in r.results(spark).collect()} == expected
+
+
+def test_progressive_compaction_edge_cases(spark, tmp_path):
+    """compact() is a safe no-op on empty state and when keep_last
+    covers every bucket."""
+    import os
+
+    from streaming_cdc_spark.streaming.progressive import ProgressiveResolver
+
+    r = ProgressiveResolver(str(tmp_path / "st"), budget=5, df_cap=50, tau=0.05)
+    r.compact(spark)  # empty state: nothing to fold, no crash
+    assert os.listdir(r.state_root) == []
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta %d" % i, 0) for i in range(5)],
+        "doc_id long, text string, bucket int",
+    )
+    r.apply_batch(docs, 0)
+    before = {tuple(x) for x in r.results(spark).collect()}
+    r.compact(spark, keep_last=5)  # keep_last > buckets: no fold
+    assert sorted(os.listdir(r.state_root)) == ["b0"]
+    assert {tuple(x) for x in r.results(spark).collect()} == before
