@@ -184,8 +184,8 @@ class ProgressiveResolver:
         per-trigger stream performs — results are identical either
         way."""
         batch_all = batch_df.select("doc_id", "text", "bucket").localCheckpoint()
-        if batch_all.isEmpty():
-            return
+        # one driver round-trip covers both the empty check and the
+        # bucket list
         buckets = sorted(
             r[0] for r in batch_all.select("bucket").distinct().collect()
         )
@@ -292,19 +292,31 @@ class ProgressiveResolver:
             F.sum(F.col("_m").cast("int")).cast("long").alias("n_matches"),
         ).select(F.lit(int(bucket)).cast("int").alias("batch_id"), "*")
         # idempotent per-bucket publishes: a replayed batch overwrites
-        # its own directories with identical content
-        out.write.mode("overwrite").parquet(
-            os.path.join(self.result_root, f"b{bucket}")
-        )
+        # its own directories with identical content. The three writes
+        # are independent (results; postings; df partials — the state
+        # tables derive from the CACHED batch postings, not from the
+        # results), so they run as concurrent Spark jobs: per-job
+        # scheduling latency overlaps instead of summing — the same
+        # async-commit shape streaming state stores use.
         # few-file state layout: postings are narrow (two longs), so
         # a handful of parquet files per bucket beats one per shuffle
         # partition — later batches re-open every prior bucket's files
-        post_batch.coalesce(2).write.mode("overwrite").parquet(
-            os.path.join(self.state_root, f"b{bucket}")
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = (
+            lambda: out.write.mode("overwrite").parquet(
+                os.path.join(self.result_root, f"b{bucket}")
+            ),
+            lambda: post_batch.coalesce(2).write.mode("overwrite").parquet(
+                os.path.join(self.state_root, f"b{bucket}")
+            ),
+            lambda: df_batch.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(self.df_root, f"b{bucket}")
+            ),
         )
-        df_batch.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(self.df_root, f"b{bucket}")
-        )
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for f in [pool.submit(w) for w in writes]:
+                f.result()  # propagate the first failure
 
     RESULT_SCHEMA = "batch_id int, cbs bigint, n_pairs bigint, n_matches bigint"
 
