@@ -272,3 +272,76 @@ def test_decile_binning_differential(spark, seed):
         ).fetchall()
     )
     assert got == want
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_progressive_stream_vs_duckdb(spark, tmp_path, seed):
+    """The streaming budgeted resolver replayed cross-engine on random
+    corpora: odd shapes (empty docs, one-token docs, exact dups, hot
+    shingles) with random monotone bucket splits must match a DuckDB
+    replay of the whole schedule — prefix df-cap, per-batch top-B cut,
+    capped-Jaccard verify."""
+    from streaming_cdc_spark.streaming.progressive import ProgressiveResolver
+
+    rng = random.Random(1000 + seed)
+    WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "the", "of"]
+    n = rng.randint(8, 30)
+    texts = []
+    for i in range(n):
+        shape = rng.random()
+        if shape < 0.1:
+            texts.append("")
+        elif shape < 0.2:
+            texts.append(rng.choice(WORDS))
+        elif shape < 0.35 and texts:
+            texts.append(texts[rng.randrange(len(texts))])
+        else:
+            texts.append(" ".join(rng.choice(WORDS) for _ in range(rng.randint(3, 12))))
+    n_buckets = rng.randint(2, min(4, n))
+    cuts = sorted(rng.sample(range(1, n), n_buckets - 1))
+    rows = [(i, t, sum(1 for c in cuts if i >= c)) for i, t in enumerate(texts)]
+    budget, df_cap, tau = rng.choice([3, 5, 10]), rng.choice([4, 50]), 0.2
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string, bucket int")
+    r = ProgressiveResolver(
+        str(tmp_path / f"st{seed}"), budget=budget, df_cap=df_cap, tau=tau
+    )
+    for b in sorted({x[2] for x in rows}):
+        r.apply_batch(docs.filter(f"bucket = {b}"), b)
+    got = sorted(tuple(x) for x in r.results(spark).collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR, bucket INT)")
+    con.executemany("INSERT INTO docs VALUES (?, ?, ?)", rows)
+    want = sorted(
+        tuple(x)
+        for x in con.execute(f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs),
+        sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+               FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+        sbat AS (SELECT sh.doc_id, sh.shingle, d.bucket AS bk
+                 FROM sh JOIN docs d USING (doc_id)),
+        ks AS (SELECT DISTINCT bucket AS k FROM docs),
+        dfk AS (SELECT ks.k, s.shingle, COUNT(*) AS c
+                FROM ks JOIN sbat s ON s.bk <= ks.k GROUP BY 1, 2),
+        keepk AS (SELECT k, shingle FROM dfk WHERE c <= {df_cap}),
+        cand AS (SELECT sb.bk AS batch_id, sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+                        COUNT(*) AS cbs
+                 FROM sbat sa
+                 JOIN sbat sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+                 JOIN keepk kk ON kk.k = sb.bk AND kk.shingle = sa.shingle
+                 GROUP BY 1, 2, 3),
+        bud AS (SELECT batch_id, doc_a, doc_b, cbs FROM (
+                    SELECT batch_id, doc_a, doc_b, cbs,
+                           ROW_NUMBER() OVER (PARTITION BY batch_id
+                                              ORDER BY cbs DESC, doc_a, doc_b) AS rn
+                    FROM cand) WHERE rn <= {budget}),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+        SELECT batch_id, cbs, COUNT(*) AS n_pairs,
+               CAST(SUM(CASE WHEN cbs / (x.n + y.n - cbs) >= {tau} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_matches
+        FROM bud JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        GROUP BY 1, 2
+        """).fetchall()
+    )
+    assert got == want, f"seed={seed} budget={budget} df_cap={df_cap}\n{got}\n{want}"
