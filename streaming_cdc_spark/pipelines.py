@@ -239,6 +239,12 @@ def ep2_streaming(
     from streaming_cdc_spark.streaming.linker import streaming_linker
 
     spark = gold.sparkSession
+    # a caller-supplied checkpoint dir is caller-owned (they may want
+    # to resume); one we create ourselves is drained-and-done after
+    # availableNow finishes, so delete it — repeated calls (bench
+    # passes, gates) otherwise accumulate dirs for the process
+    # lifetime (ADVICE r3)
+    own_ckpt = checkpoint_dir is None
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ep2s_ckpt_")
     name = f"ep2s_{abs(hash(ckpt)) % 10**9}"
     out = streaming_linker(stream, threshold, limit=limit, strategy=strategy, key_col=key_col)
@@ -250,6 +256,10 @@ def ep2_streaming(
         .start()
     )
     q.awaitTermination()
+    if own_ckpt:
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
     assign = spark.table(name).select("mention_index", "cluster_id")
     pairs = assign.join(gold, "mention_index").select(
         F.col("mention_index").alias("mention"),

@@ -116,8 +116,6 @@ def ep2_streaming_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(limit * dim) regardless of stream length — the bounded-memory
     claim the reference's paper makes, here as keyed streaming
     state."""
-    import tempfile
-
     from streaming_cdc_spark.pipelines import ep2_streaming
     from streaming_cdc_spark.tables import load as _load
 
@@ -145,7 +143,7 @@ def ep2_streaming_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.25,
         limit=40,
         strategy="cache",
-        checkpoint_dir=tempfile.mkdtemp(prefix="ep2sc_ckpt_"),
+        # checkpoint lifecycle owned (created + removed) by ep2_streaming
         with_metrics=False,
     )
     assign = out["assignments"]
@@ -229,7 +227,7 @@ def ep2_streaming_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.25,
         limit=40,
         strategy="cache",
-        checkpoint_dir=tempfile.mkdtemp(prefix="ep2mb_ckpt_"),
+        # checkpoint lifecycle owned (created + removed) by ep2_streaming
         with_metrics=False,
     )
     assign = out["assignments"]

@@ -253,6 +253,7 @@ def materialized_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts and DECIMAL sums merge order-free, so the drained table
     equals the batch GROUP BY bit-for-bit. Multi-batch replay safety
     is pinned by tests/test_materialize.py."""
+    import shutil
     import tempfile
 
     from streaming_cdc_spark.streaming.materialize import MaterializedAggregate
@@ -262,17 +263,27 @@ def materialized_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{sf_dir}/events*.parquet")
         .select("user_id", "value")
     )
-    mat = MaterializedAggregate(
-        tempfile.mkdtemp(prefix="matagg_state_"), ["user_id"], ["value"]
-    )
-    q = mat.start(stream, tempfile.mkdtemp(prefix="matagg_ckpt_"))
+    state_dir = tempfile.mkdtemp(prefix="matagg_state_")
+    ckpt_dir = tempfile.mkdtemp(prefix="matagg_ckpt_")
+    mat = MaterializedAggregate(state_dir, ["user_id"], ["value"])
+    q = mat.start(stream, ckpt_dir)
     q.awaitTermination()
-    t = mat.table(spark)
-    return t.select(
-        "user_id",
-        F.col("n_rows").alias("n_rows"),
-        F.round(F.col("sum_value").cast("double"), 2).alias("sum_value_r"),
+    # pin the (one row per user) result off the state table so both
+    # temp dirs can be deleted NOW — without this the returned plan
+    # lazily re-reads the leaked state dir and bench/gate runs
+    # accumulate dirs for the process lifetime (ADVICE r3)
+    t = (
+        mat.table(spark)
+        .select(
+            "user_id",
+            F.col("n_rows").alias("n_rows"),
+            F.round(F.col("sum_value").cast("double"), 2).alias("sum_value_r"),
+        )
+        .localCheckpoint()
     )
+    shutil.rmtree(state_dir, ignore_errors=True)
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return t
 
 
 @query(

@@ -102,15 +102,20 @@ class ProgressiveResolver:
         ]
         return live
 
-    def _seen(self, spark, root: str, exclude_bucket: int) -> DataFrame | None:
-        """State rows under ``root``, EXCLUDING the current batch's own
-        bucket — a replayed micro-batch (at-least-once delivery)
-        already wrote its rows, and including them would double-count
-        everything about the batch being reprocessed."""
+    def _seen(self, spark, root: str, exclude_from: int) -> DataFrame | None:
+        """State rows under ``root``, EXCLUDING every bucket with id
+        >= ``exclude_from``. Bucket ids are monotone in arrival order,
+        so when (re)processing bucket k the visible corpus is exactly
+        the buckets < k: the current bucket's own rows (a replayed
+        micro-batch already wrote them) AND any later buckets of the
+        same multi-bucket micro-batch (written by its first
+        application) must both be invisible, or an at-least-once
+        redelivery of a multi-bucket batch would shift the df cap and
+        overwrite bucket k's results dir with different content."""
         subdirs = [
             os.path.join(root, d)
             for d in self._live_dirs(root)
-            if d != f"b{exclude_bucket}"
+            if not (d.startswith("b") and int(d[1:]) >= exclude_from)
         ]
         if not subdirs:
             return None
@@ -205,7 +210,7 @@ class ProgressiveResolver:
         # cached (lazily): they feed the probe union, the partial
         # aggregates, AND the state write.
         post_batch = exploded_shingles(batch, hashed=True).persist()
-        post_seen = self._seen(spark, self.state_root, exclude_bucket=bucket)
+        post_seen = self._seen(spark, self.state_root, exclude_from=bucket)
         sh = (
             post_seen.unionByName(post_batch) if post_seen is not None else post_batch
         ).persist()
@@ -229,7 +234,7 @@ class ProgressiveResolver:
         df_batch = post_batch.groupBy("shingle").agg(
             F.count(F.lit(1)).alias("df")
         )
-        df_seen = self._seen(spark, self.df_root, exclude_bucket=bucket)
+        df_seen = self._seen(spark, self.df_root, exclude_from=bucket)
         df_all = (
             df_seen.unionByName(df_batch) if df_seen is not None else df_batch
         )

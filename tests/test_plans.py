@@ -156,3 +156,56 @@ def test_row_number_global_single_data_shuffle(spark):
     df = quality_decile_bins(load(spark, SF, "documents"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("hashpartitioning(_pid") == 1
+
+
+def test_audit_regex_catches_left_branch_single_partition_window():
+    """ADVICE r3: a Window -> Sort -> Exchange SinglePartition chain
+    nested in a join's LEFT branch carries ':' tree-prefixes that the
+    old audit regex never consumed — the offending plan below (shape
+    taken from a live executedPlan) must now be flagged, and the
+    compliant hash-partitioned form must not."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "audit_plans",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "audit_plans.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    left_branch_offender = (
+        "*(5) SortMergeJoin [id#1L], [id#2L], Inner\n"
+        ":- *(2) Window [row_number() windowspecdefinition(x#3L ASC) AS rn#9], [x#3L ASC]\n"
+        ":  +- *(1) Sort [x#3L ASC NULLS FIRST], false, 0\n"
+        ":     +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=12]\n"
+        ":        +- Scan parquet [x#3L]\n"
+        "+- *(4) Sort [id#2L ASC NULLS FIRST], false, 0\n"
+        "   +- Exchange hashpartitioning(id#2L, 32)\n"
+    )
+    assert mod.has_single_partition_window(left_branch_offender)
+
+    spine_offender = (
+        "Window [sum(v#1L) ...], [ord#2L ASC]\n"
+        "+- *(1) Sort [ord#2L ASC NULLS FIRST], false, 0\n"
+        "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=5]\n"
+    )
+    assert mod.has_single_partition_window(spine_offender)
+
+    compliant = (
+        "Window [row_number() ...], [k#1L], [ord#2L ASC]\n"
+        "+- *(1) Sort [k#1L ASC, ord#2L ASC], false, 0\n"
+        "   +- Exchange hashpartitioning(k#1L, 32), ENSURE_REQUIREMENTS\n"
+    )
+    assert not mod.has_single_partition_window(compliant)
+
+    # SinglePartition elsewhere in the plan (a scalar agg far below an
+    # unrelated Window) must not be attributed to the Window
+    unrelated = (
+        "Window [rn#1], [k#2L], [o#3L ASC]\n"
+        "+- *(2) Sort [k#2L ASC], false, 0\n"
+        "   +- Exchange hashpartitioning(k#2L, 32)\n"
+        "      +- *(1) HashAggregate(keys=[], functions=[count(1)])\n"
+        "         +- Exchange SinglePartition\n"
+    )
+    assert not mod.has_single_partition_window(unrelated)

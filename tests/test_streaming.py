@@ -241,6 +241,36 @@ def test_progressive_stream_budget_and_idempotency(spark, tmp_path):
     r2 = ProgressiveResolver(str(tmp_path / "st2"), budget=5, df_cap=50, tau=0.05)
     r2.apply_batch(docs, 0)
     assert {tuple(x) for x in r2.results(spark).collect()} == first
+    # REPLAY of the multi-bucket batch: bucket 0's reprocessing must
+    # not see bucket 1's state written by the first application (the
+    # _seen cut is "all buckets >= current", not just "current") —
+    # otherwise the df cap shifts and b0's results dir is overwritten
+    # with different content
+    r2.apply_batch(docs, 0)
+    assert {tuple(x) for x in r2.results(spark).collect()} == first
+
+
+def test_progressive_multibucket_replay_df_cap(spark, tmp_path):
+    """Adversarial multi-bucket replay: bucket 1 duplicates bucket 0's
+    texts so the visible shingle df doubles once b1's partials exist.
+    With df_cap between the two, a replayed bucket 0 that could see
+    b1's state would cut every shingle and publish an EMPTY b0
+    results dir — the exact at-least-once violation from ADVICE r3.
+    The >=-bucket exclusion must keep the replay byte-identical."""
+    from streaming_cdc_spark.streaming.progressive import ProgressiveResolver
+
+    text = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(i, text, 0) for i in range(5)] + [(10 + i, text, 1) for i in range(5)],
+        "doc_id long, text string, bucket int",
+    )
+    r = ProgressiveResolver(str(tmp_path / "st"), budget=50, df_cap=7, tau=0.05)
+    r.apply_batch(docs, 0)  # one micro-batch carrying BOTH buckets
+    first = {tuple(x) for x in r.results(spark).collect()}
+    b0_rows = [t for t in first if t[0] == 0]
+    assert b0_rows, "bucket 0 produced no rows (df_cap bound too early)"
+    r.apply_batch(docs, 0)  # at-least-once redelivery of the whole batch
+    assert {tuple(x) for x in r.results(spark).collect()} == first
 
 
 def test_progressive_compaction_preserves_results(spark, tmp_path):

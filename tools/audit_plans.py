@@ -25,6 +25,22 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # BroadcastNestedLoopJoin is acceptable here: every entry joins a
 # ONE-ROW (or documented tiny) broadcast side.
+# Spark interposes a Sort between a Window and its Exchange
+# (requiredChildOrdering), so match Window -> (Sort ->)? Exchange
+# SinglePartition. Line prefixes are tree-drawing runs that differ by
+# branch position — '+- ' on a straight spine but ':  +- ' / ':- '
+# inside a join's LEFT branch — so consume any mix of space/':'/'+'/'-'
+# before the operator name ('*(n)' codegen tags too).
+_PREFIX = r"[\s:+\-]*(?:\*\(\d+\) )?"
+SINGLE_PARTITION_WINDOW_RE = re.compile(
+    r"Window .*\n(?:" + _PREFIX + r"Sort .*\n)?" + _PREFIX + r"Exchange SinglePartition"
+)
+
+
+def has_single_partition_window(plan: str) -> bool:
+    return SINGLE_PARTITION_WINDOW_RE.search(plan) is not None
+
+
 BNLJ_WHITELIST = {
     "muc_prf",  # scalar metric denominator
     "conflation_errors",  # scalar denominator
@@ -51,14 +67,7 @@ def main() -> int:
             continue
         if "CartesianProduct" in plan:
             bad.append(f"{name}: CartesianProduct")
-        # Spark interposes a Sort between a Window and its Exchange
-        # (requiredChildOrdering), so match Window -> (Sort ->)?
-        # Exchange SinglePartition, tolerating codegen '*(n)' prefixes
-        if re.search(
-            r"Window .*\n(?:\s*(?:\+-|:-)? ?(?:\*\(\d+\) )?Sort .*\n)?"
-            r"\s*(?:\+-|:-)? ?Exchange SinglePartition",
-            plan,
-        ):
+        if has_single_partition_window(plan):
             bad.append(f"{name}: single-partition Window")
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_WHITELIST:
             bad.append(f"{name}: BroadcastNestedLoopJoin (not whitelisted)")
