@@ -32,6 +32,13 @@ HEADLINE = [
     "top_event_per_user",
     "cosine_edges",
     "threshold_cc_clusters",
+    # r4: the pinned 100 TB physicals (blocked kernel; blocked kernel
+    # + distributed pointer-jumping CC) measured alongside their
+    # small-n siblings — the distributed CC pays ~3-4 fixed
+    # label-propagation iterations, which at local scale is mostly
+    # per-iteration job overhead
+    "cosine_edges_blocked",
+    "threshold_cc_distributed",
     "cluster_summary",
     "muc_prf",
     "tfidf_blend_clusters",

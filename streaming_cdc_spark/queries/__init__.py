@@ -55,8 +55,17 @@ _PRIORITY = [
     "seen_unseen_split",
     "revenue_rollup",
     # CDC pipeline (oracle-checked)
-    "cosine_edges",
-    "threshold_cc_clusters",
+    # r4: the SCALE-path twins replace their small-n siblings in the
+    # window (VERDICT r3 top-next): cosine_edges_blocked forces the
+    # exact triangle-blocked kernel and threshold_cc_distributed
+    # forces blocked kernel + distributed pointer-jumping CC
+    # (driver_cutoff=0), so CORRECTNESS_r4 hash-verifies the 100 TB
+    # physicals themselves. The broadcast/driver-union-find siblings
+    # stay registered + locally gated, and those small-n strategies
+    # keep in-window driver evidence via cluster_summary /
+    # greedy_parity_clusters / tfidf_blend_clusters (all auto-path).
+    "cosine_edges_blocked",
+    "threshold_cc_distributed",
     "cluster_summary",
     "cluster_contingency",
     "muc_prf",

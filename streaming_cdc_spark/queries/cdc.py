@@ -89,6 +89,51 @@ def threshold_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cosine_edges_blocked",
+    oracle=f"""
+    SELECT u, v, ROUND(sim, 6) AS sim_r
+    FROM ({_EDGES_SQL}) WHERE sim > {TAU}
+    """,
+)
+def cosine_edges_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB physical path of cosine_edges, pinned: the exact
+    triangle-blocked kernel (operators/similarity.py: per-block-pair
+    chunked matmuls, no driver-collected build side) that auto
+    selects above BROADCAST_MAX_ROWS, forced here at test scale so
+    the driver's hash check verifies the SCALE strategy itself — at
+    sf0.01 the auto path would otherwise always take the broadcast
+    matmul and the blocked kernel would only ever be identity-tested
+    locally (VERDICT r3 top-next). Same oracle as cosine_edges: both
+    strategies must produce the identical edge set
+    (nn_thresh.py:112-115 semantics)."""
+    emb = load(spark, sf_dir, "embeddings")
+    edges = cosine_self_edges(emb, TAU, strategy="blocked")
+    return edges.select("u", "v", F.round("sim", 6).alias("sim_r"))
+
+
+@query(
+    "threshold_cc_distributed",
+    oracle=_CC_SQL + "SELECT vec_id, cluster_id FROM assign",
+)
+def threshold_cc_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB physical path of threshold_cc_clusters, pinned:
+    blocked similarity kernel + distributed min-label propagation
+    with pointer jumping (operators/clustering.py:110), forced by
+    strategy="blocked" and driver_cutoff=0 so neither the broadcast
+    matmul nor the driver union-find shortcut can run. Same
+    recursive-CTE oracle as threshold_cc_clusters — the driver hash
+    check certifies that the fully distributed path computes the
+    identical components (VERDICT r3 top-next)."""
+    from streaming_cdc_spark.operators.clustering import connected_components
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = cosine_self_edges(emb, TAU, strategy="blocked").select("u", "v")
+    return connected_components(
+        emb.select("vec_id"), edges, id_col="vec_id", driver_cutoff=0
+    )
+
+
+@query(
     "cluster_summary",
     oracle=_CC_SQL
     + """

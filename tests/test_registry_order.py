@@ -21,7 +21,12 @@ def test_every_family_in_checked_window():
     families = {
         "relational": {"revenue_by_nation", "max_active_sweep"},
         "cdc_metrics": {"muc_prf", "b3_prf", "conflation_errors", "ceaf_e_prf"},
-        "clustering": {"threshold_cc_clusters", "greedy_parity_clusters", "grinch_flat_clusters"},
+        # r4: the window carries the SCALE-path CC twin; the small-n
+        # sibling threshold_cc_clusters stays registered + locally
+        # gated (its broadcast/driver-union-find physicals keep driver
+        # evidence via cluster_summary's auto path)
+        "clustering": {"threshold_cc_distributed", "greedy_parity_clusters", "grinch_flat_clusters"},
+        "similarity_kernel": {"cosine_edges_blocked"},
         "dedup": {"exact_dedup_prefix", "minhash_band_candidates", "simhash_fingerprints"},
         "ann": {"cosine_topk", "lsh_bucket_pairs", "ivf_topk_exact"},
         "semantic_dedup": {"semantic_dedup"},
