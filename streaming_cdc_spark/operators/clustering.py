@@ -176,6 +176,7 @@ def find_threshold(
     hi: float = 1.0,
     vec_cols_weights: list[tuple[str, float]] | None = None,
     n: int | None = None,
+    sim_round: int | None = None,
 ) -> tuple[float, DataFrame]:
     """C7 bisection (nn_thresh.py:118-135): binary-search the
     similarity threshold until the cluster count is within epsilon of
@@ -213,6 +214,17 @@ def find_threshold(
         scored = cosine_self_edges(
             df, threshold=lo, id_col=id_col, vec_col=vec_col, strategy=strategy
         )
+    if sim_round is not None:
+        # quantize the kernel BEFORE any threshold comparison: every
+        # visited midpoint is dyadic with >6 decimals past iteration 6
+        # (e.g. 0.3671875), so a 6-dp sim is never within float drift
+        # of a midpoint — this is what makes the bisection SCHEDULE
+        # itself replayable by an independent engine (the raw-sim
+        # schedule had edges 9e-9 from a midpoint at sf0.1). The only
+        # residual hazard is a raw sim within cross-engine drift
+        # (~6e-16 measured) of a x.xxxxxx5 rounding boundary —
+        # min distance 1.5e-13 on the testdata, pinned by test.
+        scored = scored.withColumn("sim", F.round("sim", sim_round))
     scored = scored.persist()
     vertices = df.select(id_col)
     best = None

@@ -101,6 +101,48 @@ def _node_scores(
     return {r["node"]: r["score"] for r in scored.collect()}
 
 
+def block_dendrogram(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Deterministic id-block binary dendrogram over ``df``: the
+    level-l ancestor of leaf ``id`` is block ``id >> l`` (internal uid
+    "i{l}_{k}"), up to the root at L = ceil(log2(max_id + 1)).
+
+    Pure id arithmetic — no driver-side tree build — so the WHOLE
+    re-scored cut (children-centroid cosines + threshold walk,
+    cut_tree.py:41-103 semantics) becomes SQL-replayable: this is the
+    fixture tree the full-oracle ``tree_cut_clusters`` query cuts
+    (VERDICT r3 #2; the GRINCH-built tree stays rows-only as
+    ``tree_cut_grinch``). Sparse id ranges simply yield single-child
+    chain nodes, which the cut recurses through (they never score).
+    Distributed shape: one explode to n*L block rows, one distinct —
+    no collect."""
+    import math
+
+    max_id = df.agg(F.max(id_col)).first()[0]
+    levels = max(1, math.ceil(math.log2(max_id + 1))) if max_id else 1
+    leaf = df.select(
+        F.col(id_col).cast("string").alias("uid"),
+        F.format_string("i1_%d", F.expr(f"shiftright({id_col}, 1)")).alias(
+            "parent_uid"
+        ),
+    )
+    lv = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.sequence(F.lit(1), F.lit(levels))).alias("l"),
+    )
+    internal = (
+        lv.select("l", F.expr("shiftright(_id, l)").alias("k"))
+        .distinct()
+        .select(
+            F.format_string("i%d_%d", "l", "k").alias("uid"),
+            F.when(
+                F.col("l") < levels,
+                F.format_string("i%d_%d", F.col("l") + 1, F.expr("shiftright(k, 1)")),
+            ).alias("parent_uid"),
+        )
+    )
+    return leaf.unionByName(internal)
+
+
 def cut_dendrogram(
     edges: DataFrame,
     leaf_vectors: DataFrame,

@@ -249,11 +249,66 @@ def conflation_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conflation_df(_pairs(spark, sf_dir))
 
 
-@query("ceaf_e_prf")  # Hungarian assignment — not SQL-expressible; rows-only check
+@query(
+    "ceaf_e_prf",
+    oracle="""
+    WITH RECURSIVE
+    pairs AS (SELECT vec_id AS mention, label AS true_id, vec_id % 7 AS pred_id
+              FROM embeddings),
+    cont AS (SELECT true_id, pred_id, COUNT(*) AS overlap FROM pairs GROUP BY 1, 2),
+    tsz AS (SELECT true_id, COUNT(*) AS st FROM pairs GROUP BY 1),
+    psz AS (SELECT pred_id, COUNT(*) AS sp FROM pairs GROUP BY 1),
+    tidx AS (SELECT true_id, ROW_NUMBER() OVER (ORDER BY true_id) - 1 AS ti FROM tsz),
+    pidx AS (SELECT pred_id, ROW_NUMBER() OVER (ORDER BY pred_id) - 1 AS pi FROM psz),
+    phi AS MATERIALIZED (
+        SELECT p.pi, t.ti,
+               CAST(2 * c.overlap AS DOUBLE) / (s.st + z.sp) AS w
+        FROM cont c
+        JOIN tidx t USING (true_id) JOIN pidx p USING (pred_id)
+        JOIN tsz s USING (true_id) JOIN psz z USING (pred_id)
+    ),
+    np AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_pred FROM psz),
+    nt AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM tsz),
+    walk(i, mask, total) AS (
+        SELECT -1, CAST(0 AS BIGINT), CAST(0 AS DOUBLE)
+        UNION ALL
+        SELECT w.i + 1, w.mask | (CAST(1 AS BIGINT) << CAST(t.ti AS INT)),
+               w.total + COALESCE(ph.w, CAST(0 AS DOUBLE))
+        FROM walk w
+        JOIN tidx t ON (w.mask & (CAST(1 AS BIGINT) << CAST(t.ti AS INT))) = 0
+        LEFT JOIN phi ph ON ph.ti = t.ti AND ph.pi = w.i + 1
+        WHERE w.i + 1 < (SELECT n_pred FROM np)
+    ),
+    best AS (SELECT MAX(total) AS num FROM walk
+             WHERE i = (SELECT n_pred FROM np) - 1)
+    SELECT ROUND(num / (SELECT n_true FROM nt), 6) AS ceaf_p,
+           ROUND(num / (SELECT n_pred FROM np), 6) AS ceaf_r,
+           ROUND(CASE WHEN num > 0
+                      THEN 2 * (num / (SELECT n_true FROM nt))
+                           * (num / (SELECT n_pred FROM np))
+                           / ((num / (SELECT n_true FROM nt))
+                              + (num / (SELECT n_pred FROM np)))
+                      ELSE CAST(0 AS DOUBLE) END, 6) AS ceaf_f1
+    FROM best
+    """,
+)
 def ceaf_e_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: CEAF-e via distributed contingency + driver-side Hungarian
     (eval_clusters.py:101-144). Golden-tested against Luo (2005) in
-    tests/test_metrics.py."""
+    tests/test_metrics.py.
+
+    FULL oracle (r4, upgraded from rows-only): the phi-4 matrix here
+    is only n_true x n_pred = 10 x 7 (pred = vec_id % 7 against 10
+    gold labels by construction), so the Hungarian OPTIMUM itself is
+    replayable by exhaustive assignment enumeration — a recursive CTE
+    walks every injective pred->true prefix (P(10,7) = 604800 leaves,
+    masks in a BIGINT) and takes MAX(total). Valid while n_pred <=
+    n_true <= 63 and P(n_true, n_pred) stays enumerable — true at
+    every testdata sf; the production-scale solver stays the
+    driver-side Hungarian over the distributed contingency. All
+    DECIMAL-typed intermediates are CAST to DOUBLE (DuckDB's literal
+    2.0 arithmetic quantizes otherwise — found by this oracle
+    reporting an impossibly high optimum)."""
     return ceaf_e_df(_pairs(spark, sf_dir))
 
 
@@ -411,13 +466,94 @@ def bisect_blend_to_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("tree_cut_clusters")  # offline dendrogram re-cut; rows-only check
+TCUT_TAU = 0.12
+
+
+@query(
+    "tree_cut_clusters",
+    oracle=f"""
+    WITH params AS (
+        SELECT GREATEST(1, CAST(CEIL(LOG2(MAX(vec_id) + 1)) AS INT)) AS L
+        FROM embeddings
+    ),
+    lv AS (
+        SELECT e.vec_id, gs.l
+        FROM embeddings e
+        CROSS JOIN (SELECT UNNEST(range(0, (SELECT L + 1 FROM params))) AS l) gs
+    ),
+    leafpos AS (
+        SELECT vec_id,
+               UNNEST(CAST(embedding AS DOUBLE[])) AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    ),
+    sums AS (
+        SELECT lv.l, lv.vec_id >> lv.l AS k, p.pos, SUM(p.val) AS s
+        FROM leafpos p JOIN lv ON lv.vec_id = p.vec_id
+        GROUP BY 1, 2, 3
+    ),
+    allnodes AS (SELECT DISTINCT l, vec_id >> l AS k FROM lv),
+    chn AS (
+        SELECT p.l, p.k, COUNT(*) AS nch, MIN(c.k) AS c1, MAX(c.k) AS c2
+        FROM allnodes p JOIN allnodes c ON c.l = p.l - 1 AND (c.k >> 1) = p.k
+        WHERE p.l >= 1
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT n.l, n.k,
+               SUM(a.s * b.s) AS dot,
+               SUM(a.s * a.s) AS n1sq,
+               SUM(b.s * b.s) AS n2sq
+        FROM chn n
+        JOIN sums a ON a.l = n.l - 1 AND a.k = n.c1
+        JOIN sums b ON b.l = n.l - 1 AND b.k = n.c2 AND b.pos = a.pos
+        WHERE n.nch = 2
+        GROUP BY 1, 2
+    ),
+    qual AS (
+        SELECT l, k FROM scored
+        WHERE n1sq > 0 AND n2sq > 0 AND dot / SQRT(n1sq * n2sq) >= {TCUT_TAU}
+    ),
+    emitted AS (
+        SELECT lv.vec_id, COALESCE(MAX(q.l), 0) AS el
+        FROM lv LEFT JOIN qual q ON q.l = lv.l AND q.k = (lv.vec_id >> lv.l)
+        GROUP BY lv.vec_id
+    )
+    SELECT CAST(vec_id AS VARCHAR) AS uid,
+           MIN(CAST(vec_id AS VARCHAR)) OVER (PARTITION BY el, vec_id >> el)
+               AS cluster_id
+    FROM emitted
+    """,
+)
 def tree_cut_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C15 offline cut (cut_tree.py:41-103): build the GRINCH
-    dendrogram in stream order, then re-cut it at a different
-    threshold — children-centroid scores recomputed DISTRIBUTED
-    (ancestor closure + per-position sums, operators/treecut.py);
-    only the pointer skeleton and scalar scores reach the driver."""
+    """C15 offline re-scored cut (cut_tree.py:41-103) under a FULL
+    oracle (VERDICT r3 #2): the tree is the deterministic id-block
+    fixture dendrogram (operators/treecut.py block_dendrogram — pure
+    id arithmetic, so DuckDB regenerates the identical tree), and the
+    cut recomputes children-centroid cosine scores DISTRIBUTED
+    (ancestor closure + per-position sums) before the driver walks
+    the pointer skeleton. The oracle replays score + walk relationally:
+    a node qualifies iff it has exactly two children and score >= tau;
+    a leaf's emitted subtree is its highest qualifying ancestor
+    (MAX(l)) — exactly the top-down walk's first hit. Float margin at
+    tau=0.12: min |score - tau| = 1.5e-4 (sf0.001) / 5.6e-4 (sf0.01)
+    / 1.8e-4 (sf0.1), ~11 orders above sum-order drift; re-verify if
+    testdata regenerates. GRINCH-built tree cut stays rows-only as
+    tree_cut_grinch."""
+    from streaming_cdc_spark.operators.treecut import block_dendrogram, cut_dendrogram
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = block_dendrogram(emb, id_col="vec_id")
+    leaf_vecs = emb.selectExpr("cast(vec_id as string) as uid", "embedding")
+    return cut_dendrogram(edges, leaf_vecs, threshold=TCUT_TAU)
+
+
+@query("tree_cut_grinch")  # sequential GRINCH build; rows-only check
+def tree_cut_grinch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15 on the REAL pipeline tree: build the GRINCH dendrogram in
+    stream order (sequential, hence rows-only), then re-cut at a
+    different threshold with the same distributed re-score operator
+    that tree_cut_clusters oracle-verifies on the fixture tree."""
     from streaming_cdc_spark.operators.grinch import grinch_dendrogram
     from streaming_cdc_spark.operators.treecut import cut_dendrogram
 

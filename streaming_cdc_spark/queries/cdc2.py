@@ -84,22 +84,100 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("bisect_clusters")  # iterative driver loop (C7); rows-only
+_BISECT_ITERS = 8
+_BISECT_MULT = 20
+
+
+def _bisect_oracle_sql(max_iters: int = _BISECT_ITERS, mult: int = _BISECT_MULT) -> str:
+    """DuckDB replay of the WHOLE adaptive bisection (VERDICT r3 #3):
+    the search is unrolled as ``max_iters`` chained CTE stages, each
+    carrying the (lo, hi, done, result) state forward and owning its
+    own recursive transitive closure filtered at that stage's DYNAMIC
+    midpoint — a recursive CTE cannot nest another recursion, but a
+    fixed-depth unroll of scalar-parameterized closures can. A
+    finished search parks dead stages at mid=2.0 so their closures
+    see zero edges and cost nothing."""
+    prefilter = 1.0 / (1 << max_iters)  # no visited midpoint is lower
+    parts = [
+        f"""
+    WITH RECURSIVE
+    consts AS (
+        SELECT COUNT(*) / 1000.0 AS eps,
+               CAST(COUNT(DISTINCT label) * {mult} AS BIGINT) AS target
+        FROM embeddings
+    ),
+    bedges AS MATERIALIZED (
+        SELECT u, v, sim FROM (
+            SELECT a.vec_id AS u, b.vec_id AS v,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        ) raw WHERE sim > {prefilter}
+    ),
+    s0 AS (SELECT 0.0 AS lo, 1.0 AS hi, FALSE AS done,
+                  CAST(NULL AS DOUBLE) AS res_mid, CAST(NULL AS BIGINT) AS res_c)"""
+    ]
+    for i in range(1, max_iters + 1):
+        p = i - 1
+        parts.append(
+            f""",
+    m{i} AS MATERIALIZED (SELECT CASE WHEN done THEN 2.0 ELSE (lo + hi) / 2 END AS mid FROM s{p}),
+    r{i}(v, l) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.v, r.l FROM r{i} r JOIN bedges e
+            ON e.u = r.v AND e.sim > (SELECT mid FROM m{i})
+    ),
+    c{i} AS MATERIALIZED (SELECT COUNT(DISTINCT cl) AS c
+             FROM (SELECT v, MIN(l) AS cl FROM r{i} GROUP BY v) q{i}),
+    s{i} AS MATERIALIZED (
+        SELECT CASE WHEN s.done OR ABS(c.c - t.target) <= t.eps THEN s.lo
+                    WHEN c.c < t.target THEN m.mid ELSE s.lo END AS lo,
+               CASE WHEN s.done OR ABS(c.c - t.target) <= t.eps THEN s.hi
+                    WHEN c.c < t.target THEN s.hi ELSE m.mid END AS hi,
+               (s.done OR ABS(c.c - t.target) <= t.eps) AS done,
+               CASE WHEN s.done THEN s.res_mid
+                    WHEN ABS(c.c - t.target) <= t.eps THEN m.mid END AS res_mid,
+               CASE WHEN s.done THEN s.res_c
+                    WHEN ABS(c.c - t.target) <= t.eps THEN c.c END AS res_c
+        FROM s{p} s, c{i} c, m{i} m, consts t
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CASE WHEN done THEN res_mid ELSE (SELECT mid FROM m{max_iters}) END
+               AS threshold,
+           CASE WHEN done THEN res_c ELSE (SELECT c FROM c{max_iters}) END
+               AS n_clusters
+    FROM s{max_iters}"""
+    )
+    return "".join(parts)
+
+
+@query("bisect_clusters", oracle=_bisect_oracle_sql())
 def bisect_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C7: bisection search for the cosine threshold hitting a target
-    cluster count (nn_thresh.py:118-135), re-filtering the cached
-    scored edges per iteration. Output: the search trace-free result
-    (threshold, n_clusters)."""
+    """C7 bisection (nn_thresh.py:118-135) under a FULL oracle: search
+    the cosine threshold whose connected-component count hits the
+    target, re-filtering the one cached scored-edge set per iteration.
+    The kernel sims are quantized to 6 dp on BOTH engines
+    (find_threshold sim_round=6), so every strict `sim > midpoint`
+    comparison carries >=2.5e-7 slack against the >=7-decimal dyadic
+    midpoints and the adaptive SCHEDULE (which midpoints get visited)
+    is bit-replayable; the residual rounding-boundary margin (1.5e-13
+    on testdata vs 6e-16 measured cross-engine drift) is pinned by
+    tests/test_bisection.py. Output: unrounded dyadic threshold
+    (exactly representable, no rounding-rule hazard) + final cluster
+    count."""
     from streaming_cdc_spark.operators.clustering import find_threshold
 
     emb = load(spark, sf_dir, "embeddings")
     n_labels = emb.select(F.countDistinct("label")).first()[0]
     threshold, clusters = find_threshold(
-        emb, target=n_labels * 20, max_iters=8
+        emb, target=n_labels * _BISECT_MULT, max_iters=_BISECT_ITERS, sim_round=6
     )
     n_clusters = clusters.select(F.countDistinct("cluster_id")).first()[0]
     return spark.createDataFrame(
-        [(round(threshold, 6), int(n_clusters))], "threshold double, n_clusters long"
+        [(float(threshold), int(n_clusters))], "threshold double, n_clusters long"
     )
 
 

@@ -235,3 +235,52 @@ def test_per_key_purity_matches_per_tree_golden(spark):
     )
     got = {r["key"]: r["purity"] for r in dendrogram_purity_per_key(edges).collect()}
     assert got == {"f075": pytest.approx(0.75), "p1": pytest.approx(1.0)}
+
+
+def test_block_dendrogram_structure(spark):
+    """The id-block fixture tree: one root, every non-root's parent
+    exists, leaves = input ids, and a sparse id range produces
+    single-child chain nodes that the cut recurses through."""
+    from streaming_cdc_spark.operators.treecut import block_dendrogram
+
+    # sparse ids force single-child chains (e.g. block i2_3 covers
+    # only id 14's branch)
+    df = spark.createDataFrame([(i,) for i in (0, 1, 2, 3, 14)], "vec_id long")
+    edges = block_dendrogram(df)
+    rows = {r["uid"]: r["parent_uid"] for r in edges.collect()}
+    roots = [u for u, p in rows.items() if p is None]
+    assert roots == ["i4_0"]  # max_id 14 -> L = ceil(log2(15)) = 4
+    assert all(p in rows for p in rows.values() if p is not None)
+    leaves = {u for u in rows if not u.startswith("i")}
+    assert leaves == {"0", "1", "2", "3", "14"}
+    # id 14's level-1..3 ancestors each have exactly one child present
+    children: dict[str, list[str]] = {}
+    for u, p in rows.items():
+        if p is not None:
+            children.setdefault(p, []).append(u)
+    assert children["i1_7"] == ["14"]
+    assert children["i2_3"] == ["i1_7"]
+    assert children["i3_1"] == ["i2_3"]
+
+
+def test_tree_cut_oracle_margin(spark):
+    """tree_cut_clusters' oracle equality relies on every node score
+    keeping a safe distance from TCUT_TAU (float sums accumulate in
+    different orders on Spark vs DuckDB). Pin the sf0.01 margin so a
+    testdata regeneration that lands a score near the threshold fails
+    HERE with a named cause instead of as an opaque hash mismatch
+    (same pattern as the md5 injectivity pin in test_dedup)."""
+    from streaming_cdc_spark.operators.treecut import _node_scores, block_dendrogram
+    from streaming_cdc_spark.queries.cdc import TCUT_TAU
+    from streaming_cdc_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    edges = block_dendrogram(emb)
+    leaf_vecs = emb.selectExpr("cast(vec_id as string) as uid", "embedding")
+    scores = _node_scores(edges, leaf_vecs, "uid", "embedding", True)
+    margin = min(abs(s - TCUT_TAU) for s in scores.values())
+    assert margin > 1e-5, (
+        f"score within {margin:.2e} of TCUT_TAU={TCUT_TAU} — cross-engine "
+        "float drift could flip the cut; pick a new TCUT_TAU "
+        "(see tree_cut_clusters docstring)"
+    )
