@@ -97,9 +97,13 @@ HEADLINE = [
     # streaming upsert sink: foreachBatch keyed merge + versioned
     # atomic publish over the events stream
     "materialized_user_value",
-    # budgeted progressive ER over a 4-micro-batch document stream:
-    # per-batch top-50 verify against accumulated corpus state
-    "progressive_stream_resolution",
+    # budgeted progressive ER, long-stream form: EIGHT micro-batches
+    # (top-25 each — same 200-pair total budget as the 4-batch query)
+    # with state compaction scheduled mid-stream (compact_every=3),
+    # so the OPTIMIZE analogue runs in the measured path (r4:
+    # replaces the 4-batch entry, which stays registered +
+    # oracle-gated)
+    "progressive_longstream_compacted",
 ]
 
 

@@ -167,7 +167,10 @@ def bisect_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     on testdata vs 6e-16 measured cross-engine drift) is pinned by
     tests/test_bisection.py. Output: unrounded dyadic threshold
     (exactly representable, no rounding-rule hazard) + final cluster
-    count."""
+    count. Oracle cost: the DuckDB replay pays an O(n^2) recursive
+    closure per midpoint whose component graph is near-giant —
+    seconds at sf0.01 (the gate + driver scale), impractically slow
+    at sf0.1; verified cross-engine at sf0.001 and sf0.01."""
     from streaming_cdc_spark.operators.clustering import find_threshold
 
     emb = load(spark, sf_dir, "embeddings")

@@ -60,6 +60,8 @@ class ProgressiveResolver:
         budget: int = 50,
         df_cap: int = 50,
         tau: float = 0.2,
+        compact_every: int | None = None,
+        compact_keep_last: int = 2,
     ):
         # two per-bucket state tables, both written idempotently:
         # corpus  — posting lists (doc_id, hashed shingle): the probe index
@@ -73,6 +75,15 @@ class ProgressiveResolver:
         self.budget = budget
         self.df_cap = df_cap
         self.tau = tau
+        # scheduled compaction: fold old per-bucket state every N
+        # buckets, keeping the newest ``compact_keep_last`` unfolded
+        # (a replayed bucket must still find its own dir to overwrite
+        # — keep_last >= 1 is required for at-least-once safety, >= 2
+        # leaves slack for a redelivered multi-bucket batch)
+        if compact_every is not None and compact_keep_last < 1:
+            raise ValueError("compact_keep_last must be >= 1 for replay safety")
+        self.compact_every = compact_every
+        self.compact_keep_last = compact_keep_last
 
     @staticmethod
     def _live_dirs(root: str) -> list[str]:
@@ -196,6 +207,12 @@ class ProgressiveResolver:
         )
         for bucket in buckets:
             self._apply_bucket(batch_all.filter(F.col("bucket") == bucket), bucket)
+            if self.compact_every and (bucket + 1) % self.compact_every == 0:
+                # in-stream OPTIMIZE: results are invariant (tested),
+                # only the state layout folds — the long-stream shape
+                # where listing + file-open cost would otherwise grow
+                # with stream age
+                self.compact(batch_df.sparkSession, keep_last=self.compact_keep_last)
 
     def _apply_bucket(self, batch: DataFrame, bucket: int) -> None:
         from streaming_cdc_spark.operators.dedup import exploded_shingles

@@ -28,3 +28,117 @@ def test_salted_agg_matches_plain(spark):
     plain = df.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("s"))
     salted = salted_agg(df, "k", {"n": F.count("*"), "s": F.sum("v")}, n_salts=8)
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salting_rebalances_partitions(spark):
+    """Runtime-balance evidence (VERDICT r3 #8): hash-partitioning the
+    95%-hot-key fixture by the key alone lands ~95% of rows in ONE
+    task; partitioning by (key, salt) — the layout salted_join /
+    salted_agg shuffle on — caps the max task share near 1/n_salts.
+    This is the actual execution property salting buys at scale, not
+    just result equivalence."""
+    rows = [(0 if i % 20 else 1 + i % 7, float(i)) for i in range(4000)]
+    big = spark.createDataFrame(rows, "k long, v double")
+
+    def max_share(df, *cols):
+        dist = (
+            df.repartition(16, *[F.col(c) for c in cols])
+            .withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+        total = sum(r["count"] for r in dist)
+        return max(r["count"] for r in dist) / total
+
+    assert max_share(big, "k") > 0.8  # the hot key owns one task
+    salted = big.withColumn(
+        "_salt", (F.spark_partition_id() + F.monotonically_increasing_id()) % 8
+    )
+    assert max_share(salted, "k", "_salt") < 0.35
+
+
+def test_salted_join_plan_fans_out(spark):
+    """Plan evidence: the salted join's exchanges hash on the salt
+    (hot key spread over n_salts partitions) and the small side is
+    replicated via explode — pinned so a refactor can't silently
+    shuffle on the bare key again."""
+    big = skewed_df(spark)
+    small = spark.createDataFrame([(i, f"dim{i}") for i in range(7)], "k long, name string")
+    out = salted_join(big, small, "k", n_salts=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+    assert "Generate explode" in plan or "explode" in plan.lower()
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join evidence: with skew thresholds lowered to fixture
+    scale and broadcast disabled (forcing sort-merge), the adaptive
+    final plan must mark the hot partition split (isSkew=true /
+    'skew=true' in the SMJ node) — the runtime re-plan the 100 TB
+    design leans on for unforeseen skew."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # ~98% of rows share key 0 on both sides -> one giant shuffle
+        # partition, well past the 8KB threshold
+        left = spark.createDataFrame(
+            [(0 if i % 50 else i % 11, "x" * 64) for i in range(20000)], "k long, pl string"
+        )
+        right = spark.createDataFrame(
+            [(0 if i % 50 else i % 11, i) for i in range(5000)], "k long, r long"
+        )
+        # a GLOBAL aggregate downstream: a groupBy on the join key
+        # would REQUIRE hashpartitioning(k) after the join, and AQE
+        # refuses to skew-split a join whose output distribution is
+        # load-bearing — the split is only legal when nothing
+        # downstream depends on it
+        joined = left.join(right, "k").agg(
+            F.count(F.lit(1)).alias("n"), F.max(F.length("pl")).alias("w")
+        )
+        joined.collect()  # AQE decides after runtime stats
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
+def test_hot_bucket_cap_bounds_candidates(spark):
+    """LSH hot-bucket guard under deliberate skew: a 100-document
+    clique of identical signatures would contribute ~100^2/2 candidate
+    pairs; with bucket_cap=8 the hot bucket is dropped BEFORE the
+    self-join (zero pairs from it) while small buckets still produce
+    their candidates."""
+    from streaming_cdc_spark.operators.dedup import minhash_signatures, _band_join
+
+    docs = [(i, "identical hot clique text shared by everyone") for i in range(100)]
+    docs += [(1000 + i, f"rare pair text number {i // 2} unique") for i in range(4)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sig = minhash_signatures(df, num_hashes=8)
+    capped = _band_join(sig, num_hashes=8, rows_per_band=2, id_col="doc_id", bucket_cap=8)
+    uncapped = _band_join(sig, num_hashes=8, rows_per_band=2, id_col="doc_id")
+    n_capped = capped.count()
+    n_uncapped = uncapped.count()
+    assert n_uncapped >= 100 * 99 / 2  # the clique's quadratic blowup
+    assert n_capped <= 8 * 7 / 2 * 4  # only small buckets survive
+    # the rare near-dup pairs are still found
+    rare = {tuple(sorted((r["doc_a"], r["doc_b"]))) for r in capped.collect()}
+    assert (1000, 1001) in rare

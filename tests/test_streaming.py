@@ -362,3 +362,38 @@ def test_progressive_compaction_edge_cases(spark, tmp_path):
     r.compact(spark, keep_last=5)  # keep_last > buckets: no fold
     assert sorted(os.listdir(r.state_root)) == ["b0"]
     assert {tuple(x) for x in r.results(spark).collect()} == before
+
+
+def test_progressive_scheduled_compaction(spark, tmp_path):
+    """compact_every folds state INSIDE the stream: after 6 buckets
+    with compact_every=3/keep_last=2, a compacted generation exists,
+    old bucket dirs are gone, and results equal the uncompacted run."""
+    import os
+
+    from streaming_cdc_spark.streaming.progressive import ProgressiveResolver
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta shared run %d %d" % (i % 4, i), i // 4)
+         for i in range(24)],
+        "doc_id long, text string, bucket int",
+    )
+    batches = [docs.filter(f"bucket = {b}") for b in range(6)]
+    plain = ProgressiveResolver(str(tmp_path / "plain"), budget=5, df_cap=50, tau=0.05)
+    comp = ProgressiveResolver(
+        str(tmp_path / "comp"), budget=5, df_cap=50, tau=0.05,
+        compact_every=3, compact_keep_last=2,
+    )
+    for i, b in enumerate(batches):
+        plain.apply_batch(b, i)
+        comp.apply_batch(b, i)
+    state = sorted(os.listdir(comp.state_root))
+    assert any(d.startswith("compact_v") for d in state), state
+    assert "b0" not in state  # folded
+    assert "b5" in state  # keep_last protects the newest
+    assert {tuple(x) for x in comp.results(spark).collect()} == {
+        tuple(x) for x in plain.results(spark).collect()
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep_last"):
+        ProgressiveResolver(str(tmp_path / "bad"), compact_every=2, compact_keep_last=0)

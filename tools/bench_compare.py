@@ -58,8 +58,16 @@ def main() -> None:
     ap.add_argument("old")
     ap.add_argument("new")
     ap.add_argument("--threshold", type=float, default=1.5)
+    ap.add_argument(
+        "--allow-dropped",
+        default="",
+        help="comma-separated query names whose absence from the new "
+        "record is a DELIBERATE headline swap, not a breakage "
+        "(anything else dropped still gates)",
+    )
     ns = ap.parse_args()
     threshold = ns.threshold
+    allow_dropped = {n for n in ns.allow_dropped.split(",") if n}
     old, new = load_record(ns.old), load_record(ns.new)
     oq, nq = old["queries"], new["queries"]
     both = sorted(set(oq) & set(nq))
@@ -96,7 +104,7 @@ def main() -> None:
         for _, n, a, b, err in rows
         if err and (a is not None and a >= 0) and (b is None or b < 0)
     ]
-    regressions += [f"{n} (dropped)" for n in only_old]
+    regressions += [f"{n} (dropped)" for n in only_old if n not in allow_dropped]
     print(f"\n{'ratio':>7}  {'old_s':>8}  {'new_s':>8}  query")
     for ratio, name, a, b, err in rows:
         flag = ""

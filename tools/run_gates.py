@@ -8,15 +8,27 @@ Runs, in order (each is also runnable standalone — see CLAUDE.md):
                        hazards check_oracle's fetchall cannot see)
 4. audit_types       — oracle SQL type-hazard lint
 5. audit_plans       — registry-wide physical-plan red-flag audit
+6. bench + compare   — bench.py at sf0.1, per-query ratio diff vs
+                       the newest same-cpu record in
+                       BENCH_LOCAL.jsonl at 1.5x (VERDICT r3 #7: a
+                       perf regression fails the round gate, not
+                       just breakage); the fresh record is appended
+                       to BENCH_LOCAL.jsonl either way. Skipped when
+                       --no-bench is passed or no comparable
+                       baseline exists (first run on a new cpu
+                       count) — comparing across cpu counts is the
+                       host-drift trap CLAUDE.md documents.
 
-Usage: python tools/run_gates.py [sf_dir]   (default sf0.01)
+Usage: python tools/run_gates.py [sf_dir] [--no-bench]
 Exit 0 iff every gate passed. Sequential on purpose: concurrent
 Spark sessions on this host corrupt each other's timings and can
-OOM; total ~15-20 min.
+OOM; total ~20-25 min.
 """
 
 from __future__ import annotations
 
+import datetime
+import json
 import os
 import subprocess
 import sys
@@ -25,8 +37,77 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _bench_gate(allow_dropped: str = "") -> tuple[bool, str]:
+    """Run bench.py, append the record to BENCH_LOCAL.jsonl, compare
+    against the newest same-cpu baseline. Returns (passed, message)."""
+    proc = subprocess.run(
+        [sys.executable, "bench.py"], cwd=ROOT, capture_output=True, text=True
+    )
+    rec = None
+    for line in (proc.stdout or "").splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    if proc.returncode != 0 or rec is None:
+        tail = "\n".join((proc.stderr or proc.stdout).strip().splitlines()[-3:])
+        return False, f"bench.py failed: {tail}"
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    local = os.path.join(ROOT, "BENCH_LOCAL.jsonl")
+    baseline = None
+    if os.path.exists(local):
+        for line in open(local):
+            try:
+                old = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            # comparable = same cpu count AND same scale factor — an
+            # sf0.01 smoke record must never become the baseline for
+            # an sf0.1 run (every query would look 10x slower)
+            if old.get("_cpus") == cpus and old.get("sf") == rec.get("sf"):
+                baseline = old  # keep the newest (last) comparable record
+    rec["_label"] = "run_gates"
+    rec["_date"] = datetime.date.today().isoformat()
+    rec["_cpus"] = cpus
+    with open(local, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    if baseline is None:
+        return True, f"no same-cpu baseline (cpus={cpus}); recorded only"
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as fo:
+        json.dump(baseline, fo)
+        old_path = fo.name
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as fn:
+        json.dump(rec, fn)
+        new_path = fn.name
+    cmp_proc = subprocess.run(
+        [sys.executable, "tools/bench_compare.py", old_path, new_path,
+         "--threshold", "1.5", "--allow-dropped", allow_dropped],
+        cwd=ROOT,
+        capture_output=True,
+        text=True,
+    )
+    os.unlink(old_path)
+    os.unlink(new_path)
+    tail = "\n".join((cmp_proc.stdout or cmp_proc.stderr).strip().splitlines()[-3:])
+    return cmp_proc.returncode == 0, tail
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    allow_dropped = ""
+    args = []
+    for a in sys.argv[1:]:
+        if a == "--no-bench":
+            continue
+        if a.startswith("--allow-dropped="):
+            allow_dropped = a.split("=", 1)[1]
+            continue
+        args.append(a)
+    with_bench = "--no-bench" not in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     # full-registry names for check_pandas (its default is first-50)
     sys.path.insert(0, ROOT)
     from streaming_cdc_spark.queries import QUERIES
@@ -52,6 +133,13 @@ def main() -> None:
         print(f"[{status}] {name} ({dt}s): {tail}")
         if proc.returncode != 0:
             failures.append(name)
+    if with_bench:
+        t0 = time.time()
+        ok, msg = _bench_gate(allow_dropped)
+        dt = round(time.time() - t0, 1)
+        print(f"[{'PASS' if ok else 'FAIL'}] bench_compare ({dt}s): {msg}")
+        if not ok:
+            failures.append("bench_compare")
     if failures:
         print(f"\nFAILED gates: {', '.join(failures)}")
         sys.exit(1)
