@@ -80,6 +80,11 @@ HEADLINE = [
     "scd2_user_value",
     "user_series_similarity",
     "quality_decile_curriculum",
+    # r4: LSH recall S-curve measured on the corpus itself + the
+    # deterministic stratified sampler (hash-rate filter and
+    # WindowGroupLimit fixed-k per group)
+    "minhash_recall_calibration",
+    "stratified_sample_counts",
     "kmeans_assign",
     # EP3: sequential GRINCH build (driver, 5000 pts) + the per-key
     # scalable form (independent trees via applyInPandas)

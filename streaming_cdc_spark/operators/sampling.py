@@ -1,0 +1,62 @@
+"""Deterministic sampling for training-data curation.
+
+Random sampling is the wrong tool in a 100 TB pipeline: reruns must
+reproduce byte-identical corpora, and a sample must not depend on
+partitioning or visit order. Both operators here key every decision
+off the md5-chain hash of (group, id) — the same cross-engine hash
+(functions.hashing.md5_long) the dedup chains use — so the sample is
+a pure function of the data, replayable in the DuckDB oracle and
+stable under repartitioning, retries, and cluster size.
+
+- ``hash_rate_sample``: per-group Bernoulli by rate, as a pure FILTER
+  (no shuffle, no RNG state) — the scale path for "keep 25% of each
+  language".
+- ``deterministic_group_topk``: exactly-k rows per group, ordered by
+  the hash (a reservoir-sample stand-in with none of the sequential
+  state): one row_number window partitioned by group. Spark's
+  WindowGroupLimit rule (3.5+) pushes the k-limit below the exchange,
+  so each map task forwards at most k rows per group — shuffle volume
+  is O(groups x k), not O(rows). Few giant groups still serialize
+  their top-k merge; salt the group key if k is large.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from streaming_cdc_spark.functions.hashing import md5_long
+
+
+def _sample_hash(group_col: str, id_col: str):
+    return md5_long(F.concat_ws("|", F.col(group_col), F.col(id_col).cast("string")))
+
+
+def hash_rate_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    rate_permille: int,
+) -> DataFrame:
+    """Keep rows whose 60-bit (group, id) hash lands below
+    ``rate_permille``/1000 — deterministic Bernoulli(rate) per group,
+    integer arithmetic end to end (no float boundary, no RNG)."""
+    return df.filter(_sample_hash(group_col, id_col) % 1000 < rate_permille)
+
+
+def deterministic_group_topk(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, selected by hash order
+    (ties broken by id — total order, so the sample is unique)."""
+    w = W.partitionBy(group_col).orderBy(
+        _sample_hash(group_col, id_col).alias("_h"), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

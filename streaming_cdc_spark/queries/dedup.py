@@ -90,6 +90,85 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "minhash_recall_calibration",
+    oracle=f"""
+    WITH {_SHINGLES},
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    truth AS (SELECT doc_a, doc_b, n_shared,
+                     (x.n_sh + y.n_sh - n_shared) AS u
+              FROM shared JOIN sz x ON doc_a = x.doc_id
+                          JOIN sz y ON doc_b = y.doc_id
+              WHERE 20 * n_shared >= (x.n_sh + y.n_sh - n_shared)),
+    mh AS (SELECT doc_id,
+                  MIN({_md5i("concat('0|', shingle)")}) AS h0,
+                  MIN({_md5i("concat('1|', shingle)")}) AS h1,
+                  MIN({_md5i("concat('2|', shingle)")}) AS h2,
+                  MIN({_md5i("concat('3|', shingle)")}) AS h3
+           FROM sh GROUP BY doc_id),
+    bk AS (SELECT doc_id, UNNEST([concat('0_', h0), concat('1_', h1),
+                                  concat('2_', h2), concat('3_', h3)]) AS bucket
+           FROM mh),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b, 1 AS hit
+             FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.doc_id < c.doc_id)
+    SELECT (10 * t.n_shared) // t.u AS jaccard_decile,
+           COUNT(*) AS n_true,
+           CAST(SUM(COALESCE(cand.hit, 0)) AS BIGINT) AS n_recalled,
+           ROUND(CAST(SUM(COALESCE(cand.hit, 0)) AS DOUBLE) / COUNT(*), 6)
+               AS recall_r
+    FROM truth t
+    LEFT JOIN cand ON cand.doc_a = t.doc_a AND cand.doc_b = t.doc_b
+    GROUP BY 1
+    """,
+)
+def minhash_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation-quality MEASUREMENT as a gated query ("measure,
+    don't guess"): ground-truth near-dup pairs (exact word-3-gram
+    Jaccard >= 0.05 via the inverted-index join) bucketed by Jaccard
+    decile, each bucket reporting what fraction the banded-MinHash
+    candidate generator (4 hashes, 1 row/band — the high-recall
+    config every dedup chain here uses) actually recovers. This is
+    the S-curve LSH theory predicts, computed on the corpus itself —
+    the number a 100 TB dedup run needs before trusting its candidate
+    stage. Every comparison is INTEGER arithmetic (20*n_shared >= u
+    for the 0.05 threshold, (10*n_shared) // u for the decile), so
+    there is no float-boundary hazard anywhere in the chain."""
+    docs = load(spark, sf_dir, "documents")
+    sizes, shared = D.shared_shingle_counts(docs)
+    truth = (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .withColumn("u", F.col("na") + F.col("nb") - F.col("n_shared"))
+        .filter(20 * F.col("n_shared") >= F.col("u"))
+    )
+    cand = (
+        D.minhash_band_candidates(docs, num_hashes=4, rows_per_band=1)
+        .select("doc_a", "doc_b")
+        .withColumn("hit", F.lit(1))
+    )
+    j = truth.join(cand, ["doc_a", "doc_b"], "left")
+    return j.groupBy(
+        F.expr("(10 * n_shared) div u").alias("jaccard_decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_recalled"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("recall_r"),
+    )
+
+
+@query(
     "ngram_repetition_stats",
     oracle="""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -710,3 +710,71 @@ def pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("long").alias("total_tokens"),
         F.countDistinct(seq).alias("n_sequences"),
     )
+
+
+@query(
+    "stratified_sample_counts",
+    oracle="""
+    WITH h AS (
+        SELECT lang, doc_id,
+               CAST(concat('0x', substr(md5(concat(lang, '|',
+                    CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS hv
+        FROM documents
+    ),
+    tot AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+    rate AS (SELECT lang, COUNT(*) AS n_rate FROM h
+             WHERE hv % 1000 < 250 GROUP BY 1),
+    rk AS (SELECT lang, doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+           FROM h),
+    fixed AS (SELECT lang, COUNT(*) AS n_fixed,
+                     CAST(SUM(doc_id) AS BIGINT) AS fixed_id_sum
+              FROM rk WHERE rn <= 20 GROUP BY 1)
+    SELECT t.lang, t.n_docs,
+           CAST(COALESCE(r.n_rate, 0) AS BIGINT) AS n_rate,
+           f.n_fixed, f.fixed_id_sum
+    FROM tot t LEFT JOIN rate r USING (lang) JOIN fixed f USING (lang)
+    """,
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators/sampling.py): a
+    25% hash-rate Bernoulli per language (pure filter — the no-shuffle
+    scale path) and an exactly-20-per-language hash-ordered sample
+    (row_number window; Spark's WindowGroupLimit pushes the k-limit
+    below the exchange, pinned by tests/test_plans.py). Both samples
+    are pure functions of (lang, doc_id) via the cross-engine
+    md5-chain hash, so reruns, repartitions, and the DuckDB oracle
+    all select the SAME rows — fixed_id_sum is the membership witness
+    (any substituted row changes it). Integer arithmetic end to end;
+    no RNG, no float boundaries."""
+    from streaming_cdc_spark.operators.sampling import (
+        deterministic_group_topk,
+        hash_rate_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("lang", "doc_id")
+    tot = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    rate = (
+        hash_rate_sample(docs, "lang", "doc_id", 250)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("_n_rate"))
+    )
+    fixed = (
+        deterministic_group_topk(docs, "lang", "doc_id", 20)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_fixed"),
+            F.sum("doc_id").cast("long").alias("fixed_id_sum"),
+        )
+    )
+    return (
+        tot.join(rate, "lang", "left")
+        .join(fixed, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce(F.col("_n_rate"), F.lit(0)).cast("long").alias("n_rate"),
+            "n_fixed",
+            "fixed_id_sum",
+        )
+    )
