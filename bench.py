@@ -102,6 +102,10 @@ HEADLINE = [
     # streaming upsert sink: foreachBatch keyed merge + versioned
     # atomic publish over the events stream
     "materialized_user_value",
+    # r4: watermarked event-time aggregation with REAL late data
+    # (round-robin batches), drop + append-emission semantics under a
+    # full oracle
+    "watermarked_daily_counts",
     # budgeted progressive ER, long-stream form: EIGHT micro-batches
     # (top-25 each — same 200-pair total budget as the 4-batch query)
     # with state compaction scheduled mid-stream (compact_every=3),

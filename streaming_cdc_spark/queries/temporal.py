@@ -363,3 +363,108 @@ def user_series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("sim_r"),
         )
     )
+
+
+_WM_SPLITS: dict[str, str] = {}
+
+
+@query(
+    "watermarked_daily_counts",
+    oracle="""
+    WITH e AS (SELECT event_id, ts, value, CAST(event_id % 4 AS INT) AS bk
+               FROM events),
+    -- Spark's watermark for batch k derives from event-time stats
+    -- through batch k-2 (the stats a batch collects feed the
+    -- watermark COMPUTED at its end, which takes effect at the START
+    -- of the batch after next) -- pinned empirically; lag-1 replay
+    -- drops twice too much
+    pm AS (SELECT k.k, MAX(e.ts) - INTERVAL 7 DAY AS wm
+           FROM (SELECT UNNEST([1, 2, 3]) AS k) k
+           JOIN e ON e.bk < k.k - 1 GROUP BY 1),
+    kept AS (SELECT e.* FROM e LEFT JOIN pm ON pm.k = e.bk
+             WHERE pm.wm IS NULL
+                OR CAST(date_trunc('day', e.ts) AS TIMESTAMP)
+                   + INTERVAL 1 DAY > pm.wm),
+    -- availableNow runs a final no-data batch that commits the
+    -- watermark over ALL batches; append mode emits exactly the
+    -- windows that watermark has passed
+    fw AS (SELECT MAX(ts) - INTERVAL 7 DAY AS wm FROM e)
+    SELECT strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_value_r
+    FROM kept
+    WHERE CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY
+          <= (SELECT wm FROM fw)
+    GROUP BY 1
+    """,
+)
+def watermarked_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time aggregation with REAL late data, under a
+    FULL oracle: events stream in four round-robin batches
+    (event_id % 4 -- each spans the whole month, so batches 1-3
+    deliver heavily late rows), a 7-day watermark drops late rows
+    whose 1-day tumbling window has been finalized, and append mode
+    emits exactly the windows the final watermark passed. The oracle
+    replays BOTH core Structured Streaming semantics relationally:
+    the drop rule (window_end > watermark-in-effect, where batch k's
+    watermark derives from event-time stats through batch k-2 -- the
+    one-trigger publication lag, pinned empirically: a lag-1 replay
+    drops 2x too much) and the append-emission rule (window_end <=
+    final watermark, advanced over all batches by availableNow's
+    closing no-data batch). Batch membership is a pure function of
+    event_id, so the entire run is deterministic. Boundary hazard is
+    measure-zero: watermarks carry microsecond offsets, window ends
+    are day-aligned. DECIMAL money sums per the registry rules."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "value")
+    src = _WM_SPLITS.get(sf_dir)
+    if src is None or not os.path.isdir(src):
+        src = tempfile.mkdtemp(prefix="wm_src_")
+        for i in range(4):
+            part = ev.filter(F.col("event_id") % 4 == i)
+            path = os.path.join(src, f"split_{i}")
+            part.coalesce(1).write.parquet(path)
+            # oldest-mtime-first admission: batch order == bucket order
+            for root, _dirs, files in os.walk(path):
+                for f_ in files:
+                    os.utime(os.path.join(root, f_), (1_000_000 + i, 1_000_000 + i))
+        _WM_SPLITS[sf_dir] = src
+    ckpt = tempfile.mkdtemp(prefix="wm_ckpt_")
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/split_*/*.parquet")
+    )
+    agg = (
+        stream.withWatermark("ts", "7 days")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_sv"),
+        )
+    )
+    name = f"wmdc_{abs(hash(ckpt)) % 10**9}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.table(name)
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            F.round(F.col("_sv").cast("double"), 2).alias("sum_value_r"),
+        )
+        .localCheckpoint()
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
