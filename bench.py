@@ -90,6 +90,9 @@ HEADLINE = [
     # scalable form (independent trees via applyInPandas)
     "grinch_flat_clusters",
     "grinch_per_key_trees",
+    # r4: distributed purity math on the bit-arithmetic fixture tree
+    # (the A10 full-oracle evidence query)
+    "dendrogram_purity_fixture",
     "semantic_dedup",
     "ivf_topk_exact",
     "temperature_mix",

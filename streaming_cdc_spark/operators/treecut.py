@@ -101,7 +101,9 @@ def _node_scores(
     return {r["node"]: r["score"] for r in scored.collect()}
 
 
-def block_dendrogram(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+def block_dendrogram(
+    df: DataFrame, id_col: str = "vec_id", label_col: str | None = None
+) -> DataFrame:
     """Deterministic id-block binary dendrogram over ``df``: the
     level-l ancestor of leaf ``id`` is block ``id >> l`` (internal uid
     "i{l}_{k}"), up to the root at L = ceil(log2(max_id + 1)).
@@ -119,11 +121,17 @@ def block_dendrogram(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
 
     max_id = df.agg(F.max(id_col)).first()[0]
     levels = max(1, math.ceil(math.log2(max_id + 1))) if max_id else 1
+    # label (leaf rows only) marks leaves for the purity metrics,
+    # which identify leaves as label-carrying rows
+    label_cols = (
+        [F.col(label_col).cast("string").alias("label")] if label_col else []
+    )
     leaf = df.select(
         F.col(id_col).cast("string").alias("uid"),
         F.format_string("i1_%d", F.expr(f"shiftright({id_col}, 1)")).alias(
             "parent_uid"
         ),
+        *label_cols,
     )
     lv = df.select(
         F.col(id_col).alias("_id"),
@@ -138,6 +146,7 @@ def block_dendrogram(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
                 F.col("l") < levels,
                 F.format_string("i%d_%d", F.col("l") + 1, F.expr("shiftright(k, 1)")),
             ).alias("parent_uid"),
+            *([F.lit(None).cast("string").alias("label")] if label_col else []),
         )
     )
     return leaf.unionByName(internal)

@@ -82,7 +82,11 @@ _PRIORITY = [
     "ceaf_e_prf",
     "greedy_parity_clusters",
     "grinch_flat_clusters",
-    "grinch_purity",
+    # r4: dendrogram_purity_fixture (full oracle — the distributed
+    # purity operator scored on the bit-arithmetic id-block tree)
+    # replaced rows-only grinch_purity, which stays registered +
+    # golden-tested; A10's MATH is now hash-verified at driver time
+    "dendrogram_purity_fixture",
     "tfidf_blend_clusters",
     "tree_cut_clusters",
     "bisect_clusters",

@@ -548,6 +548,62 @@ def tree_cut_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cut_dendrogram(edges, leaf_vecs, threshold=TCUT_TAU)
 
 
+@query(
+    "dendrogram_purity_fixture",
+    oracle="""
+    WITH params AS (
+        SELECT GREATEST(1, CAST(CEIL(LOG2(MAX(vec_id) + 1)) AS INT)) AS L
+        FROM embeddings
+    ),
+    lv AS (
+        SELECT e.vec_id, CAST(e.label AS VARCHAR) AS label, gs.l
+        FROM embeddings e
+        CROSS JOIN (SELECT UNNEST(range(0, (SELECT L + 1 FROM params))) AS l) gs
+    ),
+    hist AS (SELECT l, vec_id >> l AS k, label, COUNT(*) AS h
+             FROM lv GROUP BY 1, 2, 3),
+    nl AS (SELECT l, k, CAST(SUM(h) AS BIGINT) AS n FROM hist GROUP BY 1, 2),
+    -- a same-label pair's LCA in the id-block tree is the block where
+    -- the two ids' paths SPLIT: children of (l, k) are (l-1, 2k) and
+    -- (l-1, 2k+1), so the per-node contribution h_left*h_right*h/n
+    -- needs only three hist lookups; single-child chain nodes drop
+    -- out via the inner joins (no sibling block -> no pair splits
+    -- there), mirroring the operator's n_children_with == 2 filter
+    contrib AS (
+        SELECT CAST(hl.h * hr.h * hh.h AS DOUBLE) / nl.n AS c
+        FROM (SELECT DISTINCT l, k FROM hist WHERE l >= 1) p
+        JOIN hist hl ON hl.l = p.l - 1 AND hl.k = 2 * p.k
+        JOIN hist hr ON hr.l = p.l - 1 AND hr.k = 2 * p.k + 1
+                    AND hr.label = hl.label
+        JOIN hist hh ON hh.l = p.l AND hh.k = p.k AND hh.label = hl.label
+        JOIN nl ON nl.l = p.l AND nl.k = p.k
+    ),
+    tot AS (SELECT SUM(t * (t - 1) / 2.0) AS p_star
+            FROM (SELECT label, COUNT(*) AS t FROM embeddings GROUP BY 1) q)
+    SELECT ROUND((SELECT COALESCE(SUM(c), 0.0) FROM contrib)
+                 / (SELECT p_star FROM tot), 6) AS purity
+    """,
+)
+def dendrogram_purity_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 dendrogram purity under a FULL oracle (r4, same move as
+    tree_cut_clusters): the DISTRIBUTED purity operator — pointer-
+    doubling ancestor closure + per-node label histograms + the
+    h_left*h_right*h/n summand (metrics/purity.py,
+    dendrogram_purity.py:64-84 semantics) — scored on the id-block
+    fixture dendrogram, whose LCA structure is pure bit arithmetic, so
+    DuckDB replays every per-node contribution exactly (identical
+    division expression per node-label; only the final sum order
+    differs, ~1e-14 vs the 6dp rounding boundary). grinch_purity (the
+    sequential GRINCH tree) stays registered rows-only — this query
+    is what hash-verifies the purity MATH at driver time."""
+    from streaming_cdc_spark.metrics.purity import dendrogram_purity_df
+    from streaming_cdc_spark.operators.treecut import block_dendrogram
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = block_dendrogram(emb, id_col="vec_id", label_col="label")
+    return dendrogram_purity_df(edges)
+
+
 @query("tree_cut_grinch")  # sequential GRINCH build; rows-only check
 def tree_cut_grinch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C15 on the REAL pipeline tree: build the GRINCH dendrogram in

@@ -284,3 +284,23 @@ def test_tree_cut_oracle_margin(spark):
         "float drift could flip the cut; pick a new TCUT_TAU "
         "(see tree_cut_clusters docstring)"
     )
+
+
+def test_block_dendrogram_purity_hand_values(spark):
+    """Fixture-tree purity against hand-computed values: perfectly
+    separated labels score 1.0; labels interleaved across the two
+    level-1 blocks score 0.5 (every same-label pair's LCA is the
+    root: 1*1*2/4 per label, p* = 2)."""
+    from streaming_cdc_spark.metrics.purity import dendrogram_purity_df
+    from streaming_cdc_spark.operators.treecut import block_dendrogram
+
+    sep = spark.createDataFrame(
+        [(0, "A"), (1, "A"), (2, "B"), (3, "B")], "vec_id long, label string"
+    )
+    p1 = dendrogram_purity_df(block_dendrogram(sep, label_col="label")).first()["purity"]
+    assert p1 == 1.0
+    mix = spark.createDataFrame(
+        [(0, "A"), (1, "B"), (2, "A"), (3, "B")], "vec_id long, label string"
+    )
+    p2 = dendrogram_purity_df(block_dendrogram(mix, label_col="label")).first()["purity"]
+    assert p2 == 0.5
