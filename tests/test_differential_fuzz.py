@@ -345,3 +345,100 @@ def test_fuzz_progressive_stream_vs_duckdb(spark, tmp_path, seed):
         """).fetchall()
     )
     assert got == want, f"seed={seed} budget={budget} df_cap={df_cap}\n{got}\n{want}"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_block_purity(spark, seed):
+    """Distributed dendrogram purity on the id-block fixture tree vs
+    the arithmetic DuckDB replay, under RANDOM sparse id sets (chain
+    nodes) and random labelings — the purity math is rational, so the
+    only cross-engine difference is final sum order."""
+    from streaming_cdc_spark.metrics.purity import dendrogram_purity_df
+    from streaming_cdc_spark.operators.treecut import block_dendrogram
+
+    rng = random.Random(7000 + seed)
+    n = rng.randint(4, 24)
+    ids = rng.sample(range(64), n)
+    labels = [rng.choice("ABC"[: rng.randint(2, 3)]) for _ in ids]
+    # need at least one same-label pair or p* = 0 (operator assumes
+    # p* > 0, as does the reference)
+    labels[0] = labels[1] = "A"
+    df = spark.createDataFrame(
+        list(zip(ids, labels)), "vec_id long, label string"
+    )
+    got = dendrogram_purity_df(block_dendrogram(df, label_col="label")).first()["purity"]
+
+    values = ", ".join(f"({i}, '{l}')" for i, l in zip(ids, labels))
+    con = duckdb.connect()
+    sql = f"""
+    WITH emb(vec_id, label) AS (VALUES {values}),
+    params AS (SELECT GREATEST(1, CAST(CEIL(LOG2(MAX(vec_id) + 1)) AS INT)) AS L
+               FROM emb),
+    lv AS (SELECT e.vec_id, e.label, gs.l
+           FROM emb e
+           CROSS JOIN (SELECT UNNEST(range(0, (SELECT L + 1 FROM params))) AS l) gs),
+    hist AS (SELECT l, vec_id >> l AS k, label, COUNT(*) AS h FROM lv GROUP BY 1, 2, 3),
+    nl AS (SELECT l, k, CAST(SUM(h) AS BIGINT) AS n FROM hist GROUP BY 1, 2),
+    contrib AS (
+        SELECT CAST(hl.h * hr.h * hh.h AS DOUBLE) / nl.n AS c
+        FROM (SELECT DISTINCT l, k FROM hist WHERE l >= 1) p
+        JOIN hist hl ON hl.l = p.l - 1 AND hl.k = 2 * p.k
+        JOIN hist hr ON hr.l = p.l - 1 AND hr.k = 2 * p.k + 1 AND hr.label = hl.label
+        JOIN hist hh ON hh.l = p.l AND hh.k = p.k AND hh.label = hl.label
+        JOIN nl ON nl.l = p.l AND nl.k = p.k
+    ),
+    tot AS (SELECT SUM(t * (t - 1) / 2.0) AS p_star
+            FROM (SELECT label, COUNT(*) AS t FROM emb GROUP BY 1) q)
+    SELECT ROUND((SELECT COALESCE(SUM(c), 0.0) FROM contrib)
+                 / (SELECT p_star FROM tot), 6) AS purity
+    """
+    want = con.execute(sql).fetchone()[0]
+    assert got == want, (ids, labels, got, want)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_stratified_sample(spark, seed):
+    """hash-rate + fixed-k sampling vs generated SQL at random group
+    shapes, rates, and k — all integer arithmetic, exact equality."""
+    from pyspark.sql import functions as F
+
+    from streaming_cdc_spark.operators.sampling import (
+        deterministic_group_topk,
+        hash_rate_sample,
+    )
+
+    rng = random.Random(8000 + seed)
+    n_groups = rng.randint(1, 5)
+    rows = [
+        (f"g{rng.randint(0, n_groups - 1)}", i)
+        for i in range(rng.randint(10, 120))
+    ]
+    rate = rng.choice([50, 250, 500, 900])
+    k = rng.randint(1, 9)
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    srate = {
+        tuple(r)
+        for r in hash_rate_sample(df, "lang", "doc_id", rate).collect()
+    }
+    stopk = {
+        tuple(r)
+        for r in deterministic_group_topk(df, "lang", "doc_id", k).collect()
+    }
+    values = ", ".join(f"('{g}', {i})" for g, i in rows)
+    con = duckdb.connect()
+    base = f"""
+    WITH d(lang, doc_id) AS (VALUES {values}),
+    h AS (SELECT lang, doc_id,
+                 CAST(concat('0x', substr(md5(concat(lang, '|',
+                      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS hv
+          FROM d)
+    """
+    drate = set(con.execute(base + f"SELECT lang, doc_id FROM h WHERE hv % 1000 < {rate}").fetchall())
+    dtopk = set(con.execute(base + f"""
+        SELECT lang, doc_id FROM (
+            SELECT lang, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+            FROM h) q WHERE rn <= {k}
+    """).fetchall())
+    assert srate == drate
+    assert stopk == dtopk
