@@ -23,6 +23,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# per-worker (tokenizer, model) cache for the real-model encoder:
+# lives in the Python worker process, keyed by model name
+_MODEL_CACHE: dict = {}
+
+
 def _token_vector(token: str, dim: int) -> np.ndarray:
     """Deterministic per-token uniform[-1,1) vector via an md5 chain:
     component j = md5_long(f"{token}|{j}") / 2^59 - 1. Matches
@@ -110,20 +115,32 @@ def _model_encode_mentions(
 ) -> DataFrame:
     """Transformer encoder kernel: same recentring and output contract
     as the hash encoder, model forward pass instead of the token-hash
-    kernel. One model load per Python worker (module-level cache);
-    inference under no_grad on CPU — executors on a GPU cluster would
-    move the model in the same place."""
+    kernel. One model load per Python worker: mapInPandas calls gen()
+    once per PARTITION (and fan_out inflates partitions to ~2-3x
+    cores), so the (tokenizer, model) pair is cached in a
+    module-level dict keyed by model name — each reused worker
+    process pays the load once, not once per partition. Inference
+    under no_grad on CPU — executors on a GPU cluster would move the
+    model in the same place."""
     from streaming_cdc_spark.session import ensure_package_on_executors, fan_out
 
     ensure_package_on_executors(mentions.sparkSession)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import torch  # deferred: only reached when have_transformers()
-        from transformers import AutoModel, AutoTokenizer
 
-        tokenizer = AutoTokenizer.from_pretrained(model_name)
-        model = AutoModel.from_pretrained(model_name)
-        model.eval()
+        import streaming_cdc_spark.operators.encoder as _enc_mod
+
+        cached = _enc_mod._MODEL_CACHE.get(model_name)
+        if cached is None:
+            from transformers import AutoModel, AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(model_name)
+            model = AutoModel.from_pretrained(model_name)
+            model.eval()
+            _enc_mod._MODEL_CACHE[model_name] = (tokenizer, model)
+        else:
+            tokenizer, model = cached
         for pdf in batches:
             texts = []
             for _, row in pdf.iterrows():

@@ -29,7 +29,13 @@ from streaming_cdc_spark.functions.hashing import md5_long
 
 
 def _sample_hash(group_col: str, id_col: str):
-    return md5_long(F.concat_ws("|", F.col(group_col), F.col(id_col).cast("string")))
+    # NULL groups hash as '' on BOTH engines: Spark's concat_ws would
+    # otherwise DROP a NULL argument plus its separator ('5'), while
+    # DuckDB's concat keeps the separator ('|5') — different hash,
+    # divergent sample membership (code-review r4). With the coalesce,
+    # both render '|5'.
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit(""))
+    return md5_long(F.concat_ws("|", g, F.col(id_col).cast("string")))
 
 
 def hash_rate_sample(

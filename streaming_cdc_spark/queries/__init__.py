@@ -73,12 +73,12 @@ _PRIORITY = [
     "conflation_errors",
     "context_windows",
     "regex_token_stats",
-    # CDC pipeline (r4: tree_cut_clusters gained a full oracle — the
-    # id-block fixture dendrogram makes the re-scored cut
-    # SQL-replayable; bisect_clusters gained a full oracle — the
-    # adaptive search unrolled as 8 chained recursive-closure stages.
-    # Still rows-only by design: ceaf_e_prf (Hungarian),
-    # grinch_flat_clusters/grinch_purity (sequential tree build).)
+    # CDC pipeline (r4: tree_cut_clusters, bisect_clusters, ceaf_e_prf
+    # and dendrogram_purity_fixture all gained FULL oracles — fixture
+    # dendrogram cut, unrolled bisection stages, exhaustive Hungarian
+    # enumeration, bit-arithmetic LCA purity. The only remaining
+    # in-window rows-only query is grinch_flat_clusters: the
+    # sequential order-dependent GRINCH build itself.)
     "ceaf_e_prf",
     "greedy_parity_clusters",
     "grinch_flat_clusters",

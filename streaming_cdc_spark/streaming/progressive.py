@@ -132,7 +132,7 @@ class ProgressiveResolver:
             return None
         return spark.read.parquet(*subdirs)
 
-    def compact(self, spark, keep_last: int = 2) -> None:
+    def compact(self, spark, keep_last: int = 2, protect_from: int | None = None) -> None:
         """Fold old per-bucket state dirs into one compacted
         generation per state table. A 24/7 stream writes one dir per
         micro-batch; after thousands of batches the probe's listing +
@@ -151,7 +151,15 @@ class ProgressiveResolver:
 
         df partials are re-aggregated during the merge (counts are
         monoids), so the compacted df table is one row per shingle —
-        compaction SHRINKS it, not just concatenates."""
+        compaction SHRINKS it, not just concatenates.
+
+        ``protect_from``: additionally never fold buckets with id >=
+        this value, REGARDLESS of keep_last — in-stream compaction
+        passes the current micro-batch's minimum bucket id, because a
+        redelivered multi-bucket batch must still find every one of
+        its own bucket dirs unfolded (a folded sibling would be
+        invisible to _seen's >=-cut AND baked into the compacted
+        generation — double-counted on replay)."""
         import shutil
 
         for root, agg in ((self.state_root, False), (self.df_root, True)):
@@ -161,9 +169,10 @@ class ProgressiveResolver:
                 (n for n in live if not n.startswith("compact_v")),
                 key=lambda n: int(n[1:]),
             )
-            inputs = [n for n in live if n.startswith("compact_v")] + buckets[
-                : max(0, len(buckets) - keep_last)
-            ]
+            foldable = buckets[: max(0, len(buckets) - keep_last)]
+            if protect_from is not None:
+                foldable = [n for n in foldable if int(n[1:]) < protect_from]
+            inputs = [n for n in live if n.startswith("compact_v")] + foldable
             if len(inputs) < 2:
                 continue  # nothing worth folding
             gens = [
@@ -211,8 +220,15 @@ class ProgressiveResolver:
                 # in-stream OPTIMIZE: results are invariant (tested),
                 # only the state layout folds — the long-stream shape
                 # where listing + file-open cost would otherwise grow
-                # with stream age
-                self.compact(batch_df.sparkSession, keep_last=self.compact_keep_last)
+                # with stream age. protect_from = this micro-batch's
+                # lowest bucket: an at-least-once redelivery of the
+                # WHOLE batch must find all of its own bucket dirs
+                # unfolded (code-review r4 finding)
+                self.compact(
+                    batch_df.sparkSession,
+                    keep_last=self.compact_keep_last,
+                    protect_from=buckets[0],
+                )
 
     def _apply_bucket(self, batch: DataFrame, bucket: int) -> None:
         from streaming_cdc_spark.operators.dedup import exploded_shingles

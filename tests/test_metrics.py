@@ -74,3 +74,21 @@ def test_conflation(spark):
     row = conflation_df(pairs_df(spark, LUO_TRUE, LUO_TRUE)).first()
     assert row["conflated"] == 0
     assert row["divided"] == 0
+
+
+def test_ceaf_oracle_enumeration_domain(spark):
+    """ceaf_e_prf's exhaustive-assignment oracle shifts 1::BIGINT by
+    the true-cluster index (hard cap 63) and enumerates P(n_true, 7)
+    prefixes (practical cap ~20 labels). Pin the testdata domain so a
+    regeneration that outgrows it fails HERE with a named cause
+    instead of as a DuckDB shift-overflow or a hung recursive walk."""
+    from streaming_cdc_spark.tables import load
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = load(spark, sf, "embeddings")
+        n_true = emb.select("label").distinct().count()
+        assert n_true <= 20, (
+            f"{sf}: {n_true} gold labels — the ceaf_e_prf oracle's "
+            "exhaustive enumeration is no longer tractable; replace it "
+            "with a bound-certificate check (see its docstring)"
+        )

@@ -49,3 +49,33 @@ def test_group_topk_plan_pushes_limit_below_exchange(spark):
     assert "WindowGroupLimit" in head  # one sits above the exchange...
     tail = plan.split("Exchange hashpartitioning", 1)[1]
     assert "WindowGroupLimit" in tail  # ...and one below (map-side)
+
+
+def test_sample_hash_null_group_cross_engine(spark):
+    """NULL group values must hash identically on both engines:
+    Spark's concat_ws drops a NULL argument AND its separator while
+    DuckDB's concat only drops the NULL — _sample_hash coalesces the
+    group to '' so both render '|<id>' (code-review r4)."""
+    import duckdb
+
+    from streaming_cdc_spark.operators.sampling import hash_rate_sample
+
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), ("g", 3), ("g", 4)], "lang string, doc_id long"
+    )
+    got = {
+        (r["lang"], r["doc_id"])
+        for r in hash_rate_sample(df, "lang", "doc_id", 500).collect()
+    }
+    con = duckdb.connect()
+    want = set(
+        con.execute(
+            """
+        WITH d(lang, doc_id) AS (VALUES (NULL, 1), (NULL, 2), ('g', 3), ('g', 4))
+        SELECT lang, doc_id FROM d
+        WHERE CAST(concat('0x', substr(md5(concat(COALESCE(lang, ''), '|',
+                  CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000 < 500
+        """
+        ).fetchall()
+    )
+    assert got == want

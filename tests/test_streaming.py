@@ -397,3 +397,39 @@ def test_progressive_scheduled_compaction(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="keep_last"):
         ProgressiveResolver(str(tmp_path / "bad"), compact_every=2, compact_keep_last=0)
+
+
+def test_scheduled_compaction_protects_current_batch(spark, tmp_path):
+    """In-stream compaction during a MULTI-bucket micro-batch must
+    never fold that batch's own buckets: with compact_every=2 /
+    keep_last=1, batch B=[2..5] triggers a fold after bucket 3 that
+    would otherwise swallow b2 — then a redelivery of the whole batch
+    would see its own first-application state inside the compacted
+    generation (invisible to _seen's >=-cut) and double-count. The
+    protect_from floor keeps every current-batch bucket unfolded and
+    the full-batch replay byte-identical (code-review r4)."""
+    import os
+
+    from streaming_cdc_spark.streaming.progressive import ProgressiveResolver
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta shared run %d %d" % (i % 4, i), i // 4)
+         for i in range(24)],
+        "doc_id long, text string, bucket int",
+    )
+    a = docs.filter("bucket < 2")
+    b = docs.filter("bucket >= 2")
+    r = ProgressiveResolver(
+        str(tmp_path / "st"), budget=5, df_cap=50, tau=0.05,
+        compact_every=2, compact_keep_last=1,
+    )
+    r.apply_batch(a, 0)
+    r.apply_batch(b, 1)
+    state = sorted(os.listdir(r.state_root))
+    # b0/b1 (previous batch) folded; every current-batch bucket kept
+    assert any(d.startswith("compact_v") for d in state), state
+    for k in (2, 3, 4, 5):
+        assert f"b{k}" in state, state
+    first = {tuple(x) for x in r.results(spark).collect()}
+    r.apply_batch(b, 1)  # at-least-once redelivery of the whole batch
+    assert {tuple(x) for x in r.results(spark).collect()} == first

@@ -65,16 +65,25 @@ def _bench_gate(allow_dropped: str = "") -> tuple[bool, str]:
                 continue
             # comparable = same cpu count AND same scale factor — an
             # sf0.01 smoke record must never become the baseline for
-            # an sf0.1 run (every query would look 10x slower)
-            if old.get("_cpus") == cpus and old.get("sf") == rec.get("sf"):
+            # an sf0.1 run (every query would look 10x slower). A
+            # record from a FAILED gate run never becomes a baseline
+            # either: otherwise a regression only fails once, then
+            # the regressed record ratchets in and the rerun passes
+            # (code-review r4 finding).
+            if (
+                old.get("_cpus") == cpus
+                and old.get("sf") == rec.get("sf")
+                and old.get("_gate") != "fail"
+            ):
                 baseline = old  # keep the newest (last) comparable record
     rec["_label"] = "run_gates"
     rec["_date"] = datetime.date.today().isoformat()
     rec["_cpus"] = cpus
-    with open(local, "a") as f:
-        f.write(json.dumps(rec) + "\n")
     if baseline is None:
-        return True, f"no same-cpu baseline (cpus={cpus}); recorded only"
+        rec["_gate"] = "pass"
+        with open(local, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        return True, f"no comparable passing baseline (cpus={cpus}); recorded only"
     import tempfile
 
     with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as fo:
@@ -92,8 +101,12 @@ def _bench_gate(allow_dropped: str = "") -> tuple[bool, str]:
     )
     os.unlink(old_path)
     os.unlink(new_path)
+    ok = cmp_proc.returncode == 0
+    rec["_gate"] = "pass" if ok else "fail"
+    with open(local, "a") as f:
+        f.write(json.dumps(rec) + "\n")
     tail = "\n".join((cmp_proc.stdout or cmp_proc.stderr).strip().splitlines()[-3:])
-    return cmp_proc.returncode == 0, tail
+    return ok, tail
 
 
 def main() -> None:
@@ -105,6 +118,13 @@ def main() -> None:
         if a.startswith("--allow-dropped="):
             allow_dropped = a.split("=", 1)[1]
             continue
+        if a.startswith("--"):
+            # fail fast: a typo'd flag must not fall through and
+            # become sf_dir, silently failing every gate against a
+            # nonexistent path after the 20-minute pytest pass
+            raise SystemExit(
+                f"unknown flag {a!r} (supported: --no-bench, --allow-dropped=a,b)"
+            )
         args.append(a)
     with_bench = "--no-bench" not in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
