@@ -435,6 +435,33 @@ def union_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "intersect_event_customers",
+    oracle="""
+    SELECT user_id FROM (
+        SELECT DISTINCT user_id FROM events
+        INTERSECT
+        SELECT DISTINCT c_custkey AS user_id FROM customer
+            WHERE c_acctbal > 5000
+    ) q
+    """,
+)
+def intersect_event_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (the one Layer-B set operation SURVEY §2.8
+    lists as absent from the reference but free from Spark SQL —
+    exposed like union/except): active event users that are also
+    high-balance customers. Catalyst plans intersect as a left-semi
+    join over distincts — same shuffle class as the EXCEPT sibling."""
+    ev = load(spark, sf_dir, "events").select("user_id").distinct()
+    rich = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("user_id"))
+        .distinct()
+    )
+    return ev.intersect(rich)
+
+
+@query(
     "props_json_extract",
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,

@@ -92,3 +92,36 @@ def test_ceaf_oracle_enumeration_domain(spark):
             "exhaustive enumeration is no longer tractable; replace it "
             "with a bound-certificate check (see its docstring)"
         )
+
+
+def test_approx_stats_within_tolerance(spark):
+    """approx_stats is rows-only by design (HLL / KLL sketches have no
+    exact SQL twin) — bound its error against the exact aggregates
+    instead: HLL distinct counts within 5%, approx median inside the
+    exact p40-p60 band, per event type."""
+    from pyspark.sql import functions as F
+
+    from streaming_cdc_spark.queries import QUERIES
+    from streaming_cdc_spark.tables import load
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["event_type"]: (r["approx_users"], r["approx_median"])
+        for r in QUERIES["approx_stats"](spark, sf).collect()
+    }
+    exact = {
+        r["event_type"]: (r["n"], r["p40"], r["p60"])
+        for r in load(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n"),
+            F.percentile("value", F.lit(0.4)).alias("p40"),
+            F.percentile("value", F.lit(0.6)).alias("p60"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, (au, am) in approx.items():
+        n, p40, p60 = exact[et]
+        assert abs(au - n) <= max(2, 0.05 * n), (et, au, n)
+        assert p40 <= am <= p60, (et, am, p40, p60)
