@@ -209,3 +209,32 @@ def test_audit_regex_catches_left_branch_single_partition_window():
         "         +- Exchange SinglePartition\n"
     )
     assert not mod.has_single_partition_window(unrelated)
+
+
+def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """Hive-style partitioned layout: a filter on the partition column
+    must become a PartitionFilter (directory pruning — only matching
+    partitions are listed/read), not a post-scan data filter. At 100
+    TB this is the difference between reading one event type and
+    reading the table."""
+    from streaming_cdc_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    path = str(tmp_path / "ev_part")
+    ev.write.partitionBy("event_type").parquet(path)
+    some_type = ev.select("event_type").first()[0]
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col("event_type") == some_type)
+        .select("event_id", "value")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert m, plan[:1500]
+    assert some_type in m[0], m[0]
+    # the partition-column predicate must NOT survive as a row filter
+    assert "Filter" not in plan.split("Scan parquet")[0], plan[:1500]
