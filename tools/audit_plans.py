@@ -45,6 +45,7 @@ BNLJ_WHITELIST = {
     "muc_prf",  # scalar metric denominator
     "conflation_errors",  # scalar denominator
     "grinch_purity",  # scalar p* total
+    "dendrogram_purity_fixture",  # same scalar p* total, fixture tree
     "quality_decile_curriculum",  # scalar corpus count
     "meta_blocking_pairs",  # scalar mean edge weight
     "unigram_logprob",  # scalar vocab totals
