@@ -63,6 +63,11 @@ HEADLINE = [
     "ngram_repetition_stats",
     "near_dup_resolution",
     "minhash_dedup_groups",
+    # r4: sliding-window ExactSubstr islands (the substring-granularity
+    # dedup family) and BM25 scored retrieval (one scan + scalar-stats
+    # broadcast + TakeOrdered)
+    "duplicate_span_islands",
+    "bm25_topk",
     "incremental_dedup_status",
     "incremental_semantic_status",
     "benchmark_contamination",

@@ -642,6 +642,103 @@ def span_dedup(
     )
 
 
+def duplicate_gram_islands(
+    docs: DataFrame,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplicate detection at SLIDING w-gram
+    granularity (the relational form of Lee et al. 2022's ExactSubstr
+    suffix-array pass): a token position is DUPLICATED if the w-gram
+    starting there occurs at >= 2 (doc, position) sites corpus-wide;
+    per document the duplicated intervals [p, p+w) are merged into
+    maximal islands — the spans ExactSubstr would cut out.
+
+    Unlike ``span_dedup`` (block-aligned C4 spans), the sliding window
+    catches duplicates at ANY offset, and island merging recovers
+    maximal repeated substrings down to w-token resolution without
+    building a suffix array: two docs sharing an L-token passage
+    produce L-w+1 duplicated positions each, which merge back into one
+    island of exactly L covered tokens.
+
+    Physical plan (linear in corpus tokens, no pair joins):
+    posexplode of per-position hashed grams -> one partial-aggregated
+    groupBy on the 8-byte gram hash electing grams with count > 1 ->
+    semi-join back (multiplicity d per hot gram contributes d rows,
+    never d^2) -> one groupBy(doc) where the island merge runs as a
+    doc-local sorted-array fold (same shuffle-free run-length shape as
+    ngram_repetition) — 2 shuffles total, both on narrow keys.
+
+    Output per doc with >= 1 duplicated position: (doc_id, n_tokens,
+    n_dup_pos, n_islands, dup_tokens) — all integers, so the DuckDB
+    oracle replays it exactly.
+    """
+    from streaming_cdc_spark.session import fan_out
+
+    base = (
+        fan_out(docs.select(F.col(id_col), tokens(text_col).alias("_t")))
+        .withColumn("_n", F.size("_t"))
+        .filter(F.col("_n") >= w)
+    )
+    # hash INSIDE the array so the generator output is already the
+    # narrow 8-byte key (same injectivity argument as exploded_shingles)
+    occ = base.select(
+        id_col,
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_n") - w),
+                lambda p: md5_long(F.concat_ws(" ", F.slice("_t", p + 1, F.lit(w)))),
+            )
+        ).alias("pos", "gram"),
+    )
+    dup_grams = (
+        occ.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .select("gram")
+    )
+    dup = occ.join(dup_grams, "gram", "left_semi")
+    per_doc = dup.groupBy(id_col).agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_dup_pos"),
+        F.sort_array(F.collect_list(F.col("pos").cast("long"))).alias("_ps"),
+    )
+    # island merge as a pure expression fold over the sorted positions:
+    # start a new island when p lands past the running end (positions
+    # are distinct and ascending, so within an island each step extends
+    # coverage by exactly p + w - end)
+    zero = F.struct(
+        F.lit(0).cast("long").alias("isl"),
+        F.lit(0).cast("long").alias("cov"),
+        F.lit(-1).cast("long").alias("end"),
+    )
+    folded = F.aggregate(
+        "_ps",
+        zero,
+        lambda a, p: F.struct(
+            (a["isl"] + F.when(p > a["end"], F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("isl"),
+            (
+                a["cov"]
+                + F.when(p > a["end"], F.lit(w)).otherwise(p + F.lit(w) - a["end"])
+            )
+            .cast("long")
+            .alias("cov"),
+            (p + F.lit(w)).cast("long").alias("end"),
+        ),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("n_dup_pos"),
+        folded["isl"].alias("n_islands"),
+        folded["cov"].alias("dup_tokens"),
+    )
+
+
 def minhash_dedup(
     docs: DataFrame,
     num_hashes: int = 4,

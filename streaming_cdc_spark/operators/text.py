@@ -101,6 +101,82 @@ def token_histogram(
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def bm25_scores(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    k1: float = 1.5,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query
+    term set — the inverted-index retrieval/decontamination probe
+    shape, computed relationally.
+
+    Physical plan: term frequencies and document length are DOC-LOCAL
+    array expressions (no explode, no shuffle); the corpus statistics
+    BM25 needs (N, Σdl, per-term document frequency) reduce to ONE row
+    via map-side partial aggregation and come back as a one-row scalar
+    broadcast — so scoring 100 TB of documents is a single scan plus a
+    tiny global reduce, and the top-k cut is TakeOrdered (per-partition
+    limit before the driver merge).
+
+    Float determinism: k1/b default to binary-exact 1.5/0.75 so every
+    constant (k1+1=2.5, 1-b=0.25) is exact; scores are computed with an
+    identical operation order on the DuckDB side and rounded to 6 dp
+    BEFORE ranking, with doc_id as the total tiebreak.
+
+    Returns one row per doc: (id, dl, tf_<term>..., bm25) — callers
+    apply their own ordering/limit.
+    """
+    from streaming_cdc_spark.session import fan_out
+
+    def _match(term: str):
+        # factory, NOT a defaulted second lambda arg: pyspark passes
+        # the array index as any second parameter (CLAUDE.md gotcha)
+        return lambda x: x == F.lit(term)
+
+    base = fan_out(docs.select(F.col(id_col), tokens(text_col).alias("_t")))
+    tf = base.select(
+        F.col(id_col),
+        F.size("_t").cast("long").alias("dl"),
+        *[
+            F.size(F.filter("_t", _match(t))).cast("long").alias(f"tf_{t}")
+            for t in terms
+        ],
+    )
+    stats = tf.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("dl").cast("long").alias("_sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("int")).cast("long").alias(f"_df_{t}")
+            for t in terms
+        ],
+    )
+    scored = tf.crossJoin(F.broadcast(stats))
+    avgdl = F.col("_sum_dl").cast("double") / F.col("_n").cast("double")
+    dl_ratio = F.col("dl").cast("double") / avgdl
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl_ratio)
+    parts = []
+    for t in terms:
+        idf = F.log(
+            F.lit(1.0)
+            + ((F.col("_n") - F.col(f"_df_{t}")).cast("double") + F.lit(0.5))
+            / (F.col(f"_df_{t}").cast("double") + F.lit(0.5))
+        )
+        tfd = F.col(f"tf_{t}").cast("double")
+        parts.append(idf * (tfd * F.lit(k1 + 1.0)) / (tfd + norm))
+    score = parts[0]
+    for p in parts[1:]:  # fixed left-to-right addition order
+        score = score + p
+    return scored.select(
+        F.col(id_col),
+        F.col("dl"),
+        *[F.col(f"tf_{t}") for t in terms],
+        F.round(score, 6).alias("bm25"),
+    )
+
+
 def regex_tokenize(text_col: str = "text") -> Column:
     """P9 analog: a BPE-ish regex tokenization (letter runs, digit
     runs, single punctuation) via regexp_extract_all — the

@@ -101,6 +101,12 @@ _PRIORITY = [
     # keeps jaccard+minhash reps; containment stays registered)
     "pipeline_manifest",
     "semantic_dedup",
+    # r4: duplicate_span_islands (sliding-window ExactSubstr islands —
+    # a dedup GRANULARITY no other in-window query covers: substring-
+    # level, any-offset) replaced token_histogram; token counting keeps
+    # regex_token_stats + sequence_packing_exact in-window and
+    # token_histogram stays registered + locally gated.
+    "duplicate_span_islands",
     # r3: progressive_stream_resolution (budgeted streaming ER, FULL
     # oracle over the whole per-batch schedule) replaced
     # near_dup_resolution — the near-dup family keeps 6 in-window
@@ -109,14 +115,18 @@ _PRIORITY = [
     "progressive_stream_resolution",
     # similarity / ANN family
     "cosine_topk",
-    "lsh_bucket_pairs",
+    # r4: bm25_topk (Okapi BM25 scored retrieval — the first in-window
+    # lexical-retrieval rep; one scan + one-row stats broadcast +
+    # TakeOrdered) replaced lsh_bucket_pairs; banded-LSH bucketing
+    # keeps its in-window rep via minhash_band_candidates and
+    # lsh_bucket_pairs stays registered + locally gated.
+    "bm25_topk",
     "ivf_topk_exact",
     "embedding_norm_stats",
     "kmeans_assign",
     # text analysis / multimodal / training-pipeline
     "text_quality",
     "lang_id_confusion",
-    "token_histogram",
     "doc_fingerprints",
     "media_stats",
     "sequence_packing_exact",

@@ -617,6 +617,49 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "duplicate_span_islands",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    occ AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(u.p AS BIGINT) AS pos,
+                   array_to_string(t[u.p + 1 : u.p + 8], ' ') AS gram
+            FROM toks, UNNEST(range(0, len(t) - 7)) AS u(p)
+            WHERE len(t) >= 8),
+    dupg AS (SELECT gram FROM occ GROUP BY gram HAVING COUNT(*) > 1),
+    dup AS (SELECT occ.* FROM occ JOIN dupg USING (gram)),
+    st AS (SELECT doc_id, n_tokens, pos,
+                  CASE WHEN pos - COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos), -1000000) > 8
+                       THEN 1 ELSE 0 END AS s,
+                  COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos), -1000000) AS prev
+           FROM dup),
+    isl AS (SELECT doc_id, n_tokens, pos, prev, s,
+                   CAST(SUM(s) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS gid
+            FROM st),
+    cov AS (SELECT doc_id, n_tokens, gid, COUNT(*) AS np,
+                   MAX(pos) + 8 - MIN(pos) AS tok
+            FROM isl GROUP BY doc_id, n_tokens, gid)
+    SELECT doc_id, MAX(n_tokens) AS n_tokens,
+           CAST(SUM(np) AS BIGINT) AS n_dup_pos,
+           COUNT(*) AS n_islands,
+           CAST(SUM(tok) AS BIGINT) AS dup_tokens
+    FROM cov GROUP BY doc_id
+    """,
+)
+def duplicate_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup at sliding 8-gram granularity (Lee et al.
+    2022 ExactSubstr, relationally): every token position whose 8-gram
+    recurs anywhere in the corpus is marked, and per-doc marks merge
+    into maximal duplicated islands — so an L-token passage shared by
+    two docs surfaces as ONE island covering exactly L tokens in each.
+    Unlike span_dedup_stats (block-aligned C4 spans) this catches
+    duplicates at any offset. Two narrow-key shuffles, no pair joins;
+    the island merge is a doc-local sorted-array fold. All-integer
+    output."""
+    docs = load(spark, sf_dir, "documents")
+    return D.duplicate_gram_islands(docs, w=8)
+
+
+@query(
     "minhash_dedup_groups",
     oracle=f"""
     WITH RECURSIVE

@@ -14,6 +14,66 @@ from streaming_cdc_spark.tables import load
 
 _STOP = "'the','a','of','and','to','in','is','on'"
 
+_BM25_TERMS = ("dup", "spark", "hash")
+
+
+def _bm25_oracle(terms: tuple[str, ...], k: int) -> str:
+    """DuckDB BM25 with the EXACT operation order of
+    operators/text.bm25_scores (k1=1.5, b=0.75 — binary-exact
+    constants), every float expression CAST to DOUBLE so DuckDB never
+    silently does quantizing DECIMAL arithmetic (the ceaf_e_prf
+    lesson)."""
+    tf_cols = ",\n                   ".join(
+        f"CAST(len(list_filter(t, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in terms
+    )
+    df_cols = ",\n                  ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in terms
+    )
+    score = " + ".join(
+        f"(ln(CAST(1.0 AS DOUBLE) + (CAST(n - df_{t} AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" / (CAST(df_{t} AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
+        f" * (CAST(tf_{t} AS DOUBLE) * CAST(2.5 AS DOUBLE))"
+        f" / (CAST(tf_{t} AS DOUBLE) + CAST(1.5 AS DOUBLE) *"
+        f" (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)"
+        f" * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))))"
+        for t in terms
+    )
+    tf_names = ", ".join(f"tf_{t}" for t in terms)
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tf AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+                   {tf_cols}
+           FROM toks),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+                  {df_cols}
+           FROM tf)
+    SELECT doc_id, dl, {tf_names},
+           ROUND({score}, 6) AS bm25
+    FROM tf, st
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {k}
+    """
+
+
+@query("bm25_topk", oracle=_bm25_oracle(_BM25_TERMS, 20))
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 retrieval for the query terms (dup, spark,
+    hash) — 'dup' is the planted rare marker (df~5%) so idf actually
+    discriminates. Rounded-score margins at the cut (min adjacent gap
+    in the top 40): 4.5e-4 / 2.2e-4 / 1.3e-3 at sf0.001/0.01/0.1 —
+    orders of magnitude above cross-engine ln() ulp noise; re-verify
+    if testdata regenerates. tf/dl are doc-local array expressions (no
+    explode),
+    corpus stats (N, Σdl, per-term df) are ONE map-side-reduced row
+    broadcast back, the cut is TakeOrdered on (rounded score, doc_id).
+    The 100 TB shape: one scan + scalar reduce + top-k, zero wide
+    shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    scored = T.bm25_scores(docs, _BM25_TERMS, k1=1.5, b=0.75)
+    return scored.orderBy(F.desc("bm25"), "doc_id").limit(20)
+
 
 @query(
     "redaction_stats",

@@ -341,3 +341,28 @@ def test_hashed_shingle_key_injective_on_testdata(spark):
         f"md5_long collided on {strings - hashes} shingle(s): hashed-key "
         "joins no longer replay the string-keyed oracles exactly"
     )
+
+
+def test_duplicate_gram_islands(spark):
+    docs = spark.createDataFrame(
+        [
+            # docs 0/1 share the 5-token passage "r s t u v" at
+            # DIFFERENT offsets: w=3 marks 3 positions each, which
+            # must merge back into ONE island covering exactly 5 tokens
+            (0, "p q r s t u v w"),
+            (1, "x y r s t u v z"),
+            (2, "a b c d e f"),          # unique: absent from output
+            (3, "m n o m n o m n o"),    # within-doc repeat: every gram dup
+            (4, "r s t g h i j t u v"),  # two SEPARATED dup grams: 2 islands
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in D.duplicate_gram_islands(docs, w=3).collect()}
+    assert set(got) == {0, 1, 3, 4}
+    for d in (0, 1):
+        r = got[d]
+        assert (r["n_tokens"], r["n_dup_pos"], r["n_islands"], r["dup_tokens"]) == (8, 3, 1, 5)
+    r = got[3]
+    assert (r["n_tokens"], r["n_dup_pos"], r["n_islands"], r["dup_tokens"]) == (9, 7, 1, 9)
+    r = got[4]
+    assert (r["n_tokens"], r["n_dup_pos"], r["n_islands"], r["dup_tokens"]) == (10, 2, 2, 6)

@@ -264,3 +264,24 @@ def test_bigram_logprob_uniform(spark):
     # single-token docs have no bigram evidence -> no row
     single = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     assert bigram_logprob(single).count() == 0
+
+
+def test_bm25_scores_golden(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "x x y"), (1, "x z z"), (2, "w w w")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in T.bm25_scores(docs, ("x", "y"), k1=1.5, b=0.75).collect()
+    }
+    # N=3, avgdl=3, df_x=2, df_y=1; every dl==avgdl so norm = k1
+    idf_x = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    idf_y = math.log(1 + (3 - 1 + 0.5) / (1 + 0.5))
+    exp0 = idf_x * (2 * 2.5) / (2 + 1.5) + idf_y * (1 * 2.5) / (1 + 1.5)
+    exp1 = idf_x * (1 * 2.5) / (1 + 1.5)
+    assert got[0]["bm25"] == round(exp0, 6)
+    assert got[1]["bm25"] == round(exp1, 6)
+    assert got[2]["bm25"] == 0.0  # no query terms at all
+    assert (got[0]["dl"], got[0]["tf_x"], got[0]["tf_y"]) == (3, 2, 1)

@@ -51,6 +51,7 @@ BNLJ_WHITELIST = {
     "unigram_logprob",  # scalar vocab totals
     "bigram_logprob",  # scalar vocab totals
     "user_series_similarity",  # documented small-n series self-join
+    "bm25_topk",  # one-row corpus-stats broadcast (N, sum_dl, df_t)
 }
 
 
