@@ -48,6 +48,10 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
     "simhash_hamming_pairs",
+    # r4: the linear-output group form (exact-fp collapse -> rep-level
+    # Hamming join -> CC) — the scale-correct shape SHUFFLE.md pairs
+    # against the output-bound pair query
+    "simhash_dedup_groups",
     "text_quality",
     "token_histogram",
     "cosine_topk",

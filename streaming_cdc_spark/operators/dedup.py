@@ -463,6 +463,7 @@ def simhash_hamming_pairs(
     docs: DataFrame,
     max_distance: int = 1,
     n_bits: int = 32,
+    n_blocks: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -470,35 +471,71 @@ def simhash_hamming_pairs(
     Jain/Sarma WWW'07 web-dedup scheme): pigeonhole-banded candidate
     generation + exact popcount verify.
 
-    The fingerprint is split into ``max_distance + 1`` bit blocks; two
-    fingerprints within Hamming distance ``max_distance`` differ in at
-    most that many blocks, so they MUST agree exactly on at least one
-    block (pigeonhole) — candidates come from an EQUI-join on
-    (block_index, block_value), never an all-pairs comparison. The
-    verify step is one XOR + bit_count per candidate, both JVM
-    built-ins. At 100 TB this shuffles fingerprints (16 bytes/doc),
-    not documents, and bucket cardinality is 2^block_width per block.
+    The fingerprint is split into ``n_blocks`` bit blocks; two
+    fingerprints within Hamming distance ``max_distance`` = k differ
+    in at most k blocks, so they MUST agree exactly on some
+    (n_blocks - k)-subset of blocks (pigeonhole) — candidates come
+    from an EQUI-join on (subset_index, concatenated subset value),
+    never an all-pairs comparison. The verify step is one XOR +
+    bit_count per candidate, both JVM built-ins.
+
+    ``n_blocks`` is the Manku table-count/selectivity dial. The
+    minimal n_blocks = k + 1 joins on single blocks of n_bits/(k+1)
+    bits — at 32 bits/k=1 that is a 16-bit key whose random-collision
+    candidate volume grows ~ n^2/2^16: measurably SUPERLINEAR
+    (tools/measure_shuffle.py flagged alpha=1.44 between sf0.01 and
+    sf0.1). Raising n_blocks widens the join key to
+    (n_blocks-k) x width bits at the cost of C(n_blocks, k) key
+    tables: n_blocks=4 at 32 bits/k=1 gives four 24-bit keys — 2x the
+    fingerprint shuffle, 1/256th the random-collision rate, alpha
+    back to ~1. At 100 TB this shuffles fingerprint tuples
+    (~16 B x C(n_blocks,k) per doc), not documents, and the subset
+    keys are uniform by construction (md5-derived bits).
 
     Output: (doc_a, doc_b, hamming) with hamming <= max_distance,
     doc_a < doc_b, one row per pair.
     """
-    n_blocks = max_distance + 1
-    width = -(-n_bits // n_blocks)  # ceil
     fp = simhash_fingerprints(docs, n_bits, id_col, text_col)
+    return hamming_ball_pairs(
+        fp.select(F.col(id_col).alias("_id"), "simhash"),
+        max_distance=max_distance,
+        n_bits=n_bits,
+        n_blocks=n_blocks,
+    )
+
+
+def hamming_ball_pairs(
+    fp: DataFrame,
+    max_distance: int = 1,
+    n_bits: int = 32,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Banded exact Hamming-ball pair join over a (_id, simhash)
+    DataFrame — the Manku subset-key candidate join + XOR popcount
+    verify shared by simhash_hamming_pairs and simhash_dedup_groups
+    (the latter runs it over DISTINCT fingerprints only)."""
+    from itertools import combinations
+
+    k = max_distance
+    if n_blocks is None:
+        n_blocks = k + 1
+    if n_blocks <= k:
+        raise ValueError(f"n_blocks={n_blocks} must exceed max_distance={k}")
+    width = -(-n_bits // n_blocks)  # ceil
+    subsets = list(combinations(range(n_blocks), n_blocks - k))
+    keys = []
+    for ci, subset in enumerate(subsets):
+        parts = " + ".join(
+            f"(((simhash >> {b * width}) & {(1 << width) - 1}) << {j * width})"
+            for j, b in enumerate(subset)
+        )
+        keys.append(
+            F.struct(F.lit(ci).alias("b"), F.expr(parts).cast("long").alias("bv"))
+        )
     blocks = fp.select(
-        F.col(id_col).alias("_id"),
-        F.col("simhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("b"),
-                        F.expr(f"(simhash >> {b * width}) & {(1 << width) - 1}").alias("bv"),
-                    )
-                    for b in range(n_blocks)
-                ]
-            )
-        ).alias("_blk"),
+        "_id",
+        "simhash",
+        F.explode(F.array(*keys)).alias("_blk"),
     ).select("_id", "simhash", F.col("_blk.b").alias("b"), F.col("_blk.bv").alias("bv"))
     a = blocks.select(F.col("_id").alias("doc_a"), F.col("simhash").alias("_fa"), "b", "bv")
     c = blocks.select(F.col("_id").alias("doc_b"), F.col("simhash").alias("_fb"), "b", "bv")
@@ -511,10 +548,67 @@ def simhash_hamming_pairs(
             F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_distance)
-        # a d=0 pair matches on every block — one row per pair
+        # a d=0 pair matches on every subset key — one row per pair
         .distinct()
     )
     return cand
+
+
+def simhash_dedup_groups(
+    docs: DataFrame,
+    max_distance: int = 1,
+    n_bits: int = 32,
+    n_blocks: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LINEAR-OUTPUT SimHash dedup: the group form of the same
+    duplicate decision simhash_hamming_pairs makes, without the
+    quadratic pair materialization.
+
+    measure_shuffle.py showed the pair query's result itself grows
+    quadratically on clique-heavy corpora (~930 docs sharing one
+    fingerprint -> 432k pair rows at sf0.1): pair OUTPUT is inherently
+    O(clique^2). This operator collapses each EXACT fingerprint to one
+    representative first (groupBy simhash — one narrow shuffle, the
+    whole clique mass disappears here), runs the banded Hamming join
+    only BETWEEN distinct fingerprints, takes connected components of
+    that representative graph, and broadcasts the fingerprint ->
+    canonical map back onto docs. Every doc emits exactly one
+    (doc_id, group_id) row; group_id = min doc id of the merged
+    Hamming component. Within a pairwise Hamming-<=k ball, exact-dup
+    collapse loses nothing: the component over representatives is the
+    same as over docs because equal fingerprints are distance 0.
+
+    At 100 TB: shuffle is fingerprints (16 B/doc), the pair join runs
+    on |distinct fingerprints| <= min(n_docs, 2^n_bits) rows, and the
+    final map-back is an equi-join on simhash — no stage is
+    clique-quadratic.
+    """
+    from streaming_cdc_spark.operators.clustering import connected_components
+
+    fp = simhash_fingerprints(docs, n_bits, id_col, text_col)
+    reps = fp.groupBy("simhash").agg(F.min(id_col).alias("_rep")).persist()
+    edges = hamming_ball_pairs(
+        reps.select(F.col("_rep").alias("_id"), "simhash"),
+        max_distance=max_distance,
+        n_bits=n_bits,
+        n_blocks=n_blocks,
+    ).select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    cc = connected_components(reps.select(F.col("_rep").alias("v")), edges)
+    rep_group = reps.join(cc, reps["_rep"] == cc["v"], "left").select(
+        "simhash",
+        F.coalesce(cc["cluster_id"], reps["_rep"]).alias("group_id"),
+    )
+    # localCheckpoint materializes the small (doc, group) result so the
+    # reps cache can be dropped immediately (the minhash_dedup pattern)
+    out = (
+        fp.join(rep_group, "simhash")
+        .select(F.col(id_col), "group_id")
+        .localCheckpoint()
+    )
+    reps.unpersist()
+    return out
 
 
 def resolve_near_dups_by_quality(

@@ -428,11 +428,48 @@ _SIMHASH_FP = f"""
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-ball near-dup join (Manku et al. WWW'07):
     pigeonhole bit-block equi-join candidates + exact XOR popcount
-    verify, distance <= 1 over 32-bit fingerprints. The oracle replays
-    it as the brute-force pairwise distance — same pairs, because the
-    banded candidate set is complete for the ball."""
+    verify, distance <= 1 over 32-bit fingerprints. n_blocks=4 joins
+    on four 24-bit 3-block-subset keys instead of two 16-bit single
+    blocks: measure_shuffle flagged the 16-bit keys' random-collision
+    candidates as SUPERLINEAR (alpha 1.44 between sf0.01 and sf0.1);
+    the wider keys collide 256x less and restore alpha ~1 (SHUFFLE.md).
+    The oracle replays it as the brute-force pairwise distance — same
+    pairs, because the banded candidate set is complete for the ball
+    at ANY n_blocks > max_distance."""
     docs = load(spark, sf_dir, "documents")
-    return D.simhash_hamming_pairs(docs, max_distance=1, n_bits=32)
+    return D.simhash_hamming_pairs(docs, max_distance=1, n_bits=32, n_blocks=4)
+
+
+@query(
+    "simhash_dedup_groups",
+    oracle=f"""
+    WITH RECURSIVE {_SIMHASH_FP},
+    g AS (SELECT simhash, MIN(doc_id) AS rep FROM fp GROUP BY simhash),
+    e AS (SELECT a.rep AS u, b.rep AS v FROM g a JOIN g b ON a.rep <> b.rep
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
+    reach(v, l) AS (
+        SELECT rep, rep FROM g
+        UNION
+        SELECT e.v, r.l FROM reach r JOIN e ON e.u = r.v
+    ),
+    assign AS (SELECT v AS rep, MIN(l) AS group_id FROM reach GROUP BY v)
+    SELECT f.doc_id, a.group_id
+    FROM fp f JOIN g ON f.simhash = g.simhash JOIN assign a ON g.rep = a.rep
+    """,
+)
+def simhash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LINEAR-OUTPUT form of the SimHash duplicate decision: one
+    (doc_id, group_id) row per document, group_id = min doc id of the
+    Hamming-<=1 component. Exact-fingerprint groups collapse to a
+    single representative BEFORE the banded pair join (the planted
+    duplicate cliques — ~930 docs on one fingerprint at sf0.1, 432k
+    pair rows in simhash_hamming_pairs — disappear into one groupBy),
+    so no stage is clique-quadratic: SHUFFLE.md measures this query
+    linear where the pair query is output-bound superlinear. Oracle:
+    DuckDB replays fingerprints, reps, the rep-level Hamming edges and
+    the recursive-CTE closure."""
+    docs = load(spark, sf_dir, "documents")
+    return D.simhash_dedup_groups(docs, max_distance=1, n_bits=32, n_blocks=4)
 
 
 @query(

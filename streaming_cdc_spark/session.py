@@ -87,6 +87,13 @@ def get_spark(
         # collapsing back to their isolated-run times at 48g.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
+    # extra_conf lands last so callers can override any default above;
+    # it only takes effect when this call actually CREATES the session
+    # (getOrCreate reuses an existing JVM's confs) — tools that need a
+    # non-default conf (e.g. the shuffle-measure harness re-enabling
+    # the UI REST API) must run in a fresh process.
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     # Only force a master when none is configured (driver may set its own).
     if not os.environ.get("SPARK_GRAFT_NO_MASTER"):
         builder = builder.master(f"local[{cpus}]")

@@ -144,19 +144,27 @@ def test_benchmark_contamination(spark):
 def test_simhash_hamming_pairs_match_bruteforce(spark):
     docs = docs_df(spark)
     for k in (0, 1, 2):
-        got = {
-            (r["doc_a"], r["doc_b"]): r["hamming"]
-            for r in D.simhash_hamming_pairs(docs, max_distance=k).collect()
-        }
-        fps = {r["doc_id"]: r["simhash"] for r in D.simhash_fingerprints(docs).collect()}
-        ids = sorted(fps)
-        want = {
-            (a, b): bin(fps[a] ^ fps[b]).count("1")
-            for i, a in enumerate(ids)
-            for b in ids[i + 1 :]
-            if bin(fps[a] ^ fps[b]).count("1") <= k
-        }
-        assert got == want
+        # sweep the Manku table-count dial: minimal pigeonhole blocks
+        # AND wider subset keys must produce the identical exact ball
+        for n_blocks in (k + 1, 4, 6):
+            got = {
+                (r["doc_a"], r["doc_b"]): r["hamming"]
+                for r in D.simhash_hamming_pairs(
+                    docs, max_distance=k, n_blocks=n_blocks
+                ).collect()
+            }
+            fps = {
+                r["doc_id"]: r["simhash"]
+                for r in D.simhash_fingerprints(docs).collect()
+            }
+            ids = sorted(fps)
+            want = {
+                (a, b): bin(fps[a] ^ fps[b]).count("1")
+                for i, a in enumerate(ids)
+                for b in ids[i + 1 :]
+                if bin(fps[a] ^ fps[b]).count("1") <= k
+            }
+            assert got == want, (k, n_blocks)
     # exact dups are always at distance 0
     assert got[(0, 3)] == 0
 
@@ -341,6 +349,46 @@ def test_hashed_shingle_key_injective_on_testdata(spark):
         f"md5_long collided on {strings - hashes} shingle(s): hashed-key "
         "joins no longer replay the string-keyed oracles exactly"
     )
+
+
+def test_simhash_dedup_groups_matches_pair_closure(spark):
+    """Groups must equal the connected components of the brute-force
+    Hamming ball over docs — exact-fingerprint collapse loses nothing
+    because equal fingerprints are distance 0."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = [(i, " ".join(rng.choices(vocab, k=10))) for i in range(30)]
+    # plant an exact-dup clique: pair output is quadratic in it,
+    # group output is one row per member
+    rows += [(100 + j, rows[0][1]) for j in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r["doc_id"]: r["simhash"] for r in D.simhash_fingerprints(docs).collect()}
+    # brute-force union-find over hamming <= 1
+    parent = {i: i for i in fps}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(fps[a] ^ fps[b]).count("1") <= 1:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in fps}
+    got = {
+        r["doc_id"]: r["group_id"]
+        for r in D.simhash_dedup_groups(docs, max_distance=1).collect()
+    }
+    assert got == want
+    # the planted clique collapsed to doc 0's group, one row per member
+    assert sum(1 for g in got.values() if g == got[0]) >= 13
 
 
 def test_duplicate_gram_islands(spark):
