@@ -52,6 +52,9 @@ HEADLINE = [
     # Hamming join -> CC) — the scale-correct shape SHUFFLE.md pairs
     # against the output-bound pair query
     "simhash_dedup_groups",
+    # r4: character-level Ed-Join fuzzy dedup (prefix-filtered q-gram
+    # candidates + banded levenshtein verify)
+    "edit_distance_pairs",
     "text_quality",
     "token_histogram",
     "cosine_topk",

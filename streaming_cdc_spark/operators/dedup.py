@@ -611,6 +611,113 @@ def simhash_dedup_groups(
     return out
 
 
+def edit_distance_pairs(
+    docs: DataFrame,
+    max_distance: int = 4,
+    q: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-level fuzzy dedup: all pairs within Levenshtein
+    distance ``max_distance`` over the FULL text, via Ed-Join prefix
+    filtering (Xiao/Wang/Lin VLDB'08) — a dedup GRANULARITY the
+    shingle/MinHash/SimHash family can't express (those measure set
+    overlap; this bounds the exact number of character edits, the
+    right notion for OCR noise, boilerplate version drift, or
+    single-field typos).
+
+    Candidate generation never compares all pairs:
+
+    1. per doc, the DISTINCT character q-grams, hashed to 8-byte keys
+       (md5_long — narrow shuffle, DuckDB-replayable);
+    2. a global gram-frequency table (one groupBy — at scale this is
+       |vocab|, far smaller than the gram rows);
+    3. each doc keeps only its ``q*max_distance + 1`` globally RAREST
+       grams (row_number over (freq, hash) — deterministic total
+       order). One edit overwrites at most q distinct grams, so two
+       docs within distance d share >= max(|G(a)|,|G(b)|) - q*d
+       grams; by the prefix-filter theorem their rarest-(q*d+1)
+       prefixes must intersect — candidates come from an EQUI-join on
+       prefix gram hashes plus a |len(a)-len(b)| <= d band.
+    4. COMPLETENESS FALLBACK: a pair where BOTH docs have <= q*d
+       distinct grams can share zero grams at distance d (the bound
+       goes nonpositive) — such low-diversity docs (short or highly
+       repetitive) also emit one shared sentinel bucket, all-pairs
+       within it, still length-banded. On real corpora this bucket is
+       a tiny boilerplate fraction; cap or sub-band it if not.
+    5. verify: banded ``levenshtein(a, b, threshold)`` (JVM built-in,
+       O(d * len) with the threshold arg, -1 past it) on the
+       candidate pairs only.
+
+    The gram explode runs twice (freq pass + rank pass) — recompute,
+    not extra shuffle; the alternative (persisting gram rows) is
+    worse at 100 TB. Output: (doc_a, doc_b, edit_distance), doc_a <
+    doc_b, exact and complete vs the brute-force nested loop
+    (equivalence pinned by test, incl. the low-diversity fallback).
+    """
+    from pyspark.sql import Window
+
+    from streaming_cdc_spark.session import fan_out
+
+    d = max_distance
+    prefix = q * d + 1
+    base = fan_out(
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_text"),
+            F.length(text_col).alias("_len"),
+        )
+    )
+    grams_arr = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length(_text) - {q - 1}, 1)), "
+            f"i -> substring(_text, i, {q}))"
+        )
+    )
+    # distinct on the HASH (not the string) so the per-doc gram count
+    # and the (freq, hash) rank order are identical to the oracle's
+    grams = (
+        base.select("_id", "_len", F.explode(grams_arr).alias("_gram"))
+        .select("_id", "_len", md5_long("_gram").alias("_gh"))
+        .distinct()
+    )
+    freq = grams.groupBy("_gh").agg(F.count("*").alias("_c"))
+    w = Window.partitionBy("_id")
+    ranked = grams.join(freq, "_gh").select(
+        "_id",
+        "_len",
+        "_gh",
+        F.row_number().over(w.orderBy("_c", "_gh")).alias("_rn"),
+        F.count("*").over(w).alias("_ng"),
+    )
+    pref = ranked.filter(F.col("_rn") <= prefix).select("_id", "_len", "_gh")
+    lowdiv = (
+        ranked.filter((F.col("_rn") == 1) & (F.col("_ng") <= q * d))
+        .select("_id", "_len", F.lit(-1).cast("long").alias("_gh"))
+    )
+    keys = pref.unionByName(lowdiv)
+    a = keys.select(F.col("_id").alias("doc_a"), F.col("_len").alias("_la"), "_gh")
+    b = keys.select(F.col("_id").alias("doc_b"), F.col("_len").alias("_lb"), "_gh")
+    cand = (
+        a.join(b, "_gh")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("_la") - F.col("_lb")) <= d)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = base.select(F.col("_id").alias("doc_a"), F.col("_text").alias("_ta"))
+    tb = base.select(F.col("_id").alias("doc_b"), F.col("_text").alias("_tb"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("edit_distance", F.levenshtein("_ta", "_tb", d).cast("long"))
+        .filter(F.col("edit_distance") >= 0)
+        .select("doc_a", "doc_b", "edit_distance")
+    )
+
+
 def resolve_near_dups_by_quality(
     docs: DataFrame,
     pairs: DataFrame,

@@ -95,7 +95,12 @@ _PRIORITY = [
     "exact_dedup_prefix",
     "minhash_band_candidates",
     "ngram_jaccard_pairs",
-    "simhash_fingerprints",
+    # r4: simhash_dedup_groups (fingerprint -> exact-fp collapse ->
+    # banded Hamming join -> CC -> map-back, linear output, one oracle
+    # replaying the WHOLE chain incl. fingerprints) replaced
+    # simhash_fingerprints, whose math the groups oracle re-derives;
+    # fingerprints stays registered + locally gated.
+    "simhash_dedup_groups",
     # r3: pipeline_manifest (the whole filter->dedup->split->pack DAG
     # under ONE oracle) replaced containment_pairs (shingle family
     # keeps jaccard+minhash reps; containment stays registered)

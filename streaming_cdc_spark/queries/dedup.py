@@ -441,6 +441,56 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "edit_distance_pairs",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, text, length(text) AS len FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id, len,
+             {_md5i("substr(text, x.i, 12)")} AS gh
+      FROM base, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len - 11, 1))) AS i) x
+    ),
+    freq AS (SELECT gh, COUNT(*) AS c FROM g GROUP BY gh),
+    ranked AS (
+      SELECT g.doc_id, g.len, g.gh,
+             row_number() OVER (PARTITION BY g.doc_id ORDER BY f.c, g.gh) AS rn,
+             COUNT(*) OVER (PARTITION BY g.doc_id) AS ng
+      FROM g JOIN freq f USING (gh)
+    ),
+    keys AS (
+      SELECT doc_id, len, gh FROM ranked WHERE rn <= 49
+      UNION ALL
+      SELECT doc_id, len, CAST(-1 AS BIGINT) FROM ranked WHERE rn = 1 AND ng <= 48
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM keys a JOIN keys b ON a.gh = b.gh AND a.doc_id < b.doc_id
+      WHERE abs(a.len - b.len) <= 4
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_distance
+    FROM cand c
+    JOIN base ta ON ta.doc_id = c.doc_a
+    JOIN base tb ON tb.doc_id = c.doc_b
+    WHERE levenshtein(ta.text, tb.text) <= 4
+    """,
+)
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level fuzzy dedup: every pair within Levenshtein
+    distance 4 over the FULL text, via Ed-Join prefix filtering —
+    rarest-(q*d+1) hashed q-gram equi-join candidates (q=12) + length
+    band + banded levenshtein verify, never an all-pairs comparison.
+    Docs with <= q*d distinct grams (the prefix-filter bound goes
+    nonpositive there) fall back to one shared sentinel bucket, which
+    sf0.01 exercises (7 low-diversity docs). The oracle replays the
+    ENTIRE algorithm — gram hashing, frequency ranking, prefix cut,
+    sentinel fallback, candidate join, verify — and brute-force
+    equivalence is pinned by test_dedup.py."""
+    docs = load(spark, sf_dir, "documents")
+    return D.edit_distance_pairs(docs, max_distance=4, q=12)
+
+
+@query(
     "simhash_dedup_groups",
     oracle=f"""
     WITH RECURSIVE {_SIMHASH_FP},

@@ -391,6 +391,62 @@ def test_simhash_dedup_groups_matches_pair_closure(spark):
     assert sum(1 for g in got.values() if g == got[0]) >= 13
 
 
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_match_bruteforce(spark):
+    """Ed-Join prefix filtering must be COMPLETE vs the brute-force
+    nested loop — including pairs caught only by the low-diversity
+    sentinel fallback (both docs with <= q*d distinct grams)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(40)]
+    rows = []
+    for i in range(25):
+        rows.append((i, " ".join(rng.choices(vocab, k=rng.randint(8, 20)))))
+    # planted near-misses: suffix append, single-char substitution,
+    # mid-text deletion
+    rows.append((100, rows[0][1] + " zz"))
+    rows.append((101, rows[1][1].replace(rows[1][1][5], "#", 1)))
+    rows.append((102, rows[2][1][:10] + rows[2][1][12:]))
+    # LOW-DIVERSITY docs: highly repetitive, few distinct grams — at
+    # q=6, d=2 these have <= 12 distinct grams, so only the sentinel
+    # bucket can pair them
+    rows.append((200, "ab" * 6))
+    rows.append((201, "ab" * 6 + "c"))
+    rows.append((202, "ab" * 7))
+    # short docs (fewer chars than one gram)
+    rows.append((300, "tiny"))
+    rows.append((301, "tinY"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    texts = dict(rows)
+    ids = sorted(texts)
+    for d, q in ((2, 6), (4, 12), (1, 4)):
+        want = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                dist = _lev(texts[a], texts[b])
+                if dist <= d:
+                    want[(a, b)] = dist
+        got = {
+            (r["doc_a"], r["doc_b"]): r["edit_distance"]
+            for r in D.edit_distance_pairs(docs, max_distance=d, q=q).collect()
+        }
+        assert got == want, (d, q)
+    # the sentinel-only pairs were actually exercised
+    assert (200, 202) in want or (200, 201) in want
+
+
 def test_duplicate_gram_islands(spark):
     docs = spark.createDataFrame(
         [
