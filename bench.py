@@ -56,6 +56,7 @@ HEADLINE = [
     # candidates + banded levenshtein verify)
     "edit_distance_pairs",
     "text_quality",
+    "gopher_quality_flags",
     "token_histogram",
     "cosine_topk",
     "lsh_bucket_pairs",

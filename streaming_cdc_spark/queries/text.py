@@ -838,3 +838,63 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fixed_id_sum",
         )
     )
+
+
+@query(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, text, string_split(text, ' ') AS t,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+        len(t) AS n_words,
+        CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(t) AS mean_wl,
+        (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+         + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3)
+          / len(t) AS symbol_ratio,
+        CAST(len(list_filter(lines, x -> x LIKE '-%' OR x LIKE '*%')) AS DOUBLE)
+          / len(lines) AS bullet_frac,
+        CAST(len(list_filter(lines, x -> x LIKE '%...')) AS DOUBLE)
+          / len(lines) AS ellipsis_frac,
+        CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+          / len(t) AS alpha_frac,
+        len(list_intersect(list_distinct(t), [{_STOP}])) AS n_stop
+      FROM w
+    )
+    SELECT doc_id,
+      CAST(n_words AS BIGINT) AS n_words,
+      ROUND(mean_wl, 6) AS mean_word_len,
+      ROUND(symbol_ratio, 6) AS symbol_ratio,
+      ROUND(alpha_frac, 6) AS alpha_frac,
+      CAST(n_stop AS BIGINT) AS n_stopwords,
+      (n_words >= 40 AND n_words <= 100000) AS ok_word_count,
+      (mean_wl >= 3.0 AND mean_wl <= 10.0) AS ok_mean_word_len,
+      (symbol_ratio <= 0.1) AS ok_symbol_ratio,
+      (bullet_frac <= 0.9) AS ok_bullet_lines,
+      (ellipsis_frac <= 0.3) AS ok_ellipsis_lines,
+      (alpha_frac >= 0.8) AS ok_alpha_words,
+      (n_stop >= 2) AS ok_stopwords,
+      ((n_words >= 40 AND n_words <= 100000)
+       AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+       AND (symbol_ratio <= 0.1)
+       AND (bullet_frac <= 0.9)
+       AND (ellipsis_frac <= 0.3)
+       AND (alpha_frac >= 0.8)
+       AND (n_stop >= 2)) AS keep
+    FROM m
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality rule set (Rae et al. 2021 A1.1) as one
+    per-document flag row: word-count / mean-word-length bounds,
+    symbol-to-word ratio, bullet- and ellipsis-line fractions,
+    alphabetic-word fraction, required-stopword count — plus the
+    conjunctive keep decision. Pure projection (zero shuffles); flag
+    thresholds land on both TRUE and FALSE docs at sf0.01 so the
+    driver hash covers both branches. All rule comparisons happen on
+    UNROUNDED doubles identically in both engines; only output
+    columns are rounded."""
+    docs = load(spark, sf_dir, "documents")
+    return T.gopher_quality_flags(docs, min_words=40, min_stopwords=2)

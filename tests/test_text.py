@@ -285,3 +285,37 @@ def test_bm25_scores_golden(spark):
     assert got[1]["bm25"] == round(exp1, 6)
     assert got[2]["bm25"] == 0.0  # no query terms at all
     assert (got[0]["dl"], got[0]["tf_x"], got[0]["tf_y"]) == (3, 2, 1)
+
+
+def test_gopher_quality_flags_rules(spark):
+    """One doc per rule violation; the clean doc passes everything."""
+    from streaming_cdc_spark.operators.text import gopher_quality_flags
+
+    clean = "the quality dataset filters documents and tokens of training in corpora on average " * 2
+    rows = [
+        (0, clean.strip()),
+        (1, "the of and " + "word " * 2),          # too few words (min 10)
+        (2, "the of " + "supercalifragilistic " * 20),  # mean word len > 10
+        (3, "the of in a " + "# # # # # # # # # # # # # # # #"),  # symbols
+        (4, "the of is on\n" + "\n".join("- bullet line" for _ in range(20))),
+        (5, "the of is on\n" + "\n".join("trailing line..." for _ in range(9))),
+        (6, "the of a " + "123 456 789 000 111 222 333 444 555 666"),  # alpha
+        (7, "zebra quark " + "lorem ipsum dolor sit amet foo bar baz " * 2),
+    ]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_quality_flags(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            min_words=10,
+        ).collect()
+    }
+    assert got[0]["keep"] is True
+    assert got[1]["ok_word_count"] is False
+    assert got[2]["ok_mean_word_len"] is False
+    assert got[3]["ok_symbol_ratio"] is False and got[3]["ok_alpha_words"] is False
+    assert got[4]["ok_bullet_lines"] is False
+    assert got[5]["ok_ellipsis_lines"] is False
+    assert got[6]["ok_alpha_words"] is False
+    assert got[7]["ok_stopwords"] is False
+    for i in range(1, 8):
+        assert got[i]["keep"] is False, i
