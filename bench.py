@@ -90,6 +90,8 @@ HEADLINE = [
     "corpus_shards",
     "corpus_diff_status",
     "user_sessions",
+    # r4: Morton clustering keys (OPTIMIZE ZORDER BY analogue)
+    "zorder_layout",
     "scd2_user_value",
     "user_series_similarity",
     "quality_decile_curriculum",

@@ -1,0 +1,168 @@
+"""Data-layout operators: multi-dimensional (Z-order) clustering for
+scan pruning.
+
+Not in the reference (a streaming engine keeps no at-rest layout); this
+is the Spark-side equivalent of Delta/Iceberg `OPTIMIZE ZORDER BY` —
+the at-rest half of what makes a 100 TB table queryable: parquet
+footers carry per-file/per-row-group min/max for every column, and the
+reader skips files whose stats exclude the predicate. A table sorted
+by ONE key prunes only predicates on that key; interleaving the bits
+of two keys (the Z-order space-filling curve) makes EVERY file a
+near-square tile in (x, y) space, so range predicates on EITHER
+dimension — or a box on both — skip all non-overlapping tiles.
+
+Everything here is deterministic integer arithmetic (affine
+rank-normalization with integer division + 32 shift-and-or terms), so
+the z-value computation itself is oracle-checkable in DuckDB; the
+physical benefit (files actually skipped) is pinned by a test that
+reads the written parquet footers with pyarrow and counts which files
+a box predicate can prune under natural vs Z-order layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ZBITS = 16  # bits per dimension; z-value = 2*ZBITS bits
+
+
+def _norm_expr(v: str, vmin: str, vmax: str, bits: int = ZBITS) -> Column:
+    """Affine-map an integer column into [0, 2^bits) with pure integer
+    arithmetic — `(v - min) * (2^bits - 1) DIV max(max - min, 1)` —
+    identical in Spark (`div`) and DuckDB (`//`), no float rounding."""
+    top = (1 << bits) - 1
+    return F.expr(f"(({v} - {vmin}) * {top}) div greatest({vmax} - {vmin}, 1)")
+
+
+def zvalue(x: str, y: str, bits: int = ZBITS) -> Column:
+    """Interleave `bits` low bits of two integer columns (Morton
+    code): bit b of x lands at position 2b+1, bit b of y at 2b. A
+    codegen'd sum of shift/mask terms — no UDF, no loop at runtime."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((({x}) >> {b}) & 1) << {2 * b + 1})")
+        terms.append(f"(((({y}) >> {b}) & 1) << {2 * b})")
+    return F.expr(" + ".join(terms)).cast("long")
+
+
+def zvalue_sql(x: str, y: str, bits: int = ZBITS) -> str:
+    """DuckDB rendering of zvalue() — same shift/add terms."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b + 1})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b})")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def norm_sql(v: str, vmin: str, vmax: str, bits: int = ZBITS) -> str:
+    top = (1 << bits) - 1
+    return f"(({v} - {vmin}) * {top}) // greatest({vmax} - {vmin}, 1)"
+
+
+def zorder_keys(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = ZBITS,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Append (zx, zy, zval, zbucket) to df: both dimensions
+    rank-normalized into [0, 2^bits) against their GLOBAL min/max (one
+    tiny all-reduce, broadcast back as a one-row scalar join — the
+    whitelisted scalar-broadcast pattern), then Morton-interleaved.
+    `zbucket` = the top log2(n_buckets) bits of z — a deterministic
+    tile id independent of any sampling, unlike repartitionByRange's
+    sampled boundaries, so layouts are reproducible run to run."""
+    import math
+
+    shift = 2 * bits - int(math.log2(n_buckets))
+    bounds = df.agg(
+        F.min(x_col).cast("long").alias("_xmin"),
+        F.max(x_col).cast("long").alias("_xmax"),
+        F.min(y_col).cast("long").alias("_ymin"),
+        F.max(y_col).cast("long").alias("_ymax"),
+    )
+    out = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("_zx", _norm_expr(x_col, "_xmin", "_xmax", bits))
+        .withColumn("_zy", _norm_expr(y_col, "_ymin", "_ymax", bits))
+        .withColumn("zval", zvalue("_zx", "_zy", bits))
+        .withColumn("zbucket", F.expr(f"zval >> {shift}").cast("long"))
+        .drop("_xmin", "_xmax", "_ymin", "_ymax")
+        .withColumnRenamed("_zx", "zx")
+        .withColumnRenamed("_zy", "zy")
+    )
+    return out
+
+
+def zorder_write(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    path: str,
+    n_files: int = 16,
+    bits: int = ZBITS,
+) -> None:
+    """OPTIMIZE ZORDER BY (x, y): cluster rows into `n_files` files by
+    z-value and sort within each file, so every file's (x, y) footer
+    stats form a tight tile. repartitionByRange on the z key gives
+    balanced files (AQE-compatible range exchange); the within-file
+    sort tightens ROW-GROUP stats too, which matters once files exceed
+    one row group at real scale."""
+    keyed = zorder_keys(df, x_col, y_col, bits, n_buckets=max(n_files, 2))
+    (
+        keyed.repartitionByRange(n_files, "zval")
+        .sortWithinPartitions("zval")
+        .drop("zx", "zy", "zval", "zbucket")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_minmax_stats(path: str, cols: list[str]) -> list[dict]:
+    """Per-FILE min/max footer stats for `cols`, read with pyarrow —
+    what a reader's file-pruning step sees. Returns one dict per file:
+    {col: (min, max)}."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        schema_names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        stats: dict = {}
+        for c in cols:
+            ci = schema_names[c]
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(ci).statistics
+                if s is None or not s.has_min_max:
+                    lo = hi = None
+                    break
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            stats[c] = (lo, hi)
+        out.append(stats)
+    return out
+
+
+def files_overlapping(stats: list[dict], box: dict) -> int:
+    """How many files a reader must scan for a box predicate
+    {col: (lo, hi)} — files whose [min, max] intersects every
+    dimension's range (missing stats count as overlapping)."""
+    n = 0
+    for st in stats:
+        hit = True
+        for c, (lo, hi) in box.items():
+            fmin, fmax = st[c]
+            if fmin is None:
+                continue  # no stats -> cannot prune
+            if fmax < lo or fmin > hi:
+                hit = False
+                break
+        n += hit
+    return n

@@ -21,6 +21,7 @@ from streaming_cdc_spark.queries import (  # noqa: E402,F401
     temporal,
     text,
     similarity,
+    layout,
 )
 
 # The driver's correctness gate checks only the FIRST 50 entries of

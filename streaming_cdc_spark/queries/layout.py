@@ -1,0 +1,58 @@
+"""Data-layout queries: Z-order clustering keys over `events`.
+
+The physical file-skipping benefit is pinned by tests
+(tests/test_layout.py reads written parquet footers); this query
+oracle-checks the MATH — normalization, Morton interleave, tile id —
+so the driver hash-verifies the exact key every layout decision uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_cdc_spark.operators import layout as L
+from streaming_cdc_spark.queries.registry import query
+from streaming_cdc_spark.tables import load
+
+_ZV = L.zvalue_sql("zx", "zy")
+
+
+@query(
+    "zorder_layout",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, CAST(user_id AS BIGINT) AS x, epoch_us(ts) AS y
+      FROM events
+    ),
+    b AS (SELECT MIN(x) AS xmin, MAX(x) AS xmax,
+                 MIN(y) AS ymin, MAX(y) AS ymax FROM e),
+    n AS (
+      SELECT event_id,
+             CAST({L.norm_sql("x", "xmin", "xmax")} AS BIGINT) AS zx,
+             CAST({L.norm_sql("y", "ymin", "ymax")} AS BIGINT) AS zy
+      FROM e, b
+    )
+    SELECT event_id, zx, zy, {_ZV} AS zval,
+           CAST(({_ZV}) >> 26 AS BIGINT) AS zbucket
+    FROM n
+    """,
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY (user_id, ts) — the clustering KEY side:
+    both dimensions affine-normalized into 16 bits with pure integer
+    arithmetic against global min/max (one-row scalar broadcast),
+    Morton bit-interleave (32 codegen'd shift/add terms, no UDF), and
+    the deterministic 64-tile bucket id (top 6 bits of z). The oracle
+    replays normalization, interleave and tiling exactly; the
+    file-skipping payoff of writing this layout is measured by
+    tests/test_layout.py against real parquet footers."""
+    events = load(spark, sf_dir, "events")
+    df = events.select(
+        "event_id",
+        F.col("user_id").cast("long").alias("x"),
+        F.unix_micros("ts").alias("y"),
+    )
+    return L.zorder_keys(df, "x", "y", bits=16, n_buckets=64).select(
+        "event_id", "zx", "zy", "zval", "zbucket"
+    )

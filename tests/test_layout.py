@@ -1,0 +1,113 @@
+"""Z-order layout: Morton-code math + the actual file-skipping payoff
+measured from written parquet footers."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from streaming_cdc_spark.operators import layout as L
+from streaming_cdc_spark.tables import load
+
+
+def _morton(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for b in range(bits):
+        z |= ((x >> b) & 1) << (2 * b + 1)
+        z |= ((y >> b) & 1) << (2 * b)
+    return z
+
+
+def test_zvalue_matches_reference_interleave(spark):
+    rows = [(i, (i * 37) % 1000, (i * 911) % 1000) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {
+        r["id"]: r["z"]
+        for r in df.select("id", L.zvalue("x", "y").alias("z")).collect()
+    }
+    for i, x, y in rows:
+        assert got[i] == _morton(x, y), (i, x, y)
+
+
+def test_zorder_write_prunes_both_dimensions(spark):
+    """The point of Z-order: after clustering, a reader can skip most
+    files for a range predicate on EITHER dimension. The natural
+    (insertion-order ~ time-order) layout prunes only on ts; a
+    user_id predicate must scan every file."""
+    events = load(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    n_files = 16
+    tmp = tempfile.mkdtemp(prefix="zorder_")
+    try:
+        nat, zod = f"{tmp}/natural", f"{tmp}/zorder"
+        (
+            events.repartitionByRange(n_files, "event_id")
+            .sortWithinPartitions("event_id")
+            .write.mode("overwrite")
+            .parquet(nat)
+        )
+        L.zorder_write(events, "user_id", "ts_us", zod, n_files=n_files)
+        cols = ["user_id", "ts_us"]
+        nat_stats = L.file_minmax_stats(nat, cols)
+        z_stats = L.file_minmax_stats(zod, cols)
+        assert len(nat_stats) == n_files and len(z_stats) == n_files
+
+        lo_u, hi_u = 10, 19  # ~7% of the 150 users
+        ts_min = events.agg(F.min("ts_us")).collect()[0][0]
+        ts_max = events.agg(F.max("ts_us")).collect()[0][0]
+        span = ts_max - ts_min
+        ts_box = (ts_min + span // 10, ts_min + 2 * span // 10)  # 10% slice
+
+        user_pred = {"user_id": (lo_u, hi_u)}
+        ts_pred = {"ts_us": ts_box}
+        box_pred = {"user_id": (lo_u, hi_u), "ts_us": ts_box}
+
+        # natural layout: time-ordered ids -> ts prunes well, user_id
+        # stats span everything -> zero pruning on the user dimension
+        assert L.files_overlapping(nat_stats, user_pred) == n_files
+        assert L.files_overlapping(nat_stats, ts_pred) <= 4
+
+        # z-order layout: BOTH single-dim predicates skip most files,
+        # and the 2-D box skips nearly all
+        z_user = L.files_overlapping(z_stats, user_pred)
+        z_ts = L.files_overlapping(z_stats, ts_pred)
+        z_box = L.files_overlapping(z_stats, box_pred)
+        assert z_user <= n_files // 2, z_user
+        assert z_ts <= n_files // 2, z_ts
+        assert z_box <= 4, z_box
+
+        # layout is lossless: same rows back
+        assert (
+            spark.read.parquet(zod).count()
+            == spark.read.parquet(nat).count()
+            == events.count()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_zbucket_is_deterministic_tile(spark):
+    """zbucket must be a pure function of (x, y, global min/max) —
+    identical across repartitions and reruns."""
+    events = load(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id",
+        F.col("user_id").cast("long").alias("x"),
+        F.unix_micros("ts").alias("y"),
+    )
+    a = {
+        r["event_id"]: r["zbucket"]
+        for r in L.zorder_keys(events, "x", "y").select("event_id", "zbucket").collect()
+    }
+    b = {
+        r["event_id"]: r["zbucket"]
+        for r in L.zorder_keys(events.repartition(7), "x", "y")
+        .select("event_id", "zbucket")
+        .collect()
+    }
+    assert a == b
+    assert 1 < len(set(a.values())) <= 64

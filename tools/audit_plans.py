@@ -52,6 +52,7 @@ BNLJ_WHITELIST = {
     "bigram_logprob",  # scalar vocab totals
     "user_series_similarity",  # documented small-n series self-join
     "bm25_topk",  # one-row corpus-stats broadcast (N, sum_dl, df_t)
+    "zorder_layout",  # one-row global min/max bounds broadcast
 }
 
 
