@@ -110,6 +110,8 @@ HEADLINE = [
     "dendrogram_purity_fixture",
     "semantic_dedup",
     "ivf_topk_exact",
+    # r4: product-quantization ADC top-k (integer LUT scan)
+    "pq_adc_topk",
     "temperature_mix",
     # streaming: drains the embeddings stream through the keyed
     # incremental linker as FOUR micro-batches (maxFilesPerTrigger=1)

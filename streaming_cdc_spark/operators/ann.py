@@ -497,3 +497,127 @@ def incremental_semantic_dedup_cells(
 
     out = both.groupBy("cid").applyInPandas(score, "vec_id long, cid long, status string")
     return out.withColumnRenamed("vec_id", id_col)
+
+
+# --- Product quantization (Jégou et al. TPAMI'11) -----------------------
+
+
+def collect_pq_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Deterministic PQ codebooks: subspace j's codewords are the j-th
+    subvectors of the ``ksub`` lowest-id vectors (the same seed rule
+    as the deterministic IVF index — driver-sized by construction:
+    m * ksub * (dim/m) floats, regardless of corpus size). Codes are
+    0..ksub-1 in seed-id order."""
+    rows = df.orderBy(id_col).limit(ksub).select(id_col, vec_col).collect()
+    dim = len(rows[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [
+            (code, [float(x) for x in r[1][j * sub : (j + 1) * sub]])
+            for code, r in enumerate(rows)
+        ]
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding: per subspace, the L2-nearest codeword (ties to the
+    smaller code). One shuffle-free projection — m * ksub literal
+    struct comparisons fused into the scan, the same literal-centroid
+    strategy as assign_cells. A 64-dim float vector (256 B) compresses
+    to m int8-sized codes; at 100 TB that is the difference between an
+    in-memory ANN index and one that spills. Output:
+    (id, code_0..code_{m-1})."""
+    from streaming_cdc_spark.functions.vectors import as_double
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0][1])
+    base = df.select(F.col(id_col).cast("long").alias(id_col), as_double(vec_col).alias("_v"))
+    return base.select(
+        id_col,
+        *[
+            nearest_centroid(F.slice(F.col("_v"), j * sub + 1, sub), codebooks[j])
+            .getField("cid")
+            .alias(f"code_{j}")
+            for j in range(m)
+        ],
+    )
+
+
+def pq_adc_lut_micro(
+    qvec: list[float], codebooks: list[list[tuple[int, list[float]]]]
+) -> list[list[int]]:
+    """Per-subspace asymmetric-distance lookup table for one query,
+    QUANTIZED to integer micro-units (round(d2 * 1e6)): the ADC sum
+    becomes pure integer addition — order-free, so Spark and the
+    DuckDB oracle cannot drift however they sequence the m adds. The
+    only remaining float sits inside each d2 before rounding;
+    tests pin every LUT entry's distance to the .5 boundary."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0][1])
+    lut: list[list[int]] = []
+    for j in range(m):
+        qj = qvec[j * sub : (j + 1) * sub]
+        row = []
+        for _code, cv in codebooks[j]:
+            d2 = 0.0
+            for a, b in zip(qj, cv):
+                d2 += (a - b) * (a - b)
+            row.append(int(round(d2 * 1_000_000)))
+        lut.append(row)
+    return lut
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: approximate L2 via the PQ codes — dist(q, x) ~=
+    sum_j lut_q[j][code_j(x)]. One scan of the encoded corpus serves
+    ALL queries (each query's integer LUT is inlined as literals and
+    exploded per row), then a per-query window keeps the k nearest
+    (ties to smaller neighbor id). No shuffle touches raw vectors:
+    the scan moves m small ints per row, the window ranks
+    |queries| * n rows pre-aggregated to candidates only. Output:
+    (q, neighbor, adc_micro, rank)."""
+    from pyspark.sql import Window
+
+    m = len(codebooks)
+    enc = pq_encode(df, codebooks, id_col, vec_col)
+    per_q = []
+    for qid, qv in queries:
+        lut = pq_adc_lut_micro([float(x) for x in qv], codebooks)
+        adc = None
+        for j in range(m):
+            term = F.element_at(
+                F.array(*[F.lit(v) for v in lut[j]]), F.col(f"code_{j}").cast("int") + 1
+            )
+            adc = term if adc is None else (adc + term)
+        per_q.append(
+            F.struct(F.lit(int(qid)).cast("long").alias("q"), adc.cast("long").alias("adc_micro"))
+        )
+    w = Window.partitionBy("q").orderBy("adc_micro", "neighbor")
+    return (
+        enc.select(F.col(id_col).alias("neighbor"), F.explode(F.array(*per_q)).alias("_p"))
+        .select(F.col("_p.q").alias("q"), "neighbor", F.col("_p.adc_micro").alias("adc_micro"))
+        .filter(F.col("q") != F.col("neighbor"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

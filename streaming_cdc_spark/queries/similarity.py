@@ -450,3 +450,75 @@ def incremental_semantic_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = collect_seed_centroids(old, 8)
     st = incremental_semantic_dedup_cells(old, new, cents, tau=0.35)
     return st.groupBy("cid", "status").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+_PQ_SLICE = "(s.j * 16 + t)"
+
+
+def _pq_d2(a: str, b: str) -> str:
+    """16-dim subspace squared L2 between list slices — DuckDB side."""
+    return (
+        "list_sum(list_transform(range(1, 17), "
+        f"t -> ({a}[{_PQ_SLICE}] - {b}[{_PQ_SLICE}]) ** 2))"
+    )
+
+
+@query(
+    "pq_adc_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+    cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, ev AS cv
+           FROM (SELECT vec_id, ev FROM v ORDER BY vec_id LIMIT 8)),
+    s AS (SELECT unnest(range(4)) AS j),
+    dists AS (
+      SELECT v.vec_id, s.j, cb.code, {_pq_d2("v.ev", "cb.cv")} AS d2
+      FROM v, s, cb
+    ),
+    enc AS (SELECT vec_id, j, code FROM (
+      SELECT vec_id, j, code,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+      FROM dists) WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, ev AS qv
+          FROM v WHERE vec_id % 2 = 1 ORDER BY vec_id LIMIT 4),
+    lut AS (
+      SELECT q.qid, s.j, cb.code,
+             CAST(ROUND({_pq_d2("q.qv", "cb.cv")} * 1000000) AS BIGINT) AS d2m
+      FROM q, s, cb
+    ),
+    adc AS (
+      SELECT l.qid AS q, e.vec_id AS neighbor,
+             CAST(SUM(l.d2m) AS BIGINT) AS adc_micro
+      FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
+      WHERE e.vec_id <> l.qid
+      GROUP BY 1, 2
+    )
+    SELECT q, neighbor, adc_micro, rank FROM (
+      SELECT q, neighbor, adc_micro,
+             ROW_NUMBER() OVER (PARTITION BY q ORDER BY adc_micro, neighbor) AS rank
+      FROM adc) WHERE rank <= 10
+    """,
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. TPAMI'11): deterministic
+    codebooks (subvectors of the 8 lowest-id vectors, the IVF seed
+    rule), shuffle-free literal-argmin encoding (64 floats -> 4
+    codes), and ADC top-10 for the 4 lowest odd-id queries via
+    integer micro-unit lookup tables — the ADC sum is pure integer
+    addition, so engines cannot drift however they order it. The
+    oracle replays codebook construction, encoding argmin, LUT
+    quantization and ranking; encode/LUT float margins are pinned by
+    tests/test_pq.py. Compression story at 100 TB: 256 B/vector ->
+    4 codes, corpus scan moves ints, raw vectors never shuffle."""
+    from streaming_cdc_spark.operators.ann import collect_pq_codebooks, pq_adc_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    cb = collect_pq_codebooks(emb, m=4, ksub=8)
+    qs = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.filter(F.col("vec_id") % 2 == 1)
+        .orderBy("vec_id")
+        .limit(4)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return pq_adc_topk(emb, cb, qs, k=10)

@@ -1,0 +1,108 @@
+"""Product quantization: encode/ADC equivalence vs a numpy reference
+and the float margins that make the cross-engine oracle safe."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from streaming_cdc_spark.operators.ann import (
+    collect_pq_codebooks,
+    pq_adc_lut_micro,
+    pq_adc_topk,
+    pq_encode,
+)
+from streaming_cdc_spark.tables import load
+
+SF = "/root/testdata/sf0.01"
+M, KSUB, SUB = 4, 8, 16
+
+
+def _corpus(spark):
+    emb = load(spark, SF, "embeddings")
+    rows = emb.orderBy("vec_id").select("vec_id", "embedding").collect()
+    ids = np.array([int(r[0]) for r in rows])
+    mat = np.array([[float(x) for x in r[1]] for r in rows])
+    return emb, ids, mat
+
+
+def _ref_codes(mat: np.ndarray, cb: list) -> np.ndarray:
+    codes = np.zeros((len(mat), M), dtype=int)
+    for j in range(M):
+        c = np.array([cv for _code, cv in cb[j]])
+        d2 = ((mat[:, None, j * SUB : (j + 1) * SUB] - c[None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d2, axis=1)  # first min == smaller code
+    return codes
+
+
+def test_pq_encode_matches_numpy_argmin(spark):
+    emb, ids, mat = _corpus(spark)
+    cb = collect_pq_codebooks(emb, M, KSUB)
+    want = _ref_codes(mat, cb)
+    got = {
+        r["vec_id"]: [r[f"code_{j}"] for j in range(M)]
+        for r in pq_encode(emb, cb).collect()
+    }
+    for i, vid in enumerate(ids):
+        assert got[vid] == list(want[i]), vid
+
+
+def test_pq_encode_argmin_margins(spark):
+    """The oracle re-derives the argmin with its own float sums; the
+    gap between best and runner-up subspace distance bounds how much
+    cross-engine drift the encoding tolerates. Re-verify if testdata
+    regenerates."""
+    emb, ids, mat = _corpus(spark)
+    cb = collect_pq_codebooks(emb, M, KSUB)
+    worst = np.inf
+    for j in range(M):
+        c = np.array([cv for _code, cv in cb[j]])
+        d2 = ((mat[:, None, j * SUB : (j + 1) * SUB] - c[None, :, :]) ** 2).sum(axis=2)
+        part = np.partition(d2, 1, axis=1)
+        gaps = part[:, 1] - part[:, 0]
+        # codebook rows hit themselves at distance 0 with a real gap;
+        # every vector must separate best from second-best
+        worst = min(worst, gaps[gaps > 0].min())
+        assert (gaps > 0).sum() >= len(mat) - KSUB
+    assert worst > 1e-6, worst  # drift is ~1e-15; 9 orders of margin
+
+
+def test_pq_lut_quantization_margins(spark):
+    """Integer micro-unit LUTs round d2*1e6 — a value within float
+    drift of a .5 boundary could round differently across engines."""
+    emb, ids, mat = _corpus(spark)
+    cb = collect_pq_codebooks(emb, M, KSUB)
+    qs = [(int(i), list(map(float, mat[ids == i][0]))) for i in ids if i % 2 == 1][:4]
+    worst = np.inf
+    for _qid, qv in qs:
+        for row in pq_adc_lut_micro(qv, cb):
+            for _v in row:
+                pass  # ints by construction
+        for j in range(M):
+            c = np.array([cv for _code, cv in cb[j]])
+            d2 = ((np.array(qv[j * SUB : (j + 1) * SUB])[None, :] - c) ** 2).sum(axis=1)
+            frac = np.abs((d2 * 1e6) % 1.0 - 0.5)
+            worst = min(worst, frac.min())
+    assert worst > 1e-4, worst  # drift ~1e-9 micro-units at this scale
+
+
+def test_pq_adc_topk_matches_bruteforce(spark):
+    emb, ids, mat = _corpus(spark)
+    cb = collect_pq_codebooks(emb, M, KSUB)
+    qs = [(int(i), list(map(float, mat[ids == i][0]))) for i in ids if i % 2 == 1][:4]
+    codes = _ref_codes(mat, cb)
+    got = [
+        (r["q"], r["neighbor"], r["adc_micro"], r["rank"])
+        for r in pq_adc_topk(emb, cb, qs, k=10).collect()
+    ]
+    want = []
+    for qid, qv in qs:
+        lut = pq_adc_lut_micro(qv, cb)
+        adc = [
+            (sum(lut[j][codes[i, j]] for j in range(M)), int(vid))
+            for i, vid in enumerate(ids)
+            if int(vid) != qid
+        ]
+        adc.sort()
+        want += [(qid, vid, a, rk + 1) for rk, (a, vid) in enumerate(adc[:10])]
+    assert sorted(got) == sorted(want)
