@@ -76,6 +76,7 @@ HEADLINE = [
     # broadcast + TakeOrdered)
     "duplicate_span_islands",
     "bm25_topk",
+    "bloom_incremental_matches",
     "incremental_dedup_status",
     "incremental_semantic_status",
     "benchmark_contamination",

@@ -1113,3 +1113,84 @@ def incremental_minhash_dedup(
     )
     shset.unpersist()
     return out
+
+
+# --- Bloom-prefiltered incremental matching ------------------------------
+
+
+def md5_bloom_build(
+    df: DataFrame, key_col: str, n_bits: int = 1 << 14, n_hashes: int = 3
+) -> list[int]:
+    """Distributed Bloom-filter build over a key column: each key sets
+    ``n_hashes`` bit positions (md5_long with per-hash salts — the
+    cross-engine-replayable hash family), positions fold into 64-bit
+    words with one bit_or groupBy. The collected bitmap is
+    ``n_bits/64`` longs — bounded by the FILTER size, never the
+    corpus: at 100 TB you'd size n_bits to the corpus key cardinality
+    (~10 bits/key for ~1% FPR) and collect megabytes, not terabytes.
+    Deterministic: same keys -> same bitmap under any plan."""
+    pos = F.array(
+        *[md5_long(key_col, salt=f"bloom{i}") % n_bits for i in range(n_hashes)]
+    )
+    words = (
+        df.select(F.explode(pos).alias("_p"))
+        .select(
+            F.expr("_p div 64").cast("long").alias("_w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT))").alias("_b"),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_b").alias("_bits"))
+        .collect()
+    )
+    bitmap = [0] * (n_bits // 64)
+    for r in words:
+        bitmap[int(r["_w"])] = int(r["_bits"])
+    return bitmap
+
+
+def md5_bloom_probe(
+    key_col: str, bitmap: list[int], n_bits: int, n_hashes: int = 3
+) -> Column:
+    """Membership test against a built bitmap as one pure Column
+    expression: the bitmap rides along as a SINGLE array literal
+    (F.lit(list) -> one Literal node, not a per-row CreateArray);
+    each hash is element_at + dynamic shift + mask (call_function
+    binds shiftright to a COLUMN bit count). No false negatives
+    ever; false positives at the configured rate."""
+    lit_map = F.lit([int(w) for w in bitmap])
+    cond = None
+    for i in range(n_hashes):
+        p = md5_long(key_col, salt=f"bloom{i}") % n_bits
+        word = F.element_at(lit_map, F.floor(p / 64).cast("int") + 1)
+        bit = F.call_function(
+            "shiftright", word, (p % 64).cast("int")
+        ).bitwiseAND(F.lit(1).cast("long")) == 1
+        cond = bit if cond is None else (cond & bit)
+    return cond
+
+
+def bloom_prefilter_matches(
+    corpus: DataFrame,
+    batch: DataFrame,
+    key: Column,
+    id_col: str = "doc_id",
+    n_bits: int = 1 << 14,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Incremental batch-vs-corpus EXACT key matching with a Bloom
+    pre-filter — the runtime-filter pattern (what AQE's
+    InjectRuntimeFilter does for joins) made explicit for the daily
+    crawl-dedup shape: the corpus side never re-shuffles; it is
+    summarized ONCE into an n_bits bitmap, the batch is pruned by a
+    pure scan-fused probe expression, and only the surviving sliver
+    (true matches + the configured false-positive rate) pays the
+    exact verify semi-join. Results are EXACT — Bloom filters have no
+    false negatives, and the verify join removes false positives — so
+    the oracle is a plain semi-join. Output: one row per batch doc
+    whose key exists in the corpus: (id_col, dup_key)."""
+    ck = corpus.select(key.alias("dup_key")).distinct()
+    bitmap = md5_bloom_build(ck, "dup_key", n_bits, n_hashes)
+    survivors = batch.select(F.col(id_col), key.alias("dup_key")).filter(
+        md5_bloom_probe("dup_key", bitmap, n_bits, n_hashes)
+    )
+    return survivors.join(ck, "dup_key", "left_semi").select(id_col, "dup_key")

@@ -1200,3 +1200,31 @@ def progressive_longstream_compacted(spark: SparkSession, sf_dir: str) -> DataFr
     return _run_progressive_stream(
         spark, sf_dir, n_splits=8, budget=25, compact_every=3
     )
+
+
+@query(
+    "bloom_incremental_matches",
+    oracle="""
+    WITH k AS (SELECT doc_id, doc_id % 2 AS side,
+                      array_to_string(string_split(text, ' ')[1:5], ' ') AS dup_key
+               FROM documents)
+    SELECT b.doc_id, b.dup_key
+    FROM k b
+    WHERE b.side = 1 AND EXISTS (
+      SELECT 1 FROM k c WHERE c.side = 0 AND c.dup_key = b.dup_key)
+    """,
+)
+def bloom_incremental_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus exact key matching behind a Bloom pre-filter
+    (the explicit runtime-filter pattern): the corpus half (even ids)
+    is summarized once into a 16 Kbit md5-salted bitmap, the batch
+    half (odd ids) is pruned by a scan-fused probe expression, and
+    only survivors pay the verify semi-join — so the corpus never
+    re-shuffles per batch and the result is EXACT (no false
+    negatives; the join removes false positives). Oracle: the plain
+    semi-join the whole construction is equivalent to."""
+    docs = load(spark, sf_dir, "documents")
+    key = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return D.bloom_prefilter_matches(corpus, batch, key)

@@ -470,3 +470,48 @@ def test_duplicate_gram_islands(spark):
     assert (r["n_tokens"], r["n_dup_pos"], r["n_islands"], r["dup_tokens"]) == (9, 7, 1, 9)
     r = got[4]
     assert (r["n_tokens"], r["n_dup_pos"], r["n_islands"], r["dup_tokens"]) == (10, 2, 2, 6)
+
+
+def test_bloom_prefilter_exactness_and_pruning(spark):
+    """The bloom-prefiltered match must equal the plain semi-join
+    (no false negatives, verify removes false positives), and the
+    probe must actually prune — survivors ~ matches + FP rate, far
+    below the full batch."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(3)
+    corpus_keys = [f"key{i}" for i in range(500)]
+    batch = [(i, f"key{400 + i}" if i < 50 else f"miss{rng.randint(0, 10**9)}")
+             for i in range(400)]
+    cdf = spark.createDataFrame([(k,) for k in corpus_keys], "k string")
+    bdf = spark.createDataFrame(batch, "doc_id long, k string")
+    got = {
+        (r["doc_id"], r["dup_key"])
+        for r in D.bloom_prefilter_matches(
+            cdf, bdf, F.col("k"), n_bits=1 << 12
+        ).collect()
+    }
+    want = {(i, k) for i, k in batch if k in set(corpus_keys)}
+    assert got == want
+    # pruning: survivors of the probe alone (before verify) stay near
+    # the true-match count, not the batch size
+    bm = D.md5_bloom_build(cdf.select(F.col("k").alias("dup_key")), "dup_key", 1 << 12)
+    surv = bdf.select(F.col("k").alias("dup_key")).filter(
+        D.md5_bloom_probe("dup_key", bm, 1 << 12)
+    ).count()
+    assert len(want) <= surv <= len(want) + 40, surv  # 350 negatives, FPR << 12%
+
+
+def test_bloom_no_false_negatives_property(spark):
+    """Every inserted key must probe positive — for any bitmap size."""
+    from pyspark.sql import functions as F
+
+    keys = spark.createDataFrame(
+        [(f"v{i*i}",) for i in range(300)], "dup_key string"
+    )
+    for n_bits in (1 << 10, 1 << 14):
+        bm = D.md5_bloom_build(keys, "dup_key", n_bits)
+        hits = keys.filter(D.md5_bloom_probe("dup_key", bm, n_bits)).count()
+        assert hits == 300, (n_bits, hits)
