@@ -88,6 +88,9 @@ HEADLINE = [
     "doc_chunks",
     "sequence_packing",
     "training_mix_counts",
+    # r4: Deequ-style table health (one-pass profile + constraints)
+    "column_profile",
+    "constraint_checks",
     "corpus_shards",
     "corpus_diff_status",
     "user_sessions",

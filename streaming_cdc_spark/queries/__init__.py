@@ -22,6 +22,7 @@ from streaming_cdc_spark.queries import (  # noqa: E402,F401
     text,
     similarity,
     layout,
+    profile,
 )
 
 # The driver's correctness gate checks only the FIRST 50 entries of
