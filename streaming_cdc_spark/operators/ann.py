@@ -606,8 +606,11 @@ def pq_adc_topk(
         lut = pq_adc_lut_micro([float(x) for x in qv], codebooks)
         adc = None
         for j in range(m):
+            # long terms: int32 accumulation would overflow (ANSI
+            # throw) once per-subspace distances reach ~6e8 micro-units
             term = F.element_at(
-                F.array(*[F.lit(v) for v in lut[j]]), F.col(f"code_{j}").cast("int") + 1
+                F.array(*[F.lit(v).cast("long") for v in lut[j]]),
+                F.col(f"code_{j}").cast("int") + 1,
             )
             adc = term if adc is None else (adc + term)
         per_q.append(
@@ -621,3 +624,52 @@ def pq_adc_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def save_ann_index(
+    spark,
+    path: str,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: list[list[tuple[int, list[float]]]] | None = None,
+) -> None:
+    """Persist an ANN index (IVF centroids and/or PQ codebooks) as
+    self-describing parquet — the S12 model-persistence pattern
+    applied to the ANN side, so a daily job fits ONCE and every
+    later query/encode run loads the artifact instead of re-seeding.
+    Layout: rows (kind, subspace, code, vector); IVF centroids use
+    subspace = -1. Parquet doubles round-trip exactly, so a loaded
+    index reproduces bit-identical assignments/codes (test-pinned)."""
+    rows = []
+    for cid, vec in centroids or []:
+        rows.append(("ivf", -1, int(cid), [float(x) for x in vec]))
+    for j, book in enumerate(codebooks or []):
+        for code, vec in book:
+            rows.append(("pq", j, int(code), [float(x) for x in vec]))
+    df = spark.createDataFrame(
+        rows, "kind string, subspace int, code long, vector array<double>"
+    )
+    df.repartition(1).write.mode("overwrite").parquet(path)
+
+
+def load_ann_index(
+    spark, path: str
+) -> tuple[list[tuple[int, list[float]]], list[list[tuple[int, list[float]]]]]:
+    """Load a saved ANN index -> (centroids, codebooks). Inverse of
+    save_ann_index; ordering is restored by (subspace, code)."""
+    rows = spark.read.parquet(path).collect()
+    centroids = sorted(
+        (int(r["code"]), [float(x) for x in r["vector"]])
+        for r in rows
+        if r["kind"] == "ivf"
+    )
+    pq_rows = sorted(
+        (int(r["subspace"]), int(r["code"]), [float(x) for x in r["vector"]])
+        for r in rows
+        if r["kind"] == "pq"
+    )
+    books: list[list[tuple[int, list[float]]]] = []
+    for j, code, vec in pq_rows:
+        while len(books) <= j:
+            books.append([])
+        books[j].append((code, vec))
+    return centroids, books

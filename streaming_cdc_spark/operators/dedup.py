@@ -601,13 +601,16 @@ def simhash_dedup_groups(
         F.coalesce(cc["cluster_id"], reps["_rep"]).alias("group_id"),
     )
     # localCheckpoint materializes the small (doc, group) result so the
-    # reps cache can be dropped immediately (the minhash_dedup pattern)
-    out = (
-        fp.join(rep_group, "simhash")
-        .select(F.col(id_col), "group_id")
-        .localCheckpoint()
-    )
-    reps.unpersist()
+    # reps cache can be dropped immediately (the minhash_dedup pattern);
+    # unpersist in finally so a failed checkpoint can't leak the cache
+    try:
+        out = (
+            fp.join(rep_group, "simhash")
+            .select(F.col(id_col), "group_id")
+            .localCheckpoint()
+        )
+    finally:
+        reps.unpersist()
     return out
 
 
@@ -1142,7 +1145,9 @@ def md5_bloom_build(
         .agg(F.bit_or("_b").alias("_bits"))
         .collect()
     )
-    bitmap = [0] * (n_bits // 64)
+    # ceil division: positions span [0, n_bits), so the last (possibly
+    # partial) word must exist for any n_bits, not just multiples of 64
+    bitmap = [0] * ((n_bits + 63) // 64)
     for r in words:
         bitmap[int(r["_w"])] = int(r["_bits"])
     return bitmap
@@ -1187,8 +1192,13 @@ def bloom_prefilter_matches(
     exact verify semi-join. Results are EXACT — Bloom filters have no
     false negatives, and the verify join removes false positives — so
     the oracle is a plain semi-join. Output: one row per batch doc
-    whose key exists in the corpus: (id_col, dup_key)."""
-    ck = corpus.select(key.alias("dup_key")).distinct()
+    whose key exists in the corpus: (id_col, dup_key).
+
+    The distinct corpus key set is localCheckpoint'd so the bitmap
+    build and the verify join share ONE computation of it; in the
+    real daily job both the key set and the bitmap would be
+    precomputed artifacts of the previous run."""
+    ck = corpus.select(key.alias("dup_key")).distinct().localCheckpoint()
     bitmap = md5_bloom_build(ck, "dup_key", n_bits, n_hashes)
     survivors = batch.select(F.col(id_col), key.alias("dup_key")).filter(
         md5_bloom_probe("dup_key", bitmap, n_bits, n_hashes)

@@ -30,9 +30,15 @@ ZBITS = 16  # bits per dimension; z-value = 2*ZBITS bits
 def _norm_expr(v: str, vmin: str, vmax: str, bits: int = ZBITS) -> Column:
     """Affine-map an integer column into [0, 2^bits) with pure integer
     arithmetic — `(v - min) * (2^bits - 1) DIV max(max - min, 1)` —
-    identical in Spark (`div`) and DuckDB (`//`), no float rounding."""
+    identical in Spark (`div`) and DuckDB (`//`), no float rounding.
+    The multiply is widened to DECIMAL(38,0) first: a span wider than
+    2^63/65535 (~4.5 years of epoch-us — routine at 100 TB) would
+    overflow a signed 64-bit multiply and throw under ANSI mode."""
     top = (1 << bits) - 1
-    return F.expr(f"(({v} - {vmin}) * {top}) div greatest({vmax} - {vmin}, 1)")
+    return F.expr(
+        f"CAST((CAST(({v} - {vmin}) AS DECIMAL(38,0)) * {top})"
+        f" div greatest({vmax} - {vmin}, 1) AS BIGINT)"
+    )
 
 
 def zvalue(x: str, y: str, bits: int = ZBITS) -> Column:
@@ -57,7 +63,10 @@ def zvalue_sql(x: str, y: str, bits: int = ZBITS) -> str:
 
 def norm_sql(v: str, vmin: str, vmax: str, bits: int = ZBITS) -> str:
     top = (1 << bits) - 1
-    return f"(({v} - {vmin}) * {top}) // greatest({vmax} - {vmin}, 1)"
+    return (
+        f"(CAST(({v} - {vmin}) AS HUGEINT) * {top})"
+        f" // greatest({vmax} - {vmin}, 1)"
+    )
 
 
 def zorder_keys(

@@ -47,12 +47,18 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
 
 def check_unique(cols: list[str]) -> Column:
     """Violation count for a uniqueness constraint: rows beyond the
-    first per key. Computed as count(*) - count_distinct(key) inside
-    the caller's aggregate — no extra pass. NULL keys count as
-    distinct-per-row here (count_distinct drops NULLs), so pair with a
-    not-null check on key columns."""
-    key = F.struct(*[F.col(c) for c in cols])
-    return F.count(F.lit(1)) - F.count_distinct(key)
+    first per NON-NULL key — SQL-standard semantics (NULL != NULL, so
+    NULL-keyed rows are exempt; pair with a not-null predicate check
+    if the key must also be present). Computed inside the caller's
+    aggregate as count(rows with full key) - count_distinct(key),
+    with the key masked to NULL when any component is NULL so the
+    struct wrapper can't smuggle NULL fields past count_distinct."""
+    nn = None
+    for c in cols:
+        p = F.col(c).isNotNull()
+        nn = p if nn is None else (nn & p)
+    key = F.when(nn, F.struct(*[F.col(c) for c in cols]))
+    return F.sum(nn.cast("long")) - F.count_distinct(key)
 
 
 def constraint_checks(

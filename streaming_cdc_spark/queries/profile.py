@@ -64,13 +64,17 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     UNION ALL
     SELECT 'l_pk_unique',
-           CAST(COUNT(*) - COUNT(DISTINCT struct_pack(k1 := l_orderkey,
-                                                      k2 := l_linenumber))
+           CAST(COUNT(CASE WHEN l_orderkey IS NOT NULL
+                            AND l_linenumber IS NOT NULL THEN 1 END)
+                - COUNT(DISTINCT CASE WHEN l_orderkey IS NOT NULL
+                                       AND l_linenumber IS NOT NULL
+                        THEN struct_pack(k1 := l_orderkey,
+                                         k2 := l_linenumber) END)
                 AS BIGINT)
     FROM lineitem
     UNION ALL
     SELECT 'l_orderkey_unique',
-           CAST(COUNT(*) - COUNT(DISTINCT l_orderkey) AS BIGINT)
+           CAST(COUNT(l_orderkey) - COUNT(DISTINCT l_orderkey) AS BIGINT)
     FROM lineitem
     UNION ALL
     SELECT 'l_orderkey_fk', CAST(COUNT(*) AS BIGINT)

@@ -111,3 +111,22 @@ def test_zbucket_is_deterministic_tile(spark):
     }
     assert a == b
     assert 1 < len(set(a.values())) <= 64
+
+
+def test_zorder_keys_survive_wide_epoch_spans(spark):
+    """A >4.5-year epoch-us span overflows a signed-64 multiply in the
+    naive normalization ((v-min)*65535); the DECIMAL-widened form must
+    not throw and must match exact integer arithmetic."""
+    lo = 1_500_000_000_000_000  # ~2017 in epoch us
+    hi = lo + 10 * 365 * 24 * 3600 * 1_000_000  # +10 years
+    rows = [(i, i % 150, lo + (hi - lo) * i // 199) for i in range(200)]
+    df = spark.createDataFrame(rows, "event_id long, x long, y long")
+    got = {
+        r["event_id"]: (r["zx"], r["zy"])
+        for r in L.zorder_keys(df, "x", "y").select("event_id", "zx", "zy").collect()
+    }
+    ys = [y for _, _, y in rows]
+    ymin, ymax = min(ys), max(ys)
+    for i, x, y in rows:
+        want = ((x - 0) * 65535 // 149, (y - ymin) * 65535 // max(ymax - ymin, 1))
+        assert got[i] == want, i

@@ -76,8 +76,7 @@ def test_pq_lut_quantization_margins(spark):
     worst = np.inf
     for _qid, qv in qs:
         for row in pq_adc_lut_micro(qv, cb):
-            for _v in row:
-                pass  # ints by construction
+            assert all(isinstance(v, int) for v in row), row
         for j in range(M):
             c = np.array([cv for _code, cv in cb[j]])
             d2 = ((np.array(qv[j * SUB : (j + 1) * SUB])[None, :] - c) ** 2).sum(axis=1)
@@ -106,3 +105,27 @@ def test_pq_adc_topk_matches_bruteforce(spark):
         adc.sort()
         want += [(qid, vid, a, rk + 1) for rk, (a, vid) in enumerate(adc[:10])]
     assert sorted(got) == sorted(want)
+
+
+def test_ann_index_save_load_roundtrip(spark, tmp_path):
+    """Persisted IVF centroids + PQ codebooks must reload
+    bit-identically (parquet doubles are exact), so encodes and
+    assignments from a loaded index equal the fresh-fit ones."""
+    from streaming_cdc_spark.operators.ann import (
+        collect_seed_centroids,
+        load_ann_index,
+        save_ann_index,
+    )
+
+    emb = load(spark, SF, "embeddings")
+    cents = collect_seed_centroids(emb, 8)
+    cb = collect_pq_codebooks(emb, M, KSUB)
+    path = str(tmp_path / "ann_index")
+    save_ann_index(spark, path, centroids=cents, codebooks=cb)
+    got_c, got_b = load_ann_index(spark, path)
+    assert got_c == cents
+    assert got_b == cb
+    # loaded codebooks drive identical encodes
+    fresh = {tuple(r) for r in pq_encode(emb, cb).collect()}
+    loaded = {tuple(r) for r in pq_encode(emb, got_b).collect()}
+    assert fresh == loaded

@@ -20,7 +20,10 @@ def test_column_profile_counts(spark):
 
 def test_constraint_checks_all_kinds(spark):
     child = spark.createDataFrame(
-        [(1, 10, 5.0), (2, 10, -1.0), (3, 20, None), (3, 99, 2.0)],
+        [(1, 10, 5.0), (2, 10, -1.0), (3, 20, None), (3, 99, 2.0),
+         # NULL keys are EXEMPT from uniqueness (SQL semantics:
+         # NULL != NULL) — two NULL-k rows add no k_unique violations
+         (None, 10, 1.0), (None, 20, 1.0)],
         "k long, parent long, v double",
     )
     parent = spark.createDataFrame([(10,), (20,)], "pk long")

@@ -27,10 +27,17 @@ def test_every_family_in_checked_window():
         # evidence via cluster_summary's auto path)
         "clustering": {"threshold_cc_distributed", "greedy_parity_clusters", "grinch_flat_clusters"},
         "similarity_kernel": {"cosine_edges_blocked"},
-        "dedup": {"exact_dedup_prefix", "minhash_band_candidates", "simhash_fingerprints"},
-        "ann": {"cosine_topk", "lsh_bucket_pairs", "ivf_topk_exact"},
+        # r4 swaps: simhash_dedup_groups (its oracle re-derives the
+        # fingerprint math) replaced simhash_fingerprints; bm25_topk
+        # replaced lsh_bucket_pairs (banded-LSH bucketing keeps its
+        # in-window rep via minhash_band_candidates);
+        # duplicate_span_islands replaced token_histogram (token
+        # counting keeps regex_token_stats + sequence_packing_exact)
+        "dedup": {"exact_dedup_prefix", "minhash_band_candidates", "simhash_dedup_groups",
+                  "duplicate_span_islands"},
+        "ann": {"cosine_topk", "bm25_topk", "ivf_topk_exact"},
         "semantic_dedup": {"semantic_dedup"},
-        "text": {"text_quality", "lang_id_confusion", "token_histogram"},
+        "text": {"text_quality", "lang_id_confusion", "regex_token_stats"},
         "multimodal": {"media_stats"},
         "packing": {"sequence_packing_exact"},
         "temporal": {"asof_join_orders"},

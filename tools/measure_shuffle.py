@@ -85,6 +85,7 @@ def _stage_metrics(ui: str, app_id: str) -> dict[int, dict]:
     act_url = f"{ui}/api/v1/applications/{app_id}/stages?status=active"
     stages: list[dict] = []
     prev_ids: set[tuple[int, int]] = {(-1, -1)}
+    quiesced = False
     for _ in range(50):  # <=10s; normally 1-2 iterations
         with urllib.request.urlopen(act_url, timeout=30) as r:
             active = json.load(r)
@@ -92,9 +93,18 @@ def _stage_metrics(ui: str, app_id: str) -> dict[int, dict]:
             stages = json.load(r)
         ids = {(s["stageId"], s["attemptId"]) for s in stages}
         if not active and ids == prev_ids:
+            quiesced = True
             break
         prev_ids = ids
         time.sleep(0.2)
+    if not quiesced:
+        # proceeding anyway would mis-attribute late stages to the
+        # NEXT query — make the unstable attribution visible
+        print(
+            "WARNING: status store did not quiesce within 10s; "
+            "stage attribution for the current query may be unstable",
+            file=sys.stderr,
+        )
     out: dict[int, dict] = {}
     for s in stages:
         # attemptId retries: keep the max per stage id (a retried
