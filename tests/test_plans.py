@@ -238,3 +238,47 @@ def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
     assert some_type in m[0], m[0]
     # the partition-column predicate must NOT survive as a row filter
     assert "Filter" not in plan.split("Scan parquet")[0], plan[:1500]
+
+
+def test_edit_distance_pairs_no_cartesian(spark):
+    """Ed-Join candidates must come from keyed joins (prefix gram +
+    length band), never a cross product, at table scale."""
+    from streaming_cdc_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["edit_distance_pairs"](spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_layout_scalar_broadcast_only(spark):
+    """The only broadcast in the z-key plan is the one-row global
+    min/max bounds; the interleave itself is a fused projection (no
+    data-sized exchange)."""
+    from streaming_cdc_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["zorder_layout"](spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan
+    assert "hashpartitioning(event_id" not in plan
+
+
+def test_pq_adc_scan_carries_no_vectors_past_encode(spark):
+    """ADC ranks integer code sums: after encoding, the window input
+    must be (q, neighbor, adc_micro) — the raw embedding column never
+    shuffles."""
+    from streaming_cdc_spark.queries import QUERIES
+
+    df = QUERIES["pq_adc_topk"](spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert ex and all("embedding" not in l for l in ex), ex
