@@ -126,6 +126,9 @@ HEADLINE = [
     # streaming upsert sink: foreachBatch keyed merge + versioned
     # atomic publish over the events stream
     "materialized_user_value",
+    # r4: bounded-state streaming dedup (sharded bloom ValueState),
+    # full oracle via the bitmap-prefix property
+    "streaming_bloom_status",
     # r4: watermarked event-time aggregation with REAL late data
     # (round-robin batches), drop + append-emission semantics under a
     # full oracle

@@ -1228,3 +1228,102 @@ def bloom_incremental_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     return D.bloom_prefilter_matches(corpus, batch, key)
+
+
+_BLOOM_SPLITS: dict[str, str] = {}
+
+
+@query(
+    "streaming_bloom_status",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id,
+             array_to_string(string_split(text, ' ')[1:5], ' ') AS kk
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, {_md5i("concat('shard', kk)")} % 8 AS shard, kk FROM k
+    ),
+    pos AS (
+      SELECT b.doc_id, b.shard, i.i AS hi,
+             {_md5i("concat('bloom', CAST(i.i AS VARCHAR), kk)")} % 16384 AS p
+      FROM base b, (SELECT unnest(range(3)) AS i) i
+    ),
+    hit AS (
+      SELECT DISTINCT a.doc_id, a.hi
+      FROM pos a JOIN pos b
+        ON b.shard = a.shard AND b.p = a.p AND b.doc_id < a.doc_id
+    ),
+    nh AS (SELECT doc_id, COUNT(*) AS n FROM hit GROUP BY doc_id)
+    SELECT base.doc_id, base.shard,
+           CASE WHEN coalesce(nh.n, 0) = 3 THEN 'dup' ELSE 'fresh' END AS status
+    FROM base LEFT JOIN nh USING (doc_id)
+    """,
+)
+def streaming_bloom_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom dedup drained over four id-range micro-batches
+    (maxFilesPerTrigger=1, mtime-pinned order): per-shard bitmap
+    ValueState instead of per-key rows — state is 8 x 2 KB FOREVER,
+    not O(distinct keys). The status stream is nonetheless FULLY
+    deterministic and SQL-replayable: the bitmap after any prefix is
+    exactly the union of all earlier docs' bit positions (dup rows
+    only re-set existing bits), so 'dup' == "every one of my 3
+    positions collides with SOME smaller-id same-shard doc" — the
+    oracle replays shards, positions, and that prefix property with
+    plain joins. A rare thing: a probabilistic streaming operator
+    under a full value-hash oracle, false-positive drops included."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from streaming_cdc_spark.streaming.windows import streaming_bloom_dedup
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ").alias("kk"),
+    )
+    src_dir = _BLOOM_SPLITS.get(sf_dir)
+    if src_dir is None or not os.path.isdir(src_dir):
+        lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+        src_dir = tempfile.mkdtemp(prefix="bloomst_src_")
+        n_splits = 4
+        step = (hi - lo + n_splits) // n_splits
+        for i in range(n_splits):
+            part = docs.filter(
+                (F.col("doc_id") >= lo + i * step)
+                & (F.col("doc_id") < lo + (i + 1) * step)
+            )
+            path = os.path.join(src_dir, f"split_{i}")
+            part.coalesce(1).write.parquet(path)
+            # oldest-mtime-first admission: pin batch order == id order
+            for root, _dirs, files in os.walk(path):
+                for f_ in files:
+                    os.utime(os.path.join(root, f_), (1_000_000 + i, 1_000_000 + i))
+        _BLOOM_SPLITS[sf_dir] = src_dir
+    stream = (
+        spark.readStream.schema("doc_id long, kk string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/split_*/*.parquet")
+    )
+    out = streaming_bloom_dedup(
+        stream, key_col="kk", id_col="doc_id", n_bits=1 << 14, n_hashes=3, n_shards=8
+    )
+    name = f"bloomst_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="bloomst_ckpt_")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # localCheckpoint: materialize the tiny result so the ckpt/state
+        # dirs can be removed before returning (ADVICE r3 leak class)
+        res = spark.table(name).localCheckpoint()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    spark.catalog.dropTempView(name)
+    return res.select("doc_id", "shard", "status")

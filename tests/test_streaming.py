@@ -433,3 +433,56 @@ def test_scheduled_compaction_protects_current_batch(spark, tmp_path):
     first = {tuple(x) for x in r.results(spark).collect()}
     r.apply_batch(b, 1)  # at-least-once redelivery of the whole batch
     assert {tuple(x) for x in r.results(spark).collect()} == first
+
+
+def test_streaming_bloom_dedup_multibatch(spark, tmp_path):
+    """Bounded-state streaming dedup: no key emitted 'fresh' twice —
+    across batches AND within one — and false drops stay at the Bloom
+    FP rate. State is n_shards bitmaps regardless of key count."""
+    from streaming_cdc_spark.streaming.windows import streaming_bloom_dedup
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    src = tmp_path / "bloom_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "bloom_ckpt")
+    # batch 0: keys k0..k59 (k7 twice in-batch); batch 1: k40..k99
+    # (40..59 are cross-batch dups); batch 2: all repeats
+    b0 = [(i, f"k{i}") for i in range(60)] + [(1000, "k7")]
+    b1 = [(100 + i, f"k{i}") for i in range(40, 100)]
+    b2 = [(200 + i, f"k{i}") for i in range(0, 100, 5)]
+    for bi, rows in enumerate((b0, b1, b2)):
+        (src / f"f{bi}.jsonl").write_text(
+            "\n".join(json.dumps({"event_id": i, "text": k}) for i, k in rows)
+        )
+        time.sleep(0.05)
+    schema = StructType(
+        [StructField("event_id", LongType()), StructField("text", StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    out = streaming_bloom_dedup(stream, key_col="text", id_col="event_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bloom_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["event_id"]: r["status"] for r in spark.sql("select * from bloom_out").collect()}
+    key_of = dict(b0 + b1 + b2)
+    assert len(got) == len(key_of)
+    fresh_keys = [key_of[i] for i, s in got.items() if s == "fresh"]
+    # no false negatives: a key never comes out fresh twice
+    assert len(fresh_keys) == len(set(fresh_keys))
+    # every true duplicate is dropped
+    assert got[1000] == "dup"  # in-batch dup of k7
+    for i in range(40, 60):
+        assert got[100 + i] == "dup"  # cross-batch dup
+    for i in range(0, 100, 5):
+        assert got[200 + i] == "dup"  # third-batch repeats
+    # false drops (fresh keys marked dup) bounded: 100 distinct keys
+    # in 16k bits -> FPR well under 5%
+    n_false_drops = 100 - len(set(fresh_keys))
+    assert n_false_drops <= 5, n_false_drops
