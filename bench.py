@@ -116,6 +116,7 @@ HEADLINE = [
     "ivf_topk_exact",
     # r4: product-quantization ADC top-k (integer LUT scan)
     "pq_adc_topk",
+    "hybrid_rrf_topk",
     "temperature_mix",
     # streaming: drains the embeddings stream through the keyed
     # incremental linker as FOUR micro-batches (maxFilesPerTrigger=1)

@@ -463,10 +463,10 @@ def _pq_d2(a: str, b: str) -> str:
     )
 
 
-@query(
-    "pq_adc_topk",
-    oracle=f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+# Shared PQ replay fragment (codebooks, encode argmin, integer LUTs,
+# ADC sums) — used by pq_adc_topk and the RRF fusion oracle.
+_PQ_CTES = f"""
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
     cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, ev AS cv
            FROM (SELECT vec_id, ev FROM v ORDER BY vec_id LIMIT 8)),
     s AS (SELECT unnest(range(4)) AS j),
@@ -491,11 +491,19 @@ def _pq_d2(a: str, b: str) -> str:
       FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
       WHERE e.vec_id <> l.qid
       GROUP BY 1, 2
-    )
-    SELECT q, neighbor, adc_micro, rank FROM (
+    ),
+    pq_ranked AS (
       SELECT q, neighbor, adc_micro,
              ROW_NUMBER() OVER (PARTITION BY q ORDER BY adc_micro, neighbor) AS rank
-      FROM adc) WHERE rank <= 10
+      FROM adc)
+"""
+
+
+@query(
+    "pq_adc_topk",
+    oracle=f"""
+    WITH {_PQ_CTES}
+    SELECT q, neighbor, adc_micro, rank FROM pq_ranked WHERE rank <= 10
     """,
 )
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -522,3 +530,79 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return pq_adc_topk(emb, cb, qs, k=10)
+
+
+@query(
+    "hybrid_rrf_topk",
+    oracle=f"""
+    WITH {_PQ_CTES},
+    dense AS (
+      SELECT q, neighbor, rank AS rd FROM (
+        SELECT a.vec_id AS q, b.vec_id AS neighbor,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_COS} DESC, b.vec_id) AS rank
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id IN (1, 3, 5, 7) AND b.vec_id <> a.vec_id
+      ) WHERE rank <= 20
+    ),
+    pqr AS (SELECT q, neighbor, rank AS rp FROM pq_ranked WHERE rank <= 20),
+    fused AS (
+      SELECT COALESCE(d.q, p.q) AS q,
+             COALESCE(d.neighbor, p.neighbor) AS neighbor,
+             COALESCE(CAST(1 AS DOUBLE) / (60 + d.rd), 0)
+               + COALESCE(CAST(1 AS DOUBLE) / (60 + p.rp), 0) AS score
+      FROM dense d FULL OUTER JOIN pqr p
+        ON d.q = p.q AND d.neighbor = p.neighbor
+    )
+    SELECT q, neighbor, rrf_r, rank FROM (
+      SELECT q, neighbor, ROUND(score, 9) AS rrf_r,
+             ROW_NUMBER() OVER (PARTITION BY q
+                                ORDER BY score DESC, neighbor) AS rank
+      FROM fused) WHERE rank <= 5
+    """,
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval fusion (reciprocal rank fusion, Cormack et al.
+    SIGIR'09): the exact-cosine top-20 and the PQ/ADC top-20 for the
+    same 4 queries fuse by score = sum over lists of 1/(60 + rank) —
+    rank arithmetic only, so the fusion layer adds zero float-drift
+    surface beyond two identical-order double divisions. The full
+    outer join keeps candidates found by either ranker (the point of
+    RRF: recall from the cheap list, precision from the exact one).
+    Oracle replays both rankers (the PQ fragment is shared with
+    pq_adc_topk) and the fusion."""
+    from streaming_cdc_spark.operators.ann import collect_pq_codebooks
+    from streaming_cdc_spark.operators.ann import pq_adc_topk as pq_op
+    from streaming_cdc_spark.operators.similarity import cosine_top_k
+
+    emb = load(spark, sf_dir, "embeddings")
+    qids = [1, 3, 5, 7]
+    dense = cosine_top_k(emb.filter(F.col("vec_id").isin(qids)), emb, k=20).select(
+        "q", "neighbor", F.col("rank").alias("rd")
+    )
+    cb = collect_pq_codebooks(emb, m=4, ksub=8)
+    qs = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.filter(F.col("vec_id").isin(qids))
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    pq = pq_op(emb, cb, qs, k=20).select("q", "neighbor", F.col("rank").alias("rp"))
+    one = F.lit(1.0)
+    fused = dense.join(pq, ["q", "neighbor"], "full_outer").select(
+        "q",
+        "neighbor",
+        (
+            F.coalesce(one / (F.lit(60) + F.col("rd")), F.lit(0.0))
+            + F.coalesce(one / (F.lit(60) + F.col("rp")), F.lit(0.0))
+        ).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q").orderBy(F.desc("score"), F.asc("neighbor"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q", "neighbor", F.round("score", 9).alias("rrf_r"), "rank")
+    )

@@ -129,3 +129,56 @@ def test_ann_index_save_load_roundtrip(spark, tmp_path):
     fresh = {tuple(r) for r in pq_encode(emb, cb).collect()}
     loaded = {tuple(r) for r in pq_encode(emb, got_b).collect()}
     assert fresh == loaded
+
+
+def test_hybrid_rrf_matches_python_replay(spark):
+    """RRF fusion must equal the python fold of its two input
+    rankings — including candidates present in only one list."""
+    from streaming_cdc_spark.operators.ann import pq_adc_topk as pq_op
+    from streaming_cdc_spark.operators.similarity import cosine_top_k
+    from streaming_cdc_spark.queries import QUERIES
+
+    emb = load(spark, SF, "embeddings")
+    qids = [1, 3, 5, 7]
+    dense = {
+        (r["q"], r["neighbor"]): r["rank"]
+        for r in cosine_top_k(
+            emb.filter(F.col("vec_id").isin(qids)), emb, k=20
+        ).collect()
+    }
+    cb = collect_pq_codebooks(emb, M, KSUB)
+    qs = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.filter(F.col("vec_id").isin(qids))
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    pq = {
+        (r["q"], r["neighbor"]): r["rank"]
+        for r in pq_op(emb, cb, qs, k=20).collect()
+    }
+    want = {}
+    for qid in qids:
+        cands = {n for (q, n) in set(dense) | set(pq) if q == qid}
+        scored = sorted(
+            (
+                -(
+                    (1.0 / (60 + dense[(qid, n)]) if (qid, n) in dense else 0.0)
+                    + (1.0 / (60 + pq[(qid, n)]) if (qid, n) in pq else 0.0)
+                ),
+                n,
+            )
+            for n in cands
+        )
+        for rk, (neg, n) in enumerate(scored[:5], 1):
+            want[(qid, n)] = (round(-neg, 9), rk)
+    got = {
+        (r["q"], r["neighbor"]): (r["rrf_r"], r["rank"])
+        for r in QUERIES["hybrid_rrf_topk"](spark, SF).collect()
+    }
+    assert got == want
+    # the outer join genuinely fuses: the two rankers disagree on
+    # membership somewhere (one-sided candidates enter the scoring,
+    # even if the rankers agree enough that none survives to top-5)
+    assert set(dense) ^ set(pq), "rankers identical — fusion untested"
