@@ -39,6 +39,8 @@ HEADLINE = [
     # per-iteration job overhead
     "cosine_edges_blocked",
     "threshold_cc_distributed",
+    # r4: degree-oriented triangle counting (skew-proof wedge join)
+    "triangle_counts",
     "cluster_summary",
     "muc_prf",
     "tfidf_blend_clusters",

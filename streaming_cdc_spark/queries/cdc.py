@@ -658,3 +658,40 @@ def grinch_per_key_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flagship_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entry-point flagship (driver smoke check)."""
     return cluster_summary(spark, sf_dir)
+
+
+@query(
+    "triangle_counts",
+    oracle=f"""
+    WITH edges AS (SELECT u, v FROM ({_EDGES_SQL}) WHERE sim > 0.3),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    members AS (
+      SELECT a AS vec_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM members GROUP BY vec_id
+    """,
+)
+def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts of the tau=0.3 cosine threshold graph
+    via degree-oriented wedge closing — the skew-proof join order
+    (out-degree capped at O(sqrt(m)) by orienting each edge toward
+    its higher-degree endpoint), each triangle generated exactly once
+    at its min-degree apex. The oracle counts triangles with the
+    NAIVE three-way edge join — an independent formulation, so the
+    hash match proves the orientation trick loses/duplicates nothing.
+    Triangle density is the standard cluster-cohesion diagnostic over
+    near-dup graphs (a clique-heavy corpus shows up here first)."""
+    from streaming_cdc_spark.operators.clustering import triangle_counts as tc
+    from streaming_cdc_spark.operators.similarity import cosine_self_edges
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = cosine_self_edges(emb, 0.3).select("u", "v")
+    return tc(edges)

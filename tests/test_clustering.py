@@ -138,3 +138,32 @@ def test_greedy_propagation_equals_max_parent_chase():
             chase[j] = chase.get(parent.get(j, j), r)
         want = np.array([chase[j] for j in range(int(n))])
         assert (labels == want).all(), (trial, labels, want)
+
+
+def test_triangle_counts_match_bruteforce_random(spark):
+    """Degree orientation must produce every triangle exactly once —
+    fuzzed over random graphs including a planted clique (hub skew)."""
+    import itertools
+    import random
+
+    from streaming_cdc_spark.operators.clustering import triangle_counts
+
+    rng = random.Random(17)
+    for trial in range(3):
+        edges = {tuple(sorted(rng.sample(range(30), 2))) for _ in range(90)}
+        edges |= set(itertools.combinations(range(5), 2))  # planted K5
+        edges = sorted(edges)
+        df = spark.createDataFrame(edges, "u long, v long")
+        got = {
+            r["vec_id"]: r["n_triangles"] for r in triangle_counts(df).collect()
+        }
+        es = set(edges)
+        nodes = sorted({x for e in edges for x in e})
+        want: dict[int, int] = {}
+        for a, b, c in itertools.combinations(nodes, 3):
+            if (a, b) in es and (b, c) in es and (a, c) in es:
+                for x in (a, b, c):
+                    want[x] = want.get(x, 0) + 1
+        assert got == want, trial
+        # K5 corners sit in >= C(4,2)=6 triangles each
+        assert all(got[x] >= 6 for x in range(5))
