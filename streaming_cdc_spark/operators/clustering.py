@@ -268,7 +268,16 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     Input: undirected edges (u, v), u < v, no duplicates. Output:
     (vec_id, n_triangles) for every node in at least one triangle.
     """
-    e = edges.select(F.col("u").cast("long"), F.col("v").cast("long")).distinct()
+    # the edge set is referenced ~5x in this plan (degree union x2,
+    # the orientation join, the closure semi-join) and typically comes
+    # off an expensive kernel — materialize it once instead of letting
+    # Catalyst recompute the kernel per reference (the
+    # connected_components persist convention)
+    e = (
+        edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
+        .distinct()
+        .localCheckpoint()
+    )
     deg = (
         e.select(F.col("u").alias("x"))
         .unionAll(e.select(F.col("v").alias("x")))

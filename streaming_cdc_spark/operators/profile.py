@@ -58,7 +58,9 @@ def check_unique(cols: list[str]) -> Column:
         p = F.col(c).isNotNull()
         nn = p if nn is None else (nn & p)
     key = F.when(nn, F.struct(*[F.col(c) for c in cols]))
-    return F.sum(nn.cast("long")) - F.count_distinct(key)
+    # coalesce: sum over ZERO rows is NULL; empty input must report
+    # 0 violations like the oracle's COUNT arithmetic does
+    return F.coalesce(F.sum(nn.cast("long")), F.lit(0)) - F.count_distinct(key)
 
 
 def constraint_checks(

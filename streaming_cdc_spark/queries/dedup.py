@@ -1319,11 +1319,14 @@ def streaming_bloom_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # no timeout (sibling streaming queries likewise): a timed
+        # await returns False on a slow host and we would read a
+        # PARTIAL table and rmtree a live query's checkpoint
+        q.awaitTermination()
         # localCheckpoint: materialize the tiny result so the ckpt/state
         # dirs can be removed before returning (ADVICE r3 leak class)
         res = spark.table(name).localCheckpoint()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    spark.catalog.dropTempView(name)
+        spark.catalog.dropTempView(name)
     return res.select("doc_id", "shard", "status")

@@ -542,7 +542,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (PARTITION BY a.vec_id
                                   ORDER BY {_COS} DESC, b.vec_id) AS rank
         FROM embeddings a JOIN embeddings b
-          ON a.vec_id IN (1, 3, 5, 7) AND b.vec_id <> a.vec_id
+          ON a.vec_id IN (SELECT qid FROM q) AND b.vec_id <> a.vec_id
       ) WHERE rank <= 20
     ),
     pqr AS (SELECT q, neighbor, rank AS rp FROM pq_ranked WHERE rank <= 20),
@@ -576,18 +576,22 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_cdc_spark.operators.similarity import cosine_top_k
 
     emb = load(spark, sf_dir, "embeddings")
-    qids = [1, 3, 5, 7]
+    # derive the query set exactly as the oracle's q CTE does (the 4
+    # lowest ODD vec_ids) — a hardcoded literal list would silently
+    # diverge from the PQ fragment if testdata ids ever shift
+    qs = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.filter(F.col("vec_id") % 2 == 1)
+        .orderBy("vec_id")
+        .limit(4)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    qids = [qid for qid, _ in qs]
     dense = cosine_top_k(emb.filter(F.col("vec_id").isin(qids)), emb, k=20).select(
         "q", "neighbor", F.col("rank").alias("rd")
     )
     cb = collect_pq_codebooks(emb, m=4, ksub=8)
-    qs = [
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in emb.filter(F.col("vec_id").isin(qids))
-        .orderBy("vec_id")
-        .select("vec_id", "embedding")
-        .collect()
-    ]
     pq = pq_op(emb, cb, qs, k=20).select("q", "neighbor", F.col("rank").alias("rp"))
     one = F.lit(1.0)
     fused = dense.join(pq, ["q", "neighbor"], "full_outer").select(

@@ -340,8 +340,13 @@ def streaming_bloom_dedup(
         # negative values as two's complement, so tests/sets just work
         words = list(state.get[0]) if state.exists else [0] * n_words
         ids, statuses = [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("_id")
+        # drain the WHOLE group before sorting: Arrow hands the group
+        # as ~10k-row chunks in arbitrary order, and a per-chunk sort
+        # would let a later id process first when a shard spans chunks
+        # — breaking the global id-order the oracle replays
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("_id")
             rid_arr = pdf["_id"].to_numpy()
             pos_mat = pdf[pnames].to_numpy()
             for rid, positions in zip(rid_arr, pos_mat):

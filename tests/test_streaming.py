@@ -486,3 +486,48 @@ def test_streaming_bloom_dedup_multibatch(spark, tmp_path):
     # in 16k bits -> FPR well under 5%
     n_false_drops = 100 - len(set(fresh_keys))
     assert n_false_drops <= 5, n_false_drops
+
+
+def test_streaming_bloom_dedup_multichunk_group_order(spark, tmp_path):
+    """A shard group larger than one Arrow chunk must still process in
+    GLOBAL id order — a per-chunk sort would let a high-id duplicate
+    claim 'fresh' before its low-id original (review-found bug)."""
+    from streaming_cdc_spark.streaming.windows import streaming_bloom_dedup
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        src = tmp_path / "mc_src"
+        src.mkdir()
+        # one batch, 120 rows, 1 shard -> ~18 chunks at 7 rows; keys
+        # repeat so the dup/fresh split depends entirely on id order
+        rows = [(i, f"key{i % 40}") for i in range(120)]
+        (src / "f0.jsonl").write_text(
+            "\n".join(json.dumps({"event_id": i, "text": k}) for i, k in rows)
+        )
+        schema = StructType(
+            [StructField("event_id", LongType()), StructField("text", StringType())]
+        )
+        stream = spark.readStream.schema(schema).json(str(src))
+        out = streaming_bloom_dedup(
+            stream, key_col="text", id_col="event_id", n_shards=1
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("mc_out")
+            .option("checkpointLocation", str(tmp_path / "mc_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["event_id"]: r["status"]
+            for r in spark.sql("select * from mc_out").collect()
+        }
+        # ids 0..39 first-seen (modulo FP) -> every id >= 40 is a dup
+        assert all(got[i] == "dup" for i in range(40, 120))
+        fresh = [i for i in range(40) if got[i] == "fresh"]
+        assert len(fresh) >= 35  # tiny bitmap FPs possible, order is not
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
