@@ -535,26 +535,68 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """PQ encoding: per subspace, the L2-nearest codeword (ties to the
-    smaller code). One shuffle-free projection — m * ksub literal
-    struct comparisons fused into the scan, the same literal-centroid
-    strategy as assign_cells. A 64-dim float vector (256 B) compresses
-    to m int8-sized codes; at 100 TB that is the difference between an
-    in-memory ANN index and one that spills. Output:
-    (id, code_0..code_{m-1})."""
+    smaller code). Shuffle-free either way — the same strategy switch
+    as assign_cells: m * ksub <= LITERAL_CENTROID_MAX uses literal
+    struct comparisons fused into the scan (JVM codegen); production
+    codebooks (ksub = 256 per subspace) switch to one broadcast numpy
+    distance matmul per subspace per Arrow batch, which is linear in
+    ksub instead of the interpreted k-expressions-per-row cost. A
+    64-dim float vector (256 B) compresses to m int8-sized codes; at
+    100 TB that is the difference between an in-memory ANN index and
+    one that spills. Output: (id, code_0..code_{m-1}); both paths are
+    bit-identical (argmin ties to the smaller code — test-pinned)."""
     from streaming_cdc_spark.functions.vectors import as_double
 
     m = len(codebooks)
     sub = len(codebooks[0][0][1])
     base = df.select(F.col(id_col).cast("long").alias(id_col), as_double(vec_col).alias("_v"))
-    return base.select(
-        id_col,
-        *[
-            nearest_centroid(F.slice(F.col("_v"), j * sub + 1, sub), codebooks[j])
-            .getField("cid")
-            .alias(f"code_{j}")
-            for j in range(m)
-        ],
-    )
+    if m * len(codebooks[0]) <= LITERAL_CENTROID_MAX:
+        return base.select(
+            id_col,
+            *[
+                nearest_centroid(F.slice(F.col("_v"), j * sub + 1, sub), codebooks[j])
+                .getField("cid")
+                .alias(f"code_{j}")
+                for j in range(m)
+            ],
+        )
+    from streaming_cdc_spark.session import ensure_package_on_executors, fan_out
+
+    ensure_package_on_executors(df.sparkSession)
+    # rows sorted by code id so argmin's first-minimum == smallest
+    # code on ties (the literal struct-compare rule); keep the id
+    # array in case a caller's codebook is not 0..k-1 consecutive
+    cmats = []
+    for book in codebooks:
+        ordered = sorted(book)
+        cmats.append(
+            (
+                np.array([code for code, _cv in ordered], dtype=np.int64),
+                np.array([cv for _code, cv in ordered], dtype=np.float64),
+            )
+        )
+    bc = df.sparkSession.sparkContext.broadcast(cmats)
+    base = fan_out(base)
+
+    def gen(batches):
+        mats = bc.value
+        c_sqs = [(c * c).sum(axis=1) for _ids, c in mats]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            out = pdf[[id_col]].copy()
+            for j, ((c_ids, c), c_sq) in enumerate(zip(mats, c_sqs)):
+                aj = a[:, j * sub : (j + 1) * sub]
+                # ||a-c||^2 up to the row-constant ||a||^2; argmin
+                # over the code-ordered axis -> first min == smaller
+                # code on ties, matching the literal struct compare
+                d2 = c_sq[None, :] - 2.0 * (aj @ c.T)
+                out[f"code_{j}"] = c_ids[np.argmin(d2, axis=1)]
+            yield out
+
+    schema = f"{id_col} long, " + ", ".join(f"code_{j} long" for j in range(m))
+    return base.mapInPandas(gen, schema)
 
 
 def pq_adc_lut_micro(

@@ -182,3 +182,28 @@ def test_hybrid_rrf_matches_python_replay(spark):
     # membership somewhere (one-sided candidates enter the scoring,
     # even if the rankers agree enough that none survives to top-5)
     assert set(dense) ^ set(pq), "rankers identical — fusion untested"
+
+
+def test_pq_encode_numpy_path_matches_literal(spark):
+    """Past LITERAL_CENTROID_MAX the encode switches to the broadcast
+    numpy matmul kernel — identical codes to the literal-expression
+    path (incl. argmin tie rule) on the same corpus and codebooks."""
+    import streaming_cdc_spark.operators.ann as A
+
+    emb = load(spark, SF, "embeddings")
+    cb = collect_pq_codebooks(emb, M, KSUB)  # m*ksub = 32 = literal cap
+    lit = {tuple(r) for r in pq_encode(emb, cb).collect()}
+    orig = A.LITERAL_CENTROID_MAX
+    A.LITERAL_CENTROID_MAX = 1  # force the numpy kernel
+    try:
+        via_np = {tuple(r) for r in pq_encode(emb, cb).collect()}
+    finally:
+        A.LITERAL_CENTROID_MAX = orig
+    assert via_np == lit
+    # a BIG codebook (m=4 x ksub=64 = 256 codes) takes the numpy path
+    # by default and the ADC chain on top of it still works
+    big = collect_pq_codebooks(emb, M, 64)
+    enc = pq_encode(emb, big)
+    assert enc.count() == 500
+    codes = enc.agg(*[F.max(f"code_{j}") for j in range(M)]).first()
+    assert all(c <= 63 for c in codes) and any(c > 7 for c in codes)
