@@ -175,3 +175,150 @@ def files_overlapping(stats: list[dict], box: dict) -> int:
                 break
         n += hit
     return n
+
+
+# --- Z-ordered table maintenance (init / append / compact) ---------------
+
+
+def _bounds_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_zbounds.json")
+
+
+def zorder_table_init(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    path: str,
+    bits: int = ZBITS,
+    n_buckets: int = 64,
+) -> dict:
+    """Create a z-ordered table: freeze the normalization bounds in a
+    `_zbounds.json` manifest and write the data hive-partitioned by
+    `zbucket` (tile id), each tile sorted by the stored `zval`.
+
+    Freezing bounds is the load-bearing decision: if appends re-derived
+    min/max, a single out-of-range row would RE-TILE the whole table
+    (every zbucket changes meaning). Instead appends clamp into the
+    frozen range — out-of-range rows land in edge tiles, and a bounds
+    refresh is an explicit full rewrite (init again), exactly how
+    Delta/Iceberg treat re-clustering."""
+    import json
+
+    bounds_row = df.agg(
+        F.min(x_col).cast("long").alias("xmin"),
+        F.max(x_col).cast("long").alias("xmax"),
+        F.min(y_col).cast("long").alias("ymin"),
+        F.max(y_col).cast("long").alias("ymax"),
+    ).first()
+    bounds = {
+        "x_col": x_col,
+        "y_col": y_col,
+        "bits": bits,
+        "n_buckets": n_buckets,
+        "xmin": int(bounds_row["xmin"]),
+        "xmax": int(bounds_row["xmax"]),
+        "ymin": int(bounds_row["ymin"]),
+        "ymax": int(bounds_row["ymax"]),
+    }
+    _write_tiles(df, bounds, path, mode="overwrite")
+    with open(_bounds_path(path), "w") as f:
+        json.dump(bounds, f)
+    return bounds
+
+
+def _keys_with_bounds(df: DataFrame, b: dict) -> DataFrame:
+    """(df + zval + zbucket) under FROZEN bounds, values clamped into
+    range so out-of-range appends land in edge tiles."""
+    import math
+
+    bits, nb = b["bits"], b["n_buckets"]
+    shift = 2 * bits - int(math.log2(nb))
+    cx = f"least(greatest(CAST({b['x_col']} AS BIGINT), {b['xmin']}), {b['xmax']})"
+    cy = f"least(greatest(CAST({b['y_col']} AS BIGINT), {b['ymin']}), {b['ymax']})"
+    top = (1 << bits) - 1
+    nx = (
+        f"CAST((CAST(({cx} - {b['xmin']}) AS DECIMAL(38,0)) * {top})"
+        f" div greatest({b['xmax']} - {b['xmin']}, 1) AS BIGINT)"
+    )
+    ny = (
+        f"CAST((CAST(({cy} - {b['ymin']}) AS DECIMAL(38,0)) * {top})"
+        f" div greatest({b['ymax']} - {b['ymin']}, 1) AS BIGINT)"
+    )
+    return (
+        df.withColumn("_zx", F.expr(nx))
+        .withColumn("_zy", F.expr(ny))
+        .withColumn("zval", zvalue("_zx", "_zy", bits))
+        .withColumn("zbucket", F.expr(f"zval >> {shift}").cast("long"))
+        .drop("_zx", "_zy")
+    )
+
+
+def _write_tiles(df: DataFrame, bounds: dict, path: str, mode: str) -> None:
+    keyed = _keys_with_bounds(df, bounds)
+    (
+        keyed.repartition("zbucket")
+        .sortWithinPartitions("zbucket", "zval")
+        .write.partitionBy("zbucket")
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def zorder_table_append(df: DataFrame, path: str) -> None:
+    """Append a batch into an existing z-ordered table: keys derive
+    from the FROZEN manifest bounds (clamped), rows land in their
+    tiles as new files — cheap (one partitioned write, batch-sized),
+    leaving small files for compact() to fold. The daily-ingest
+    shape: append often, compact on a schedule."""
+    import json
+
+    with open(_bounds_path(path)) as f:
+        bounds = json.load(f)
+    _write_tiles(df, bounds, path, mode="append")
+
+
+def zorder_table_compact(
+    spark, path: str, max_files: int = 4, target_files: int = 1
+) -> dict[int, int]:
+    """Fold tiles that accumulated more than ``max_files`` parquet
+    files back to ``target_files`` sorted files, tile by tile with an
+    atomic directory swap (write to `<tile>.__compact__`, then
+    os.replace twice) — readers never observe a partially-rewritten
+    tile, and a crash leaves either the old or the new tile plus a
+    stale temp dir that the next compact removes. Returns
+    {zbucket: files_before} for the tiles it rewrote. At 100 TB each
+    tile compacts independently (parallelize across tiles); only
+    oversized tiles pay a rewrite."""
+    import os
+    import shutil
+
+    rewritten: dict[int, int] = {}
+    for name in sorted(os.listdir(path)):
+        if not name.startswith("zbucket="):
+            continue
+        tile = os.path.join(path, name)
+        if name.endswith(".__compact__") or name.endswith(".__old__"):
+            shutil.rmtree(tile, ignore_errors=True)  # stale crash debris
+            continue
+        files = [f for f in os.listdir(tile) if f.endswith(".parquet")]
+        if len(files) <= max_files:
+            continue
+        bucket = int(name.split("=", 1)[1])
+        tmp = tile + ".__compact__"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            spark.read.parquet(tile)
+            .sort("zval")
+            .coalesce(target_files)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        old = tile + ".__old__"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(tile, old)
+        os.replace(tmp, tile)
+        shutil.rmtree(old, ignore_errors=True)
+        rewritten[bucket] = len(files)
+    return rewritten

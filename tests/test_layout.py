@@ -130,3 +130,81 @@ def test_zorder_keys_survive_wide_epoch_spans(spark):
     for i, x, y in rows:
         want = ((x - 0) * 65535 // 149, (y - ymin) * 65535 // max(ymax - ymin, 1))
         assert got[i] == want, i
+
+
+def test_zorder_table_init_append_compact(spark, tmp_path):
+    """The maintenance loop: frozen bounds keep tile ids stable across
+    appends (out-of-range rows clamp into edge tiles), compaction
+    folds multi-file tiles atomically, and no row is ever lost."""
+    import json
+    import os
+
+    events = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id",
+        F.col("user_id").cast("long").alias("uid"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    path = str(tmp_path / "ztab")
+    bounds = L.zorder_table_init(events, "uid", "ts_us", path, n_buckets=16)
+    n0 = spark.read.parquet(path).count()
+    assert n0 == events.count()
+
+    # appends: in-range batch + a batch with out-of-range uid/ts
+    b1 = events.withColumn("event_id", F.col("event_id") + 1_000_000)
+    b2 = (
+        events.limit(50)
+        .withColumn("event_id", F.col("event_id") + 2_000_000)
+        .withColumn("uid", F.col("uid") + 10_000)  # beyond frozen xmax
+    )
+    L.zorder_table_append(b1, path)
+    L.zorder_table_append(b2, path)
+    total = spark.read.parquet(path).count()
+    assert total == n0 * 2 + 50
+
+    # frozen bounds: the same physical row keys to the same tile in
+    # init and append (b1 duplicates every original row)
+    tiles = {
+        r["event_id"] % 1_000_000: r["zbucket"]
+        for r in spark.read.parquet(path)
+        .filter(F.col("event_id") < 2_000_000)
+        .select("event_id", "zbucket")
+        .collect()
+    }
+    orig = {
+        r["event_id"]: r["zbucket"]
+        for r in spark.read.parquet(path)
+        .filter(F.col("event_id") < 1_000_000)
+        .select("event_id", "zbucket")
+        .collect()
+    }
+    assert tiles == orig
+    # clamped batch landed in max-x edge tiles, not new ones
+    mx = max(
+        r["zbucket"]
+        for r in spark.read.parquet(path).select("zbucket").distinct().collect()
+    )
+    assert mx < 16
+
+    # simulate crash debris, then compact
+    os.makedirs(os.path.join(path, "zbucket=0.__compact__"), exist_ok=True)
+    before = {
+        d: len([f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")])
+        for d in os.listdir(path)
+        if d.startswith("zbucket=") and "__" not in d
+    }
+    rewritten = L.zorder_table_compact(spark, path, max_files=2)
+    assert rewritten, "appends should have pushed some tile past 2 files"
+    for b, nf in rewritten.items():
+        assert before[f"zbucket={b}"] == nf > 2
+        now = len(
+            [
+                f
+                for f in os.listdir(os.path.join(path, f"zbucket={b}"))
+                if f.endswith(".parquet")
+            ]
+        )
+        assert now == 1
+    assert not os.path.exists(os.path.join(path, "zbucket=0.__compact__"))
+    assert spark.read.parquet(path).count() == total
+    # manifest survived everything
+    assert json.load(open(os.path.join(path, "_zbounds.json")))["x_col"] == "uid"
