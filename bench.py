@@ -99,6 +99,8 @@ HEADLINE = [
     # r4: Morton clustering keys (OPTIMIZE ZORDER BY analogue)
     "zorder_layout",
     "scd2_user_value",
+    # r4: per-user grid LOCF resampling (oracle = DuckDB native ASOF)
+    "hourly_ffill_series",
     "user_series_similarity",
     "quality_decile_curriculum",
     # r4: LSH recall S-curve measured on the corpus itself + the

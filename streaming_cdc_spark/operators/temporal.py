@@ -126,3 +126,71 @@ def time_bucket_rollup(
         F.round(F.col("_sum_dec").cast("double"), 2).alias("sum_value"),
     )
     return fmt(fine_df), fmt(coarse_df)
+
+
+def resample_locf(
+    events: DataFrame,
+    freq_us: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Regular-grid resampling with last-observation-carried-forward:
+    one row per (key, slot) on each key's own [first, last] slot range,
+    carrying the latest observation at or before the slot boundary —
+    the gap-fill step before any per-entity time-series model.
+
+    Physical shape (no asof UDF, no per-key loop): observations
+    dedup to one row per (key, instant) (max_by tiebreak — identical
+    rule in the oracle), each key's slot range comes from one tiny
+    groupBy, the grid is a sequence() explode (rows = slots, linear),
+    and LOCF is ONE ordered window over the union of grid markers and
+    observations — last(value, ignorenulls) with observations sorted
+    BEFORE the marker at equal instants, so a boundary observation is
+    included. Slots before a key's first observation carry NULL.
+    Output: (key_col, slot, value_ffill[2dp]) with slot = epoch_us
+    div freq_us (integer — calendar rendering is a fetch-path hazard,
+    CLAUDE.md)."""
+    obs = (
+        events.select(
+            F.col(key_col),
+            F.unix_micros(ts_col).alias("_tus"),
+            F.col(value_col).alias("_v"),
+            F.col(tiebreak_col).alias("_tb"),
+        )
+        .groupBy(key_col, "_tus")
+        .agg(F.max_by("_v", "_tb").alias("_v"))
+    )
+    bounds = obs.groupBy(key_col).agg(
+        F.expr(f"min(_tus) div {freq_us}").alias("_lo"),
+        F.expr(f"max(_tus) div {freq_us}").alias("_hi"),
+    )
+    grid = bounds.select(
+        key_col, F.explode(F.sequence("_lo", "_hi")).alias("slot")
+    )
+    markers = grid.select(
+        key_col,
+        (F.col("slot") * freq_us).alias("_tus"),
+        F.lit(None).cast("double").alias("_v"),
+        F.lit(1).alias("_is_grid"),
+        "slot",
+    )
+    obs_rows = obs.select(
+        key_col,
+        "_tus",
+        F.col("_v").cast("double"),
+        F.lit(0).alias("_is_grid"),
+        F.lit(None).cast("long").alias("slot"),
+    )
+    w = (
+        W.partitionBy(key_col)
+        .orderBy("_tus", "_is_grid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        markers.unionByName(obs_rows)
+        .withColumn("_f", F.last("_v", ignorenulls=True).over(w))
+        .filter(F.col("_is_grid") == 1)
+        .select(key_col, "slot", F.round("_f", 2).alias("value_ffill"))
+    )

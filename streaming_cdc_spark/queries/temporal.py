@@ -468,3 +468,36 @@ def watermarked_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+@query(
+    "hourly_ffill_series",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tus, max_by(value, event_id) AS v
+      FROM events GROUP BY user_id, epoch_us(ts)
+    ),
+    b AS (SELECT user_id, MIN(tus) // 14400000000 AS lo,
+                 MAX(tus) // 14400000000 AS hi
+          FROM e GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS slot FROM b)
+    SELECT g.user_id, g.slot, ROUND(e.v, 2) AS value_ffill
+    FROM grid g ASOF LEFT JOIN e
+      ON g.user_id = e.user_id AND e.tus <= g.slot * 14400000000
+    """,
+)
+def hourly_ffill_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 4-hour-grid LOCF resampling (the gap-fill before any
+    per-entity time-series model): dedup to one observation per
+    instant (max_by event_id — same rule both engines), per-user slot
+    range, sequence-exploded grid, and ONE ordered window carrying
+    the latest observation across the union of markers and
+    observations. The oracle is an independent formulation — DuckDB's
+    native ASOF LEFT JOIN — so the hash match proves the union+window
+    LOCF equals true as-of semantics, boundary ties and
+    leading-NULL slots included. Slots are integers (epoch_us div
+    freq); calendar strings are a fetch-path hazard."""
+    from streaming_cdc_spark.operators.temporal import resample_locf
+
+    events = load(spark, sf_dir, "events")
+    return resample_locf(events, freq_us=14_400_000_000)

@@ -70,3 +70,40 @@ def test_sessionize(spark):
         for r in sessionize(df, "user_id", "ts", 1800, ["ts", "event_id"]).collect()
     }
     assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_resample_locf_gaps_ties_and_leading_nulls(spark):
+    from pyspark.sql import functions as F
+
+    from streaming_cdc_spark.operators.temporal import resample_locf
+
+    F_US = 100  # tiny slots for hand-checkable math
+    rows = [
+        # user 1: obs at t=105 (v=1.0), t=310 (v=2.0) -> slots 1..3
+        (0, 1, 105, 1.0),
+        (1, 1, 310, 2.0),
+        # tie at the same instant: larger event_id wins
+        (2, 2, 100, 5.0),
+        (3, 2, 100, 7.0),
+        (4, 2, 305, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, us long, value double")
+    ev = df.select(
+        "event_id", "user_id", F.timestamp_micros(F.col("us")).alias("ts"), "value"
+    )
+    got = {
+        (r["user_id"], r["slot"]): r["value_ffill"]
+        for r in resample_locf(ev, freq_us=F_US).collect()
+    }
+    assert got == {
+        # user 1: slot 1 boundary t=100 precedes first obs -> NULL;
+        # slot 2 (t=200) carries v=1.0; slot 3 (t=300) still 1.0
+        # (obs at 310 is after the boundary)
+        (1, 1): None,
+        (1, 2): 1.0,
+        (1, 3): 1.0,
+        # user 2: boundary obs AT t=100 included; tie -> event 3 wins
+        (2, 1): 7.0,
+        (2, 2): 7.0,
+        (2, 3): 7.0,
+    }
