@@ -543,8 +543,14 @@ def pq_encode(
     ksub instead of the interpreted k-expressions-per-row cost. A
     64-dim float vector (256 B) compresses to m int8-sized codes; at
     100 TB that is the difference between an in-memory ANN index and
-    one that spills. Output: (id, code_0..code_{m-1}); both paths are
-    bit-identical (argmin ties to the smaller code — test-pinned)."""
+    one that spills. Output: (id, code_0..code_{m-1}). The two paths
+    agree on this corpus (test forces both and compares) and share
+    the smaller-code tie rule, but they are different float
+    formulations (sequential fold + sqrt vs expanded BLAS form): a
+    vector within ~1e-15 of exactly equidistant between two codewords
+    could encode differently per path. The argmin-margin test bounds
+    that risk (smallest observed gap >= 9 orders above drift);
+    registered queries pin the literal path (ksub=8)."""
     from streaming_cdc_spark.functions.vectors import as_double
 
     m = len(codebooks)

@@ -69,6 +69,17 @@ def norm_sql(v: str, vmin: str, vmax: str, bits: int = ZBITS) -> str:
     )
 
 
+def _tile_shift(bits: int, n_buckets: int) -> int:
+    """Bits to drop from z for the tile id. n_buckets must be a power
+    of two — silently truncating log2 would make a manifest record a
+    bucket count the table never had."""
+    import math
+
+    if n_buckets < 2 or n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets={n_buckets} must be a power of two >= 2")
+    return 2 * bits - int(math.log2(n_buckets))
+
+
 def zorder_keys(
     df: DataFrame,
     x_col: str,
@@ -83,9 +94,7 @@ def zorder_keys(
     `zbucket` = the top log2(n_buckets) bits of z — a deterministic
     tile id independent of any sampling, unlike repartitionByRange's
     sampled boundaries, so layouts are reproducible run to run."""
-    import math
-
-    shift = 2 * bits - int(math.log2(n_buckets))
+    shift = _tile_shift(bits, n_buckets)
     bounds = df.agg(
         F.min(x_col).cast("long").alias("_xmin"),
         F.max(x_col).cast("long").alias("_xmax"),
@@ -206,12 +215,18 @@ def zorder_table_init(
     Delta/Iceberg treat re-clustering."""
     import json
 
+    _tile_shift(bits, n_buckets)  # validate n_buckets up front
     bounds_row = df.agg(
         F.min(x_col).cast("long").alias("xmin"),
         F.max(x_col).cast("long").alias("xmax"),
         F.min(y_col).cast("long").alias("ymin"),
         F.max(y_col).cast("long").alias("ymax"),
     ).first()
+    if bounds_row["xmin"] is None or bounds_row["ymin"] is None:
+        raise ValueError(
+            "zorder_table_init: input has no rows (or all-NULL keys) — "
+            "bounds cannot be frozen from an empty batch"
+        )
     bounds = {
         "x_col": x_col,
         "y_col": y_col,
@@ -230,25 +245,17 @@ def zorder_table_init(
 
 def _keys_with_bounds(df: DataFrame, b: dict) -> DataFrame:
     """(df + zval + zbucket) under FROZEN bounds, values clamped into
-    range so out-of-range appends land in edge tiles."""
-    import math
-
+    range so out-of-range appends land in edge tiles. Normalization
+    goes through the ONE _norm_expr template (it accepts arbitrary
+    SQL snippets), so the overflow-widening rule can never
+    desynchronize between fresh layouts and frozen-bounds tables."""
     bits, nb = b["bits"], b["n_buckets"]
-    shift = 2 * bits - int(math.log2(nb))
+    shift = _tile_shift(bits, nb)
     cx = f"least(greatest(CAST({b['x_col']} AS BIGINT), {b['xmin']}), {b['xmax']})"
     cy = f"least(greatest(CAST({b['y_col']} AS BIGINT), {b['ymin']}), {b['ymax']})"
-    top = (1 << bits) - 1
-    nx = (
-        f"CAST((CAST(({cx} - {b['xmin']}) AS DECIMAL(38,0)) * {top})"
-        f" div greatest({b['xmax']} - {b['xmin']}, 1) AS BIGINT)"
-    )
-    ny = (
-        f"CAST((CAST(({cy} - {b['ymin']}) AS DECIMAL(38,0)) * {top})"
-        f" div greatest({b['ymax']} - {b['ymin']}, 1) AS BIGINT)"
-    )
     return (
-        df.withColumn("_zx", F.expr(nx))
-        .withColumn("_zy", F.expr(ny))
+        df.withColumn("_zx", _norm_expr(cx, str(b["xmin"]), str(b["xmax"]), bits))
+        .withColumn("_zy", _norm_expr(cy, str(b["ymin"]), str(b["ymax"]), bits))
         .withColumn("zval", zvalue("_zx", "_zy", bits))
         .withColumn("zbucket", F.expr(f"zval >> {shift}").cast("long"))
         .drop("_zx", "_zy")
@@ -283,25 +290,41 @@ def zorder_table_compact(
     spark, path: str, max_files: int = 4, target_files: int = 1
 ) -> dict[int, int]:
     """Fold tiles that accumulated more than ``max_files`` parquet
-    files back to ``target_files`` sorted files, tile by tile with an
-    atomic directory swap (write to `<tile>.__compact__`, then
-    os.replace twice) — readers never observe a partially-rewritten
-    tile, and a crash leaves either the old or the new tile plus a
-    stale temp dir that the next compact removes. Returns
-    {zbucket: files_before} for the tiles it rewrote. At 100 TB each
-    tile compacts independently (parallelize across tiles); only
-    oversized tiles pay a rewrite."""
+    files back to ``target_files`` sorted files, tile by tile via a
+    rename pair (write to `<tile>.__compact__`, swap). No reader can
+    ever observe a PARTIAL tile; a reader listing files in the brief
+    window between the two renames would miss that tile entirely, so
+    run compaction in a maintenance window (or behind a table lock /
+    manifest indirection) if readers race it. Crash-safe: a crash
+    between the renames leaves the tile's rows in `.__old__` /
+    `.__compact__`, and the RECOVERY pass below restores the base
+    tile from them before anything is swept — data is never lost.
+    Returns {zbucket: files_before} for the tiles it rewrote. At
+    100 TB each tile compacts independently (parallelize across
+    tiles); only oversized tiles pay a rewrite."""
     import os
     import shutil
 
+    # recovery BEFORE sweeping: if the base tile is missing, a prior
+    # run crashed between its two renames — restore it (prefer the
+    # pre-compact .__old__ copy); only temp dirs whose base EXISTS
+    # are debris safe to remove
+    for suffix in (".__old__", ".__compact__"):
+        for name in sorted(os.listdir(path)):
+            if not (name.startswith("zbucket=") and name.endswith(suffix)):
+                continue
+            base = os.path.join(path, name[: -len(suffix)])
+            tmp_dir = os.path.join(path, name)
+            if os.path.exists(base):
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+            else:
+                os.replace(tmp_dir, base)
+
     rewritten: dict[int, int] = {}
     for name in sorted(os.listdir(path)):
-        if not name.startswith("zbucket="):
+        if not name.startswith("zbucket=") or "__" in name:
             continue
         tile = os.path.join(path, name)
-        if name.endswith(".__compact__") or name.endswith(".__old__"):
-            shutil.rmtree(tile, ignore_errors=True)  # stale crash debris
-            continue
         files = [f for f in os.listdir(tile) if f.endswith(".parquet")]
         if len(files) <= max_files:
             continue

@@ -145,18 +145,19 @@ def resample_locf(
     dedup to one row per (key, instant) (max_by tiebreak — identical
     rule in the oracle), each key's slot range comes from one tiny
     groupBy, the grid is a sequence() explode (rows = slots, linear),
-    and LOCF is ONE ordered window over the union of grid markers and
-    observations — last(value, ignorenulls) with observations sorted
-    BEFORE the marker at equal instants, so a boundary observation is
-    included. Slots before a key's first observation carry NULL.
-    Output: (key_col, slot, value_ffill[2dp]) with slot = epoch_us
-    div freq_us (integer — calendar rendering is a fetch-path hazard,
-    CLAUDE.md)."""
+    and the carry-forward IS asof_join (one implementation of the
+    boundary-tie union+window strategy in this module) probing each
+    slot boundary — the struct payload carries a matched row's value
+    even when that value is NULL, i.e. true as-of semantics, not
+    skip-the-NULLs. Slots before a key's first observation carry
+    NULL. Output: (key_col, slot, value_ffill[2dp]) with slot =
+    epoch_us div freq_us (integer — calendar rendering is a
+    fetch-path hazard, CLAUDE.md)."""
     obs = (
         events.select(
             F.col(key_col),
             F.unix_micros(ts_col).alias("_tus"),
-            F.col(value_col).alias("_v"),
+            F.col(value_col).cast("double").alias("_v"),
             F.col(tiebreak_col).alias("_tb"),
         )
         .groupBy(key_col, "_tus")
@@ -168,29 +169,14 @@ def resample_locf(
     )
     grid = bounds.select(
         key_col, F.explode(F.sequence("_lo", "_hi")).alias("slot")
+    ).withColumn("_gts", F.col("slot") * freq_us)
+    out = asof_join(
+        grid,
+        obs,
+        key=key_col,
+        left_ts="_gts",
+        right_ts="_tus",
+        payload_cols=["_v"],
+        inner=False,
     )
-    markers = grid.select(
-        key_col,
-        (F.col("slot") * freq_us).alias("_tus"),
-        F.lit(None).cast("double").alias("_v"),
-        F.lit(1).alias("_is_grid"),
-        "slot",
-    )
-    obs_rows = obs.select(
-        key_col,
-        "_tus",
-        F.col("_v").cast("double"),
-        F.lit(0).alias("_is_grid"),
-        F.lit(None).cast("long").alias("slot"),
-    )
-    w = (
-        W.partitionBy(key_col)
-        .orderBy("_tus", "_is_grid")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return (
-        markers.unionByName(obs_rows)
-        .withColumn("_f", F.last("_v", ignorenulls=True).over(w))
-        .filter(F.col("_is_grid") == 1)
-        .select(key_col, "slot", F.round("_f", 2).alias("value_ffill"))
-    )
+    return out.select(key_col, "slot", F.round("_v", 2).alias("value_ffill"))

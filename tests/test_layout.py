@@ -164,9 +164,9 @@ def test_zorder_table_init_append_compact(spark, tmp_path):
     # frozen bounds: the same physical row keys to the same tile in
     # init and append (b1 duplicates every original row)
     tiles = {
-        r["event_id"] % 1_000_000: r["zbucket"]
+        r["event_id"] - 1_000_000: r["zbucket"]
         for r in spark.read.parquet(path)
-        .filter(F.col("event_id") < 2_000_000)
+        .filter((F.col("event_id") >= 1_000_000) & (F.col("event_id") < 2_000_000))
         .select("event_id", "zbucket")
         .collect()
     }
@@ -208,3 +208,49 @@ def test_zorder_table_init_append_compact(spark, tmp_path):
     assert spark.read.parquet(path).count() == total
     # manifest survived everything
     assert json.load(open(os.path.join(path, "_zbounds.json")))["x_col"] == "uid"
+
+
+def test_zorder_compact_recovers_from_rename_crash(spark, tmp_path):
+    """A crash BETWEEN the two renames leaves the base tile missing
+    and its rows only in .__old__ — the next compact must RESTORE it,
+    never sweep it (data loss)."""
+    import os
+    import shutil
+
+    events = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id",
+        F.col("user_id").cast("long").alias("uid"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    path = str(tmp_path / "ztab")
+    L.zorder_table_init(events, "uid", "ts_us", path, n_buckets=16)
+    total = spark.read.parquet(path).count()
+    victim = next(
+        d for d in sorted(os.listdir(path)) if d.startswith("zbucket=")
+    )
+    tile = os.path.join(path, victim)
+    # simulate the mid-swap crash state: base gone, data in .__old__,
+    # plus a half-written .__compact__ for the same tile
+    os.replace(tile, tile + ".__old__")
+    os.makedirs(tile + ".__compact__", exist_ok=True)
+    L.zorder_table_compact(spark, path, max_files=10_000)  # no rewrites
+    assert os.path.isdir(tile)
+    assert not os.path.exists(tile + ".__old__")
+    assert not os.path.exists(tile + ".__compact__")
+    assert spark.read.parquet(path).count() == total
+
+
+def test_zorder_table_init_guards(spark, tmp_path):
+    import pytest
+
+    events = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id",
+        F.col("user_id").cast("long").alias("uid"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    with pytest.raises(ValueError, match="power of two"):
+        L.zorder_table_init(events, "uid", "ts_us", str(tmp_path / "a"), n_buckets=48)
+    with pytest.raises(ValueError, match="no rows"):
+        L.zorder_table_init(
+            events.filter("event_id < 0"), "uid", "ts_us", str(tmp_path / "b")
+        )

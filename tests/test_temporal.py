@@ -107,3 +107,23 @@ def test_resample_locf_gaps_ties_and_leading_nulls(spark):
         (2, 2): 7.0,
         (2, 3): 7.0,
     }
+
+
+def test_resample_locf_carries_null_observations(spark):
+    """True as-of semantics: a NULL-valued observation is a real
+    match — later slots carry the NULL, not the older non-null value
+    (matches the DuckDB ASOF oracle; review-found divergence)."""
+    from pyspark.sql import functions as F
+
+    from streaming_cdc_spark.operators.temporal import resample_locf
+
+    rows = [(0, 1, 105, 1.0), (1, 1, 150, None), (2, 1, 320, 3.0)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, us long, value double")
+    ev = df.select(
+        "event_id", "user_id", F.timestamp_micros(F.col("us")).alias("ts"), "value"
+    )
+    got = {
+        r["slot"]: r["value_ffill"]
+        for r in resample_locf(ev, freq_us=100).collect()
+    }
+    assert got == {1: None, 2: None, 3: None}  # NULL at 150 masks 1.0
