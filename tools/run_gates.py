@@ -160,6 +160,21 @@ def main() -> None:
         print(f"[{'PASS' if ok else 'FAIL'}] bench_compare ({dt}s): {msg}")
         if not ok:
             failures.append("bench_compare")
+        # FYI (never gates): per-query history vs historical minimum —
+        # the drift-proof context for judging any bench_compare flag
+        trend = subprocess.run(
+            [sys.executable, "tools/bench_trend.py", "--factor", "2.0"],
+            cwd=ROOT,
+            capture_output=True,
+            text=True,
+        )
+        flagged = [ln for ln in (trend.stdout or "").splitlines() if "<<" in ln]
+        if flagged:
+            print("[FYI] bench_trend (latest > 2x historical min — re-time in isolation before treating as real):")
+            for ln in flagged:
+                print("      " + ln.strip())
+        else:
+            print("[FYI] bench_trend: no query above 2x its historical minimum")
     if failures:
         print(f"\nFAILED gates: {', '.join(failures)}")
         sys.exit(1)
