@@ -1,0 +1,89 @@
+"""CDC change-log application: insert/update/delete op-log -> current
+state.
+
+The engine's namesake capability. The reference's keyed assignment
+streams (nn_thresh.py:192-194 cluster-pair sink/scan) are append-only;
+a real CDC consumer's first workload is a mutation log — every row is
+an op ``(key, seq, op, payload)`` where ``op`` is INSERT / UPDATE /
+DELETE (tombstone), ``seq`` is the log sequence number (LSN), and ops
+may arrive in ANY order. Materializing current state is
+last-writer-wins per key by ``seq``:
+
+- the key's current row is the payload of its MAX-seq op;
+- if that op is a delete, the key is absent;
+- a late-arriving op with a LOWER seq than the applied one is a no-op
+  (in particular: a late update must NOT resurrect a deleted key).
+
+Spark-first physical: one keyed aggregation (``max_by`` over the op
+struct — map-side partial argmax combines before the shuffle, so
+shuffle volume is one row per key per map task, never the log volume).
+No windows, no sort. Order-free by construction: ``max_by`` on a
+unique seq is deterministic under any partitioning and any arrival
+order, which is what makes the streaming twin
+(streaming/materialize.py: MaterializedChangelog) exactly equal to the
+batch apply on every prefix of the log.
+
+Scale: at 100 TB of log the plan is scan -> partial argmax -> one
+shuffle by key -> final argmax. Skewed hot keys partial-aggregate
+map-side (argmax is a commutative monoid), so a key with 30% of the
+log contributes one row per map task to the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DELETE_OP = "D"
+
+
+def latest_ops(
+    oplog: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """One row per key: its max-seq op, TOMBSTONES INCLUDED. This is
+    the state a streaming applier must retain — dropping a tombstone
+    would let a late lower-seq update resurrect the key. ``seq_col``
+    must be unique per key (an LSN is); ties would be broken
+    arbitrarily by ``max_by``. Output schema: key_cols + seq_col +
+    op_col + payload_cols; idempotent (latest_ops o latest_ops =
+    latest_ops), which is what makes per-batch partials mergeable.
+    """
+    last = oplog.groupBy(*key_cols).agg(
+        F.max(seq_col).alias(seq_col),
+        F.max_by(
+            F.struct(F.col(op_col), *[F.col(c) for c in payload_cols]),
+            F.col(seq_col),
+        ).alias("_last"),
+    )
+    return last.select(
+        *key_cols,
+        seq_col,
+        F.col(f"_last.{op_col}").alias(op_col),
+        *[F.col(f"_last.{c}").alias(c) for c in payload_cols],
+    )
+
+
+def apply_changelog(
+    oplog: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str,
+    payload_cols: list[str],
+    delete_op: str = DELETE_OP,
+) -> DataFrame:
+    """Materialize the current state of a change log: last-writer-wins
+    by ``seq_col`` per key, keys whose latest op is ``delete_op``
+    absent. SQL-equivalent (the oracle form)::
+
+        SELECT key, MAX(seq) AS seq, arg_max(op, seq) AS op,
+               arg_max(payload, seq) AS payload
+        FROM oplog GROUP BY key
+        HAVING arg_max(op, seq) != 'D'
+    """
+    return latest_ops(oplog, key_cols, seq_col, op_col, payload_cols).filter(
+        F.col(op_col) != delete_op
+    )

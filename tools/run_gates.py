@@ -54,6 +54,21 @@ def _bench_gate(allow_dropped: str = "") -> tuple[bool, str]:
     if proc.returncode != 0 or rec is None:
         tail = "\n".join((proc.stderr or proc.stdout).strip().splitlines()[-3:])
         return False, f"bench.py failed: {tail}"
+    # bench.py's stdout line carries only the 15 slowest queries (the
+    # full map outgrew the driver's capture window in r4); the record
+    # that baselines future runs needs EVERY per-query timing, which
+    # bench.py appends to the BENCH_DETAIL.jsonl sidecar.
+    detail_path = os.path.join(ROOT, "BENCH_DETAIL.jsonl")
+    if os.path.exists(detail_path):
+        with open(detail_path) as f:
+            lines = [ln for ln in f if ln.strip()]
+        if lines:
+            try:
+                detail = json.loads(lines[-1])
+                if detail.get("value") == rec.get("value"):
+                    rec["queries"] = detail["queries"]
+            except json.JSONDecodeError:
+                pass
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
     local = os.path.join(ROOT, "BENCH_LOCAL.jsonl")
     baseline = None
@@ -142,7 +157,20 @@ def main() -> None:
         ),
         ("audit_types", [sys.executable, "tools/audit_types.py", sf_dir]),
         ("audit_plans", [sys.executable, "tools/audit_plans.py"]),
+        # partition-invariance: the oracle checks ONE physical config;
+        # this re-runs the driver's first-50 window under perturbed
+        # shuffle/scan partitioning and asserts identical value hashes
+        # (catches order-dependent float reductions the oracle can't)
+        ("check_invariance", [sys.executable, "tools/check_invariance.py", sf_dir]),
     ]
+    # cross-sf sweep (VERDICT r4 #7): oracle-threshold margins (bisect
+    # 6dp quantization, semantic-dedup 4.8e-4) are sf-sensitive — run
+    # the full differential at a second scale factor too
+    alt_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(alt_sf) and os.path.abspath(sf_dir) != os.path.abspath(alt_sf):
+        gates.insert(
+            2, ("check_oracle_sf0.001", [sys.executable, "tools/check_oracle.py", alt_sf])
+        )
     failures = []
     for name, cmd in gates:
         t0 = time.time()
