@@ -100,6 +100,9 @@ HEADLINE = [
     # argmax and its four-micro-batch foreachBatch streaming twin
     "cdc_log_apply",
     "cdc_streaming_apply",
+    # r5: planted 40%-hot-key join+agg through the salted path
+    # (shuffle-hash pinned) — skew handling gets a measured number
+    "salted_skew_stats",
     # r4: Morton clustering keys (OPTIMIZE ZORDER BY analogue)
     "zorder_layout",
     "scd2_user_value",

@@ -19,17 +19,26 @@ def salted_join(
     key: str,
     n_salts: int = 16,
     how: str = "inner",
+    join_hint: str | None = None,
 ) -> DataFrame:
     """Join a skewed big side to a small side by spreading each hot
     key over ``n_salts`` shuffle partitions: the big side gets a
     per-row salt, the small side is replicated once per salt, and the
-    join key becomes (key, salt). Output columns = plain join's."""
+    join key becomes (key, salt). Output columns = plain join's.
+
+    ``join_hint`` (e.g. "shuffle_hash", "merge") is applied to the
+    replicated side: when the dimension is NOT broadcastable — the
+    regime salting exists for; a broadcast join has no shuffle to
+    skew — pass it to pin the shuffle physical instead of letting a
+    locally-small fixture auto-broadcast and bypass the salted path."""
     salted_big = skewed.withColumn(
         "_salt", (F.spark_partition_id() + F.monotonically_increasing_id()) % n_salts
     )
     replicated = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
+    if join_hint:
+        replicated = replicated.hint(join_hint)
     out = salted_big.join(replicated, [key, "_salt"], how)
     return out.drop("_salt")
 

@@ -24,6 +24,7 @@ from streaming_cdc_spark.queries import (  # noqa: E402,F401
     layout,
     profile,
     changelog,
+    skew,
 )
 
 # The driver's correctness gate checks only the FIRST 50 entries of

@@ -142,3 +142,17 @@ def test_hot_bucket_cap_bounds_candidates(spark):
     # the rare near-dup pairs are still found
     rare = {tuple(sorted((r["doc_a"], r["doc_b"]))) for r in capped.collect()}
     assert (1000, 1001) in rare
+
+
+def test_salted_skew_stats_plan_pins_shuffle_hash(spark):
+    """The registered bench query must run the SALTED shuffle physical:
+    shuffle-hash join on (key, salt), no broadcast join anywhere — a
+    locally-small dim would otherwise auto-broadcast and turn the skew
+    query into a no-op wrapper."""
+    from streaming_cdc_spark.queries import QUERIES
+
+    df = QUERIES["salted_skew_stats"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "_salt" in plan
