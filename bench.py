@@ -105,6 +105,9 @@ HEADLINE = [
     "salted_skew_stats",
     # r4: Morton clustering keys (OPTIMIZE ZORDER BY analogue)
     "zorder_layout",
+    # r5: full table-maintenance lifecycle (manifest-indirected
+    # init -> append -> compact -> read) measured end to end
+    "zorder_table_roundtrip",
     "scd2_user_value",
     # r4: per-user grid LOCF resampling (oracle = DuckDB native ASOF)
     "hourly_ffill_series",

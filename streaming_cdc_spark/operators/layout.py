@@ -345,3 +345,236 @@ def zorder_table_compact(
         shutil.rmtree(old, ignore_errors=True)
         rewritten[bucket] = len(files)
     return rewritten
+
+
+# --- Manifest-indirected z-ordered table (readers never miss a tile) ------
+
+
+class ZOrderTable:
+    """Z-ordered table whose readers resolve tile directories through a
+    one-file JSON manifest (`_zmanifest.json`, flipped atomically with
+    ``os.replace``) instead of listing the directory tree — the fix for
+    the documented race in ``zorder_table_compact``: its rename-pair
+    swap has a brief window where a lister misses the tile entirely.
+    Here compaction writes the NEW tile version beside the old one,
+    flips the manifest, and RETAINS the previous version for one more
+    maintenance cycle (readers holding a pre-flip manifest keep
+    scanning files that still exist); only versions two generations
+    old are swept. This is the parquet-on-FS analogue of an ACID
+    format's snapshot isolation, same pattern as
+    streaming/materialize.py's versioned pointer.
+
+    Physical layout: ``tiles`` maps zbucket -> versioned dir name
+    (``t0007_v2``); ``zval``/``zbucket`` are stored as DATA columns
+    (zbucket constant per file, so min==max footer stats prune as well
+    as a hive partition would, without losing the column on
+    manifest-directed reads). Appends move files INTO the current tile
+    dir (per-file rename — a concurrent reader sees the old set or
+    old+some-new, never a missing tile).
+    """
+
+    MANIFEST = "_zmanifest.json"
+
+    def __init__(self, path: str):
+        self.path = path
+
+    # -- manifest ----------------------------------------------------------
+    def _manifest_path(self) -> str:
+        import os
+
+        return os.path.join(self.path, self.MANIFEST)
+
+    def _load(self) -> dict:
+        import json
+
+        with open(self._manifest_path()) as f:
+            return json.load(f)
+
+    def _flip(self, manifest: dict) -> None:
+        import json
+        import os
+
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path())  # atomic on POSIX
+
+    # -- write paths ---------------------------------------------------------
+    def _staged_tiles(self, df: DataFrame, bounds: dict, stage: str) -> dict[int, str]:
+        """Write df's tiles into ``stage`` (hive dirs on a DUPLICATE
+        of zbucket, so the real column survives in the data files);
+        returns {bucket: staged_dir}."""
+        import os
+
+        keyed = _keys_with_bounds(df, bounds).withColumn("_pb", F.col("zbucket"))
+        (
+            keyed.repartition("zbucket")
+            .sortWithinPartitions("zbucket", "zval")
+            .write.partitionBy("_pb")
+            .mode("overwrite")
+            .parquet(stage)
+        )
+        out: dict[int, str] = {}
+        for name in os.listdir(stage):
+            if name.startswith("_pb="):
+                out[int(name.split("=", 1)[1])] = os.path.join(stage, name)
+        return out
+
+    def init(
+        self,
+        df: DataFrame,
+        x_col: str,
+        y_col: str,
+        bits: int = ZBITS,
+        n_buckets: int = 64,
+    ) -> dict:
+        """Create the table: freeze normalization bounds (same
+        rationale as zorder_table_init — appends clamp, never re-tile)
+        and publish version-0 tiles through the manifest."""
+        import os
+        import shutil
+
+        _tile_shift(bits, n_buckets)
+        row = df.agg(
+            F.min(x_col).cast("long").alias("xmin"),
+            F.max(x_col).cast("long").alias("xmax"),
+            F.min(y_col).cast("long").alias("ymin"),
+            F.max(y_col).cast("long").alias("ymax"),
+        ).first()
+        if row["xmin"] is None or row["ymin"] is None:
+            raise ValueError("ZOrderTable.init: empty input — bounds cannot be frozen")
+        bounds = {
+            "x_col": x_col,
+            "y_col": y_col,
+            "bits": bits,
+            "n_buckets": n_buckets,
+            "xmin": int(row["xmin"]),
+            "xmax": int(row["xmax"]),
+            "ymin": int(row["ymin"]),
+            "ymax": int(row["ymax"]),
+        }
+        os.makedirs(self.path, exist_ok=True)
+        stage = os.path.join(self.path, ".stage_init")
+        shutil.rmtree(stage, ignore_errors=True)
+        staged = self._staged_tiles(df, bounds, stage)
+        tiles: dict[str, str] = {}
+        for bucket, src in staged.items():
+            dst = f"t{bucket:04d}_v0"
+            os.replace(src, os.path.join(self.path, dst))
+            tiles[str(bucket)] = dst
+        shutil.rmtree(stage, ignore_errors=True)
+        self._flip({"bounds": bounds, "tiles": tiles, "retired": {}})
+        return bounds
+
+    def append(self, df: DataFrame) -> None:
+        """Append a batch: keys under the FROZEN bounds (clamped), new
+        files MOVED into each bucket's current tile dir. New buckets
+        (possible when init's batch left tiles empty) publish via a
+        manifest flip."""
+        import os
+        import shutil
+        import uuid
+
+        m = self._load()
+        stage = os.path.join(self.path, f".stage_{uuid.uuid4().hex[:8]}")
+        staged = self._staged_tiles(df, m["bounds"], stage)
+        new_tiles = dict(m["tiles"])
+        changed = False
+        for bucket, src in staged.items():
+            cur = new_tiles.get(str(bucket))
+            if cur is None:
+                cur = f"t{bucket:04d}_v0"
+                os.makedirs(os.path.join(self.path, cur), exist_ok=True)
+                new_tiles[str(bucket)] = cur
+                changed = True
+            dst_dir = os.path.join(self.path, cur)
+            for fn in os.listdir(src):
+                if fn.endswith(".parquet"):
+                    os.replace(
+                        os.path.join(src, fn),
+                        os.path.join(dst_dir, f"app_{uuid.uuid4().hex[:8]}_{fn}"),
+                    )
+        shutil.rmtree(stage, ignore_errors=True)
+        if changed:
+            m["tiles"] = new_tiles
+            self._flip(m)
+
+    def compact(self, spark, max_files: int = 4, target_files: int = 1) -> dict[int, int]:
+        """Fold tiles that accumulated more than ``max_files`` files
+        into ``target_files`` sorted files each: write the new tile
+        VERSION beside the old, flip the manifest once (all compacted
+        tiles publish together), retire the old dirs for one cycle,
+        and sweep dirs retired by the PREVIOUS cycle plus any orphan
+        (crash-between-write-and-flip) dirs. Returns
+        {bucket: files_before}."""
+        import os
+        import shutil
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        m = self._load()
+        rewritten: dict[int, int] = {}
+        new_tiles = dict(m["tiles"])
+        todo: list[tuple[str, str, str, int]] = []
+        for bucket_s, dirname in sorted(m["tiles"].items()):
+            tile = os.path.join(self.path, dirname)
+            files = [f for f in os.listdir(tile) if f.endswith(".parquet")]
+            if len(files) <= max_files:
+                continue
+            version = int(dirname.rsplit("_v", 1)[1])
+            new_dir = f"t{int(bucket_s):04d}_v{version + 1}"
+            todo.append((bucket_s, tile, new_dir, len(files)))
+
+        def _rewrite(job: tuple[str, str, str, int]) -> None:
+            _, tile, new_dir, _ = job
+            (
+                spark.read.parquet(tile)
+                .sort("zval")
+                .coalesce(target_files)
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.path, new_dir))
+            )
+
+        # tiles are independent — rewrite them as CONCURRENT Spark
+        # jobs (each is one tiny read-sort-write; run serially the
+        # per-job scheduling overhead dominates wall-clock locally,
+        # and on a cluster independent tiles should saturate
+        # executors the same way)
+        if todo:
+            with ThreadPoolExecutor(max_workers=min(8, len(todo))) as ex:
+                list(ex.map(_rewrite, todo))
+        for bucket_s, _tile, new_dir, n_files in todo:
+            new_tiles[bucket_s] = new_dir
+            rewritten[int(bucket_s)] = n_files
+        prev_retired = m.get("retired", {})
+        retired = {b: m["tiles"][b] for b in map(str, rewritten) if b in m["tiles"]}
+        self._flip({"bounds": m["bounds"], "tiles": new_tiles, "retired": retired})
+        # sweep: (a) dirs retired by the PREVIOUS cycle — any reader
+        # still holding that manifest has had a full maintenance cycle
+        # to finish; (b) orphans (written but never published: a crash
+        # between the tile write and the flip)
+        live = set(new_tiles.values()) | set(retired.values())
+        for name in os.listdir(self.path):
+            if name in (self.MANIFEST, self.MANIFEST + ".tmp"):
+                continue
+            # .stage_* dirs here are debris from a CRASHED append
+            # (a live append's stage can't coexist with compact —
+            # maintenance ops are single-writer, like every table
+            # format's); unpublished, so safe to sweep
+            if name not in live:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+        # prev_retired dirs fall out of `live` unless re-published,
+        # so the rule above sweeps exactly the two-generations-old set
+        del prev_retired
+        return rewritten
+
+    def read(self, spark) -> DataFrame:
+        """The current table snapshot: the manifest's tile dirs, read
+        as one DataFrame (zval/zbucket are data columns)."""
+        import os
+
+        m = self._load()
+        dirs = [os.path.join(self.path, d) for d in m["tiles"].values()]
+        if not dirs:
+            raise FileNotFoundError("ZOrderTable has no tiles")
+        return spark.read.parquet(*dirs)

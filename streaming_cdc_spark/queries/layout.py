@@ -56,3 +56,64 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.zorder_keys(df, "x", "y", bits=16, n_buckets=64).select(
         "event_id", "zx", "zy", "zval", "zbucket"
     )
+
+
+_ZV16 = L.zvalue_sql("zx", "zy")
+
+
+@query(
+    "zorder_table_roundtrip",
+    oracle=f"""
+    WITH init AS (
+      SELECT CAST(user_id AS BIGINT) AS x, epoch_us(ts) AS y
+      FROM events WHERE event_id % 4 != 3
+    ),
+    b AS (SELECT MIN(x) AS xmin, MAX(x) AS xmax,
+                 MIN(y) AS ymin, MAX(y) AS ymax FROM init),
+    e AS (SELECT event_id,
+                 least(greatest(CAST(user_id AS BIGINT), xmin), xmax) AS cx,
+                 least(greatest(epoch_us(ts), ymin), ymax) AS cy,
+                 xmin, xmax, ymin, ymax
+          FROM events, b),
+    n AS (SELECT event_id,
+                 CAST({L.norm_sql("cx", "xmin", "xmax")} AS BIGINT) AS zx,
+                 CAST({L.norm_sql("cy", "ymin", "ymax")} AS BIGINT) AS zy
+          FROM e)
+    SELECT event_id, {_ZV16} AS zval,
+           CAST(({_ZV16}) >> 28 AS BIGINT) AS zbucket
+    FROM n
+    """,
+)
+def zorder_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ordered TABLE MAINTENANCE under the driver oracle (VERDICT r4
+    #3 — the path was test-only): init the manifest-indirected table
+    (operators/layout.py: ZOrderTable) on 3/4 of events (bounds FROZEN
+    from that batch), append the remaining 1/4 (clamped into the
+    frozen range, files moved into live tiles), compact every tile
+    that accumulated >1 file (new tile VERSION + one atomic manifest
+    flip — racing readers keep a complete snapshot), then read the
+    table back THROUGH the manifest. The oracle recomputes every row's
+    z-key from the init-subset bounds with the same clamp/normalize/
+    interleave arithmetic, so the hash verifies the whole
+    init->append->compact->read lifecycle loses nothing, double-writes
+    nothing, and keys under frozen bounds exactly as specified.
+    Side-effectful setup in a per-run temp dir, deterministic output —
+    same pattern as materialized_user_value."""
+    import shutil
+    import tempfile
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").cast("long").alias("x"),
+        F.unix_micros("ts").alias("y"),
+    )
+    path = tempfile.mkdtemp(prefix="ztable_")
+    try:
+        t = L.ZOrderTable(path)
+        t.init(events.filter(F.col("event_id") % 4 != 3), "x", "y", bits=16, n_buckets=16)
+        t.append(events.filter(F.col("event_id") % 4 == 3))
+        t.compact(spark, max_files=1, target_files=1)
+        out = t.read(spark).select("event_id", "zval", "zbucket").localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out

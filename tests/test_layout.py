@@ -254,3 +254,100 @@ def test_zorder_table_init_guards(spark, tmp_path):
         L.zorder_table_init(
             events.filter("event_id < 0"), "uid", "ts_us", str(tmp_path / "b")
         )
+
+
+# --- manifest-indirected ZOrderTable --------------------------------------
+
+
+def _ztable_events(spark):
+    return load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id",
+        F.col("user_id").cast("long").alias("x"),
+        F.unix_micros("ts").alias("y"),
+    )
+
+
+def _mk_ztable(spark, tmp_path, n_buckets=8):
+    ev = _ztable_events(spark)
+    t = L.ZOrderTable(str(tmp_path / "zt"))
+    t.init(ev.filter(F.col("event_id") % 4 != 3), "x", "y", bits=16, n_buckets=n_buckets)
+    t.append(ev.filter(F.col("event_id") % 4 == 3))
+    return t, ev
+
+
+def test_ztable_roundtrip_rows(spark, tmp_path):
+    t, ev = _mk_ztable(spark, tmp_path)
+    before = t.read(spark)
+    n_total = ev.count()
+    assert before.count() == n_total
+    rewritten = t.compact(spark, max_files=1, target_files=1)
+    assert rewritten  # appended tiles had >1 file
+    after = t.read(spark)
+    assert after.count() == n_total
+    # exact same ids, no loss/duplication through the whole lifecycle
+    assert after.select("event_id").exceptAll(ev.select("event_id")).count() == 0
+    assert ev.select("event_id").exceptAll(after.select("event_id")).count() == 0
+
+
+def test_ztable_racing_reader_keeps_complete_snapshot(spark, tmp_path):
+    """A reader that resolved the manifest BEFORE a compaction must
+    still see every row: compaction retires old tile versions for one
+    full cycle instead of deleting them at swap time (the documented
+    race in the rename-pair zorder_table_compact)."""
+    import os
+
+    t, ev = _mk_ztable(spark, tmp_path)
+    n_total = ev.count()
+    pre = t._load()
+    pre_dirs = [os.path.join(t.path, d) for d in pre["tiles"].values()]
+    t.compact(spark, max_files=1, target_files=1)
+    # post-flip: the pre-compact reader's dirs all still exist and
+    # still hold the complete table
+    assert all(os.path.isdir(d) for d in pre_dirs)
+    assert spark.read.parquet(*pre_dirs).count() == n_total
+    # ...until the NEXT maintenance cycle sweeps them
+    t.append(_ztable_events(spark).limit(4))
+    t.compact(spark, max_files=0, target_files=1)
+    gone = [d for d in pre_dirs if not os.path.isdir(d)]
+    assert gone  # two-generations-old versions are reclaimed
+
+
+def test_ztable_crash_before_flip_sweeps_orphan(spark, tmp_path):
+    """A tile version written but never published (crash between the
+    tile write and the manifest flip) is invisible to readers and
+    swept by the next compact; the table stays complete."""
+    import os
+
+    t, ev = _mk_ztable(spark, tmp_path)
+    n_total = ev.count()
+    # simulate the crash: write an orphan next version for one tile
+    m = t._load()
+    bucket_s, dirname = sorted(m["tiles"].items())[0]
+    orphan = f"t{int(bucket_s):04d}_v9"
+    spark.read.parquet(os.path.join(t.path, dirname)).limit(3).write.parquet(
+        os.path.join(t.path, orphan)
+    )
+    assert t.read(spark).count() == n_total  # manifest never saw it
+    t.compact(spark, max_files=10**9)  # no tile qualifies; sweep only
+    assert not os.path.isdir(os.path.join(t.path, orphan))
+    assert t.read(spark).count() == n_total
+
+
+def test_ztable_append_new_bucket_publishes(spark, tmp_path):
+    """An append whose rows land in a tile the init batch left empty
+    creates the tile dir and publishes it via a manifest flip."""
+    ev = _ztable_events(spark)
+    t = L.ZOrderTable(str(tmp_path / "zt2"))
+    # init on a corner of the space (low x, low y) so high buckets are
+    # empty, but bounds cover the full range via manual clamp targets
+    t.init(ev, "x", "y", bits=16, n_buckets=8)
+    n_tiles_full = len(t._load()["tiles"])
+    t2 = L.ZOrderTable(str(tmp_path / "zt3"))
+    low = ev.orderBy("event_id").limit(50)
+    t2.init(low, "x", "y", bits=16, n_buckets=8)
+    before = len(t2._load()["tiles"])
+    t2.append(ev)
+    after = len(t2._load()["tiles"])
+    assert after >= before
+    assert t2.read(spark).count() == 50 + ev.count()
+    assert n_tiles_full >= 1
