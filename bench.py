@@ -41,6 +41,9 @@ HEADLINE = [
     "threshold_cc_distributed",
     # r4: degree-oriented triangle counting (skew-proof wedge join)
     "triangle_counts",
+    # r5: exact integer-arithmetic PageRank over the near-dup graph
+    # (3 unrolled join+sum iterations)
+    "pagerank_neardup_graph",
     "cluster_summary",
     "muc_prf",
     "tfidf_blend_clusters",

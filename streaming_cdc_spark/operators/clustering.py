@@ -306,3 +306,59 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return members.groupBy("vec_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Damped PageRank over an UNDIRECTED edge list (u < v pairs;
+    symmetrized internally), in INTEGER MICRO-UNITS so every step is
+    exact and order-free — the same trick as the PQ ADC integer LUTs:
+    float PageRank sums contributions in whatever order partitions
+    merge, which breaks cross-engine/cross-partitioning hash parity;
+    integer sums and integer division are associative and identical
+    in Spark (`div`) and DuckDB (`//`).
+
+    rank_0 = unit per node; per iteration
+    rank'(v) = (100-d)% * unit // 100  +  d% * SUM_u(rank(u) // deg(u)) // 100.
+
+    Fixed ``iterations`` keeps the op SQL-replayable (unrolled CTEs),
+    like the bisection oracle's unrolled stages. Scale shape: each
+    iteration is one join (edges x ranks, both keyed on the source)
+    + one keyed sum — the standard distributed PageRank step; degrees
+    are computed once. No driver-side state. Returns
+    (vec_id, rank_micro) with rank in micro-units (BIGINT).
+    """
+    # materialize the (possibly expensive — e.g. a cosine kernel)
+    # edge input ONCE: each iteration references it through the
+    # previous iteration's lineage, so an unchecked plan recomputes
+    # the kernel per iteration (the r4 code-review recompute trap)
+    sym = (
+        edges.selectExpr("u", "v")
+        .union(edges.selectExpr("v AS u", "u AS v"))
+        .localCheckpoint()
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
+    # every node of the symmetrized graph has deg >= 1 and at least
+    # one in-neighbor (in = out), so no dangling-mass handling needed
+    ranks = deg.select("u", F.lit(unit).cast("long").alias("r"))
+    base = (100 - damping_pct) * unit // 100
+    for _ in range(iterations):
+        contrib = (
+            sym.join(ranks, "u")
+            .join(deg, "u")
+            .select("v", F.expr("r div d").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = deg.join(contrib, deg["u"] == contrib["v"], "left").select(
+            deg["u"],
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(s, 0)) div 100")
+            ).cast("long").alias("r"),
+        )
+    return ranks.select(F.col("u").alias("vec_id"), F.col("r").alias("rank_micro"))

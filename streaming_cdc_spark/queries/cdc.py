@@ -716,6 +716,48 @@ def grinch_forest_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_sql(iterations: int = 3, unit: int = 1_000_000, dp: int = 85) -> str:
+    base = (100 - dp) * unit // 100
+    parts = [
+        f"e0 AS (SELECT u, v FROM ({_EDGES_SQL}) WHERE sim > 0.3)",
+        "edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0)",
+        "deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u)",
+        f"r0 AS (SELECT u, CAST({unit} AS BIGINT) AS r FROM deg)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"c{i} AS (SELECT e.v, SUM(r.r // dg.d) AS s FROM edges e "
+            f"JOIN r{i - 1} r ON e.u = r.u JOIN deg dg ON e.u = dg.u GROUP BY e.v)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT dg.u, CAST({base} + ({dp} * COALESCE(c.s, 0)) // 100 "
+            f"AS BIGINT) AS r FROM deg dg LEFT JOIN c{i} c ON dg.u = c.v)"
+        )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"\n    SELECT u AS vec_id, r AS rank_micro FROM r{iterations}"
+    )
+
+
+@query("pagerank_neardup_graph", oracle=_pagerank_sql())
+def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-analysis centrality over the tau=0.3 cosine near-dup graph:
+    3 damped PageRank iterations in EXACT integer micro-units
+    (operators/clustering.py: pagerank_exact) — high-rank documents
+    are hubs of near-duplicate mass, the standard triage signal for
+    which templates/boilerplate to deduplicate first. Integer
+    arithmetic makes the iteration order-free under any partitioning
+    (a float PageRank would hash-drift), and the fixed iteration count
+    makes it SQL-replayable: the oracle unrolls the three
+    join+sum+damp stages verbatim."""
+    from streaming_cdc_spark.operators.clustering import pagerank_exact
+    from streaming_cdc_spark.operators.similarity import cosine_self_edges
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = cosine_self_edges(emb, 0.3).select("u", "v")
+    return pagerank_exact(edges, iterations=3)
+
+
 def flagship_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entry-point flagship (driver smoke check)."""
     return cluster_summary(spark, sf_dir)

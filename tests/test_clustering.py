@@ -167,3 +167,34 @@ def test_triangle_counts_match_bruteforce_random(spark):
         assert got == want, trial
         # K5 corners sit in >= C(4,2)=6 triangles each
         assert all(got[x] >= 6 for x in range(5))
+
+
+def test_pagerank_exact_path_graph_golden(spark):
+    """Hand-computed one-iteration ranks on the path graph 1-2-3
+    (micro-units): deg = 1,2,1; contributions 2->1: 500000,
+    1->2 + 3->2: 2000000, 2->3: 500000; damped =
+    150000 + 85%*c // 100."""
+    from streaming_cdc_spark.operators.clustering import pagerank_exact
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    got = {
+        r["vec_id"]: r["rank_micro"]
+        for r in pagerank_exact(edges, iterations=1).collect()
+    }
+    assert got == {1: 575000, 2: 1850000, 3: 575000}
+
+
+def test_pagerank_exact_partition_invariant(spark):
+    """Integer micro-unit arithmetic: identical ranks under 1- and
+    16-partition inputs (the property float PageRank lacks)."""
+    from streaming_cdc_spark.operators.clustering import pagerank_exact
+
+    import random
+
+    rnd = random.Random(7)
+    edges = [(rnd.randrange(40), 40 + rnd.randrange(40)) for _ in range(300)]
+    df1 = spark.createDataFrame(edges, "u long, v long").repartition(1)
+    df16 = spark.createDataFrame(edges, "u long, v long").repartition(16)
+    a = sorted(map(tuple, pagerank_exact(df1, 3).collect()))
+    b = sorted(map(tuple, pagerank_exact(df16, 3).collect()))
+    assert a == b
