@@ -121,6 +121,10 @@ HEADLINE = [
     # WindowGroupLimit fixed-k per group)
     "minhash_recall_calibration",
     "stratified_sample_counts",
+    # r5: deterministic weighted (size-proportional) sampling and the
+    # ordered 3-step conversion funnel
+    "weighted_sample_topk",
+    "funnel_conversion",
     "kmeans_assign",
     # EP3: sequential GRINCH build (driver, 5000 pts) + the per-key
     # scalable form (independent trees via applyInPandas)

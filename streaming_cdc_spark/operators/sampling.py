@@ -66,3 +66,31 @@ def deterministic_group_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic weighted bottom-k — priority sampling in the
+    Duffield-Lund-Thorup shape with the random draw replaced by the
+    row's 40-bit id hash: priority = (u40 * unit) div weight. Heavier
+    rows get proportionally smaller priorities, so selection
+    probability grows with weight, and EVERYTHING is integer
+    arithmetic (u40 < 2^40, so u40 * unit fits int64 with 1e6 scale):
+    the sample is an exact total order, identical across engines,
+    partitionings, and reruns — no ln(u)/w float boundary to drift.
+    Physical: one projection + TakeOrdered(k) with (priority, id)
+    tiebreak — O(k) per partition, one tiny final merge, no shuffle
+    of the data itself. Adds a ``priority`` column."""
+    out = df.withColumn(
+        "_u40",
+        md5_long(F.col(id_col).cast("string")) % F.lit(1 << 40).cast("long"),
+    ).withColumn(
+        "priority",
+        F.expr(f"(_u40 * {unit}) div greatest(cast({weight_col} as long), 1)"),
+    )
+    return out.drop("_u40").orderBy("priority", id_col).limit(k)

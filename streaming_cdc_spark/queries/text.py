@@ -898,3 +898,37 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns are rounded."""
     docs = load(spark, sf_dir, "documents")
     return T.gopher_quality_flags(docs, min_words=40, min_stopwords=2)
+
+
+@query(
+    "weighted_sample_topk",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 1099511627776 AS u40
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((u40 * 1000000) // greatest(n_tokens, 1) AS BIGINT) AS priority
+    FROM d ORDER BY priority, doc_id LIMIT 64
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (operators/sampling.py:
+    weighted_priority_sample): bottom-64 documents by the integer
+    priority (u40 * 1e6) div token_count — token-heavy documents are
+    proportionally likelier to be drawn, the standard
+    size-proportional pick for training-mix construction, with the
+    random draw replaced by the id hash so the sample is replayable
+    and partition-invariant (no ln(u)/w float boundary). Total
+    deterministic order (priority, doc_id); all-integer output."""
+    from streaming_cdc_spark.operators.sampling import weighted_priority_sample
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return weighted_priority_sample(docs, "doc_id", "n_tokens", k=64).select(
+        "doc_id", "n_tokens", "priority"
+    )

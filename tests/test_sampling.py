@@ -79,3 +79,32 @@ def test_sample_hash_null_group_cross_engine(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_weighted_priority_sample_favors_heavy_rows(spark):
+    """P(selected) grows with weight: with 500 weight-1 and 500
+    weight-1000 rows, the bottom-100 priorities are dominated by the
+    heavy rows (deterministic given the fixed ids — no flake)."""
+    from streaming_cdc_spark.operators.sampling import weighted_priority_sample
+
+    rows = [(i, 1000 if i < 500 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = weighted_priority_sample(df, "doc_id", "w", k=100).collect()
+    heavy = sum(1 for r in got if r["doc_id"] < 500)
+    assert heavy >= 90
+    assert len(got) == 100
+
+
+def test_weighted_priority_sample_partition_invariant(spark):
+    from streaming_cdc_spark.operators.sampling import weighted_priority_sample
+
+    rows = [(i, 1 + i % 13) for i in range(400)]
+    a = weighted_priority_sample(
+        spark.createDataFrame(rows, "doc_id long, w long").repartition(1),
+        "doc_id", "w", k=50,
+    ).collect()
+    b = weighted_priority_sample(
+        spark.createDataFrame(rows, "doc_id long, w long").repartition(16),
+        "doc_id", "w", k=50,
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
