@@ -81,6 +81,8 @@ HEADLINE = [
     # broadcast + TakeOrdered)
     "duplicate_span_islands",
     "bm25_topk",
+    # r5: positional-index phrase query (posting-list probe join)
+    "phrase_match_postings",
     "bloom_incremental_matches",
     "incremental_dedup_status",
     "incremental_semantic_status",

@@ -932,3 +932,73 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_priority_sample(docs, "doc_id", "n_tokens", k=64).select(
         "doc_id", "n_tokens", "priority"
     )
+
+
+@query(
+    "phrase_match_postings",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    bg AS (SELECT arr[i] AS w1, arr[i + 1] AS w2, COUNT(*) AS n
+           FROM t, UNNEST(range(1, len(arr))) AS u(i)
+           GROUP BY 1, 2),
+    top1 AS (SELECT w1, w2 FROM bg ORDER BY n DESC, w1, w2 LIMIT 1),
+    pos AS (SELECT doc_id, arr[i] AS tok, i AS pos
+            FROM t, UNNEST(range(1, len(arr) + 1)) AS u(i))
+    SELECT top1.w1, top1.w2, p1.doc_id, COUNT(*) AS n_occurrences
+    FROM pos p1
+    JOIN top1 ON p1.tok = top1.w1
+    JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+               AND p2.tok = top1.w2
+    GROUP BY 1, 2, 3
+    """,
+)
+def phrase_match_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-inverted-index phrase query: find the corpus's most
+    frequent adjacent bigram (doc-local zip_with adjacency — ZERO
+    joins and zero shuffle beyond the count, the ngram_repetition
+    lesson), then answer the phrase query "w1 w2" the way an inverted
+    index does — read ONLY the two terms' posting lists
+    (posexplode -> semi-filter by the broadcast phrase) and join them
+    on (doc_id, consecutive positions). At 100 TB the probe cost
+    scales with the phrase terms' document frequency, never the
+    corpus: the full postings are never self-joined. Output:
+    (w1, w2, doc_id, n_occurrences) for every matching document."""
+    from streaming_cdc_spark.session import fan_out
+
+    docs = load(spark, sf_dir, "documents")
+    t = fan_out(docs.select("doc_id", F.split("text", " ").alias("arr")))
+    adj = t.select(
+        F.explode(
+            F.zip_with(
+                F.expr("slice(arr, 1, greatest(size(arr) - 1, 0))"),
+                F.expr("slice(arr, 2, greatest(size(arr) - 1, 0))"),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    )
+    top1 = (
+        adj.groupBy("bg.w1", "bg.w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w1", "w2")
+        .limit(1)
+        .select("w1", "w2")
+        .localCheckpoint()  # referenced by BOTH posting probes below
+    )
+    pos = t.select(
+        "doc_id", F.posexplode("arr").alias("pos", "tok")
+    )
+    p1 = pos.join(F.broadcast(top1), pos["tok"] == top1["w1"]).select(
+        "doc_id", F.col("pos").alias("pos1"), "w1", "w2"
+    )
+    p2 = pos.join(
+        F.broadcast(top1.select(F.col("w2").alias("_w2"))),
+        pos["tok"] == F.col("_w2"),
+    ).select(F.col("doc_id").alias("doc_id2"), F.col("pos").alias("pos2"))
+    return (
+        p1.join(
+            p2,
+            (p1["doc_id"] == p2["doc_id2"]) & (p2["pos2"] == p1["pos1"] + 1),
+        )
+        .groupBy("w1", "w2", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
