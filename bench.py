@@ -105,6 +105,7 @@ HEADLINE = [
     # argmax and its four-micro-batch foreachBatch streaming twin
     "cdc_log_apply",
     "cdc_streaming_apply",
+    "cdc_scd2_history",
     # r5: planted 40%-hot-key join+agg through the salted path
     # (shuffle-hash pinned) — skew handling gets a measured number
     "salted_skew_stats",

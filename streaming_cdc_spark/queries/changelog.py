@@ -156,3 +156,53 @@ def cdc_streaming_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(state_dir, ignore_errors=True)
     shutil.rmtree(ckpt_dir, ignore_errors=True)
     return out
+
+
+@query(
+    "cdc_scd2_history",
+    oracle=f"""
+    WITH log AS (
+        SELECT user_id, event_id AS seq, {_OP_CASE} AS op, value
+        FROM events
+    ),
+    v AS (
+        SELECT user_id, seq, op, value,
+               LEAD(seq) OVER (PARTITION BY user_id ORDER BY seq) AS next_seq
+        FROM log
+    )
+    SELECT user_id, seq AS valid_from_seq,
+           COALESCE(next_seq, 9223372036854775807) AS valid_to_seq,
+           op, ROUND(value, 2) AS value_r,
+           (next_seq IS NULL) AS is_current
+    FROM v WHERE op != 'D'
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC type-2 HISTORY from the op-log (the versioned complement of
+    cdc_log_apply's current state): every non-delete op opens a
+    version valid [seq, next_op_seq); a delete tombstone closes the
+    preceding version without opening one (its seq becomes the prior
+    version's valid_to), and each key's latest non-deleted version is
+    open (int64-max sentinel — a NULL bound is the audit_types
+    fetch-path hazard). One keyed window over the log, ordered by the
+    unique seq — no global sort; at 100 TB this distributes across
+    keys exactly like scd2_user_value. Together with cdc_log_apply
+    (current state) and cdc_streaming_apply (incremental fold) this
+    completes the namesake CDC consumption surface: state, stream,
+    and history."""
+    from pyspark.sql import Window as W
+
+    log = _oplog(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("seq")
+    nxt = F.lead("seq").over(w)
+    return (
+        log.select(
+            "user_id",
+            F.col("seq").alias("valid_from_seq"),
+            F.coalesce(nxt, F.lit(9223372036854775807)).alias("valid_to_seq"),
+            "op",
+            F.round("value", 2).alias("value_r"),
+            nxt.isNull().alias("is_current"),
+        )
+        .filter(F.col("op") != "D")
+    )
