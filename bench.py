@@ -297,6 +297,11 @@ def main() -> None:
         "a",
     ) as f:
         f.write(json.dumps(detail) + "\n")
+    if os.environ.get("SPARK_GRAFT_BENCH_FULL"):
+        # machine-to-machine path (run_gates): full per-query map on
+        # stdout — no sidecar matching heuristics (code-review r5)
+        print(json.dumps(detail))
+        return
     slowest = dict(
         sorted(
             ((n, round(t, 2)) for n, t in timings.items() if t >= 0),

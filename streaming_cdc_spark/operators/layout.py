@@ -454,8 +454,17 @@ class ZOrderTable:
             "ymax": int(row["ymax"]),
         }
         os.makedirs(self.path, exist_ok=True)
+        # init is a destructive full rewrite: clear tile/stage debris
+        # from a previous table or a CRASHED earlier init (a published
+        # t*_v0 dir would otherwise make os.replace throw ENOTEMPTY
+        # on re-init — code-review r5). The manifest is removed LAST-
+        # minute by the flip below, so a racing reader holding the old
+        # manifest is the documented single-writer caveat, same as a
+        # full table rewrite anywhere.
+        for name in os.listdir(self.path):
+            if name != self.MANIFEST:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
         stage = os.path.join(self.path, ".stage_init")
-        shutil.rmtree(stage, ignore_errors=True)
         staged = self._staged_tiles(df, bounds, stage)
         tiles: dict[str, str] = {}
         for bucket, src in staged.items():
@@ -546,7 +555,6 @@ class ZOrderTable:
         for bucket_s, _tile, new_dir, n_files in todo:
             new_tiles[bucket_s] = new_dir
             rewritten[int(bucket_s)] = n_files
-        prev_retired = m.get("retired", {})
         retired = {b: m["tiles"][b] for b in map(str, rewritten) if b in m["tiles"]}
         self._flip({"bounds": m["bounds"], "tiles": new_tiles, "retired": retired})
         # sweep: (a) dirs retired by the PREVIOUS cycle — any reader
@@ -562,10 +570,10 @@ class ZOrderTable:
             # maintenance ops are single-writer, like every table
             # format's); unpublished, so safe to sweep
             if name not in live:
+                # the PREVIOUS cycle's retired dirs fall out of `live`
+                # unless re-published — this sweeps exactly the
+                # two-generations-old set plus crash orphans
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
-        # prev_retired dirs fall out of `live` unless re-published,
-        # so the rule above sweeps exactly the two-generations-old set
-        del prev_retired
         return rewritten
 
     def read(self, spark) -> DataFrame:

@@ -655,6 +655,47 @@ def grinch_per_key_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dendrogram_purity_per_key(edges, key_col="key")
 
 
+def forest_invariants(edges: DataFrame) -> DataFrame:
+    """Order-insensitive well-formedness projection of a per-key
+    dendrogram forest (edge schema: key, uid, parent_uid, label).
+    A key whose forest is a single leaf has NO internal edges — the
+    fanout aggregate is empty for it, so it joins LEFT and all_binary
+    defaults TRUE (a one-node tree is vacuously binary); an inner
+    join would silently DROP the key from an in-window gate query
+    (code-review r5)."""
+    leaves = edges.filter(F.col("label").isNotNull()).groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_leaves"),
+        F.sum(F.col("uid").cast("long")).alias("leaf_id_sum"),
+    )
+    shape = edges.groupBy("key").agg(
+        F.sum(F.when(F.col("label").isNull(), 1).otherwise(0)).alias("n_internal"),
+        F.sum(F.when(F.col("parent_uid").isNull(), 1).otherwise(0)).alias("n_roots"),
+    )
+    fanout = (
+        edges.filter(F.col("parent_uid").isNotNull())
+        .groupBy("key", "parent_uid")
+        .agg(F.count(F.lit(1)).alias("_n_children"))
+        .groupBy("key")
+        .agg(
+            ((F.min("_n_children") == 2) & (F.max("_n_children") == 2)).alias(
+                "all_binary"
+            )
+        )
+    )
+    return (
+        leaves.join(shape, "key")
+        .join(fanout, "key", "left")
+        .select(
+            "key",
+            "n_leaves",
+            "n_internal",
+            "n_roots",
+            "leaf_id_sum",
+            F.coalesce("all_binary", F.lit(True)).alias("all_binary"),
+        )
+    )
+
+
 @query(
     "grinch_forest_invariants",
     oracle="""
@@ -690,30 +731,7 @@ def grinch_forest_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = grinch_per_key(
         emb, key_col="part", id_col="vec_id", label_col="label"
     ).localCheckpoint()
-    leaves = edges.filter(F.col("label").isNotNull()).groupBy("key").agg(
-        F.count(F.lit(1)).alias("n_leaves"),
-        F.sum(F.col("uid").cast("long")).alias("leaf_id_sum"),
-    )
-    shape = edges.groupBy("key").agg(
-        F.sum(F.when(F.col("label").isNull(), 1).otherwise(0)).alias("n_internal"),
-        F.sum(F.when(F.col("parent_uid").isNull(), 1).otherwise(0)).alias("n_roots"),
-    )
-    fanout = (
-        edges.filter(F.col("parent_uid").isNotNull())
-        .groupBy("key", "parent_uid")
-        .agg(F.count(F.lit(1)).alias("_n_children"))
-        .groupBy("key")
-        .agg(
-            ((F.min("_n_children") == 2) & (F.max("_n_children") == 2)).alias(
-                "all_binary"
-            )
-        )
-    )
-    return (
-        leaves.join(shape, "key")
-        .join(fanout, "key")
-        .select("key", "n_leaves", "n_internal", "n_roots", "leaf_id_sum", "all_binary")
-    )
+    return forest_invariants(edges)
 
 
 def _pagerank_sql(iterations: int = 3, unit: int = 1_000_000, dp: int = 85) -> str:

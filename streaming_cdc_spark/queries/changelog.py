@@ -150,11 +150,13 @@ def cdc_streaming_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         op_col="op",
         payload_cols=["value", "event_type"],
     )
-    q = sink.start(stream, ckpt_dir)
-    q.awaitTermination()
-    out = _project(sink.current_state(spark)).localCheckpoint()
-    shutil.rmtree(state_dir, ignore_errors=True)
-    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    try:
+        q = sink.start(stream, ckpt_dir)
+        q.awaitTermination()
+        out = _project(sink.current_state(spark)).localCheckpoint()
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
     return out
 
 

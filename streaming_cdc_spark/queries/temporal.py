@@ -504,10 +504,14 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows, no per-user sort, so the plan is three shuffles on
     user_id regardless of stream volume. Counts are exact integers."""
     ev = load(spark, sf_dir, "events")
+    # each stage is referenced by the next stage AND its own count
+    # branch of the union — checkpoint so events isn't re-scanned and
+    # re-aggregated per reference (the r4 recompute trap)
     s1 = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint()
     )
     deadline = F.col("t1") + F.expr("INTERVAL 7 DAY")
     s2 = (
@@ -516,6 +520,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= deadline))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+        .localCheckpoint()
     )
     s3 = (
         ev.filter(F.col("event_type") == "purchase")

@@ -987,13 +987,21 @@ def phrase_match_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = t.select(
         "doc_id", F.posexplode("arr").alias("pos", "tok")
     )
-    p1 = pos.join(F.broadcast(top1), pos["tok"] == top1["w1"]).select(
+    # ONE pass over the corpus postings keeps rows matching EITHER
+    # phrase term (one-row broadcast filter — the whitelisted scalar
+    # BNLJ shape); both probes below read the tiny checkpointed
+    # result instead of re-exploding the corpus each (code-review r5)
+    matched = (
+        pos.crossJoin(F.broadcast(top1))
+        .filter((F.col("tok") == F.col("w1")) | (F.col("tok") == F.col("w2")))
+        .localCheckpoint()
+    )
+    p1 = matched.filter(F.col("tok") == F.col("w1")).select(
         "doc_id", F.col("pos").alias("pos1"), "w1", "w2"
     )
-    p2 = pos.join(
-        F.broadcast(top1.select(F.col("w2").alias("_w2"))),
-        pos["tok"] == F.col("_w2"),
-    ).select(F.col("doc_id").alias("doc_id2"), F.col("pos").alias("pos2"))
+    p2 = matched.filter(F.col("tok") == F.col("w2")).select(
+        F.col("doc_id").alias("doc_id2"), F.col("pos").alias("pos2")
+    )
     return (
         p1.join(
             p2,

@@ -304,3 +304,28 @@ def test_block_dendrogram_purity_hand_values(spark):
     )
     p2 = dendrogram_purity_df(block_dendrogram(mix, label_col="label")).first()["purity"]
     assert p2 == 0.5
+
+
+def test_forest_invariants_single_leaf_key(spark):
+    """A key whose forest is ONE leaf (no internal edges) must still
+    appear in the invariants projection with all_binary=True — the
+    inner-join form silently dropped it (code-review r5)."""
+    from streaming_cdc_spark.queries.cdc import forest_invariants
+
+    edges = spark.createDataFrame(
+        [
+            # key "a": single-leaf forest
+            ("a", "7", None, "x"),
+            # key "b": two leaves under one internal root
+            ("b", "n1", None, None),
+            ("b", "3", "n1", "y"),
+            ("b", "4", "n1", "y"),
+        ],
+        "key string, uid string, parent_uid string, label string",
+    )
+    got = {r["key"]: r.asDict() for r in forest_invariants(edges).collect()}
+    assert got["a"] == {
+        "key": "a", "n_leaves": 1, "n_internal": 0, "n_roots": 1,
+        "leaf_id_sum": 7, "all_binary": True,
+    }
+    assert got["b"]["n_leaves"] == 2 and got["b"]["all_binary"] is True

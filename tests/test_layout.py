@@ -351,3 +351,23 @@ def test_ztable_append_new_bucket_publishes(spark, tmp_path):
     assert after >= before
     assert t2.read(spark).count() == 50 + ev.count()
     assert n_tiles_full >= 1
+
+
+def test_ztable_reinit_over_crash_debris(spark, tmp_path):
+    """init must succeed over a previous table OR a crashed earlier
+    init (published t*_v0 dirs with no manifest) — os.replace onto a
+    non-empty dir would otherwise throw ENOTEMPTY (code-review r5)."""
+    import os
+
+    ev = _ztable_events(spark)
+    path = tmp_path / "zt_reinit"
+    t = L.ZOrderTable(str(path))
+    t.init(ev, "x", "y", bits=16, n_buckets=8)
+    # crash simulation: manifest gone, populated tile dirs remain
+    os.remove(t._manifest_path())
+    t2 = L.ZOrderTable(str(path))
+    t2.init(ev, "x", "y", bits=16, n_buckets=8)
+    assert t2.read(spark).count() == ev.count()
+    # re-init over a LIVE table also works (full rewrite semantics)
+    t2.init(ev.limit(100), "x", "y", bits=16, n_buckets=8)
+    assert t2.read(spark).count() == 100

@@ -40,8 +40,14 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def _bench_gate(allow_dropped: str = "") -> tuple[bool, str]:
     """Run bench.py, append the record to BENCH_LOCAL.jsonl, compare
     against the newest same-cpu baseline. Returns (passed, message)."""
+    # SPARK_GRAFT_BENCH_FULL: bench.py's default stdout line carries
+    # only the 15 slowest queries (the full map outgrew the DRIVER's
+    # capture window in r4); this gate needs every per-query timing
+    # for the ratio diff, so ask for the full record on stdout
+    # directly rather than matching sidecar lines heuristically.
+    env = dict(os.environ, SPARK_GRAFT_BENCH_FULL="1")
     proc = subprocess.run(
-        [sys.executable, "bench.py"], cwd=ROOT, capture_output=True, text=True
+        [sys.executable, "bench.py"], cwd=ROOT, capture_output=True, text=True, env=env
     )
     rec = None
     for line in (proc.stdout or "").splitlines():
@@ -54,21 +60,6 @@ def _bench_gate(allow_dropped: str = "") -> tuple[bool, str]:
     if proc.returncode != 0 or rec is None:
         tail = "\n".join((proc.stderr or proc.stdout).strip().splitlines()[-3:])
         return False, f"bench.py failed: {tail}"
-    # bench.py's stdout line carries only the 15 slowest queries (the
-    # full map outgrew the driver's capture window in r4); the record
-    # that baselines future runs needs EVERY per-query timing, which
-    # bench.py appends to the BENCH_DETAIL.jsonl sidecar.
-    detail_path = os.path.join(ROOT, "BENCH_DETAIL.jsonl")
-    if os.path.exists(detail_path):
-        with open(detail_path) as f:
-            lines = [ln for ln in f if ln.strip()]
-        if lines:
-            try:
-                detail = json.loads(lines[-1])
-                if detail.get("value") == rec.get("value"):
-                    rec["queries"] = detail["queries"]
-            except json.JSONDecodeError:
-                pass
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
     local = os.path.join(ROOT, "BENCH_LOCAL.jsonl")
     baseline = None
