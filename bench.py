@@ -106,6 +106,8 @@ HEADLINE = [
     "cdc_log_apply",
     "cdc_streaming_apply",
     "cdc_scd2_history",
+    # r5: CDC capture — snapshot diff -> I/U/D op-log
+    "cdc_capture_diff",
     # r5: planted 40%-hot-key join+agg through the salted path
     # (shuffle-hash pinned) — skew handling gets a measured number
     "salted_skew_stats",

@@ -87,3 +87,46 @@ def apply_changelog(
     return latest_ops(oplog, key_cols, seq_col, op_col, payload_cols).filter(
         F.col(op_col) != delete_op
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+    delete_op: str = DELETE_OP,
+) -> DataFrame:
+    """CDC CAPTURE: diff two keyed snapshots into an I/U/D op-log —
+    the inverse of apply_changelog, and what log-less capture (JDBC
+    snapshot diffing, backfill reconciliation) actually runs. Keys
+    only in ``new`` emit INSERT, only in ``old`` emit DELETE (payload
+    NULL), present in both with any null-safe difference in
+    ``compare_cols`` emit UPDATE; unchanged keys emit nothing.
+
+    One full-outer keyed join — shuffle on the key, linear, no
+    windows; at 100 TB both snapshot scans prune to key+compare
+    columns. Presence is tracked with explicit marker columns, not
+    key NULL-ness, so NULL-able payloads can't fake an insert.
+    Output: key_cols + op + compare_cols (from ``new``; NULL on
+    deletes)."""
+    o = old.select(
+        *key_cols,
+        *[F.col(c).alias(f"_old_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(*key_cols, *compare_cols, F.lit(1).alias("_in_new"))
+    j = o.join(n, key_cols, "full_outer")
+    changed = None
+    for c in compare_cols:
+        d = ~F.col(c).eqNullSafe(F.col(f"_old_{c}"))
+        changed = d if changed is None else (changed | d)
+    op = (
+        F.when(F.col("_in_old").isNull(), F.lit("I"))
+        .when(F.col("_in_new").isNull(), F.lit(delete_op))
+        .when(changed, F.lit("U"))
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(*key_cols, "op", *compare_cols)
+    )

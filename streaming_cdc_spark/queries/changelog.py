@@ -208,3 +208,56 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("op") != "D")
     )
+
+
+@query(
+    "cdc_capture_diff",
+    oracle=f"""
+    WITH log AS (
+        SELECT user_id, event_id AS seq, {_OP_CASE} AS op, value, event_type
+        FROM events
+    ),
+    m AS (SELECT MAX(seq) // 2 AS mid FROM log),
+    a AS (SELECT user_id, arg_max(value, seq) AS v,
+                 arg_max(event_type, seq) AS et
+          FROM log, m WHERE seq <= mid GROUP BY user_id
+          HAVING arg_max(op, seq) != 'D'),
+    b AS (SELECT user_id, arg_max(value, seq) AS v,
+                 arg_max(event_type, seq) AS et
+          FROM log GROUP BY user_id
+          HAVING arg_max(op, seq) != 'D')
+    SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+           CASE WHEN a.user_id IS NULL THEN 'I'
+                WHEN b.user_id IS NULL THEN 'D' ELSE 'U' END AS op,
+           ROUND(b.v, 2) AS value_r, b.et AS event_type
+    FROM a FULL JOIN b ON a.user_id = b.user_id
+    WHERE a.user_id IS NULL OR b.user_id IS NULL
+          OR (b.v IS DISTINCT FROM a.v) OR (b.et IS DISTINCT FROM a.et)
+    """,
+)
+def cdc_capture_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC CAPTURE (operators/changelog.py: snapshot_diff): the
+    mid-log snapshot (current state over ops with seq <= max_seq/2)
+    diffed against the final snapshot into an I/U/D op-log — keys
+    born after the midpoint emit INSERT, keys whose latest op turned
+    into a tombstone emit DELETE (NULL payload), keys whose payload
+    changed null-safely emit UPDATE, unchanged keys emit nothing.
+    One full-outer keyed join over two keyed-argmax snapshots;
+    presence tracked by marker columns so NULL payloads can't fake
+    membership. Closes the namesake loop: capture (this) -> apply
+    (cdc_log_apply / cdc_streaming_apply) -> history
+    (cdc_scd2_history); the apply-the-captured-diff round trip is
+    pinned by tests/test_changelog.py."""
+    from streaming_cdc_spark.operators.changelog import apply_changelog, snapshot_diff
+
+    log = _oplog(spark, sf_dir)
+    mid = log.agg((F.max("seq") / 2).cast("long").alias("_mid"))
+    early = log.crossJoin(F.broadcast(mid)).filter(F.col("seq") <= F.col("_mid"))
+    kw = dict(key_cols=["user_id"], seq_col="seq", op_col="op",
+              payload_cols=["value", "event_type"])
+    snap_a = apply_changelog(early, **kw).select("user_id", "value", "event_type")
+    snap_b = apply_changelog(log, **kw).select("user_id", "value", "event_type")
+    diff = snapshot_diff(snap_a, snap_b, ["user_id"], ["value", "event_type"])
+    return diff.select(
+        "user_id", "op", F.round("value", 2).alias("value_r"), "event_type"
+    )

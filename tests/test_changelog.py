@@ -135,3 +135,45 @@ def test_partitioning_invariance(spark, n_parts):
         if max(s for kk, s, _, _ in rows if kk == k) % 11 != 0
     ]
     assert got == sorted(want)
+
+
+def test_snapshot_diff_ops_and_null_safety(spark):
+    from streaming_cdc_spark.operators.changelog import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, 40.0)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 25.0), (3, 30.0), (5, 50.0)], "k long, v double"
+    )
+    got = {r["k"]: (r["op"], r["v"]) for r in
+           snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    # k=1 unchanged -> absent; k=3 NULL -> 30.0 is a real UPDATE
+    # (null-safe compare), not an insert; k=4 deleted with NULL payload
+    assert got == {2: ("U", 25.0), 3: ("U", 30.0),
+                   4: ("D", None), 5: ("I", 50.0)}
+
+
+def test_snapshot_diff_roundtrip_reconstructs_new(spark):
+    """Applying the captured diff onto the old snapshot reproduces the
+    new snapshot exactly — capture and apply are inverses."""
+    from pyspark.sql import functions as F
+
+    from streaming_cdc_spark.operators.changelog import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(i, float(i), f"t{i % 3}") for i in range(40)], "k long, v double, t string"
+    )
+    new = spark.createDataFrame(
+        [(i, float(i if i % 5 else -i), f"t{i % 4}") for i in range(7, 52)],
+        "k long, v double, t string",
+    )
+    diff = snapshot_diff(old, new, ["k"], ["v", "t"])
+    touched = diff.select("k")
+    rebuilt = (
+        old.join(touched, "k", "left_anti")  # untouched keys carry over
+        .unionByName(
+            diff.filter(F.col("op") != "D").select("k", "v", "t")
+        )
+    )
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
