@@ -48,6 +48,8 @@ BNLJ_WHITELIST = {
     "dendrogram_purity_fixture",  # same scalar p* total, fixture tree
     "quality_decile_curriculum",  # scalar corpus count
     "meta_blocking_pairs",  # scalar mean edge weight
+    "cdc_capture_diff",  # scalar mid-log seq (one-row MAX//2 broadcast)
+    "phrase_match_postings",  # one-row phrase (w1, w2) broadcast filter
     "unigram_logprob",  # scalar vocab totals
     "bigram_logprob",  # scalar vocab totals
     "user_series_similarity",  # documented small-n series self-join
