@@ -76,6 +76,9 @@ HEADLINE = [
     "ngram_repetition_stats",
     "near_dup_resolution",
     "minhash_dedup_groups",
+    # r5: exact (zero-recall-loss) set-similarity join via the PPJoin
+    # prefix filter — only each set's rarest shingles enter the index
+    "ppjoin_exact_pairs",
     # r4: sliding-window ExactSubstr islands (the substring-granularity
     # dedup family) and BM25 scored retrieval (one scan + scalar-stats
     # broadcast + TakeOrdered)

@@ -1204,3 +1204,86 @@ def bloom_prefilter_matches(
         md5_bloom_probe("dup_key", bitmap, n_bits, n_hashes)
     )
     return survivors.join(ck, "dup_key", "left_semi").select(id_col, "dup_key")
+
+
+def ppjoin_pairs(
+    docs: DataFrame,
+    t_num: int,
+    t_den: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT set-similarity self-join at Jaccard >= t_num/t_den via
+    the PPJoin prefix filter (Xiao et al., WWW'08 — public classic):
+    unlike MinHash+LSH this has NO recall loss, and unlike the plain
+    inverted-index join (ngram_jaccard_pairs) it indexes only each
+    set's PREFIX — the (|x| - ceil(t·|x|) + 1) rarest shingles under
+    a global (df, shingle) total order. Theorem: two sets with
+    J >= t must share at least one prefix token, so joining prefixes
+    generates every qualifying pair; stopword-ish high-df shingles
+    (the d² join-key blowup at web scale) land OUTSIDE prefixes
+    exactly because they are frequent.
+
+    All comparisons are integer (threshold as a fraction):
+    J(x,y) >= n/d  <=>  (d+n)·|x∩y| >= n·(|x|+|y|). Verification
+    joins the candidate pairs (deduped) back to per-doc shingle-set
+    ARRAYS and intersects JVM-side (array_intersect) — per-candidate
+    cost, never a second index pass. Output: (doc_a, doc_b, overlap,
+    size_a, size_b), all BIGINT."""
+    from pyspark.sql import Window as W
+
+    sh = exploded_shingles(docs, id_col, text_col, hashed=True).localCheckpoint()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    # global total order: rarest first, hashed shingle as tiebreak
+    ranked = sh.join(dfreq, "shingle").withColumn(
+        "_rn",
+        F.row_number().over(
+            W.partitionBy(id_col).orderBy("_df", "shingle")
+        ),
+    )
+    # prefix length p = sz - ceil(t*sz) + 1; ceil(n*sz/d) integer form
+    prefix = (
+        ranked.join(sizes, id_col)
+        .filter(
+            F.col("_rn")
+            <= F.col("_sz") - F.expr(f"({t_num} * _sz + {t_den} - 1) div {t_den}") + 1
+        )
+        .select(id_col, "shingle")
+    )
+    pa = prefix.select(F.col(id_col).alias("doc_a"), "shingle")
+    pb = prefix.select(F.col(id_col).alias("doc_b"), "shingle")
+    cand = (
+        pa.join(pb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("_toks"))
+    sa = sets.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("_toks").alias("_ta"),
+        F.size("_toks").cast("long").alias("size_a"),
+    )
+    sb = sets.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("_toks").alias("_tb"),
+        F.size("_toks").cast("long").alias("size_b"),
+    )
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        # length filter first (cheap): t*|x| <= |y| for both sides
+        .filter(
+            (F.col("size_b") * t_den >= F.col("size_a") * t_num)
+            & (F.col("size_a") * t_den >= F.col("size_b") * t_num)
+        )
+        .withColumn(
+            "overlap", F.size(F.array_intersect("_ta", "_tb")).cast("long")
+        )
+        .filter(
+            F.col("overlap") * (t_den + t_num)
+            >= t_num * (F.col("size_a") + F.col("size_b"))
+        )
+    )
+    return verified.select("doc_a", "doc_b", "overlap", "size_a", "size_b")

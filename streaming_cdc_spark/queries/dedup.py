@@ -1330,3 +1330,34 @@ def streaming_bloom_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
         spark.catalog.dropTempView(name)
     return res.select("doc_id", "shard", "status")
+
+
+@query(
+    "ppjoin_exact_pairs",
+    oracle=f"""
+    WITH {_SHINGLES},
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+    SELECT doc_a, doc_b, overlap,
+           CAST(x.n_sh AS BIGINT) AS size_a, CAST(y.n_sh AS BIGINT) AS size_b
+    FROM shared JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+    WHERE 3 * overlap >= x.n_sh + y.n_sh
+    """,
+)
+def ppjoin_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 1/2 self-join via the PPJoin prefix filter
+    (operators/dedup.py: ppjoin_pairs): only each doc's rarest
+    (|x| - ceil(|x|/2) + 1) shingles under the global (df, shingle)
+    order enter the candidate index — high-df shingles (the d² join
+    blowup at web scale) are excluded by construction, yet the prefix
+    theorem guarantees zero recall loss. The oracle is the INDEPENDENT
+    naive formulation (full inverted-index join + integer threshold),
+    so the hash match proves the prefix filter misses nothing and the
+    array-intersect verify counts exactly. All-integer comparisons:
+    J >= 1/2 <=> 3·overlap >= |x| + |y|."""
+    from streaming_cdc_spark.operators import dedup as D
+
+    docs = load(spark, sf_dir, "documents")
+    return D.ppjoin_pairs(docs, t_num=1, t_den=2)

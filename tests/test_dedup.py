@@ -515,3 +515,43 @@ def test_bloom_no_false_negatives_property(spark):
         bm = D.md5_bloom_build(keys, "dup_key", n_bits)
         hits = keys.filter(D.md5_bloom_probe("dup_key", bm, n_bits)).count()
         assert hits == 300, (n_bits, hits)
+
+
+def test_ppjoin_equals_bruteforce(spark):
+    """PPJoin prefix filtering loses nothing: equality with the naive
+    all-pairs exact Jaccard join on a randomized corpus with planted
+    near-dups (several thresholds, incl. ties at the boundary)."""
+    import random
+
+    from streaming_cdc_spark.operators.dedup import exploded_shingles, ppjoin_pairs
+
+    rnd = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(60):
+        words = [vocab[rnd.randrange(40)] for _ in range(rnd.randrange(8, 25))]
+        docs.append((i, " ".join(words)))
+        if i % 4 == 0:  # planted near-dup: mutate a couple of words
+            mut = list(words)
+            for _ in range(2):
+                mut[rnd.randrange(len(mut))] = vocab[rnd.randrange(40)]
+            docs.append((1000 + i, " ".join(mut)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sh = exploded_shingles(df, hashed=True)
+    sets = {
+        r["doc_id"]: set(r["s"])
+        for r in sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("s")).collect()
+    }
+    for t_num, t_den in [(1, 2), (2, 5), (4, 5)]:
+        got = {
+            (r["doc_a"], r["doc_b"], r["overlap"])
+            for r in ppjoin_pairs(df, t_num, t_den).collect()
+        }
+        want = set()
+        ids = sorted(sets)
+        for i_, a in enumerate(ids):
+            for b in ids[i_ + 1:]:
+                o = len(sets[a] & sets[b])
+                if (t_den + t_num) * o >= t_num * (len(sets[a]) + len(sets[b])):
+                    want.add((a, b, o))
+        assert got == want, f"t={t_num}/{t_den}"
