@@ -177,3 +177,16 @@ def test_snapshot_diff_roundtrip_reconstructs_new(spark):
         )
     )
     assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_apply_changelog_composite_key(spark):
+    rows = [
+        (1, "x", 1, "I", 1.0),
+        (1, "x", 3, "D", None),
+        (1, "y", 2, "I", 5.0),   # same first key part, different second
+        (2, "x", 9, "U", 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k1 long, k2 string, seq long, op string, v double")
+    out = apply_changelog(df, ["k1", "k2"], "seq", "op", ["v"])
+    got = {(r["k1"], r["k2"]): (r["seq"], r["v"]) for r in out.collect()}
+    assert got == {(1, "y"): (2, 5.0), (2, "x"): (9, 9.0)}
