@@ -119,6 +119,9 @@ HEADLINE = [
     # r5: full table-maintenance lifecycle (manifest-indirected
     # init -> append -> compact -> read) measured end to end
     "zorder_table_roundtrip",
+    # r5: continuous z-ordered ingest (exactly-once appends +
+    # mid-stream compaction)
+    "zorder_streaming_ingest",
     "scd2_user_value",
     # r4: per-user grid LOCF resampling (oracle = DuckDB native ASOF)
     "hourly_ffill_series",

@@ -427,6 +427,7 @@ class ZOrderTable:
         y_col: str,
         bits: int = ZBITS,
         n_buckets: int = 64,
+        batch_id: int | None = None,
     ) -> dict:
         """Create the table: freeze normalization bounds (same
         rationale as zorder_table_init — appends clamp, never re-tile)
@@ -472,19 +473,51 @@ class ZOrderTable:
             os.replace(src, os.path.join(self.path, dst))
             tiles[str(bucket)] = dst
         shutil.rmtree(stage, ignore_errors=True)
-        self._flip({"bounds": bounds, "tiles": tiles, "retired": {}})
+        self._flip(
+            {
+                "bounds": bounds,
+                "tiles": tiles,
+                "retired": {},
+                # streaming ingest: batch 0 initializes; its replay
+                # after a crash re-runs init (a full rewrite — already
+                # idempotent), later replays are skipped by append()
+                "last_batch": -1 if batch_id is None else batch_id,
+            }
+        )
         return bounds
 
-    def append(self, df: DataFrame) -> None:
+    def append(self, df: DataFrame, batch_id: int | None = None) -> None:
         """Append a batch: keys under the FROZEN bounds (clamped), new
         files MOVED into each bucket's current tile dir. New buckets
         (possible when init's batch left tiles empty) publish via a
-        manifest flip."""
+        manifest flip.
+
+        ``batch_id`` makes the append EXACTLY-ONCE under streaming
+        replay (foreachBatch is at-least-once): a batch at or below
+        the manifest's ``last_batch`` is skipped outright, and a batch
+        interrupted MID-append (some files moved, pointer not yet
+        advanced) is replayed idempotently — its files carry a
+        deterministic ``b{batch_id}_`` prefix, which the replay sweeps
+        from every tile before re-moving. Compaction can't have folded
+        a half-appended batch: apply order is append -> pointer flip
+        -> compact, single-writer."""
         import os
         import shutil
         import uuid
 
         m = self._load()
+        if batch_id is not None and batch_id <= m.get("last_batch", -1):
+            return  # replayed batch after restart: already applied
+        prefix = (
+            f"b{batch_id:06d}_" if batch_id is not None
+            else f"app_{uuid.uuid4().hex[:8]}_"
+        )
+        if batch_id is not None:
+            for dirname in m["tiles"].values():
+                tile = os.path.join(self.path, dirname)
+                for fn in os.listdir(tile):
+                    if fn.startswith(prefix):
+                        os.remove(os.path.join(tile, fn))
         stage = os.path.join(self.path, f".stage_{uuid.uuid4().hex[:8]}")
         staged = self._staged_tiles(df, m["bounds"], stage)
         new_tiles = dict(m["tiles"])
@@ -501,10 +534,14 @@ class ZOrderTable:
                 if fn.endswith(".parquet"):
                     os.replace(
                         os.path.join(src, fn),
-                        os.path.join(dst_dir, f"app_{uuid.uuid4().hex[:8]}_{fn}"),
+                        os.path.join(dst_dir, f"{prefix}{fn}"),
                     )
         shutil.rmtree(stage, ignore_errors=True)
-        if changed:
+        if batch_id is not None:
+            m["tiles"] = new_tiles
+            m["last_batch"] = batch_id
+            self._flip(m)
+        elif changed:
             m["tiles"] = new_tiles
             self._flip(m)
 
@@ -556,7 +593,10 @@ class ZOrderTable:
             new_tiles[bucket_s] = new_dir
             rewritten[int(bucket_s)] = n_files
         retired = {b: m["tiles"][b] for b in map(str, rewritten) if b in m["tiles"]}
-        self._flip({"bounds": m["bounds"], "tiles": new_tiles, "retired": retired})
+        published = dict(m)  # preserve last_batch + any future keys
+        published["tiles"] = new_tiles
+        published["retired"] = retired
+        self._flip(published)
         # sweep: (a) dirs retired by the PREVIOUS cycle — any reader
         # still holding that manifest has had a full maintenance cycle
         # to finish; (b) orphans (written but never published: a crash

@@ -117,3 +117,89 @@ def zorder_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out
+
+
+_ZSTREAM_SPLITS: dict[str, str] = {}
+
+
+@query(
+    "zorder_streaming_ingest",
+    oracle=f"""
+    WITH init AS (
+      SELECT CAST(user_id AS BIGINT) AS x, epoch_us(ts) AS y
+      FROM events WHERE event_id % 4 = 0
+    ),
+    b AS (SELECT MIN(x) AS xmin, MAX(x) AS xmax,
+                 MIN(y) AS ymin, MAX(y) AS ymax FROM init),
+    e AS (SELECT event_id,
+                 least(greatest(CAST(user_id AS BIGINT), xmin), xmax) AS cx,
+                 least(greatest(epoch_us(ts), ymin), ymax) AS cy,
+                 xmin, xmax, ymin, ymax
+          FROM events, b),
+    n AS (SELECT event_id,
+                 CAST({L.norm_sql("cx", "xmin", "xmax")} AS BIGINT) AS zx,
+                 CAST({L.norm_sql("cy", "ymin", "ymax")} AS BIGINT) AS zy
+          FROM e)
+    SELECT event_id, {_ZV16} AS zval,
+           CAST(({_ZV16}) >> 28 AS BIGINT) AS zbucket
+    FROM n
+    """,
+)
+def zorder_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS z-ordered ingestion (streaming/zorder_sink.py):
+    events replayed as four micro-batches (event_id % 4,
+    maxFilesPerTrigger=1) through a foreachBatch writer — batch 0
+    initializes the table and FREEZES the normalization bounds, later
+    batches append clamped into the frozen range exactly-once
+    (manifest batch pointer + per-batch file-prefix sweep), and the
+    compaction analogue fires MID-STREAM on a 2-batch schedule, in
+    the measured path. The oracle recomputes every row's z-key from
+    the batch-0 bounds, so the hash proves the whole streaming
+    lifecycle (init -> 3 replay-safe appends -> 2 compactions -> read)
+    equals the one-shot spec. Completes the layout family: batch
+    maintenance (zorder_table_roundtrip) and streaming ingest share
+    one physical table format."""
+    import os
+    import shutil
+    import tempfile
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").cast("long").alias("x"),
+        F.unix_micros("ts").alias("y"),
+    )
+    src = _ZSTREAM_SPLITS.get(sf_dir)
+    if src is None or not os.path.isdir(src):
+        src = tempfile.mkdtemp(prefix="zstream_src_")
+        for i in range(4):
+            part = events.filter(F.col("event_id") % 4 == i)
+            p = os.path.join(src, f"split_{i}")
+            part.coalesce(1).write.parquet(p)
+            for root, _dirs, files in os.walk(p):
+                for f_ in files:
+                    os.utime(os.path.join(root, f_), (1_000_000 + i, 1_000_000 + i))
+        _ZSTREAM_SPLITS[sf_dir] = src
+    path = tempfile.mkdtemp(prefix="zsink_table_")
+    ckpt = tempfile.mkdtemp(prefix="zsink_ckpt_")
+    from streaming_cdc_spark.streaming.zorder_sink import ZOrderStreamWriter
+
+    try:
+        stream = (
+            spark.readStream.schema("event_id long, x long, y long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/split_*/*.parquet")
+        )
+        w = ZOrderStreamWriter(
+            path, "x", "y", bits=16, n_buckets=16, compact_every=2, max_files=1
+        )
+        q = w.start(stream, ckpt)
+        q.awaitTermination()
+        out = (
+            w.table.read(spark)
+            .select("event_id", "zval", "zbucket")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out

@@ -371,3 +371,76 @@ def test_ztable_reinit_over_crash_debris(spark, tmp_path):
     # re-init over a LIVE table also works (full rewrite semantics)
     t2.init(ev.limit(100), "x", "y", bits=16, n_buckets=8)
     assert t2.read(spark).count() == 100
+
+
+def test_ztable_batch_append_replay_idempotent(spark, tmp_path):
+    """At-least-once replay: re-appending the same batch_id is a no-op
+    (manifest pointer), and a batch interrupted MID-append (files
+    moved, pointer NOT advanced) re-applies cleanly via its b{k}_
+    prefix sweep — no double rows."""
+    import json
+    import os
+
+    ev = _ztable_events(spark)
+    t = L.ZOrderTable(str(tmp_path / "zt_replay"))
+    t.init(ev.filter(F.col("event_id") % 4 == 0), "x", "y",
+           bits=16, n_buckets=8, batch_id=0)
+    b1 = ev.filter(F.col("event_id") % 4 == 1)
+    t.append(b1, batch_id=1)
+    n_after_b1 = t.read(spark).count()
+    t.append(b1, batch_id=1)  # straight replay: pointer skips it
+    assert t.read(spark).count() == n_after_b1
+    # crash simulation: batch 2's files land but the pointer doesn't
+    b2 = ev.filter(F.col("event_id") % 4 == 2)
+    t.append(b2, batch_id=2)
+    m = t._load()
+    m["last_batch"] = 1  # rewind the pointer as if the flip was lost
+    t._flip(m)
+    t.append(b2, batch_id=2)  # replay after the "crash"
+    got = t.read(spark)
+    want = ev.filter(F.col("event_id") % 4 != 3)
+    assert got.count() == want.count()
+    assert got.select("event_id").exceptAll(want.select("event_id")).count() == 0
+    assert json.loads(open(t._manifest_path()).read())["last_batch"] == 2
+    del os
+
+
+def test_zorder_stream_writer_matches_batch_table(spark, tmp_path):
+    """Draining the 3-batch stream through ZOrderStreamWriter (with a
+    mid-stream compaction) produces exactly the rows of a batch-built
+    table over the same data."""
+    import json
+    import time
+
+    from streaming_cdc_spark.streaming.zorder_sink import ZOrderStreamWriter
+
+    ev = _ztable_events(spark).limit(300).localCheckpoint()
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = ev.collect()
+    for i in range(3):
+        batch = [r for j, r in enumerate(rows) if j % 3 == i]
+        (src / f"f{i}.jsonl").write_text(
+            "\n".join(
+                json.dumps({"event_id": r["event_id"], "x": r["x"], "y": r["y"]})
+                for r in batch
+            )
+        )
+        time.sleep(0.05)
+    stream = (
+        spark.readStream.schema("event_id long, x long, y long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    w = ZOrderStreamWriter(
+        str(tmp_path / "ztab"), "x", "y", bits=16, n_buckets=8,
+        compact_every=2, max_files=1,
+    )
+    q = w.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    got = w.table.read(spark)
+    assert got.count() == 300
+    assert got.select("event_id").distinct().count() == 300
+    # compaction fired (batch 1): no tile holds more than ~2 files
+    m = w.table._load()
+    assert m["last_batch"] == 2
