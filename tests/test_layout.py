@@ -444,3 +444,44 @@ def test_zorder_stream_writer_matches_batch_table(spark, tmp_path):
     # compaction fired (batch 1): no tile holds more than ~2 files
     m = w.table._load()
     assert m["last_batch"] == 2
+
+
+def test_ztable_tiles_prune_like_hive_partitions(spark, tmp_path):
+    """zbucket is a DATA column but constant per tile file, so footer
+    min==max stats prune a zbucket predicate exactly like a hive
+    partition would — and the (x, y) box pruning of the z-layout
+    carries over to the manifest table's files."""
+    import os
+
+    ev = _ztable_events(spark)
+    t = L.ZOrderTable(str(tmp_path / "zt_prune"))
+    t.init(ev, "x", "y", bits=16, n_buckets=8)
+    t.compact(spark, max_files=0, target_files=1)  # one file per tile
+    m = t._load()
+    files = []
+    for d in m["tiles"].values():
+        tile = os.path.join(t.path, d)
+        files += [os.path.join(tile, f) for f in os.listdir(tile)
+                  if f.endswith(".parquet")]
+    import pyarrow.parquet as pq
+
+    per_file = []
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        st = md.row_group(0).column(cols["zbucket"]).statistics
+        stx = md.row_group(0).column(cols["x"]).statistics
+        per_file.append(((st.min, st.max), (stx.min, stx.max)))
+    # every file covers exactly one zbucket
+    assert all(lo == hi for (lo, hi), _ in per_file)
+    # a single-bucket predicate scans exactly the files of that tile
+    target = per_file[0][0][0]
+    hit = sum(1 for (lo, _hi), _ in per_file if lo == target)
+    assert hit < len(per_file)
+    # an x-range predicate skips a real fraction of files (z-locality)
+    xs = sorted(x for _, (xlo, xhi) in per_file for x in (xlo, xhi))
+    probe_lo, probe_hi = xs[0], xs[len(xs) // 4]
+    overlapping = sum(
+        1 for _, (xlo, xhi) in per_file if not (xhi < probe_lo or xlo > probe_hi)
+    )
+    assert overlapping < len(per_file)
