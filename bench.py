@@ -168,6 +168,9 @@ HEADLINE = [
     # (round-robin batches), drop + append-emission semantics under a
     # full oracle
     "watermarked_daily_counts",
+    # r5: native streaming SESSION windows (merging state), emission
+    # + microsecond gap-merge rules both replayed in the oracle
+    "streaming_sessions_finalized",
     # budgeted progressive ER, long-stream form: EIGHT micro-batches
     # (top-25 each — same 200-pair total budget as the 4-batch query)
     # with state compaction scheduled mid-stream (compact_every=3),

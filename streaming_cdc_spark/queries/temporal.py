@@ -572,3 +572,94 @@ def hourly_ffill_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load(spark, sf_dir, "events")
     return resample_locf(events, freq_us=14_400_000_000)
+
+
+_SES_SRC: dict[str, str] = {}
+
+
+@query(
+    "streaming_sessions_finalized",
+    oracle="""
+    WITH o AS (SELECT user_id, event_id, ts,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM events),
+    f AS (SELECT user_id, event_id, ts,
+                 CASE WHEN prev IS NULL
+                      OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM o),
+    s AS (SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM f),
+    g AS (SELECT user_id, MIN(ts) AS st, MAX(ts) AS en,
+                 COUNT(*) AS n_events
+          FROM s GROUP BY user_id, sid),
+    wm AS (SELECT MAX(ts) - INTERVAL 7 DAY AS w FROM events)
+    SELECT user_id, epoch_us(st) AS session_start_us,
+           CAST(n_events AS BIGINT) AS n_events,
+           epoch_us(en) - epoch_us(st) AS session_us
+    FROM g, wm WHERE en + INTERVAL 30 MINUTE <= w
+    """,
+)
+def streaming_sessions_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming SESSION WINDOWS under a FULL oracle: events
+    drained through `session_window(ts, 30 min)` + a 7-day watermark
+    in append mode — the oracle replays BOTH semantics relationally:
+    (1) gap-merge at MICROSECOND precision (new session iff the gap
+    >= 30 min in epoch micros — Spark merges strictly inside
+    [start, last+gap), and a seconds-truncating date_diff would
+    misclassify gaps in (1800s, 1801s)), and (2) the append-emission
+    rule pinned empirically: a session emits iff its window end
+    (last event + gap) <= the final watermark advanced by
+    availableNow's closing no-data batch — sessions still inside the
+    lateness horizon stay in state. Complements
+    watermarked_daily_counts (tumbling) with the MERGING window kind,
+    whose state is per-(user, session), not per-bucket."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    src = _SES_SRC.get(sf_dir)
+    if src is None or not os.path.isdir(src):
+        src = tempfile.mkdtemp(prefix="ses_src_")
+        ev.coalesce(1).write.parquet(os.path.join(src, "all"))
+        _SES_SRC[sf_dir] = src
+    ckpt = tempfile.mkdtemp(prefix="ses_ckpt_")
+    try:
+        stream = (
+            spark.readStream.schema("event_id long, user_id long, ts timestamp")
+            .parquet(f"{src}/all/*.parquet")
+        )
+        agg = (
+            stream.withWatermark("ts", "7 days")
+            .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        name = f"sesfin_{abs(hash(ckpt)) % 10**9}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(name)
+            .select(
+                "user_id",
+                F.unix_micros("w.start").alias("session_start_us"),
+                "n_events",
+                (
+                    F.unix_micros(F.col("w.end") - F.expr("INTERVAL 30 MINUTE"))
+                    - F.unix_micros("w.start")
+                ).alias("session_us"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
