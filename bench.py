@@ -104,6 +104,9 @@ HEADLINE = [
     "corpus_shards",
     "corpus_diff_status",
     "user_sessions",
+    # r5: exact-moment Pearson correlation + hash-checkable HLL bound
+    "exact_moment_corr",
+    "approx_distinct_bounds",
     # r5: CDC change-log apply (namesake operator) — batch keyed
     # argmax and its four-micro-batch foreachBatch streaming twin
     "cdc_log_apply",

@@ -322,3 +322,45 @@ def ep2_streaming_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum((F.col("sz") == 1).cast("int")).cast("long").alias("n_singletons"),
     )
+
+
+@query(
+    "approx_distinct_bounds",
+    oracle="""
+    SELECT col_name, exact_n, TRUE AS within_bound FROM (
+        SELECT 'user_id' AS col_name,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_n FROM events
+        UNION ALL
+        SELECT 'event_type', CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM events
+        UNION ALL
+        SELECT 'event_id', CAST(COUNT(DISTINCT event_id) AS BIGINT) FROM events
+    )
+    """,
+)
+def approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable sketch evidence (the hash-checkable complement
+    to rows-only approx_stats): each HLL approx_count_distinct must
+    land within 3x its configured rsd (5%) of the exact distinct
+    count — the published HLL++ error bound with overwhelming margin.
+    The output carries the EXACT count (SQL-verifiable) plus the
+    bound-check bit computed FROM the sketch, so a broken or drifting
+    sketch implementation flips within_bound and fails the hash,
+    while the sketch's platform-specific estimate itself stays out of
+    the compared columns — bounding, not faking, determinism."""
+    ev = load(spark, sf_dir, "events").localCheckpoint()
+
+    def one(col: str) -> DataFrame:
+        return ev.agg(
+            F.lit(col).alias("_c"),
+            F.countDistinct(col).alias("_exact"),
+            F.approx_count_distinct(col, 0.05).alias("_approx"),
+        ).select(
+            F.col("_c").alias("col_name"),
+            F.col("_exact").alias("exact_n"),
+            (
+                F.abs(F.col("_approx") - F.col("_exact"))
+                <= F.lit(0.15) * F.col("_exact")
+            ).alias("within_bound"),
+        )
+
+    return one("user_id").unionByName(one("event_type")).unionByName(one("event_id"))

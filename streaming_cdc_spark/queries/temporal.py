@@ -663,3 +663,64 @@ def streaming_sessions_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+@query(
+    "exact_moment_corr",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,6))) AS sx,
+               SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS sxx,
+               CAST(SUM(EXTRACT(hour FROM ts)) AS BIGINT) AS sy,
+               CAST(SUM(EXTRACT(hour FROM ts) * EXTRACT(hour FROM ts)) AS BIGINT) AS syy,
+               SUM(CAST(value AS DECIMAL(18,6)) * CAST(EXTRACT(hour FROM ts) AS DECIMAL(2,0))) AS sxy
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / SQRT(
+                 (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+               ),
+             6
+           ) AS corr_r
+    FROM m
+    """,
+)
+def exact_moment_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation (value vs hour-of-day, per event type) from
+    EXACT MOMENTS: the five sums accumulate as DECIMAL/BIGINT — exact
+    and order-free under any partitioning — and the correlation is one
+    final double expression over those exact inputs, identical term
+    order on both engines, rounded 6dp. The built-in `corr` streams
+    float partials whose merge order varies with partitioning (the
+    class of silent 100x-scale divergence check_invariance exists
+    for); moments-then-formula is the scale-correct shape: one keyed
+    aggregation, five monoid accumulators."""
+    ev = load(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(18,6)")
+    y = F.hour("ts")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(y * y).cast("long").alias("syy"),
+        F.sum(x * y.cast("decimal(2,0)")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    corr = (nd * sxy - sx * sy) / F.sqrt(
+        (nd * sxx - sx * sx) * (nd * syy - sy * sy)
+    )
+    return m.select("event_type", "n", F.round(corr, 6).alias("corr_r"))
