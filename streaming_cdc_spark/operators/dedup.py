@@ -1206,6 +1206,46 @@ def bloom_prefilter_matches(
     return survivors.join(ck, "dup_key", "left_semi").select(id_col, "dup_key")
 
 
+def ppjoin_candidates(
+    sh: DataFrame,
+    sizes: DataFrame,
+    t_num: int,
+    t_den: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PPJoin candidate generation: each set's prefix — the
+    (|x| - ceil(t·|x|) + 1) RAREST shingles under the global
+    (df, shingle) total order — self-joined on the shingle. Split out
+    of ppjoin_pairs so the skew guarantee is testable in isolation: a
+    hot shingle shared by a whole clique has maximal df, sorts LAST,
+    and therefore falls outside every prefix — the clique generates
+    ZERO candidates through it (tests/test_dedup.py pins this with a
+    planted 100-doc hot shingle)."""
+    from pyspark.sql import Window as W
+
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = sh.join(dfreq, "shingle").withColumn(
+        "_rn",
+        F.row_number().over(W.partitionBy(id_col).orderBy("_df", "shingle")),
+    )
+    prefix = (
+        ranked.join(sizes, id_col)
+        .filter(
+            F.col("_rn")
+            <= F.col("_sz") - F.expr(f"({t_num} * _sz + {t_den} - 1) div {t_den}") + 1
+        )
+        .select(id_col, "shingle")
+    )
+    pa = prefix.select(F.col(id_col).alias("doc_a"), "shingle")
+    pb = prefix.select(F.col(id_col).alias("doc_b"), "shingle")
+    return (
+        pa.join(pb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def ppjoin_pairs(
     docs: DataFrame,
     t_num: int,
@@ -1230,35 +1270,9 @@ def ppjoin_pairs(
     ARRAYS and intersects JVM-side (array_intersect) — per-candidate
     cost, never a second index pass. Output: (doc_a, doc_b, overlap,
     size_a, size_b), all BIGINT."""
-    from pyspark.sql import Window as W
-
     sh = exploded_shingles(docs, id_col, text_col, hashed=True).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    # global total order: rarest first, hashed shingle as tiebreak
-    ranked = sh.join(dfreq, "shingle").withColumn(
-        "_rn",
-        F.row_number().over(
-            W.partitionBy(id_col).orderBy("_df", "shingle")
-        ),
-    )
-    # prefix length p = sz - ceil(t*sz) + 1; ceil(n*sz/d) integer form
-    prefix = (
-        ranked.join(sizes, id_col)
-        .filter(
-            F.col("_rn")
-            <= F.col("_sz") - F.expr(f"({t_num} * _sz + {t_den} - 1) div {t_den}") + 1
-        )
-        .select(id_col, "shingle")
-    )
-    pa = prefix.select(F.col(id_col).alias("doc_a"), "shingle")
-    pb = prefix.select(F.col(id_col).alias("doc_b"), "shingle")
-    cand = (
-        pa.join(pb, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cand = ppjoin_candidates(sh, sizes, t_num, t_den, id_col=id_col)
     sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("_toks"))
     sa = sets.select(
         F.col(id_col).alias("doc_a"),

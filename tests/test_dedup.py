@@ -555,3 +555,39 @@ def test_ppjoin_equals_bruteforce(spark):
                 if (t_den + t_num) * o >= t_num * (len(sets[a]) + len(sets[b])):
                     want.add((a, b, o))
         assert got == want, f"t={t_num}/{t_den}"
+
+
+def test_ppjoin_hot_shingle_generates_no_candidates(spark):
+    """The PPJoin skew guarantee: a shingle shared by a 100-doc clique
+    (maximal df) sorts LAST in the global (df, shingle) order and
+    falls outside every prefix — the clique contributes ZERO candidate
+    pairs through it, while genuinely near-dup docs (sharing RARE
+    shingles) still become candidates AND survive verification."""
+    from streaming_cdc_spark.operators.dedup import (
+        exploded_shingles,
+        ppjoin_candidates,
+        ppjoin_pairs,
+    )
+    from streaming_cdc_spark.functions.hashing import md5_long
+
+    hot = "common boiler plate"
+    docs = [
+        (i, f"{hot} unique{i}a unique{i}b unique{i}c unique{i}d unique{i}e")
+        for i in range(100)
+    ]
+    # one true near-dup pair sharing RARE shingles
+    docs += [
+        (1000, "rare alpha beta gamma delta epsilon zeta"),
+        (1001, "rare alpha beta gamma delta epsilon eta"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sh = exploded_shingles(df, hashed=True).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_sz"))
+    cand = ppjoin_candidates(sh, sizes, 1, 2).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in cand}
+    clique_pairs = [(a, b) for (a, b) in pairs if a < 100 and b < 100]
+    assert clique_pairs == []  # the hot shingle never seeds candidates
+    assert (1000, 1001) in pairs
+    out = {(r["doc_a"], r["doc_b"]) for r in ppjoin_pairs(df, 1, 2).collect()}
+    assert (1000, 1001) in out
+    assert all(not (a < 100 and b < 100) for a, b in out)
