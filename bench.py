@@ -114,6 +114,9 @@ HEADLINE = [
     "cdc_scd2_history",
     # r5: CDC capture — snapshot diff -> I/U/D op-log
     "cdc_capture_diff",
+    # r5: incremental view maintenance — sum-of-deltas view vs the
+    # recompute oracle
+    "ivm_group_sums",
     # r5: planted 40%-hot-key join+agg through the salted path
     # (shuffle-hash pinned) — skew handling gets a measured number
     "salted_skew_stats",

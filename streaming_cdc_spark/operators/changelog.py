@@ -130,3 +130,48 @@ def snapshot_diff(
         .filter(F.col("op").isNotNull())
         .select(*key_cols, "op", *compare_cols)
     )
+
+
+def changelog_deltas(
+    oplog: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str,
+    value_col: str,
+    delete_op: str = DELETE_OP,
+) -> DataFrame:
+    """Incremental-view-maintenance DELTAS from an I/U/D op-log: each
+    op's contribution to any downstream SUM/COUNT view, so the view is
+    maintained by ADDING deltas (one order-free aggregation per batch)
+    instead of recomputing state.
+
+    Per key in seq order, the post-op state is ``value`` (NULL after a
+    delete); the op's deltas are
+        delta_value = state - previous_state      (DECIMAL, exact)
+        delta_live  = [state IS NOT NULL] - [previous IS NOT NULL]
+    which TELESCOPE per key: their sums equal the key's live last
+    value / liveness bit exactly (decimal cancellation is exact), so
+    SUM(deltas) over any group == the recomputed view over current
+    state — the IVM correctness property the query oracle checks with
+    an independent recompute formulation. The pre-image comes from a
+    keyed lag window here (a real CDC feed ships it as the Debezium
+    before-image; substitute that column and the window disappears).
+    Deletes of keys never seen and leading updates coalesce against 0
+    — a tombstone for a nonexistent key contributes nothing."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*key_cols).orderBy(seq_col)
+    state = F.when(
+        F.col(op_col) != delete_op, F.col(value_col).cast("decimal(18,2)")
+    )
+    prev = F.lag(state).over(w)
+    return oplog.select(
+        *key_cols,
+        F.col(seq_col),
+        (F.coalesce(state, F.lit(0).cast("decimal(18,2)"))
+         - F.coalesce(prev, F.lit(0).cast("decimal(18,2)"))).alias("delta_value"),
+        (
+            F.when(state.isNotNull(), 1).otherwise(0)
+            - F.when(prev.isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("delta_live"),
+    )

@@ -261,3 +261,55 @@ def cdc_capture_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff.select(
         "user_id", "op", F.round("value", 2).alias("value_r"), "event_type"
     )
+
+
+@query(
+    "ivm_group_sums",
+    oracle=f"""
+    WITH log AS (
+        SELECT user_id, event_id AS seq, {_OP_CASE} AS op, value
+        FROM events
+    ),
+    cur AS (
+        SELECT user_id, arg_max(value, seq) AS v
+        FROM log GROUP BY user_id
+        HAVING arg_max(op, seq) != 'D'
+    )
+    SELECT user_id % 10 AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_live,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE), 2) AS view_sum_r
+    FROM cur GROUP BY 1
+    """,
+)
+def ivm_group_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE from the CDC op-log
+    (operators/changelog.py: changelog_deltas): the per-group
+    (live-key count, value sum) view is maintained by SUMMING each
+    op's exact DECIMAL delta — never by recomputing state. The oracle
+    is the INDEPENDENT recompute formulation (current state via
+    arg_max, then aggregate), so the hash match IS the IVM
+    correctness theorem on this log: sum-of-deltas == view-over-state,
+    deletes, re-inserts and out-of-order seqs included. Physically one
+    keyed lag window (pre-image derivation; a real CDC feed ships
+    before-images and skips it) + one order-free aggregation — the
+    maintenance cost per batch is the batch size, never the view's
+    base-table size."""
+    from streaming_cdc_spark.operators.changelog import changelog_deltas
+
+    log = _oplog(spark, sf_dir)
+    d = changelog_deltas(log, ["user_id"], "seq", "op", "value")
+    return (
+        d.withColumn("grp", F.col("user_id") % 10)
+        .groupBy("grp")
+        .agg(
+            F.sum("delta_live").cast("long").alias("n_live"),
+            F.round(F.sum("delta_value").cast("double"), 2).alias("view_sum_r"),
+        )
+        # zero-support elimination: when a group's live count reaches
+        # 0 the view row is DELETED, exactly as multiplicity-counting
+        # IVM engines do — and as the recompute formulation naturally
+        # has no row to emit (sf0.001 exercises this: one group's only
+        # users all end tombstoned)
+        .filter(F.col("n_live") > 0)
+        .select("grp", "n_live", "view_sum_r")
+    )
