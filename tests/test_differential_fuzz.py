@@ -442,3 +442,86 @@ def test_fuzz_stratified_sample(spark, seed):
     """).fetchall())
     assert srate == drate
     assert stopk == dtopk
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_changelog_apply_vs_duckdb(spark, seed):
+    """Randomized op-logs (random key counts, op mixes, shuffled
+    arrival order, duplicate-free random seqs) applied by
+    apply_changelog must equal DuckDB's arg_max/HAVING formulation —
+    the CDC semantics fuzzed beyond the hand-written fixture."""
+    from streaming_cdc_spark.operators.changelog import apply_changelog
+
+    rng = random.Random(1000 + seed)
+    n_keys = rng.randint(3, 25)
+    seqs = rng.sample(range(10_000), rng.randint(20, 300))
+    rows = []
+    for s in seqs:
+        k = rng.randrange(n_keys)
+        op = rng.choices(["I", "U", "D"], weights=[3, 5, 2])[0]
+        v = None if op == "D" and rng.random() < 0.5 else round(rng.uniform(-50, 50), 2)
+        rows.append((k, s, op, v))
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, seq long, op string, v double")
+    got = {
+        (r["k"], r["seq"], r["op"], r["v"])
+        for r in apply_changelog(df, ["k"], "seq", "op", ["v"]).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE log(k BIGINT, seq BIGINT, op VARCHAR, v DOUBLE)"
+    )
+    con.executemany("INSERT INTO log VALUES (?, ?, ?, ?)", rows)
+    want = {
+        tuple(r)
+        for r in con.execute(
+            """
+            SELECT k, MAX(seq) AS seq, arg_max(op, seq) AS op,
+                   arg_max(v, seq) AS v
+            FROM log GROUP BY k HAVING arg_max(op, seq) != 'D'
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_ivm_deltas_vs_recompute(spark, seed):
+    """Randomized op-logs: sum-of-deltas (changelog_deltas) equals the
+    recomputed view over current state for every key — the IVM theorem
+    fuzzed, NULL-valued deletes and leading updates included."""
+    from streaming_cdc_spark.operators.changelog import (
+        apply_changelog,
+        changelog_deltas,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(2000 + seed)
+    seqs = rng.sample(range(5_000), rng.randint(30, 200))
+    rows = [
+        (
+            rng.randrange(12),
+            s,
+            rng.choices(["I", "U", "D"], weights=[3, 4, 3])[0],
+            round(rng.uniform(0, 99), 2),
+        )
+        for s in seqs
+    ]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, seq long, op string, v double")
+    d = changelog_deltas(df, ["k"], "seq", "op", "v")
+    got = {
+        r["k"]: (int(r["live"]), float(r["sv"]))
+        for r in d.groupBy("k")
+        .agg(F.sum("delta_live").alias("live"), F.sum("delta_value").alias("sv"))
+        .collect()
+    }
+    state = {
+        r["k"]: float(r["v"])
+        for r in apply_changelog(df, ["k"], "seq", "op", ["v"]).collect()
+    }
+    for k, (live, sv) in got.items():
+        if k in state:
+            assert live == 1 and math.isclose(sv, state[k], abs_tol=1e-9), k
+        else:
+            assert live == 0 and sv == 0.0, k
