@@ -137,6 +137,8 @@ HEADLINE = [
     # deterministic stratified sampler (hash-rate filter and
     # WindowGroupLimit fixed-k per group)
     "minhash_recall_calibration",
+    # r5: IVF probe-recall calibration (exact-integer hit counts)
+    "ivf_recall_calibration",
     "stratified_sample_counts",
     # r5: deterministic weighted (size-proportional) sampling and the
     # ordered 3-step conversion funnel

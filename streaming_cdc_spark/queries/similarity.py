@@ -610,3 +610,83 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("q", "neighbor", F.round("score", 9).alias("rrf_r"), "rank")
     )
+
+
+@query(
+    "ivf_recall_calibration",
+    oracle=f"""
+    WITH {_ASSIGN_CTE},
+    probes AS (SELECT vec_id AS q, cid, rn FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM dists) WHERE rn <= 2),
+    pairs AS (SELECT a.vec_id AS q, b.vec_id AS nb,
+                     list_cosine_similarity(a.ev, b.ev) AS sim
+              FROM assigned a JOIN assigned b ON a.vec_id <> b.vec_id),
+    exact AS (SELECT q, nb FROM (
+        SELECT q, nb, ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, nb) AS r
+        FROM pairs) WHERE r <= 3),
+    j AS (SELECT e.q, e.nb, MIN(p.rn) AS best_rn
+          FROM exact e
+          JOIN assigned na ON na.vec_id = e.nb
+          JOIN probes p ON p.q = e.q AND p.cid = na.cid
+          GROUP BY e.q, e.nb),
+    x AS (SELECT e.q, e.nb, j.best_rn
+          FROM exact e LEFT JOIN j ON j.q = e.q AND j.nb = e.nb)
+    SELECT n.np AS n_probe,
+           CAST(SUM(CASE WHEN x.best_rn IS NOT NULL AND x.best_rn <= n.np
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(COUNT(*) AS BIGINT) AS n_possible
+    FROM (SELECT UNNEST([1, 2]) AS np) n CROSS JOIN x
+    GROUP BY 1
+    """,
+)
+def ivf_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe-recall calibration (the ANN twin of
+    minhash_recall_calibration): ground truth = the exact cosine
+    top-3 of EVERY vector; an exact neighbor is reachable at
+    ``n_probe`` probes iff its assigned cell is among the query's
+    n_probe nearest centroids. Output: per probe count, the exact
+    integer (hits, possible) pair — the measured recall@3 the
+    probe-count dial buys, with no float in the compared columns.
+    The exact top-3 identity is rank-stable cross-engine (min adjacent
+    sim gap in the top-4 is 1.8e-5 at sf0.01, see ivf_topk_exact).
+    Scale: ground truth is corpus-sized only in CALIBRATION (run on a
+    sample at 100 TB); the per-probe membership check is an equi-join
+    on (query, cell)."""
+    from streaming_cdc_spark.operators.ann import (
+        assign_cells,
+        collect_seed_centroids,
+        probe_cells_ranked,
+    )
+    from streaming_cdc_spark.operators.similarity import cosine_top_k
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = collect_seed_centroids(emb, 8)
+    nbcell = (
+        assign_cells(emb, cents, "vec_id", "embedding", out_id="nb")
+        .select("nb", "cid")
+        .localCheckpoint()
+    )
+    exact = (
+        cosine_top_k(emb, emb, k=3)
+        .select("q", F.col("neighbor").alias("nb"))
+        .join(nbcell, "nb")
+        .localCheckpoint()  # (q, nb, cid of nb); reused per probe count
+    )
+    outs = []
+    for np_ in (1, 2):
+        probes = probe_cells_ranked(
+            emb, cents, np_, "vec_id", "embedding", out_id="q"
+        ).select("q", "cid")
+        hits = exact.join(probes, ["q", "cid"], "left_semi")
+        outs.append(
+            exact.agg(F.count(F.lit(1)).alias("n_possible"))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+            .select(
+                F.lit(np_).cast("int").alias("n_probe"),
+                F.col("n_hits").cast("long"),
+                F.col("n_possible").cast("long"),
+            )
+        )
+    return outs[0].unionByName(outs[1])

@@ -50,6 +50,7 @@ BNLJ_WHITELIST = {
     "meta_blocking_pairs",  # scalar mean edge weight
     "cdc_capture_diff",  # scalar mid-log seq (one-row MAX//2 broadcast)
     "phrase_match_postings",  # one-row phrase (w1, w2) broadcast filter
+    "ivf_recall_calibration",  # one-row x one-row (hits, possible) scalar join
     "unigram_logprob",  # scalar vocab totals
     "bigram_logprob",  # scalar vocab totals
     "user_series_similarity",  # documented small-n series self-join
