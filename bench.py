@@ -112,6 +112,9 @@ HEADLINE = [
     "cdc_log_apply",
     "cdc_streaming_apply",
     "cdc_scd2_history",
+    # r6: schema-evolution apply — versioned map payloads, union
+    # projection, same one-argmax physical
+    "cdc_evolving_apply",
     # r5: CDC capture — snapshot diff -> I/U/D op-log
     "cdc_capture_diff",
     # r5: incremental view maintenance — sum-of-deltas view vs the

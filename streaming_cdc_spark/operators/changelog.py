@@ -89,6 +89,57 @@ def apply_changelog(
     )
 
 
+def apply_changelog_evolving(
+    oplog: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str,
+    version_col: str,
+    payload_col: str,
+    columns: dict[str, str],
+    delete_op: str = DELETE_OP,
+) -> DataFrame:
+    """Change-log apply under SCHEMA EVOLUTION: real op-logs drift —
+    columns appear, types widen — so each op carries
+    ``(schema_version, payload)`` where ``payload`` is a
+    ``map<string,string>`` of the fields that version knows about
+    (the schema-registry wire shape). The output is the UNION schema
+    ``columns`` (name -> cast type): fields absent from the winning
+    op's payload back-fill as NULL, and every present field
+    ``try_cast``s into the union (widest) type — a v1 op's narrow
+    integer string lands in a v2-widened BIGINT column without
+    rewriting history. Last-writer-wins by ``seq`` is UNCHANGED and
+    version-blind: a v1 key updated by a v2 op takes the v2 payload
+    and vice versa.
+
+    Physical: identical to apply_changelog — ONE keyed argmax
+    (map-side-combining ``max_by`` over the (op, version, payload)
+    struct), then a pure projection. Schema evolution costs nothing
+    at 100 TB: no second shuffle, no per-version passes; the union
+    projection is whole-stage-codegen column expressions. ANSI-safe:
+    ``try_element_at`` / ``try_cast`` so a malformed or pre-widening
+    payload value yields NULL instead of failing the job (Spark 4
+    ANSI mode throws on plain ``element_at``/``cast``)."""
+    last = oplog.groupBy(*key_cols).agg(
+        F.max(seq_col).alias(seq_col),
+        F.max_by(
+            F.struct(F.col(op_col), F.col(version_col), F.col(payload_col)),
+            F.col(seq_col),
+        ).alias("_last"),
+    )
+    return last.filter(F.col(f"_last.{op_col}") != delete_op).select(
+        *key_cols,
+        seq_col,
+        F.col(f"_last.{version_col}").alias(version_col),
+        *[
+            F.try_element_at(F.col(f"_last.{payload_col}"), F.lit(name))
+            .try_cast(typ)
+            .alias(name)
+            for name, typ in columns.items()
+        ],
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,
@@ -157,7 +208,14 @@ def changelog_deltas(
     keyed lag window here (a real CDC feed ships it as the Debezium
     before-image; substitute that column and the window disappears).
     Deletes of keys never seen and leading updates coalesce against 0
-    — a tombstone for a nonexistent key contributes nothing."""
+    — a tombstone for a nonexistent key contributes nothing.
+
+    Liveness is an OP-based flag (op != delete), independent of the
+    payload: an I/U carrying a NULL value is a LIVE key whose SUM
+    contribution is 0 (matching SQL SUM's NULL-skipping) but whose
+    COUNT contribution is 1 — deriving liveness from value
+    non-nullness would silently diverge from a COUNT-over-state
+    recompute on such rows (ADVICE r5)."""
     from pyspark.sql import Window as W
 
     w = W.partitionBy(*key_cols).orderBy(seq_col)
@@ -165,13 +223,13 @@ def changelog_deltas(
         F.col(op_col) != delete_op, F.col(value_col).cast("decimal(18,2)")
     )
     prev = F.lag(state).over(w)
+    live = F.when(F.col(op_col) != delete_op, 1).otherwise(0)
+    prev_live = F.lag(live).over(w)
     return oplog.select(
         *key_cols,
         F.col(seq_col),
         (F.coalesce(state, F.lit(0).cast("decimal(18,2)"))
          - F.coalesce(prev, F.lit(0).cast("decimal(18,2)"))).alias("delta_value"),
-        (
-            F.when(state.isNotNull(), 1).otherwise(0)
-            - F.when(prev.isNotNull(), 1).otherwise(0)
-        ).cast("long").alias("delta_live"),
+        (live - F.coalesce(prev_live, F.lit(0)))
+        .cast("long").alias("delta_live"),
     )

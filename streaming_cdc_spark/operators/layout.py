@@ -513,8 +513,19 @@ class ZOrderTable:
             else f"app_{uuid.uuid4().hex[:8]}_"
         )
         if batch_id is not None:
-            for dirname in m["tiles"].values():
+            # Sweep the batch prefix from EVERY on-disk tile dir, not
+            # just manifest-listed ones: a crashed earlier attempt of
+            # this same batch may have created a NEW bucket tile
+            # (makedirs + file moves happen before the manifest flip),
+            # and the re-staged part files carry fresh UUID names — a
+            # manifest-only sweep would publish duplicate rows. Any
+            # b{this_batch}_ file anywhere can only be crash debris of
+            # this attempt (once the pointer advances, replays are
+            # skipped above; compaction runs strictly after the flip).
+            for dirname in os.listdir(self.path):
                 tile = os.path.join(self.path, dirname)
+                if not (dirname.startswith("t") and os.path.isdir(tile)):
+                    continue
                 for fn in os.listdir(tile):
                     if fn.startswith(prefix):
                         os.remove(os.path.join(tile, fn))

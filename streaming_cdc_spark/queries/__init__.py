@@ -44,20 +44,35 @@ from streaming_cdc_spark.queries import (  # noqa: E402,F401
 # unrepresented in-window) replaced doc_embedding_near_dups (near-dup
 # family keeps 6 in-window reps incl. semantic_dedup and the encoder
 # query hash_encoded_mentions).
+# r6 ROTATION (VERDICT r5 top-next #1): 15 window slots swapped so the
+# driver's independent harness covers first-time-verified queries.
+# Every query rotated OUT already holds FIVE rounds of driver evidence
+# (CORRECTNESS_r01..r05 all 50/50) and stays registered + locally
+# gated (check_oracle/check_pandas/invariance run the FULL registry)
+# + benched. Rotated in: the entire r5 CDC family
+# (cdc_streaming_apply / cdc_capture_diff / cdc_scd2_history /
+# ivm_group_sums), PPJoin, PageRank, the z-table lifecycle + streaming
+# ingest, PQ ANN, Ed-Join, the full minhash chain, salted skew,
+# finalized sessions, exact-moment correlation, and the Gopher rule
+# battery — none of which had ever been driver-verified.
+# Out: string_match_clusters (R2; r1-r5 verified), composite_key_clusters
+# (P6/R3), top_event_per_user (R7 argmax — cdc_log_apply keeps a keyed
+# argmax in-window), band_join_pairs (C3/J6 — cosine_edges_blocked keeps
+# J6), union_except_keys (J4), seen_unseen_split (J3/A12),
+# revenue_rollup, cluster_contingency (J7), conflation_errors (A9),
+# context_windows (P1/P7), regex_token_stats (P9), minhash_band_candidates
+# (subsumed by minhash_dedup_groups' full-chain oracle), kmeans_assign
+# (ivf_topk_exact keeps the assignment math), lang_id_confusion,
+# doc_fingerprints.
+# r6 late swap: cdc_evolving_apply (NEW — schema-evolution apply,
+# VERDICT r5 #3) took first_occurrence_ids' slot (R1 holds five
+# rounds of driver evidence; still registered + locally gated).
 _PRIORITY = [
     # relational core
     "revenue_by_nation",
-    "first_occurrence_ids",
-    "string_match_clusters",
-    "composite_key_clusters",
     "max_active_sweep",
     "event_type_stats",
-    "top_event_per_user",
-    "band_join_pairs",
-    "union_except_keys",
     "entity_vocab",
-    "seen_unseen_split",
-    "revenue_rollup",
     # CDC pipeline (oracle-checked)
     # r4: the SCALE-path twins replace their small-n siblings in the
     # window (VERDICT r3 top-next): cosine_edges_blocked forces the
@@ -71,12 +86,8 @@ _PRIORITY = [
     "cosine_edges_blocked",
     "threshold_cc_distributed",
     "cluster_summary",
-    "cluster_contingency",
     "muc_prf",
     "b3_prf",
-    "conflation_errors",
-    "context_windows",
-    "regex_token_stats",
     # CDC pipeline (r4: tree_cut_clusters, bisect_clusters, ceaf_e_prf
     # and dendrogram_purity_fixture all gained FULL oracles — fixture
     # dendrogram cut, unrolled bisection stages, exhaustive Hungarian
@@ -91,24 +102,28 @@ _PRIORITY = [
     # which stays registered + locally gated + benched + golden-tested;
     # the window is now 50/50 full-oracle.
     "grinch_forest_invariants",
-    # r4: dendrogram_purity_fixture (full oracle — the distributed
-    # purity operator scored on the bit-arithmetic id-block tree)
-    # replaced rows-only grinch_purity, which stays registered +
-    # golden-tested; A10's MATH is now hash-verified at driver time
     "dendrogram_purity_fixture",
     "tfidf_blend_clusters",
     "tree_cut_clusters",
     "bisect_clusters",
     "hash_encoded_mentions",
+    # r6: the namesake CDC family, first-time driver verification —
+    # streaming apply (foreachBatch twin, SAME oracle as the batch
+    # apply), snapshot capture-diff, SCD2 history, and IVM group sums
+    # (oracle = the independent recompute, so the hash match IS the
+    # sum-of-deltas theorem).
+    "cdc_streaming_apply",
+    "cdc_capture_diff",
+    "cdc_scd2_history",
+    "cdc_evolving_apply",
+    "ivm_group_sums",
     # dedup family
     "exact_dedup_prefix",
-    "minhash_band_candidates",
-    # r5: cdc_log_apply (I/U/D change-log -> current state, full
-    # oracle — the engine's namesake operator, VERDICT r4 top-next)
-    # replaced ngram_jaccard_pairs; the shingle-similarity family
-    # keeps minhash_band_candidates + the full minhash chain inside
-    # pipeline_manifest in-window, and ngram_jaccard_pairs stays
-    # registered + locally gated + benched.
+    # r6: minhash_dedup_groups (LSH bands -> verify-on-candidates ->
+    # CC -> min-id canonical, the WHOLE chain under one oracle)
+    # replaced minhash_band_candidates, whose banding math the chain
+    # oracle re-derives; candidates stays registered + locally gated.
+    "minhash_dedup_groups",
     "cdc_log_apply",
     # r4: simhash_dedup_groups (fingerprint -> exact-fp collapse ->
     # banded Hamming join -> CC -> map-back, linear output, one oracle
@@ -133,31 +148,46 @@ _PRIORITY = [
     # reps incl. the full minhash chain inside pipeline_manifest;
     # near_dup_resolution stays registered + locally gated
     "progressive_stream_resolution",
+    # r6: ppjoin_exact_pairs (exact set-similarity join — rarest-prefix
+    # index, all-integer threshold, verify-on-candidates) and
+    # edit_distance_pairs (Ed-Join: rarest-gram prefix + length band +
+    # banded Levenshtein) — the two EXACT similarity-join physicals.
+    "ppjoin_exact_pairs",
+    "edit_distance_pairs",
     # similarity / ANN family
     "cosine_topk",
-    # r4: bm25_topk (Okapi BM25 scored retrieval — the first in-window
-    # lexical-retrieval rep; one scan + one-row stats broadcast +
-    # TakeOrdered) replaced lsh_bucket_pairs; banded-LSH bucketing
-    # keeps its in-window rep via minhash_band_candidates and
-    # lsh_bucket_pairs stays registered + locally gated.
     "bm25_topk",
     "ivf_topk_exact",
     "embedding_norm_stats",
-    "kmeans_assign",
+    # r6: pq_adc_topk (product quantization with integer micro-unit
+    # LUT ADC) — the compressed-ANN physical, first driver check.
+    "pq_adc_topk",
     # text analysis / multimodal / training-pipeline
     "text_quality",
-    "lang_id_confusion",
-    "doc_fingerprints",
+    # r6: gopher_quality_flags (the full Rae et al. A1.1 rule battery
+    # as one zero-shuffle projection) joins the window; language-ID /
+    # fingerprints keep local-gate + five rounds of driver evidence.
+    "gopher_quality_flags",
     "media_stats",
     "sequence_packing_exact",
     "quality_decile_curriculum",
     # temporal / streaming
     "asof_join_orders",
-    # r3: materialized_user_value (streaming upsert sink, FULL oracle —
-    # the only in-window streaming evidence) replaced event_gaps (plain
-    # lag window; the temporal family keeps asof/rollup/sessions reps,
-    # event_gaps stays registered + locally gated)
     "materialized_user_value",
+    # r6: streaming_sessions_finalized (native session_window +
+    # watermark append-mode emission rule, replayed in SQL) and
+    # exact_moment_corr (Pearson from DECIMAL/BIGINT moments — the
+    # partition-invariant float pattern) get first driver checks.
+    "streaming_sessions_finalized",
+    "exact_moment_corr",
+    # graph / layout / skew — never driver-verified before r6:
+    # integer-arithmetic PageRank, the manifest-indirected z-table
+    # lifecycle, exactly-once streaming z-ingest, and the salted
+    # hot-key join evidence query.
+    "pagerank_neardup_graph",
+    "zorder_table_roundtrip",
+    "zorder_streaming_ingest",
+    "salted_skew_stats",
 ]
 
 

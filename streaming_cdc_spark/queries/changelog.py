@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from streaming_cdc_spark.queries.registry import query
 from streaming_cdc_spark.tables import load
+from streaming_cdc_spark.session import cached_tmp_dir
 
 # Op mix: ~6% deletes, the rest updates/inserts. % 17 guarantees (at
 # every sf) several users whose LATEST op is a delete — the
@@ -69,6 +70,93 @@ def _project(state: DataFrame) -> DataFrame:
     )
 
 
+_EVOLVE_SQL = f"""
+    WITH log AS (
+        SELECT user_id, event_id AS seq, {_OP_CASE} AS op,
+               CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS schema_version,
+               CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR) AS p_cents,
+               -- DuckDB arg_max SKIPS NULL values (it would take the
+               -- latest v2 event_type instead of the v1 NULL) — carry
+               -- absence as the empty-string sentinel and decode after
+               -- the argmax (event_type vocabulary is never empty).
+               CASE WHEN event_id % 2 = 1 THEN event_type ELSE '' END AS p_etype
+        FROM events
+    ),
+    last AS (
+        SELECT user_id, MAX(seq) AS last_seq,
+               arg_max(op, seq) AS op,
+               arg_max(schema_version, seq) AS schema_version,
+               arg_max(p_cents, seq) AS c,
+               arg_max(p_etype, seq) AS e
+        FROM log GROUP BY user_id
+    )
+    SELECT user_id, last_seq, schema_version,
+           CAST(c AS BIGINT) AS value_cents, NULLIF(e, '') AS event_type
+    FROM last WHERE op != 'D'
+"""
+
+
+@query("cdc_evolving_apply", oracle=_EVOLVE_SQL)
+def cdc_evolving_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply under SCHEMA EVOLUTION (operators/changelog.py:
+    apply_changelog_evolving): the op-log mixes two payload schema
+    versions mid-stream — v1 ops (even event_id) carry only
+    ``value_cents``, v2 ops add ``event_type`` — as
+    (schema_version, map<string,string>) rows, the schema-registry
+    wire shape. The materialization projects the UNION schema:
+    last-writer-wins by seq is version-blind (a v1 key updated by a
+    v2 op takes the v2 payload and vice versa — both directions occur
+    in the fixture since version is event-parity), absent fields
+    back-fill NULL (every user whose final op is v1 has NULL
+    event_type), and payload strings try_cast into the widened BIGINT
+    column. The oracle replays version assignment, per-field arg_max,
+    and the union projection relationally, so the driver hash-checks
+    the whole evolution contract. Physical: the SAME one
+    map-side-combining keyed argmax as cdc_log_apply — evolution adds
+    zero shuffles. value_cents uses FLOOR(value*100) on BOTH engines
+    (Spark CAST(double AS BIGINT) truncates, DuckDB rounds — floor
+    first makes them agree). Reference anchor: the mention record's
+    own schema is a per-dataset superset (SURVEY §1.1) — the engine
+    handles the drift its input format already exhibits."""
+    from streaming_cdc_spark.operators.changelog import apply_changelog_evolving
+
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long").cast("string")
+    log = ev.select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.expr(_OP_CASE).alias("op"),
+        (F.when(F.col("event_id") % 2 == 0, 1).otherwise(2)).alias("schema_version"),
+        F.when(
+            F.col("event_id") % 2 == 0,
+            F.create_map(F.lit("value_cents"), cents),
+        )
+        .otherwise(
+            F.create_map(
+                F.lit("value_cents"), cents,
+                F.lit("event_type"), F.col("event_type"),
+            )
+        )
+        .alias("payload"),
+    )
+    state = apply_changelog_evolving(
+        log,
+        key_cols=["user_id"],
+        seq_col="seq",
+        op_col="op",
+        version_col="schema_version",
+        payload_col="payload",
+        columns={"value_cents": "bigint", "event_type": "string"},
+    )
+    return state.select(
+        "user_id",
+        F.col("seq").alias("last_seq"),
+        "schema_version",
+        "value_cents",
+        "event_type",
+    )
+
+
 @query("cdc_log_apply", oracle=_APPLY_SQL)
 def cdc_log_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC change-log apply, batch form (operators/changelog.py):
@@ -107,7 +195,7 @@ def _split_dir(spark: SparkSession, sf_dir: str) -> str:
     src = _CDC_SPLITS.get(sf_dir)
     if src is not None and os.path.isdir(src):
         return src
-    src = tempfile.mkdtemp(prefix="cdclog_src_")
+    src = cached_tmp_dir("cdclog_src_")
     log = _oplog(spark, sf_dir)
     for i in range(4):
         part = log.filter(F.col("seq") % 4 == i)

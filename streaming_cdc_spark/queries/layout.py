@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from streaming_cdc_spark.operators import layout as L
 from streaming_cdc_spark.queries.registry import query
 from streaming_cdc_spark.tables import load
+from streaming_cdc_spark.session import cached_tmp_dir
 
 _ZV = L.zvalue_sql("zx", "zy")
 
@@ -170,7 +171,7 @@ def zorder_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = _ZSTREAM_SPLITS.get(sf_dir)
     if src is None or not os.path.isdir(src):
-        src = tempfile.mkdtemp(prefix="zstream_src_")
+        src = cached_tmp_dir("zstream_src_")
         for i in range(4):
             part = events.filter(F.col("event_id") % 4 == i)
             p = os.path.join(src, f"split_{i}")

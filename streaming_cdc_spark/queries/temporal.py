@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from streaming_cdc_spark.operators.temporal import asof_join, time_bucket_rollup
 from streaming_cdc_spark.queries.registry import query
 from streaming_cdc_spark.tables import load
+from streaming_cdc_spark.session import cached_tmp_dir
 
 # Orders are 1995-2001; shift +27 years so they interleave with the
 # 2024-01 event stream and the as-of target varies per event.
@@ -423,7 +424,7 @@ def watermarked_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("event_id", "ts", "value")
     src = _WM_SPLITS.get(sf_dir)
     if src is None or not os.path.isdir(src):
-        src = tempfile.mkdtemp(prefix="wm_src_")
+        src = cached_tmp_dir("wm_src_")
         for i in range(4):
             part = ev.filter(F.col("event_id") % 4 == i)
             path = os.path.join(src, f"split_{i}")
@@ -623,7 +624,7 @@ def streaming_sessions_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     src = _SES_SRC.get(sf_dir)
     if src is None or not os.path.isdir(src):
-        src = tempfile.mkdtemp(prefix="ses_src_")
+        src = cached_tmp_dir("ses_src_")
         ev.coalesce(1).write.parquet(os.path.join(src, "all"))
         _SES_SRC[sf_dir] = src
     ckpt = tempfile.mkdtemp(prefix="ses_ckpt_")

@@ -31,6 +31,21 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
     sc._scs_pyfiles_added = True
 
 
+def cached_tmp_dir(prefix: str) -> str:
+    """mkdtemp whose removal is registered atexit — for module-level
+    cached SOURCE dirs that queries reuse across calls within one
+    process (streaming splits of the op-log / events). Unlike per-run
+    state/ckpt dirs these sit outside any ``finally``, so without the
+    atexit hook every process run leaked a few parquet temp dirs per
+    sf (ADVICE r5). Intra-session reuse is unchanged: callers keep
+    caching the returned path in their module dict."""
+    import atexit
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def fan_out(df, min_partitions: int | None = None):
     """Pre-step for row-exploding map stages (shingles, n-grams,
     per-bit votes): if the scan yields fewer partitions than the

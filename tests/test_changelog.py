@@ -192,6 +192,45 @@ def test_apply_changelog_composite_key(spark):
     assert got == {(1, "y"): (2, 5.0), (2, "x"): (9, 9.0)}
 
 
+def test_apply_changelog_evolving(spark):
+    """Schema evolution: a v1 key UPDATED BY a v2 op takes the v2
+    payload (and vice versa); fields absent from the winning version
+    back-fill NULL; payload strings try_cast into the widened union
+    type; malformed values yield NULL, not a job failure (ANSI);
+    tombstones still win."""
+    from streaming_cdc_spark.operators.changelog import apply_changelog_evolving
+
+    rows = [
+        # k=1: v1 insert then v2 update -> v2 wins, etype present
+        (1, 1, "I", 1, {"cents": "100"}),
+        (1, 2, "U", 2, {"cents": "250", "etype": "click"}),
+        # k=2: v2 insert then v1 update -> v1 wins, etype back-fills NULL
+        (2, 1, "I", 2, {"cents": "300", "etype": "view"}),
+        (2, 2, "U", 1, {"cents": "410"}),
+        # k=3: widening — v1 value exceeds INT range, lands in BIGINT
+        (3, 1, "I", 1, {"cents": "9999999999"}),
+        # k=4: malformed payload value -> NULL via try_cast, row survives
+        (4, 1, "I", 2, {"cents": "not-a-number", "etype": "buy"}),
+        # k=5: latest op is a delete -> absent regardless of version
+        (5, 1, "I", 2, {"cents": "7", "etype": "x"}),
+        (5, 2, "D", 2, {}),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, seq long, op string, ver int, payload map<string,string>"
+    )
+    out = apply_changelog_evolving(
+        df, ["k"], "seq", "op", "ver", "payload",
+        columns={"cents": "bigint", "etype": "string"},
+    )
+    got = {r["k"]: (r["seq"], r["ver"], r["cents"], r["etype"]) for r in out.collect()}
+    assert got == {
+        1: (2, 2, 250, "click"),
+        2: (2, 1, 410, None),
+        3: (1, 1, 9999999999, None),
+        4: (1, 2, None, "buy"),
+    }
+
+
 def test_changelog_deltas_telescope_to_state(spark):
     """Per key, summed deltas equal the live last value / liveness bit
     exactly (decimal telescoping) — deletes, re-inserts, leading
@@ -219,6 +258,30 @@ def test_changelog_deltas_telescope_to_state(spark):
     # consistency with the state operator
     state = {r["k"]: r["v"] for r in apply_changelog(df, ["k"], "seq", "op", ["v"]).collect()}
     assert state == {2: 3.75, 3: 5.0}
+
+
+def test_changelog_deltas_null_value_upsert_is_live(spark):
+    """ADVICE r5: an I/U carrying a NULL payload is a LIVE key (its
+    COUNT contribution is 1; its SUM contribution is 0, matching SQL
+    SUM's NULL-skipping). Liveness must derive from the OP, not value
+    non-nullness, or COUNT-over-state recomputes silently diverge."""
+    from streaming_cdc_spark.operators.changelog import changelog_deltas
+
+    rows = [
+        (1, 1, "I", None),                 # live, NULL value
+        (2, 1, "I", 4.0), (2, 2, "U", None),  # update nulls the value
+        (3, 1, "I", 2.0), (3, 2, "D", None), (3, 3, "U", None),  # re-live w/ NULL
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    d = changelog_deltas(df, ["k"], "seq", "op", "v")
+    got = {
+        r["k"]: (r["live"], float(r["sv"]))
+        for r in d.groupBy("k")
+        .agg(F.sum("delta_live").alias("live"), F.sum("delta_value").alias("sv"))
+        .collect()
+    }
+    # recompute view: COUNT(live keys) / SUM(last values, NULL->0)
+    assert got == {1: (1, 0.0), 2: (1, 0.0), 3: (1, 0.0)}
 
 
 def test_streaming_ivm_equals_recompute(spark, tmp_path):

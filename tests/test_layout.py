@@ -405,6 +405,34 @@ def test_ztable_batch_append_replay_idempotent(spark, tmp_path):
     del os
 
 
+def test_ztable_replay_sweeps_new_bucket_debris(spark, tmp_path):
+    """ADVICE r5 (medium): a crashed append attempt that created a NEW
+    bucket tile (makedirs + file moves precede the manifest flip)
+    leaves debris in a dir the manifest doesn't list. The replay must
+    sweep the batch prefix from EVERY on-disk tile dir — a
+    manifest-only sweep re-stages the rows under fresh UUID part names
+    and publishes duplicates."""
+    ev = _ztable_events(spark)
+    t = L.ZOrderTable(str(tmp_path / "zt_newbucket"))
+    # init on 5 rows only, leaving most buckets empty so the append
+    # lands in NEW tiles
+    t.init(ev.orderBy("event_id").limit(5), "x", "y",
+           bits=16, n_buckets=8, batch_id=0)
+    m_before = t._load()
+    b1 = ev.subtract(ev.orderBy("event_id").limit(5))
+    t.append(b1, batch_id=1)
+    m_after = t._load()
+    new_buckets = set(m_after["tiles"]) - set(m_before["tiles"])
+    assert new_buckets, "fixture must exercise the new-bucket path"
+    # crash simulation: the flip was lost — pointer AND tile map revert,
+    # but the moved files (incl. whole new-bucket dirs) stay on disk
+    t._flip(m_before)
+    t.append(b1, batch_id=1)  # replay
+    got = t.read(spark)
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
+
+
 def test_zorder_stream_writer_matches_batch_table(spark, tmp_path):
     """Draining the 3-batch stream through ZOrderStreamWriter (with a
     mid-stream compaction) produces exactly the rows of a batch-built

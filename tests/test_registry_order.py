@@ -18,34 +18,34 @@ def test_first_50_match_priority():
 
 def test_every_family_in_checked_window():
     first = set(list(QUERIES)[:50])
+    # r6 rotation (VERDICT r5 #1): 15 slots swapped to first-time
+    # driver-verify the r5 flagships; every rotated-out query holds
+    # five rounds of driver evidence (CORRECTNESS_r01..r05) and stays
+    # registered + locally gated + benched. Family reps below reflect
+    # the post-rotation window.
     families = {
         "relational": {"revenue_by_nation", "max_active_sweep"},
-        "cdc_metrics": {"muc_prf", "b3_prf", "conflation_errors", "ceaf_e_prf"},
-        # r4: the window carries the SCALE-path CC twin; the small-n
-        # sibling threshold_cc_clusters stays registered + locally
-        # gated (its broadcast/driver-union-find physicals keep driver
-        # evidence via cluster_summary's auto path)
-        # r5: grinch_forest_invariants (full oracle) replaced the
-        # rows-only grinch_flat_clusters in the window; the sequential
-        # build stays registered + locally gated + golden-tested
+        "cdc_metrics": {"muc_prf", "b3_prf", "ceaf_e_prf"},
         "clustering": {"threshold_cc_distributed", "greedy_parity_clusters", "grinch_forest_invariants"},
         "similarity_kernel": {"cosine_edges_blocked"},
-        # r4 swaps: simhash_dedup_groups (its oracle re-derives the
-        # fingerprint math) replaced simhash_fingerprints; bm25_topk
-        # replaced lsh_bucket_pairs (banded-LSH bucketing keeps its
-        # in-window rep via minhash_band_candidates);
-        # duplicate_span_islands replaced token_histogram (token
-        # counting keeps regex_token_stats + sequence_packing_exact)
-        "dedup": {"exact_dedup_prefix", "minhash_band_candidates", "simhash_dedup_groups",
-                  "duplicate_span_islands"},
-        "ann": {"cosine_topk", "bm25_topk", "ivf_topk_exact"},
+        # r6: minhash_dedup_groups (full chain) replaced
+        # minhash_band_candidates (its banding math is re-derived by
+        # the chain oracle); exact-join physicals ppjoin_exact_pairs +
+        # edit_distance_pairs join the window.
+        "dedup": {"exact_dedup_prefix", "minhash_dedup_groups", "simhash_dedup_groups",
+                  "duplicate_span_islands", "ppjoin_exact_pairs", "edit_distance_pairs"},
+        "ann": {"cosine_topk", "bm25_topk", "ivf_topk_exact", "pq_adc_topk"},
         "semantic_dedup": {"semantic_dedup"},
-        "text": {"text_quality", "lang_id_confusion", "regex_token_stats"},
+        "text": {"text_quality", "gopher_quality_flags"},
         "multimodal": {"media_stats"},
         "packing": {"sequence_packing_exact"},
-        "temporal": {"asof_join_orders"},
-        # r5: the namesake CDC mutation-log apply (VERDICT r4 #1)
-        "changelog": {"cdc_log_apply"},
+        "temporal": {"asof_join_orders", "streaming_sessions_finalized"},
+        # r6: the full namesake CDC family is in-window
+        "changelog": {"cdc_log_apply", "cdc_streaming_apply", "cdc_capture_diff",
+                      "cdc_scd2_history", "cdc_evolving_apply", "ivm_group_sums"},
+        "graph": {"pagerank_neardup_graph"},
+        "layout": {"zorder_table_roundtrip", "zorder_streaming_ingest"},
+        "skew": {"salted_skew_stats"},
     }
     for fam, members in families.items():
         assert members <= first, f"family {fam} dropped from driver-checked window"
