@@ -79,6 +79,10 @@ HEADLINE = [
     # r5: exact (zero-recall-loss) set-similarity join via the PPJoin
     # prefix filter — only each set's rarest shingles enter the index
     "ppjoin_exact_pairs",
+    # r6: 40%-hot-shingle clique planted — wall-clock next to the
+    # unskewed sibling IS the measured skew cost (prefix filter
+    # excludes the hot shingle by construction)
+    "ppjoin_skewed_pairs",
     # r4: sliding-window ExactSubstr islands (the substring-granularity
     # dedup family) and BM25 scored retrieval (one scan + scalar-stats
     # broadcast + TakeOrdered)

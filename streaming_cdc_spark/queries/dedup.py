@@ -1361,3 +1361,60 @@ def ppjoin_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return D.ppjoin_pairs(docs, t_num=1, t_den=2)
+
+
+@query(
+    "ppjoin_skewed_pairs",
+    oracle="""
+    WITH docs2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 < 2
+                  THEN concat(text, ' s', CAST(doc_id AS VARCHAR),
+                              ' zhota zhotb zhotc')
+                  ELSE text END AS text
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs2),
+    sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+           FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+    SELECT doc_a, doc_b, overlap,
+           CAST(x.n_sh AS BIGINT) AS size_a, CAST(y.n_sh AS BIGINT) AS size_b
+    FROM shared JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+    WHERE 3 * overlap >= x.n_sh + y.n_sh
+    """,
+)
+def ppjoin_skewed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin on a DELIBERATELY SKEWED corpus (VERDICT r5 #4): 40% of
+    docs (doc_id % 5 < 2) get one planted shingle in common — the hot
+    phrase 'zhota zhotb zhotc', isolated behind a per-doc sentinel
+    token so boundary shingles stay df-1 and can't join. A naive
+    inverted-index join pays C(0.4n, 2) pairs through that single
+    shingle (quadratic in the clique — the oracle below literally
+    does, fine at sf<=0.01); the PPJoin prefix filter excludes it BY
+    CONSTRUCTION (maximal df sorts last, outside every prefix), so
+    the Spark side's candidate volume stays at the unskewed level —
+    benched next to ppjoin_exact_pairs, the wall-clock gap IS the
+    skew cost, and tests/test_dedup.py pins the exact-integer
+    flatness claim (zero candidates through the hot shingle at two
+    clique sizes, linear total-candidate growth bound). The oracle is
+    the independent naive formulation over the same skewed corpus, so
+    the hash match proves exactness is retained under skew."""
+    from streaming_cdc_spark.operators import dedup as D
+
+    docs = load(spark, sf_dir, "documents")
+    skewed = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 < 2,
+            F.concat(
+                F.col("text"), F.lit(" s"),
+                F.col("doc_id").cast("string"),
+                F.lit(" zhota zhotb zhotc"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return D.ppjoin_pairs(skewed, t_num=1, t_den=2)

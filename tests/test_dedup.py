@@ -591,3 +591,56 @@ def test_ppjoin_hot_shingle_generates_no_candidates(spark):
     out = {(r["doc_a"], r["doc_b"]) for r in ppjoin_pairs(df, 1, 2).collect()}
     assert (1000, 1001) in out
     assert all(not (a < 100 and b < 100) for a, b in out)
+
+
+def test_ppjoin_candidates_flat_as_clique_grows(spark):
+    """The ppjoin_skewed_pairs flatness claim in exact integers, on
+    the real sf0.001 corpus: planting the hot phrase (behind a per-doc
+    sentinel, the registered query's construction) into a 20% vs a 60%
+    clique (1) seeds ZERO candidate pairs through the hot shingle at
+    either size, (2) grows TOTAL candidates by at most a linear bound
+    (prefix lengthening can admit a few df-1 boundary shingles), while
+    (3) the naive inverted-index join would pay C(clique, 2) pairs —
+    quadratic — through that one shingle."""
+    from streaming_cdc_spark.functions.hashing import md5_long
+    from streaming_cdc_spark.operators.dedup import (
+        exploded_shingles,
+        ppjoin_candidates,
+    )
+    from streaming_cdc_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    hot_hash = spark.range(1).select(
+        md5_long(F.lit("zhota zhotb zhotc")).alias("h")
+    ).first()["h"]
+
+    def plant(frac_mod: int):
+        return docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 < frac_mod,
+                F.concat(F.col("text"), F.lit(" s"),
+                         F.col("doc_id").cast("string"),
+                         F.lit(" zhota zhotb zhotc")),
+            ).otherwise(F.col("text")),
+        )
+
+    def stats(d):
+        sh = exploded_shingles(d, hashed=True).localCheckpoint()
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_sz"))
+        n_cand = ppjoin_candidates(sh, sizes, 1, 2).count()
+        clique = sh.filter(F.col("shingle") == hot_hash).count()
+        return n_cand, clique
+
+    base, _ = stats(docs)
+    c20, k20 = stats(plant(1))   # 20% clique
+    c60, k60 = stats(plant(3))   # 60% clique
+    assert k20 > 0 and k60 > 2 * k20  # the clique really grows
+    # naive join through the hot shingle alone would be quadratic:
+    assert k60 * (k60 - 1) // 2 > 4 * (k20 * (k20 - 1) // 2)
+    # ppjoin total candidates grow at most linearly in the clique
+    assert c20 - base <= 4 * k20
+    assert c60 - base <= 4 * k60
+    # and the hot shingle itself seeds none: growth from 20% -> 60%
+    # is far below the quadratic delta
+    assert c60 - c20 < k60 * (k60 - 1) // 2 - k20 * (k20 - 1) // 2

@@ -12,8 +12,12 @@ above EVERY past run is signal, a latest above one fast outlier is not.
 
 Usage:
     python tools/bench_trend.py [--sf 0.1] [--cpus 16] [--factor 2.0]
-        [--history BENCH_LOCAL.jsonl] [names...]
-Exit 0 always (triage aid, not a gate — run_gates owns gating).
+        [--history BENCH_LOCAL.jsonl] [--gate] [--exempt a,b] [names...]
+Exit 0 unless --gate is passed AND a non-exempt query's latest run
+exceeds factor x its historical minimum (VERDICT r5 #5: the
+drift-robust comparison is now a round gate, not an FYI). --exempt
+carries the documented flaky list — python-sequential builds whose
+wall-clock legitimately swings 1.6-3.7s on identical code.
 """
 
 from __future__ import annotations
@@ -36,7 +40,13 @@ def main() -> int:
     ap.add_argument(
         "--history", default=os.path.join(ROOT, "BENCH_LOCAL.jsonl")
     )
+    ap.add_argument("--gate", action="store_true",
+                    help="exit 1 if any non-exempt query is flagged")
+    ap.add_argument("--exempt", default="",
+                    help="comma-separated queries excluded from gating "
+                         "(still printed/flagged)")
     args = ap.parse_args()
+    exempt = {n for n in args.exempt.split(",") if n}
 
     records = []
     with open(args.history) as f:
@@ -87,6 +97,15 @@ def main() -> int:
             "re-time flagged queries in ISOLATION before concluding a "
             "regression (CLAUDE.md: identical code measured 1.6-3.7s)"
         )
+    if args.gate:
+        gating = [q for q in flagged if q not in exempt]
+        skipped = [q for q in flagged if q in exempt]
+        if skipped:
+            print(f"exempt (documented flaky, not gating): {', '.join(skipped)}")
+        if gating:
+            print(f"GATE FAIL: {', '.join(gating)} above "
+                  f"{args.factor}x historical min")
+            return 1
     return 0
 
 

@@ -36,6 +36,11 @@ import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Documented flaky list for the bench_trend gate: driver-sequential
+# python tree builds whose wall-clock swings 1.6-3.7s on identical
+# code on this hypervisor-oversubscribed host (CLAUDE.md r4).
+TREND_EXEMPT = "grinch_flat_clusters,grinch_per_key_trees"
+
 
 def _bench_gate(allow_dropped: str = "") -> tuple[bool, str]:
     """Run bench.py, append the record to BENCH_LOCAL.jsonl, compare
@@ -179,21 +184,31 @@ def main() -> None:
         print(f"[{'PASS' if ok else 'FAIL'}] bench_compare ({dt}s): {msg}")
         if not ok:
             failures.append("bench_compare")
-        # FYI (never gates): per-query history vs historical minimum —
-        # the drift-proof context for judging any bench_compare flag
+        # bench_trend GATE (VERDICT r5 #5, promoted from FYI): latest
+        # > 2x the query's historical MINIMUM at same sf+cpus fails
+        # the round — the drift-robust comparison (bench_compare's
+        # single-baseline ratio can be fooled by one slow baseline;
+        # the historical min cannot). Exempt: the documented flaky
+        # python-sequential builds (CLAUDE.md: identical code measured
+        # 1.6-3.7s on this oversubscribed host).
         trend = subprocess.run(
-            [sys.executable, "tools/bench_trend.py", "--factor", "2.0"],
+            [sys.executable, "tools/bench_trend.py", "--factor", "2.0",
+             "--gate", "--exempt", TREND_EXEMPT],
             cwd=ROOT,
             capture_output=True,
             text=True,
         )
-        flagged = [ln for ln in (trend.stdout or "").splitlines() if "<<" in ln]
+        flagged = [ln for ln in (trend.stdout or "").splitlines()
+                   if "<<" in ln or "GATE FAIL" in ln or "exempt" in ln]
+        ok_trend = trend.returncode == 0
         if flagged:
-            print("[FYI] bench_trend (latest > 2x historical min — re-time in isolation before treating as real):")
+            print(f"[{'PASS' if ok_trend else 'FAIL'}] bench_trend:")
             for ln in flagged:
                 print("      " + ln.strip())
         else:
-            print("[FYI] bench_trend: no query above 2x its historical minimum")
+            print("[PASS] bench_trend: no query above 2x its historical minimum")
+        if not ok_trend:
+            failures.append("bench_trend")
     if failures:
         print(f"\nFAILED gates: {', '.join(failures)}")
         sys.exit(1)
