@@ -44,6 +44,10 @@ HEADLINE = [
     # r5: exact integer-arithmetic PageRank over the near-dup graph
     # (3 unrolled join+sum iterations)
     "pagerank_neardup_graph",
+    # r6: deterministic mode-vote label propagation (3 unrolled
+    # iterations) and SNM + Fellegi-Sunter record linkage
+    "label_propagation_communities",
+    "record_linkage_scores",
     "cluster_summary",
     "muc_prf",
     "tfidf_blend_clusters",
@@ -119,6 +123,8 @@ HEADLINE = [
     # r6: schema-evolution apply — versioned map payloads, union
     # projection, same one-argmax physical
     "cdc_evolving_apply",
+    # r6: VERSION AS OF read over the versioned changelog sink
+    "cdc_time_travel",
     # r5: CDC capture — snapshot diff -> I/U/D op-log
     "cdc_capture_diff",
     # r5: incremental view maintenance — sum-of-deltas view vs the

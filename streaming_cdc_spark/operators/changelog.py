@@ -190,6 +190,7 @@ def changelog_deltas(
     op_col: str,
     value_col: str,
     delete_op: str = DELETE_OP,
+    band_width: int = 4096,
 ) -> DataFrame:
     """Incremental-view-maintenance DELTAS from an I/U/D op-log: each
     op's contribution to any downstream SUM/COUNT view, so the view is
@@ -215,21 +216,60 @@ def changelog_deltas(
     contribution is 0 (matching SQL SUM's NULL-skipping) but whose
     COUNT contribution is 1 — deriving liveness from value
     non-nullness would silently diverge from a COUNT-over-state
-    recompute on such rows (ADVICE r5)."""
+    recompute on such rows (ADVICE r5).
+
+    HOT-KEY SAFETY (r6, found by tools/stress.py: a 30%-hot key made
+    the plain per-key lag window 10x superlinear — one task sorts the
+    whole hot key): the lag is BANDED. Rows window within
+    (key, seq div band_width) — partitions bounded by the band, not
+    the key — and each band's first row takes its pre-image from a
+    band-LAST table (one row per non-empty (key, band), max_by over
+    seq) whose per-key lag window holds n/band_width rows, hot or
+    not. lag over that table's band order yields the previous
+    NON-EMPTY band, so sparse bands are handled; results are
+    identical to the single-window form (test-pinned across band
+    boundaries)."""
     from pyspark.sql import Window as W
 
-    w = W.partitionBy(*key_cols).orderBy(seq_col)
+    band = F.expr(f"`{seq_col}` div {band_width}")
     state = F.when(
         F.col(op_col) != delete_op, F.col(value_col).cast("decimal(18,2)")
     )
-    prev = F.lag(state).over(w)
     live = F.when(F.col(op_col) != delete_op, 1).otherwise(0)
-    prev_live = F.lag(live).over(w)
-    return oplog.select(
+    rows = oplog.select(
         *key_cols,
         F.col(seq_col),
-        (F.coalesce(state, F.lit(0).cast("decimal(18,2)"))
-         - F.coalesce(prev, F.lit(0).cast("decimal(18,2)"))).alias("delta_value"),
-        (live - F.coalesce(prev_live, F.lit(0)))
+        band.alias("_band"),
+        state.alias("_state"),
+        live.alias("_live"),
+    )
+    w_band = W.partitionBy(*key_cols, "_band").orderBy(seq_col)
+    rows = rows.withColumn("_prev_state", F.lag("_state").over(w_band)).withColumn(
+        "_prev_live", F.lag("_live").over(w_band)
+    ).withColumn("_first_in_band", F.row_number().over(w_band) == 1)
+    band_last = rows.groupBy(*key_cols, "_band").agg(
+        F.max_by(F.col("_state"), F.col(seq_col)).alias("_bl_state"),
+        F.max_by(F.col("_live"), F.col(seq_col)).alias("_bl_live"),
+    )
+    w_key = W.partitionBy(*key_cols).orderBy("_band")
+    prev_band = band_last.select(
+        *key_cols,
+        "_band",
+        F.lag("_bl_state").over(w_key).alias("_pb_state"),
+        F.lag("_bl_live").over(w_key).alias("_pb_live"),
+    )
+    joined = rows.join(prev_band, [*key_cols, "_band"])
+    prev_state = F.when(
+        F.col("_first_in_band"), F.col("_pb_state")
+    ).otherwise(F.col("_prev_state"))
+    prev_live = F.when(
+        F.col("_first_in_band"), F.col("_pb_live")
+    ).otherwise(F.col("_prev_live"))
+    return joined.select(
+        *key_cols,
+        F.col(seq_col),
+        (F.coalesce(F.col("_state"), F.lit(0).cast("decimal(18,2)"))
+         - F.coalesce(prev_state, F.lit(0).cast("decimal(18,2)"))).alias("delta_value"),
+        (F.col("_live") - F.coalesce(prev_live, F.lit(0)))
         .cast("long").alias("delta_live"),
     )

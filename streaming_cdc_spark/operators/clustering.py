@@ -308,6 +308,49 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+) -> DataFrame:
+    """Semi-synchronous LABEL PROPAGATION community detection
+    (Raghavan et al. 2007) over an undirected edge list (u < v;
+    symmetrized internally), made fully deterministic: labels start
+    as node ids; each iteration every node adopts its neighbors'
+    MODE label with the tie broken by the SMALLEST label (count
+    DESC, label ASC — a total order, so the classic random
+    tie-break's nondeterminism is gone). Distinct from connected
+    components: the mode vote splits dense subregions a MIN-label
+    propagation would merge.
+
+    Fixed ``iterations`` keeps it SQL-replayable (unrolled CTE
+    pairs, like pagerank_exact). Scale shape per iteration: one
+    edges-x-labels equi-join + one keyed count + one keyed
+    row_number window (partitioned by node — never a single
+    partition). Returns (vec_id, community) for every node with at
+    least one edge."""
+    from pyspark.sql import Window as W
+
+    sym = (
+        edges.selectExpr("u", "v")
+        .union(edges.selectExpr("v AS u", "u AS v"))
+        .localCheckpoint()
+    )
+    labels = sym.select("u").distinct().withColumn("lbl", F.col("u"))
+    for _ in range(iterations):
+        votes = (
+            sym.join(labels.withColumnRenamed("u", "_n"), sym["u"] == F.col("_n"))
+            .groupBy("v", "lbl")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        w = W.partitionBy("v").orderBy(F.desc("_c"), F.asc("lbl"))
+        labels = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("v").alias("u"), "lbl")
+        )
+    return labels.select(F.col("u").alias("vec_id"), F.col("lbl").alias("community"))
+
+
 def pagerank_exact(
     edges: DataFrame,
     iterations: int = 3,

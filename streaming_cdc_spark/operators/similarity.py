@@ -41,7 +41,16 @@ from pyspark.sql import functions as F
 # (1M x 64-d float64 = ~0.5 GB broadcast — the practical ceiling).
 BROADCAST_MAX_ROWS = 1_000_000
 # blocked path: target rows per block (one block-pair task holds 2x).
-BLOCK_TARGET_ROWS = 250_000
+# Rows per triangle block. Each block-pair task holds TWO blocks of
+# normalized vectors and streams their sims in _CHUNK_ELEMS pieces;
+# 16k x 16k work units also give a 1M-row corpus ~2000 independent
+# tasks instead of the handful that 250k-row blocks left (r6 stress
+# finding: the old value put a 100k-row corpus into ONE block whose
+# task tried to allocate the full 80 GB sims matrix).
+BLOCK_TARGET_ROWS = 16_384
+# Bound on any single sims-matrix allocation inside a kernel task
+# (~64 MB of float64).
+_CHUNK_ELEMS = 8_000_000
 
 
 def _prepare(df: DataFrame):
@@ -154,37 +163,49 @@ def _blocked_self_edges(
     replicated = base.withColumn("_pk", F.explode(pk))
 
     def score(key, pdf):
+        # CHUNK the matmul: a block-pair task's sims matrix is
+        # |left| x |right| doubles — unchunked, a 100k-row block is an
+        # 80 GB allocation in ONE python worker (caught live by
+        # tools/stress.py r6; same class as the r3 per-cell-kernel
+        # finding). Row-chunking the left side bounds any single sims
+        # allocation to ~_CHUNK_ELEMS elements while the flop count is
+        # unchanged.
         i, j = divmod(int(key[0]), B)
         if len(pdf) < 2:
             return _empty_edges()
         ids = pdf["_id"].to_numpy()
-        sims = None
         if i == j:
-            for (vec_col, w) in vec_cols_weights:
-                m = _norm_rows(pdf[vec_col])
-                part = w * (m @ m.T)
+            lids = rids = ids
+            mats = [
+                (w, None, _norm_rows(pdf[vc])) for vc, w in vec_cols_weights
+            ]
+        else:
+            lm = pdf["_blk"].to_numpy() == i
+            if not lm.any() or lm.all():
+                return _empty_edges()
+            lids, rids = ids[lm], ids[~lm]
+            mats = []
+            for vc, w in vec_cols_weights:
+                m = _norm_rows(pdf[vc])
+                mats.append((w, m[lm], m[~lm]))
+        out = []
+        step = max(1, _CHUNK_ELEMS // max(len(rids), 1))
+        for s in range(0, len(lids), step):
+            sims = None
+            for w, ml, mr in mats:
+                left = mr[s : s + step] if ml is None else ml[s : s + step]
+                part = w * (left @ mr.T)
                 sims = part if sims is None else sims + part
             li, ri = np.nonzero(sims > threshold)
-            keep = ids[li] < ids[ri]
-            return pd.DataFrame(
-                {"u": ids[li][keep], "v": ids[ri][keep], "sim": sims[li, ri][keep]}
-            )
-        lm = pdf["_blk"].to_numpy() == i
-        if not lm.any() or lm.all():
-            return _empty_edges()
-        lid, rid = ids[lm], ids[~lm]
-        for (vec_col, w) in vec_cols_weights:
-            m = _norm_rows(pdf[vec_col])
-            part = w * (m[lm] @ m[~lm].T)
-            sims = part if sims is None else sims + part
-        li, ri = np.nonzero(sims > threshold)
-        return pd.DataFrame(
-            {
-                "u": np.minimum(lid[li], rid[ri]),
-                "v": np.maximum(lid[li], rid[ri]),
-                "sim": sims[li, ri],
-            }
-        )
+            lu, rv = lids[li + s], rids[ri]
+            if i == j:
+                keep = lu < rv
+                lu, rv, sv = lu[keep], rv[keep], sims[li, ri][keep]
+            else:
+                sv = sims[li, ri]
+                lu, rv = np.minimum(lu, rv), np.maximum(lu, rv)
+            out.append(pd.DataFrame({"u": lu, "v": rv, "sim": sv}))
+        return pd.concat(out, ignore_index=True) if out else _empty_edges()
 
     return replicated.groupBy("_pk").applyInPandas(score, "u long, v long, sim double")
 

@@ -25,6 +25,7 @@ from streaming_cdc_spark.queries import (  # noqa: E402,F401
     profile,
     changelog,
     skew,
+    linkage,
 )
 
 # The driver's correctness gate checks only the FIRST 50 entries of

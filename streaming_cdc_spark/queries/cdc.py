@@ -781,6 +781,52 @@ def flagship_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_summary(spark, sf_dir)
 
 
+def _lpa_sql(iterations: int = 3) -> str:
+    parts = [
+        f"e0 AS (SELECT u, v FROM ({_EDGES_SQL}) WHERE sim > 0.3)",
+        "edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0)",
+        "l0 AS (SELECT DISTINCT u, u AS lbl FROM edges)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"v{i} AS (SELECT e.v, l.lbl, COUNT(*) AS c FROM edges e "
+            f"JOIN l{i - 1} l ON e.u = l.u GROUP BY e.v, l.lbl)"
+        )
+        parts.append(
+            f"l{i} AS (SELECT v AS u, lbl FROM "
+            f"(SELECT v, lbl, row_number() OVER "
+            f"(PARTITION BY v ORDER BY c DESC, lbl ASC) AS rn FROM v{i}) t "
+            f"WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"\n    SELECT u AS vec_id, lbl AS community FROM l{iterations}"
+    )
+
+
+@query("label_propagation_communities", oracle=_lpa_sql())
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation community detection
+    (operators/clustering.py: label_propagation — Raghavan et al.
+    2007) over the tau=0.3 cosine near-dup graph: 3 synchronous
+    iterations, each node adopting its neighbors' mode label with the
+    (count DESC, label ASC) total-order tie-break that replaces the
+    classic random one. The MODE vote splits dense subregions that
+    min-label CC (threshold_cc_*) merges — the standard
+    community-vs-connectivity distinction on near-dup graphs. Fixed
+    iteration count makes it SQL-replayable: the oracle unrolls three
+    vote+argmax CTE pairs verbatim (row_number in a subquery — DuckDB
+    disallows nested windows). Per iteration one equi-join + keyed
+    count + keyed row_number window: the standard distributed LPA
+    step, no single-partition anything."""
+    from streaming_cdc_spark.operators.clustering import label_propagation
+    from streaming_cdc_spark.operators.similarity import cosine_self_edges
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = cosine_self_edges(emb, 0.3).select("u", "v")
+    return label_propagation(edges, iterations=3)
+
+
 @query(
     "triangle_counts",
     oracle=f"""

@@ -248,6 +248,58 @@ def cdc_streaming_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_TT_VERSION = 2  # AS OF the third micro-batch (versions 0..3)
+
+_TT_SQL = _APPLY_SQL.replace(
+    "FROM events", f"FROM events WHERE event_id % 4 <= {_TT_VERSION}"
+)
+
+
+@query("cdc_time_travel", oracle=_TT_SQL)
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the versioned CDC materialization (the
+    Delta/Iceberg `VERSION AS OF` read, streaming/materialize.py:
+    table_at): the 4-batch op-log stream is drained with
+    keep_versions=4, then the state is read AS OF version 2 — the
+    fold of batches 0..2 only. Because batch admission is mtime-
+    pinned (batch i = seq % 4 == i), that historical version equals
+    the one-shot batch apply over the log PREFIX seq % 4 <= 2, which
+    is exactly what the oracle computes — so the driver hash-verifies
+    that retained versions are true historical states, not merely
+    bytes on disk. Retention is the vacuum horizon: reading a version
+    older than keep_versions raises, like any post-vacuum time
+    travel (test-pinned)."""
+    from streaming_cdc_spark.streaming.materialize import MaterializedChangelog
+
+    src = _split_dir(spark, sf_dir)
+    state_dir = tempfile.mkdtemp(prefix="cdctt_state_")
+    ckpt_dir = tempfile.mkdtemp(prefix="cdctt_ckpt_")
+    stream = (
+        spark.readStream.schema(
+            "user_id long, seq long, op string, value double, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/split_*/*.parquet")
+    )
+    sink = MaterializedChangelog(
+        state_dir,
+        key_cols=["user_id"],
+        seq_col="seq",
+        op_col="op",
+        payload_cols=["value", "event_type"],
+        keep_versions=4,
+    )
+    try:
+        q = sink.start(stream, ckpt_dir)
+        q.awaitTermination()
+        asof = sink.table_at(spark, _TT_VERSION).filter(F.col("op") != "D")
+        out = _project(asof).localCheckpoint()
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return out
+
+
 @query(
     "cdc_scd2_history",
     oracle=f"""

@@ -130,6 +130,30 @@ class _VersionedKeyedTable:
             raise FileNotFoundError("materialized table has no committed version")
         return spark.read.parquet(self._version_dir(version))
 
+    def versions(self) -> list[int]:
+        """Retained, readable version numbers (ascending). The window
+        is bounded by ``keep_versions`` — one version per applied
+        batch, older ones reclaimed at publish time."""
+        version, _ = self._pointer()
+        return [
+            v
+            for v in range(max(0, version - self.keep_versions + 1), version + 1)
+            if os.path.isdir(self._version_dir(v))
+        ]
+
+    def table_at(self, spark: SparkSession, version: int) -> DataFrame:
+        """TIME TRAVEL: the table AS OF ``version`` (the state after
+        batches 0..version were folded — the Delta/Iceberg
+        `VERSION AS OF` read over this sink's retained window). Raises
+        on versions outside retention, like any time-travel read past
+        the vacuum horizon."""
+        if version not in self.versions():
+            raise FileNotFoundError(
+                f"version {version} not retained (have {self.versions()}; "
+                f"keep_versions={self.keep_versions})"
+            )
+        return spark.read.parquet(self._version_dir(version))
+
 
 class MaterializedAggregate(_VersionedKeyedTable):
     """Maintain ``state_dir`` as a keyed (count, sums) table that a

@@ -284,6 +284,29 @@ def test_changelog_deltas_null_value_upsert_is_live(spark):
     assert got == {1: (1, 0.0), 2: (1, 0.0), 3: (1, 0.0)}
 
 
+def test_changelog_deltas_banded_equals_single_window(spark):
+    """r6 hot-key fix: the banded lag (bounded window partitions +
+    band-last fill) must equal the definitional single-window form on
+    a log that FORCES band boundaries — band_width=4 with 60 ops per
+    key, sparse bands included (some bands empty for some keys)."""
+    from streaming_cdc_spark.operators.changelog import changelog_deltas
+
+    rows = [
+        (k, s, "D" if (k + s) % 13 == 0 else ("U" if s % 3 else "I"),
+         float((k * 7 + s) % 23))
+        for k in range(3)
+        for s in range(0, 180, 3 + k)  # different seq strides -> sparse bands
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    banded = changelog_deltas(df, ["k"], "seq", "op", "v", band_width=4)
+    wide = changelog_deltas(df, ["k"], "seq", "op", "v", band_width=10**9)
+    a = {(r["k"], r["seq"]): (float(r["delta_value"]), r["delta_live"])
+         for r in banded.collect()}
+    b = {(r["k"], r["seq"]): (float(r["delta_value"]), r["delta_live"])
+         for r in wide.collect()}
+    assert a == b
+
+
 def test_streaming_ivm_equals_recompute(spark, tmp_path):
     """IVM end-to-end in streaming: per-batch deltas folded through
     the MaterializedAggregate upsert sink (sums are its native

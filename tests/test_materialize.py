@@ -60,6 +60,62 @@ def test_multibatch_merge_equals_batch_aggregate(spark, tmp_path):
     assert dirs == ["v000001", "v000002"]
 
 
+def test_time_travel_table_at(spark, tmp_path):
+    """table_at(v) is the true historical state — the fold of batches
+    0..v — and versions outside the retention window raise (the
+    vacuum horizon)."""
+    import pytest
+
+    files = [rows(0), rows(1), rows(2)]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rs in enumerate(files):
+        (src / f"f{i}.jsonl").write_text("\n".join(json.dumps(r) for r in rs))
+        time.sleep(0.05)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    mat = MaterializedAggregate(
+        str(tmp_path / "state"), ["user_id"], ["value"], keep_versions=3
+    )
+    q = mat.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    assert mat.versions() == [0, 1, 2]
+    # AS OF version 1 == batch aggregate over files 0..1
+    got = {
+        r["user_id"]: (r["n_rows"], float(r["sum_value"]))
+        for r in mat.table_at(spark, 1).collect()
+    }
+    flat = [r for rs in files[:2] for r in rs]
+    batch = (
+        spark.createDataFrame(flat, SCHEMA)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        )
+    )
+    want = {r["user_id"]: (r["n"], float(r["s"])) for r in batch.collect()}
+    assert got == want
+    # current table == table_at(latest)
+    assert mat.table(spark).collect() == mat.table_at(spark, 2).collect()
+    with pytest.raises(FileNotFoundError):
+        mat.table_at(spark, 3)
+
+
+def test_time_travel_respects_vacuum_horizon(spark, tmp_path):
+    """With keep_versions=2 and three applied batches, version 0 is
+    reclaimed: table_at(0) raises and versions() excludes it."""
+    import pytest
+
+    mat = drain(spark, tmp_path, [rows(0), rows(1), rows(2)])
+    assert mat.versions() == [1, 2]
+    with pytest.raises(FileNotFoundError):
+        mat.table_at(spark, 0)
+
+
 def test_replayed_batch_is_skipped(spark, tmp_path):
     mat = drain(spark, tmp_path, [rows(0), rows(1)])
     before = {tuple(r) for r in mat.table(spark).collect()}

@@ -47,6 +47,22 @@ def test_blocked_single_block_degenerate(spark):
     assert set(bcast) == set(blocked)
 
 
+def test_blocked_chunked_matmul_matches_broadcast(spark, monkeypatch):
+    """r6: the sims matmul is row-chunked so a block-pair task never
+    allocates |left|x|right| doubles at once (a 100k-row block was an
+    80 GB allocation — caught live by tools/stress.py). Force many
+    tiny chunks through BOTH branches (i==j and i!=j) and require the
+    exact broadcast edge set, incl. values."""
+    monkeypatch.setattr(similarity, "_CHUNK_ELEMS", 37)  # ~5-row chunks
+    df = _vec_df(spark, n=80)
+    bcast = _edges(cosine_self_edges(df, 0.2, strategy="broadcast"))
+    # block_rows=30 -> 3 blocks: diagonal AND off-diagonal pair groups
+    blocked = _edges(cosine_self_edges(df, 0.2, strategy="blocked", block_rows=30))
+    assert set(bcast) == set(blocked)
+    for k in bcast:
+        assert abs(bcast[k] - blocked[k]) < 1e-9
+
+
 def test_blended_blocked_matches_broadcast(spark):
     rng = np.random.default_rng(11)
     a = rng.normal(size=(40, 6))

@@ -7,6 +7,24 @@ size ratio) and that nothing collects to the driver.
 Run: python tools/stress.py [n_docs_small] [n_docs_big]
 Default 100k / 400k documents (~10M / ~40M tokens).
 
+r6 (VERDICT r5 #2) adds the r5 flagship operators:
+- ppjoin_pairs over the doc corpus with 1% planted near-dup pairs
+  (candidates + verify both exercised);
+- apply_changelog + changelog_deltas over a synthetic 1M/4M-op log
+  with a PLANTED 30%-HOT KEY (the argmax partial-aggregates map-side;
+  the deltas window pays one big-partition sort — measured honestly);
+- pagerank_exact over 1M/4M synthetic edges (3 iterations);
+- the blocked cosine kernel, which is QUADRATIC BY DESIGN (all-pairs
+  compute in bounded-memory blocks): its expected time ratio is
+  size_ratio^2, asserted as such — the LINEAR corpus-scale paths are
+  the candidate-bounded ops above it (cells / bands / prefixes). The
+  reference anchor: nn_thresh.py's dense n x n matrix OOMs at these
+  sizes; the blocked kernel streams the same math and survives.
+
+Exit 1 if any linear-class op's big/small time ratio exceeds
+2 x the size ratio, or the kernel leaves [0.3, 2] x size_ratio^2
+(generous slack for fixed per-job overhead at the small size).
+
 This is evidence for SCALING.md, not part of the gate or bench.
 """
 
@@ -35,6 +53,58 @@ def synth_docs(spark, n: int, tokens_per_doc: int = 100, vocab: int = 1000):
         F.col("id").alias("doc_id"),
         F.array_join(F.transform(idx, tok), " ").alias("text"),
         F.concat(F.lit("src"), F.pmod(F.col("id"), F.lit(20)).cast("string")).alias("source"),
+    )
+
+
+def synth_dup_docs(spark, n: int, dup_every: int = 97, **kw):
+    """Corpus with ~1% planted near-dup pairs: doc i with
+    i % dup_every == 1 re-generates doc i-1's token stream (identical
+    shingle set, J = 1), so candidate generation AND verification see
+    real positives at scale."""
+    base = synth_docs(spark, n, **kw)
+    seed = F.when(
+        F.pmod(F.col("doc_id"), F.lit(dup_every)) == 1, F.col("doc_id") - 1
+    ).otherwise(F.col("doc_id"))
+    idx = F.sequence(F.lit(0), F.lit(99))
+    tok = lambda j: F.concat(  # noqa: E731
+        F.lit("w"), F.pmod(F.xxhash64(seed, j), F.lit(1000)).cast("string")
+    )
+    return base.select(
+        "doc_id", F.array_join(F.transform(idx, tok), " ").alias("text"), "source"
+    )
+
+
+def synth_oplog(spark, n: int, hot_pct: int = 30):
+    """Synthetic I/U/D op-log, generated distributed: ``hot_pct``% of
+    all ops hit key 0 (the planted hot key); the rest spread over
+    n/10 keys. seq = op id (unique), ~6% deletes."""
+    key = F.when(F.pmod(F.col("id"), F.lit(100)) < hot_pct, F.lit(0)).otherwise(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(max(n // 10, 1)))
+    )
+    op = (
+        F.when(F.pmod(F.col("id"), F.lit(17)) == 0, F.lit("D"))
+        .when(F.pmod(F.col("id"), F.lit(17)) < 9, F.lit("U"))
+        .otherwise(F.lit("I"))
+    )
+    return spark.range(n).select(
+        key.alias("k"),
+        F.col("id").alias("seq"),
+        op.alias("op"),
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(10000)).cast("double") / 100.0).alias(
+            "value"
+        ),
+    )
+
+
+def synth_edges(spark, m: int, n_nodes: int):
+    """m candidate edges over n_nodes, generated distributed;
+    self-loops dropped, (u, v) normalized to u < v."""
+    a = F.pmod(F.xxhash64(F.col("id")), F.lit(n_nodes))
+    b = F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(n_nodes))
+    return (
+        spark.range(m)
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .filter(F.col("u") < F.col("v"))
     )
 
 
@@ -114,12 +184,97 @@ def main() -> None:
         results.setdefault("ivf_exact_topk", []).append(round(time.time() - t0, 2))
         emb.unpersist()
 
-    scale = n_big / n_small
-    print(f"\nn_small={n_small} n_big={n_big} (size ratio {scale:.1f}x)")
-    print(f"{'op':20s} {'t_small':>8s} {'t_big':>8s} {'ratio':>6s}")
+    # --- r6 (VERDICT r5 #2): the r5 flagship operators ------------
+    from streaming_cdc_spark.operators.changelog import (
+        apply_changelog,
+        changelog_deltas,
+    )
+    from streaming_cdc_spark.operators.clustering import pagerank_exact
+    from streaming_cdc_spark.operators.dedup import ppjoin_pairs
+    from streaming_cdc_spark.operators.similarity import cosine_self_edges
+
+    sizes: dict[str, float] = {name: n_big / n_small for name in results}
+
+    for n in (n_small, n_big):
+        dup = synth_dup_docs(spark, n).persist()
+        dup.count()
+        t0 = time.time()
+        ppjoin_pairs(dup, 1, 2).write.format("noop").mode("overwrite").save()
+        results.setdefault("ppjoin_pairs", []).append(round(time.time() - t0, 2))
+        dup.unpersist()
+    sizes["ppjoin_pairs"] = n_big / n_small
+
+    n_ops_small, n_ops_big = 10 * n_small, 10 * n_big  # 1M / 4M default
+    for n in (n_ops_small, n_ops_big):
+        log = synth_oplog(spark, n).persist()
+        log.count()
+        t0 = time.time()
+        apply_changelog(log, ["k"], "seq", "op", ["value"]).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        results.setdefault("cdc_apply_hotkey", []).append(round(time.time() - t0, 2))
+        t0 = time.time()
+        changelog_deltas(log, ["k"], "seq", "op", "value").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        results.setdefault("cdc_deltas_hotkey", []).append(round(time.time() - t0, 2))
+        log.unpersist()
+    sizes["cdc_apply_hotkey"] = sizes["cdc_deltas_hotkey"] = n_ops_big / n_ops_small
+
+    m_small, m_big = 10 * n_small, 10 * n_big  # 1M / 4M edges default
+    for m in (m_small, m_big):
+        e = synth_edges(spark, m, m // 4).persist()
+        e.count()
+        t0 = time.time()
+        pagerank_exact(e, iterations=3).write.format("noop").mode("overwrite").save()
+        results.setdefault("pagerank_3it", []).append(round(time.time() - t0, 2))
+        e.unpersist()
+    sizes["pagerank_3it"] = m_big / m_small
+
+    # the raw blocked kernel is QUADRATIC by design (all-pairs compute
+    # in bounded-memory blocks) — expected ratio is size_ratio^2.
+    # Default sizes keep the default run short; STRESS_KERNEL_ROWS=a,b
+    # overrides for the big SCALING.md measurement.
+    k_env = os.environ.get("STRESS_KERNEL_ROWS", "")
+    k_small, k_big = (
+        [int(x) for x in k_env.split(",")] if k_env else (n_small, 2 * n_small)
+    )
+    for n in (k_small, k_big):
+        emb = synth_embeddings(spark, n).persist()
+        emb.count()
+        t0 = time.time()
+        cosine_self_edges(emb, 0.95, strategy="blocked").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        results.setdefault("cosine_kernel_blocked", []).append(
+            round(time.time() - t0, 2)
+        )
+        emb.unpersist()
+    sizes["cosine_kernel_blocked"] = k_big / k_small
+
+    print(f"\ndocs {n_small}/{n_big}, ops+edges {n_ops_small}/{n_ops_big}, "
+          f"kernel rows {k_small}/{k_big}")
+    print(f"{'op':22s} {'t_small':>8s} {'t_big':>8s} {'ratio':>6s} "
+          f"{'size_x':>6s} {'law':>10s}")
+    failures = []
     for name, (a, b) in results.items():
-        print(f"{name:20s} {a:8.2f} {b:8.2f} {b / max(a, 0.01):6.2f}")
+        ratio = b / max(a, 0.01)
+        sr = sizes[name]
+        if name == "cosine_kernel_blocked":
+            law, lo, hi = "quadratic", 0.3 * sr * sr, 2.0 * sr * sr
+        else:
+            law, lo, hi = "linear", 0.0, 2.0 * sr
+        ok = lo <= ratio <= hi
+        if not ok:
+            failures.append(name)
+        print(f"{name:22s} {a:8.2f} {b:8.2f} {ratio:6.2f} {sr:6.1f} "
+              f"{law:>10s}{'' if ok else '  << OUT OF BAND'}")
+    print("\ndriver-side data: none (noop sink; localCheckpoints are "
+          "executor-side; ANN centroid collects bounded by k)")
     spark.stop()
+    if failures:
+        print(f"SCALING OUT OF BAND: {', '.join(failures)}")
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":
