@@ -56,6 +56,7 @@ BNLJ_WHITELIST = {
     "user_series_similarity",  # documented small-n series self-join
     "bm25_topk",  # one-row corpus-stats broadcast (N, sum_dl, df_t)
     "zorder_layout",  # one-row global min/max bounds broadcast
+    "record_linkage_scores",  # one-row Fellegi-Sunter u-stats broadcast
 }
 
 
