@@ -48,6 +48,9 @@ HEADLINE = [
     # iterations) and SNM + Fellegi-Sunter record linkage
     "label_propagation_communities",
     "record_linkage_scores",
+    # r6: content-defined chunking dedup + adjusted Rand index
+    "chunk_dedup_profile",
+    "ari_score",
     "cluster_summary",
     "muc_prf",
     "tfidf_blend_clusters",

@@ -85,6 +85,49 @@ def b3_df(pairs: DataFrame) -> DataFrame:
     )
 
 
+def ari_df(pairs: DataFrame) -> DataFrame:
+    """One row: (ari,) — the Adjusted Rand Index (Hubert & Arabie
+    1985) between pred and gold clusterings, rounded to 6dp. Chosen
+    over NMI/V-measure as the partition-similarity extension of the
+    metric family because it needs NO logarithms: with P = Σ_ij
+    n_ij(n_ij-1), A = Σ_i a_i(a_i-1), B = Σ_j b_j(b_j-1), N2 =
+    n(n-1) (all EXACT BIGINTs — integer "2·C(·,2)" units),
+
+        ARI = (P - A·B/N2) / ((A+B)/2 - A·B/N2)
+
+    evaluated as ONE fixed-order double expression — the
+    exact_moment_corr pattern, engine-identical where ln() is not.
+    Degenerate case (every clustering identical to every other —
+    denominator 0) returns 1.0 by convention. One contingency
+    aggregation + three scalar sums; nothing data-sized leaves the
+    executors."""
+    cont = contingency(pairs)
+    p = cont.agg(
+        F.sum(F.col("overlap") * (F.col("overlap") - 1)).cast("long").alias("P")
+    )
+    a = (
+        pairs.groupBy("true_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("A"))
+    )
+    b = (
+        pairs.groupBy("pred_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("B"))
+    )
+    n = pairs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    s = p.crossJoin(a).crossJoin(b).crossJoin(n)
+    exp = (
+        F.col("A").cast("double") * F.col("B").cast("double")
+        / (F.col("n") * (F.col("n") - 1)).cast("double")
+    )
+    num = F.col("P").cast("double") - exp
+    den = (F.col("A") + F.col("B")).cast("double") / F.lit(2.0) - exp
+    return s.select(
+        F.round(F.when(den == 0, F.lit(1.0)).otherwise(num / den), 6).alias("ari")
+    )
+
+
 def conflation_df(pairs: DataFrame) -> DataFrame:
     """One row: (conflated, divided) error counts (eval_clusters.py:147-169)."""
     conflated = (

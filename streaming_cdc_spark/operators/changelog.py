@@ -190,7 +190,7 @@ def changelog_deltas(
     op_col: str,
     value_col: str,
     delete_op: str = DELETE_OP,
-    band_width: int = 4096,
+    band_width: int | None = None,
 ) -> DataFrame:
     """Incremental-view-maintenance DELTAS from an I/U/D op-log: each
     op's contribution to any downstream SUM/COUNT view, so the view is
@@ -228,9 +228,29 @@ def changelog_deltas(
     not. lag over that table's band order yields the previous
     NON-EMPTY band, so sparse bands are handled; results are
     identical to the single-window form (test-pinned across band
-    boundaries)."""
+    boundaries, and band-width-INVARIANT, which is what makes the
+    adaptive default safe).
+
+    ``band_width`` defaults to ADAPTIVE: three planning scalars
+    (min/max seq, row count — the bounded-collect class of the
+    strategy="auto" count) size bands so band count stays ~constant
+    until rows genuinely need splitting (target <=250k rows per band).
+    A fixed width makes the band-last table grow superlinearly in the
+    small-data transition regime (global seqs + many keys ⇒ bands per
+    key grows with scale before capping at rows — caught by
+    tools/measure_shuffle.py alpha=1.22); the adaptive width keeps
+    the side-table ∝ keys at small scale and <= rows always."""
     from pyspark.sql import Window as W
 
+    if band_width is None:
+        lo, hi, n = oplog.agg(
+            F.min(seq_col), F.max(seq_col), F.count(F.lit(1))
+        ).first()
+        if n == 0 or lo is None:
+            band_width = 1
+        else:
+            target_bands = max(32, -(-int(n) // 250_000))
+            band_width = max(1, (int(hi) - int(lo)) // target_bands + 1)
     band = F.expr(f"`{seq_col}` div {band_width}")
     state = F.when(
         F.col(op_col) != delete_op, F.col(value_col).cast("decimal(18,2)")

@@ -237,6 +237,51 @@ def b3_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ari_score",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    cont AS (SELECT true_id, pred_id, COUNT(*) AS o
+             FROM pairs GROUP BY true_id, pred_id),
+    s AS (
+      SELECT (SELECT SUM(o * (o - 1)) FROM cont) AS P,
+             (SELECT SUM(c * (c - 1)) FROM
+                (SELECT COUNT(*) AS c FROM pairs GROUP BY true_id) t) AS A,
+             (SELECT SUM(c * (c - 1)) FROM
+                (SELECT COUNT(*) AS c FROM pairs GROUP BY pred_id) t) AS B,
+             (SELECT COUNT(*) FROM pairs) AS n
+    )
+    SELECT ROUND(
+      CASE WHEN CAST(A + B AS DOUBLE) / 2
+                - CAST(A AS DOUBLE) * CAST(B AS DOUBLE)
+                  / CAST(n * (n - 1) AS DOUBLE) = 0
+           THEN CAST(1.0 AS DOUBLE)
+           ELSE (CAST(P AS DOUBLE)
+                 - CAST(A AS DOUBLE) * CAST(B AS DOUBLE)
+                   / CAST(n * (n - 1) AS DOUBLE))
+                / (CAST(A + B AS DOUBLE) / 2
+                   - CAST(A AS DOUBLE) * CAST(B AS DOUBLE)
+                     / CAST(n * (n - 1) AS DOUBLE))
+      END, 6) AS ari
+    FROM s
+    """,
+)
+def ari_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index between the fixture pred clustering and
+    gold labels (metrics/coref.py: ari_df — Hubert & Arabie 1985).
+    Extends the reference's metric suite (A6-A10) with the
+    partition-similarity index used outside coreference; picked over
+    NMI because it needs NO logarithms: every term is an exact
+    BIGINT pair count and the final value is ONE fixed-order double
+    expression, so the driver hash matches bit-for-bit (ln() differs
+    across engines in the last ulp). Physical: one contingency
+    aggregation + three scalar sums crossJoined as one-row
+    broadcasts."""
+    from streaming_cdc_spark.metrics.coref import ari_df
+
+    return ari_df(_pairs(spark, sf_dir))
+
+
+@query(
     "conflation_errors",
     oracle=f"""
     WITH pairs AS ({_PAIRS_SQL})

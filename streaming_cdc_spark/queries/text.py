@@ -207,6 +207,58 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.doc_fingerprints(load(spark, sf_dir, "documents"))
 
 
+_CDC_K, _CDC_M = 8, 64
+_H8 = "CAST(concat('0x', substr(md5(substr(text, i - 7, 8)), 1, 15)) AS BIGINT)"
+
+
+@query(
+    "chunk_dedup_profile",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text FROM documents),
+    pos AS (SELECT doc_id, text, i
+            FROM d, UNNEST(range({_CDC_K}, length(text) + 1)) AS u(i)),
+    bnd AS (SELECT doc_id, i FROM pos WHERE ({_H8}) % {_CDC_M} = 0),
+    ends AS (SELECT doc_id, i AS e FROM bnd
+             UNION SELECT doc_id, length(text) FROM d),
+    ch AS (SELECT doc_id,
+                  COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s,
+                  e
+           FROM ends),
+    ct AS (SELECT c.doc_id, substr(d.text, c.s, c.e - c.s + 1) AS chunk
+           FROM ch c JOIN d ON c.doc_id = d.doc_id),
+    hashes AS (SELECT doc_id,
+                      CAST(concat('0x', substr(md5(chunk), 1, 15)) AS BIGINT) AS h,
+                      length(chunk) AS l
+               FROM ct),
+    pd AS (SELECT doc_id, h, COUNT(*) AS occ, MAX(l) AS l
+           FROM hashes GROUP BY doc_id, h),
+    fr AS (SELECT h, COUNT(*) AS nd FROM pd GROUP BY h)
+    SELECT pd.doc_id,
+           CAST(SUM(occ) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           CAST(SUM(CASE WHEN nd > 1 THEN l ELSE 0 END) AS BIGINT) AS shared_len
+    FROM pd JOIN fr ON pd.h = fr.h GROUP BY pd.doc_id
+    """,
+)
+def chunk_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (operators/text.py:
+    content_defined_chunks / chunk_dedup_stats — the rsync/FastCDC
+    boundary rule, k=8 rolling md5 window, avg chunk ~64 chars):
+    boundaries move WITH the content, so identical substrings yield
+    identical chunks at ANY offset — the substring-granularity dedup
+    unit between whole-doc hashing and per-position gram islands.
+    Per doc: chunk counts + how many distinct chunks are shared with
+    another document + the shared byte volume (what a chunk store
+    would dedup away). Spark side is a doc-LOCAL array pipeline
+    (zero shuffles until the 8-byte chunk-hash groupBy); the oracle
+    rebuilds boundaries row-wise with lag over boundary positions —
+    an independent formulation of the same chunking."""
+    return T.chunk_dedup_stats(
+        load(spark, sf_dir, "documents"), k=_CDC_K, modulus=_CDC_M
+    )
+
+
 @query(
     "doc_chunks",
     oracle="""

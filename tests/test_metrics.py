@@ -125,3 +125,36 @@ def test_approx_stats_within_tolerance(spark):
         n, p40, p60 = exact[et]
         assert abs(au - n) <= max(2, 0.05 * n), (et, au, n)
         assert p40 <= am <= p60, (et, am, p40, p60)
+
+
+def test_ari_known_values(spark):
+    """ARI (Hubert & Arabie): identical partitions -> 1.0; the
+    sklearn doc example [0,0,1,1] vs [0,0,1,2] -> 0.57 (computed by
+    hand: P=2, A=4, B=2, n=4, exp=8/12 -> (2-2/3)/(3-2/3)); a
+    label permutation leaves ARI unchanged."""
+    from streaming_cdc_spark.metrics.coref import ari_df
+
+    same = pairs_df(spark, {0: "AB", 1: "CD"}, {5: "AB", 6: "CD"})
+    assert ari_df(same).first()["ari"] == 1.0
+
+    ex = pairs_df(spark, {0: "AB", 1: "CD"}, {0: "AB", 1: "C", 2: "D"})
+    got = ari_df(ex).first()["ari"]
+    assert abs(got - (2 - 2 / 3) / (3 - 2 / 3)) < 1e-6
+
+    perm = pairs_df(spark, {0: "AB", 1: "CD"}, {9: "AB", 3: "C", 7: "D"})
+    assert ari_df(perm).first()["ari"] == got
+
+
+def test_ari_anticorrelated_partitions_negative(spark):
+    """The crossed 2x2 grid (every contingency cell = 1) is WORSE
+    than chance at this size: P=0, A=B=4, exp=16/12 ->
+    ARI = -4/3 / (4 - 4/3) = -0.5 exactly. Pins the below-chance
+    branch and the exact integer/double arithmetic."""
+    from streaming_cdc_spark.metrics.coref import ari_df
+
+    grid = pairs_df(
+        spark,
+        {0: "AB", 1: "CD"},
+        {0: "AC", 1: "BD"},
+    )
+    assert ari_df(grid).first()["ari"] == -0.5

@@ -319,3 +319,63 @@ def test_gopher_quality_flags_rules(spark):
     assert got[7]["ok_stopwords"] is False
     for i in range(1, 8):
         assert got[i]["keep"] is False, i
+
+
+def test_content_defined_chunks_shift_invariant(spark):
+    """The defining CDC-chunking property: prepending text changes
+    only the chunks up to the first boundary after the edit — every
+    later chunk hash is IDENTICAL despite the offset shift (a
+    fixed-width chunker would change every chunk). Also: short docs
+    (< k) are one whole-doc chunk, and chunk lengths tile the doc."""
+    import hashlib
+
+    from streaming_cdc_spark.operators.text import content_defined_chunks
+
+    base = " ".join(f"tok{(i * 31) % 57}word{i % 13}" for i in range(400))
+    shifted = "PREFIXINSERTED " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted), (3, "tiny")], "doc_id long, text string"
+    )
+    ch = content_defined_chunks(df, k=8, modulus=64)
+    rows = ch.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_len"], r["chunk_hash"])
+        )
+    for d in by_doc:
+        by_doc[d].sort()
+    # tiling: lengths sum to doc length, indices contiguous from 1
+    assert sum(l for _, l, _ in by_doc[1]) == len(base)
+    assert [i for i, _, _ in by_doc[1]] == list(range(1, len(by_doc[1]) + 1))
+    # short doc: one chunk, hash of the whole text
+    assert len(by_doc[3]) == 1 and by_doc[3][0][1] == len("tiny")
+    # shift invariance: the multiset of chunk hashes after the first
+    # boundary is shared — at least 80% of base's chunks reappear
+    h1 = [h for _, _, h in by_doc[1]]
+    h2 = {h for _, _, h in by_doc[2]}
+    shared = sum(1 for h in h1 if h in h2)
+    assert shared >= int(0.8 * len(h1))
+    assert len(h1) > 5  # the fixture actually chunks
+
+
+def test_chunk_dedup_stats_flags_shared_chunks(spark):
+    """Two docs sharing a long middle section show shared chunks with
+    matching shared_len; a unique doc shows zero."""
+    from streaming_cdc_spark.operators.text import chunk_dedup_stats
+
+    mid = " ".join(f"common{(i * 17) % 43}x{i % 7}" for i in range(300))
+    df = spark.createDataFrame(
+        [
+            (1, "aaa start one " + mid + " tail one"),
+            (2, "completely different opening words " + mid + " other end"),
+            (3, " ".join(f"unique{i}" for i in range(200))),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in chunk_dedup_stats(df).collect()}
+    assert got[1]["n_shared"] > 0
+    assert got[2]["n_shared"] > 0
+    assert got[3]["n_shared"] == 0 and got[3]["shared_len"] == 0
+    assert got[1]["shared_len"] > 0
+    assert got[1]["n_distinct"] <= got[1]["n_chunks"]

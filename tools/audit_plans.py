@@ -57,6 +57,7 @@ BNLJ_WHITELIST = {
     "bm25_topk",  # one-row corpus-stats broadcast (N, sum_dl, df_t)
     "zorder_layout",  # one-row global min/max bounds broadcast
     "record_linkage_scores",  # one-row Fellegi-Sunter u-stats broadcast
+    "ari_score",  # four one-row scalar sums (P, A, B, n) crossJoined
 }
 
 
