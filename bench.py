@@ -48,9 +48,11 @@ HEADLINE = [
     # iterations) and SNM + Fellegi-Sunter record linkage
     "label_propagation_communities",
     "record_linkage_scores",
-    # r6: content-defined chunking dedup + adjusted Rand index
+    # r6: content-defined chunking dedup + adjusted Rand index +
+    # 2-D skyline selection
     "chunk_dedup_profile",
     "ari_score",
+    "pareto_front_docs",
     "cluster_summary",
     "muc_prf",
     "tfidf_blend_clusters",

@@ -114,6 +114,78 @@ def row_number_global(
     )
 
 
+def running_max_global(
+    df: DataFrame,
+    order_cols: list,
+    val_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+    exclusive: bool = False,
+) -> DataFrame:
+    """df + ``out_col`` = MAX(val_col) OVER (ORDER BY order_cols ROWS
+    UNBOUNDED PRECEDING [AND 1 PRECEDING when ``exclusive``]) — the
+    same two-pass shape as running_sum_global (range exchange + local
+    window + broadcast per-partition prefix), max instead of sum.
+    ``order_cols`` may be sort expressions (e.g. F.desc(...)); with
+    ``exclusive`` the first global row gets NULL. Max is a monoid, so
+    the cross-partition combine is one ``greatest`` (NULL-skipping)."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    part = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    hi = -1 if exclusive else 0
+    w = W.partitionBy("_pid").orderBy(*cols).rowsBetween(W.unboundedPreceding, hi)
+    local = part.withColumn("_run", F.max(val_col).over(w))
+    sizes = local.groupBy("_pid").agg(F.max(val_col).alias("_n")).withColumn(
+        "_one", F.least(F.col("_pid"), F.lit(0))
+    )
+    wo = (
+        W.partitionBy("_one")
+        .orderBy("_pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = sizes.select("_pid", F.max("_n").over(wo).alias("_off"))
+    out = local.join(F.broadcast(offs), "_pid")
+    return out.withColumn(out_col, F.greatest("_run", "_off")).drop(
+        "_pid", "_run", "_off"
+    )
+
+
+def pareto_front(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """2-D SKYLINE (Pareto front) under maximize-both dominance: keep
+    rows for which no other row has x' >= x AND y' >= y with at least
+    one strict; ties on both coordinates are mutually non-dominating
+    and all kept. The data-selection form of "best docs on
+    (quality, length) with no arbitrary weighting".
+
+    Scale shape — the classic sweep made distributed: collapse to one
+    row per distinct x (group max of y: one keyed aggregation), take
+    the EXCLUSIVE running max of those maxima in descending-x order
+    over the SMALL per-x relation (two-pass, no single-partition
+    window), broadcast it back. A row survives iff y equals its x
+    group's max and strictly exceeds every higher-x group's max. One
+    shuffle over the data + one over #distinct-x rows; never a pair
+    join (the NOT EXISTS definitional form — the oracle — is O(n²))."""
+    g = df.groupBy(x_col).agg(F.max(y_col).alias("_gmax"))
+    g = running_max_global(g, [F.desc(x_col)], "_gmax", "_hi", exclusive=True)
+    keep = keep_cols or [c for c in df.columns if c not in (x_col, y_col)]
+    # no broadcast hint: the per-x relation is usually tiny (AQE will
+    # broadcast it), but a high-cardinality x must stay a shuffle join
+    j = df.join(g, x_col)
+    return j.filter(
+        (F.col(y_col) == F.col("_gmax"))
+        & (F.col("_hi").isNull() | (F.col(y_col) > F.col("_hi")))
+    ).select(*keep, x_col, y_col)
+
+
 def running_sum_global(
     df: DataFrame,
     order_cols: list[str],

@@ -207,6 +207,53 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.doc_fingerprints(load(spark, sf_dir, "documents"))
 
 
+@query(
+    "pareto_front_docs",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_distinct_tokens,
+             CAST(length(text) AS BIGINT) AS doc_len
+      FROM documents
+    )
+    SELECT d.doc_id, d.n_distinct_tokens, d.doc_len
+    FROM m d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM m o
+      WHERE o.n_distinct_tokens >= d.n_distinct_tokens
+        AND o.doc_len >= d.doc_len
+        AND (o.n_distinct_tokens > d.n_distinct_tokens
+             OR o.doc_len > d.doc_len)
+    )
+    """,
+)
+def pareto_front_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D SKYLINE document selection (operators/ranking.py:
+    pareto_front): the documents not dominated on (distinct-token
+    count, length) — "best on lexical diversity AND volume with no
+    arbitrary weighting", the Pareto form of curriculum selection.
+    Physical is the distributed sweep: group max per x (one keyed
+    agg), exclusive running max over the SMALL per-x relation
+    (two-pass, no single-partition window), broadcast-back filter —
+    one data shuffle total, while the oracle is the O(n²)
+    definitional NOT EXISTS anti-join: an independent formulation,
+    so the hash match proves the sweep loses/keeps nothing,
+    including both-coordinate ties (mutually non-dominating, all
+    kept)."""
+    from streaming_cdc_spark.operators.ranking import pareto_front
+
+    docs = load(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("long")
+        .alias("n_distinct_tokens"),
+        F.length("text").cast("long").alias("doc_len"),
+    )
+    return pareto_front(m, "n_distinct_tokens", "doc_len", keep_cols=["doc_id"])
+
+
 _CDC_K, _CDC_M = 8, 64
 _H8 = "CAST(concat('0x', substr(md5(substr(text, i - 7, 8)), 1, 15)) AS BIGINT)"
 

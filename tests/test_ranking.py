@@ -43,3 +43,45 @@ def test_running_sum_global_matches_window(spark):
         for r in running_sum_global(df, ["pos"], "delta", "run", num_partitions=9).collect()
     }
     assert got == expected
+
+
+def test_running_max_global_matches_single_window(spark):
+    """Two-pass exclusive running max == the definitional python
+    computation, across partition boundaries and with duplicates."""
+    from streaming_cdc_spark.operators.ranking import running_max_global
+
+    rows = [(i, (i * 37) % 19) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = {
+        r["id"]: r["hi"]
+        for r in running_max_global(
+            df, ["id"], "v", "hi", num_partitions=7, exclusive=True
+        ).collect()
+    }
+    run = None
+    for i, v in rows:  # ascending id order
+        assert out[i] == run
+        run = v if run is None else max(run, v)
+
+
+def test_pareto_front_equals_bruteforce(spark):
+    """Skyline sweep == the O(n^2) dominance definition, including
+    both-coordinate ties (mutually non-dominating -> all kept) and
+    same-x groups."""
+    from streaming_cdc_spark.operators.ranking import pareto_front
+
+    pts = [(i, (i * 13) % 11, (i * 7) % 9) for i in range(60)]
+    pts += [(100, 5, 8), (101, 5, 8)]  # exact tie pair
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {r["id"] for r in pareto_front(df, "x", "y", ["id"]).collect()}
+    want = {
+        i
+        for (i, x, y) in pts
+        if not any(
+            ox >= x and oy >= y and (ox > x or oy > y)
+            for (j, ox, oy) in pts
+            if j != i
+        )
+    }
+    assert got == want
+    assert {100, 101} & got == ({100, 101} if (100 in want) else set())
