@@ -101,11 +101,15 @@ SHOWCASE = [
     (
         "record_linkage_scores",
         "Record linkage (r6): sorted-neighborhood blocking = one RANGE "
-        "exchange (the global rank's mono-id decode) + a bucket-banded "
-        "equi-join (SortMergeJoin/ShuffledHashJoin on the rank bucket — "
-        "no theta join); Fellegi-Sunter u-stats ride in as a one-row "
-        "broadcast.",
-        [r"rangepartitioning", r"monotonically_increasing_id"],
+        "exchange (the global rank's mono-id decode, materialized by "
+        "localCheckpoint so both pair sides reuse it — the downstream "
+        "plan reads the ranked RDD), then a bucket-banded EQUI-join on "
+        "the rank bucket (hash join, no theta join); Fellegi-Sunter "
+        "u-stats ride in as a one-row broadcast.",
+        # the banded equi-join keys (the audited one-row u-stats
+        # BNLJ is whitelisted in audit_plans, so the blanket
+        # join-showcase BNLJ assert is not triggered here)
+        [r"\[_bkt#\d+L?\], \[_bkt", r"Scan ExistingRDD"],
     ),
     (
         "pareto_front_docs",
