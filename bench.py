@@ -53,6 +53,9 @@ HEADLINE = [
     "chunk_dedup_profile",
     "ari_score",
     "pareto_front_docs",
+    # r6: cohort retention matrix + GK quantile-sketch bound check
+    "cohort_retention",
+    "approx_quantile_bounds",
     "cluster_summary",
     "muc_prf",
     "tfidf_blend_clusters",

@@ -364,3 +364,56 @@ def approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return one("user_id").unionByName(one("event_type")).unionByName(one("event_id"))
+
+
+@query(
+    "approx_quantile_bounds",
+    oracle="""
+    WITH o AS (
+      SELECT value, row_number() OVER (ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM events
+    ),
+    ex AS (SELECT ROUND(value, 2) AS exact_median
+           FROM o WHERE rn = (n + 1) // 2)
+    SELECT exact_median, TRUE AS within_bound FROM ex
+    """,
+)
+def approx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile twin of approx_distinct_bounds: percentile_approx
+    (Greenwald-Khanna) at accuracy 1000 must place its median
+    estimate within RANK error n/1000 (+1 slack for the discrete
+    grid) of the true rank n/2 — the published GK deterministic
+    bound. The hash-compared columns carry the EXACT median (replayed
+    relationally by the oracle's global row_number — Spark side
+    computes it via the rank-based two-pass, no single-partition
+    window) plus the bound bit derived from the sketch: a drifting
+    sketch flips within_bound and fails the hash while its
+    platform-specific estimate stays out of the compared output."""
+    from streaming_cdc_spark.operators.ranking import row_number_global
+
+    ev = load(spark, sf_dir, "events").select("event_id", "value").localCheckpoint()
+    ranked = row_number_global(ev, ["value", "event_id"], "rn")
+    n_df = ev.agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        ranked.crossJoin(F.broadcast(n_df))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.round("value", 2).alias("exact_median"), "n")
+    )
+    approx = ev.agg(
+        F.percentile_approx("value", 0.5, 1000).alias("_apx")
+    )
+    # rank of the approx value = # values <= it; bound: |rank - n/2|
+    # <= n/1000 + 1
+    apx_rank = (
+        ev.crossJoin(F.broadcast(approx))
+        .agg(F.sum((F.col("value") <= F.col("_apx")).cast("long")).alias("_r"))
+    )
+    out = exact.crossJoin(F.broadcast(approx)).crossJoin(F.broadcast(apx_rank))
+    return out.select(
+        "exact_median",
+        (
+            F.abs(F.col("_r") - F.expr("n div 2"))
+            <= F.expr("n div 1000") + F.lit(1)
+        ).alias("within_bound"),
+    )

@@ -67,6 +67,79 @@ def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cohort_retention",
+    oracle="""
+    WITH shifted AS (
+      SELECT user_id, ts + to_months(CAST(event_id % 5 AS INTEGER)) AS ts2
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, (year(ts2) * 12 + month(ts2)) AS ym FROM shifted
+    ),
+    c AS (SELECT user_id, MIN(ym) AS cohort_ym FROM m GROUP BY user_id),
+    act AS (SELECT DISTINCT m.user_id, c.cohort_ym,
+                   m.ym - c.cohort_ym AS k
+            FROM m JOIN c ON m.user_id = c.user_id),
+    sz AS (SELECT cohort_ym, COUNT(*) AS n_cohort FROM c GROUP BY cohort_ym)
+    SELECT concat(CAST((act.cohort_ym - 1) // 12 AS VARCHAR), '-',
+                  lpad(CAST((act.cohort_ym - 1) % 12 + 1 AS VARCHAR), 2, '0'))
+             AS cohort_month,
+           CAST(act.k AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(MAX(sz.n_cohort) AS BIGINT) AS n_cohort,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(sz.n_cohort) AS DOUBLE), 6)
+             AS retention_r
+    FROM act JOIN sz ON act.cohort_ym = sz.cohort_ym
+    GROUP BY act.cohort_ym, act.k
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT RETENTION matrix — the classic product-analytics query:
+    cohort = each user's first active month, cell (cohort, k) = how
+    many of that cohort were active k months later, plus the rate.
+    Month arithmetic is ALL-INTEGER (ym = year*12 + month; k = ym
+    difference) — months_between() returns engine-varying floats, and
+    calendar-string columns are emitted as strings per the DATE
+    fetch-path rule. Physical: one keyed MIN (cohort), one distinct
+    (user, cohort, k) collapse, one small (cohort) size join — three
+    shuffles on narrow keys, all linear; the retention rate is one
+    double division of exact BIGINTs."""
+    ev = load(spark, sf_dir, "events")
+    # the events fixture is a single calendar month — spread activity
+    # deterministically (event_id % 5 month shift, mirrored in the
+    # oracle) so cohorts and k > 0 cells are actually exercised
+    ts2 = F.add_months("ts", (F.col("event_id") % 5).cast("int"))
+    m = ev.select(
+        "user_id", (F.year(ts2) * 12 + F.month(ts2)).alias("ym")
+    )
+    c = m.groupBy("user_id").agg(F.min("ym").alias("cohort_ym"))
+    act = (
+        m.join(c, "user_id")
+        .select("user_id", "cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias("k"))
+        .distinct()
+    )
+    sz = c.groupBy("cohort_ym").agg(F.count(F.lit(1)).alias("n_cohort"))
+    g = act.join(sz, "cohort_ym").groupBy("cohort_ym", "k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.max("n_cohort").cast("long").alias("n_cohort"),
+    )
+    cohort_month = F.concat(
+        F.expr("(cohort_ym - 1) div 12").cast("string"),
+        F.lit("-"),
+        F.lpad(((F.col("cohort_ym") - 1) % 12 + 1).cast("string"), 2, "0"),
+    )
+    return g.select(
+        cohort_month.alias("cohort_month"),
+        F.col("k").cast("long").alias("k"),
+        "n_active",
+        "n_cohort",
+        F.round(
+            F.col("n_active").cast("double") / F.col("n_cohort").cast("double"), 6
+        ).alias("retention_r"),
+    )
+
+
+@query(
     "hourly_daily_rollup",
     oracle="""
     WITH hourly AS (
