@@ -49,6 +49,35 @@ def test_snm_pair_volume_is_linear(spark):
     assert got == sum(n - g for g in range(1, w))
 
 
+def test_snm_is_skew_free_under_mega_key(spark):
+    """Rank banding is skew-free BY CONSTRUCTION: a sort key shared
+    by 90% of rows (which would square a key-equality blocker) still
+    yields exactly the linear rank-band pair count, and every rank
+    bucket holds exactly `window` rows regardless of key skew."""
+    n, w = 300, 5
+    df = spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 < 9, F.lit("MEGA")).otherwise(
+            F.concat(F.lit("rare"), F.col("id").cast("string"))
+        ).alias("k"),
+    )
+    pairs = sorted_neighborhood_pairs(df, ["k", "id"], "id", window=w)
+    assert pairs.count() == sum(n - g for g in range(1, w))
+    # bucket occupancy is rank-range-determined: exactly w rows per
+    # full bucket — the mega key cannot concentrate a join key
+    from streaming_cdc_spark.operators.ranking import row_number_global
+
+    ranked = row_number_global(df, ["k", "id"], "_rank")
+    occ = (
+        ranked.select(F.expr(f"(_rank - 1) div {w}").alias("b"))
+        .groupBy("b")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .first()["mx"]
+    )
+    assert occ == w
+
+
 def test_fs_scores_hand_computed(spark):
     """Fellegi-Sunter ratios against a by-hand computation: 4 records,
     one field with frequencies (2, 2) -> u = 4/12; m = 0.9."""
