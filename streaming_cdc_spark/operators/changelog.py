@@ -239,23 +239,44 @@ def changelog_deltas(
     small-data transition regime (global seqs + many keys ⇒ bands per
     key grows with scale before capping at rows — caught by
     tools/measure_shuffle.py alpha=1.22); the adaptive width keeps
-    the side-table ∝ keys at small scale and <= rows always."""
+    the side-table ∝ keys at small scale and <= rows always. Logs
+    that fit the per-band target entirely take the PLAIN single
+    per-key window (band_width=0 forces it): no partition can exceed
+    the bound anyway, and the band machinery costs ~2x there."""
     from pyspark.sql import Window as W
 
+    _BAND_TARGET = 250_000
     if band_width is None:
         lo, hi, n = oplog.agg(
             F.min(seq_col), F.max(seq_col), F.count(F.lit(1))
         ).first()
         if n == 0 or lo is None:
             band_width = 1
+        elif int(n) <= _BAND_TARGET:
+            # banding bounds window partitions at ~_BAND_TARGET rows;
+            # when the WHOLE log fits that bound no partition can
+            # exceed it — take the plain single-window path (the band
+            # side table + join cost ~2x at small scale for nothing)
+            band_width = 0
         else:
-            target_bands = max(32, -(-int(n) // 250_000))
+            target_bands = max(32, -(-int(n) // _BAND_TARGET))
             band_width = max(1, (int(hi) - int(lo)) // target_bands + 1)
-    band = F.expr(f"`{seq_col}` div {band_width}")
     state = F.when(
         F.col(op_col) != delete_op, F.col(value_col).cast("decimal(18,2)")
     )
     live = F.when(F.col(op_col) != delete_op, 1).otherwise(0)
+    if band_width == 0:
+        w = W.partitionBy(*key_cols).orderBy(seq_col)
+        prev = F.lag(state).over(w)
+        prev_l = F.lag(live).over(w)
+        return oplog.select(
+            *key_cols,
+            F.col(seq_col),
+            (F.coalesce(state, F.lit(0).cast("decimal(18,2)"))
+             - F.coalesce(prev, F.lit(0).cast("decimal(18,2)"))).alias("delta_value"),
+            (live - F.coalesce(prev_l, F.lit(0))).cast("long").alias("delta_live"),
+        )
+    band = F.expr(f"`{seq_col}` div {band_width}")
     rows = oplog.select(
         *key_cols,
         F.col(seq_col),

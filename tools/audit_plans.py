@@ -58,6 +58,7 @@ BNLJ_WHITELIST = {
     "zorder_layout",  # one-row global min/max bounds broadcast
     "record_linkage_scores",  # one-row Fellegi-Sunter u-stats broadcast
     "ari_score",  # four one-row scalar sums (P, A, B, n) crossJoined
+    "approx_quantile_bounds",  # one-row (n, approx, rank) scalar broadcasts
 }
 
 
