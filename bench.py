@@ -56,6 +56,16 @@ HEADLINE = [
     # r6: cohort retention matrix + GK quantile-sketch bound check
     "cohort_retention",
     "approx_quantile_bounds",
+    # r6: sequence/drift/interval/sketch analytics — Markov transition
+    # matrix, chi-square category drift (quantize-then-exact-sum
+    # total), bounded-width interval coverage (linear unnest vs the
+    # oracle's naive range join), k-core peeling of the near-dup
+    # graph, Misra-Gries heavy hitters under the theorem bound
+    "event_transition_matrix",
+    "category_drift_chisq",
+    "interval_coverage_counts",
+    "kcore_peel_rounds",
+    "heavy_hitters_bounds",
     "cluster_summary",
     "muc_prf",
     "tfidf_blend_clusters",

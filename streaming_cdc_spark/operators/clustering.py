@@ -308,6 +308,42 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
+    """K-CORE PEELING, ``rounds`` synchronous rounds (the parallel
+    peeling step of Matula & Beck '83's core decomposition, as run
+    distributed in e.g. GraphX/Pregel formulations): each round drops
+    every node whose CURRENT degree is below ``k`` together with its
+    edges, so surviving degrees only shrink. A fixed round count keeps
+    the op SQL-replayable (unrolled CTE rounds, the pagerank_exact /
+    label_propagation convention) — full convergence is just "run
+    until a round removes nothing", and on bounded-degeneracy near-dup
+    graphs the peel converges in a handful of rounds.
+
+    Scale shape per round: one keyed count (degrees) + two semi-joins
+    of the edge list against the survivor set — all equi-joins on node
+    ids, nothing quadratic, no driver state. Input: undirected edges
+    (u, v) with u < v, no duplicates. Output: (vec_id, deg) for every
+    node still alive after ``rounds`` peels, with its degree in the
+    surviving subgraph — the standard triage signal for "densely
+    interlinked near-duplicate mass" (a template family survives the
+    peel; incidental pairwise matches do not)."""
+    sym = (
+        edges.selectExpr("u", "v")
+        .union(edges.selectExpr("v AS u", "u AS v"))
+        .localCheckpoint()
+    )
+    alive = sym
+    for _ in range(rounds):
+        deg = alive.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("u")
+        alive = alive.join(keep, "u", "left_semi").join(
+            keep.withColumnRenamed("u", "v"), "v", "left_semi"
+        )
+    return alive.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg")).select(
+        F.col("u").alias("vec_id"), "deg"
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     iterations: int = 3,

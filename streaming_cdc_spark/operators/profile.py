@@ -63,6 +63,60 @@ def check_unique(cols: list[str]) -> Column:
     return F.coalesce(F.sum(nn.cast("long")), F.lit(0)) - F.count_distinct(key)
 
 
+def misra_gries_summary(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Mergeable MISRA-GRIES frequency summary (Misra & Gries 1982;
+    merged with the counter-SUM rule of Agarwal et al. PODS'12):
+    each input partition keeps at most ``k`` weighted counters —
+    an incoming key increments its counter, claims a free slot, or
+    triggers a uniform decrement of all ``k`` counters plus the
+    incoming weight (each decrement event of size d removes d*(k+1)
+    mass, so per-partition decrements total at most n_p/(k+1)).
+    Per-partition summaries are then SUMMED per key in one groupBy —
+    the merge never touches the driver and the output is at most
+    k * n_partitions rows.
+
+    Guarantees, for N total rows: est <= true, and
+    true - est <= sum_p n_p/(k+1) = N/(k+1); hence any key with
+    true count > N/(k+1) is GUARANTEED a positive estimate. The
+    estimates themselves depend on arrival order and partitioning
+    (like any mergeable sketch) — queries must surface only exact
+    counts plus theorem-bound BITS (the approx_distinct_bounds
+    pattern), never the raw estimate.
+
+    Returns (key string, est long)."""
+    from streaming_cdc_spark.session import ensure_package_on_executors, fan_out
+
+    ensure_package_on_executors(df.sparkSession)
+    base = fan_out(df.select(F.col(key_col).cast("string").alias("key")))
+
+    def gen(batches):
+        d: dict[str, int] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for key, w in pdf["key"].value_counts().items():
+                w = int(w)
+                while w > 0:
+                    if key in d:
+                        d[key] += w
+                        w = 0
+                    elif len(d) < k:
+                        d[key] = w
+                        w = 0
+                    else:
+                        dec = min(min(d.values()), w)
+                        d = {x: c - dec for x, c in d.items() if c > dec}
+                        w -= dec
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"key": list(d.keys()), "est": [int(v) for v in d.values()]}
+        )
+
+    summaries = base.mapInPandas(gen, "key string, est long")
+    return summaries.groupBy("key").agg(F.sum("est").cast("long").alias("est"))
+
+
 def constraint_checks(
     df: DataFrame,
     checks: list[tuple[str, Column]],

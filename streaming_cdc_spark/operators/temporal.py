@@ -180,3 +180,43 @@ def resample_locf(
         inner=False,
     )
     return out.select(key_col, "slot", F.round("_v", 2).alias("value_ffill"))
+
+
+def interval_coverage(
+    df: DataFrame,
+    start_col: str,
+    width_days_col: str,
+    group_col: str,
+) -> DataFrame:
+    """POINT-IN-INTERVAL coverage counts: for every calendar day and
+    group, how many of the input's [start, start + width_days]
+    (inclusive) intervals cover that day — the interval/range-join
+    workload (validity windows, promo periods, sensor uptime).
+
+    Physical strategy: a naive formulation is a theta join
+    (day BETWEEN start AND end) — a cross product that no equi-join
+    engine shuffles efficiently. Because the interval width here is
+    BOUNDED, the scale-correct plan is to UNNEST each interval into
+    its covered days (sequence + explode: rows = n * avg_width,
+    linear) and count by (day, group) — one explode, one hash
+    aggregate, zero joins, skew-free (days are near-uniform). For
+    unbounded widths the same operator would bin intervals into
+    fixed-width buckets and equi-join on bucket before the residual
+    BETWEEN filter (the classic bucketed range join); bounded-width
+    unnesting is that plan's degenerate, cheaper case. Oracles check
+    it against an INDEPENDENT naive BETWEEN range join.
+
+    Output: (day 'yyyy-MM-dd' string, <group_col>, n_covering) —
+    calendar buckets emitted as strings per the DATE fetch-path rule.
+    """
+    start = F.to_date(F.col(start_col))
+    days = F.explode(
+        F.sequence(start, F.date_add(start, F.col(width_days_col).cast("int")))
+    ).alias("_day")
+    return (
+        df.select(days, F.col(group_col))
+        .groupBy(
+            F.date_format("_day", "yyyy-MM-dd").alias("day"), F.col(group_col)
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_covering"))
+    )

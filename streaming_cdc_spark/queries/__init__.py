@@ -26,6 +26,7 @@ from streaming_cdc_spark.queries import (  # noqa: E402,F401
     changelog,
     skew,
     linkage,
+    analytics,
 )
 
 # The driver's correctness gate checks only the FIRST 50 entries of

@@ -1,0 +1,302 @@
+"""Sequence, drift, interval and sketch analytics over the event
+stream and the near-dup graph: Markov transition matrices, chi-square
+category drift, point-in-interval coverage (the range-join workload),
+k-core peeling, and the Misra-Gries mergeable heavy-hitter summary
+under its theorem bound.
+
+No reference counterpart (streaming-cdc links entities; it does not
+profile event streams) — these are the stream-health / sequence-mining
+operators the LLM-data-pipeline brief calls for, shaped for 100 TB:
+every query is scan -> keyed aggregate -> (small) equi-joins; the only
+non-equi join lives in the ORACLES (the independent naive BETWEEN
+formulation that checks the linear unnest physical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from streaming_cdc_spark.queries.registry import query
+from streaming_cdc_spark.tables import load
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH o AS (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    n AS (
+      SELECT prev AS src_type, event_type AS dst_type, COUNT(*) AS n
+      FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (SELECT src_type, SUM(n) AS tot FROM n GROUP BY src_type)
+    SELECT n.src_type, n.dst_type, CAST(n.n AS BIGINT) AS n,
+           ROUND(CAST(n.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
+    FROM n JOIN t USING (src_type)
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order MARKOV TRANSITION MATRIX of per-user event
+    sequences — the sequence-mining primitive behind session modeling
+    and next-action prediction. Each user's events are ordered by
+    (ts, event_id) (event_id breaks timestamp ties — a total order,
+    so the lag is deterministic); (prev, next) bigrams aggregate to
+    counts and row-normalized probabilities. Physical: one per-user
+    window (partitioned by user — millions of small partitions at
+    scale, never a global sort) + one keyed count + one tiny per-type
+    totals join; the probability is a single double division of exact
+    BIGINTs, rounded identically on both engines."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("src_type"),
+        F.col("event_type").alias("dst_type"),
+    ).filter(F.col("src_type").isNotNull())
+    n = pairs.groupBy("src_type", "dst_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = n.groupBy("src_type").agg(F.sum("n").alias("tot"))
+    return n.join(t, "src_type").select(
+        "src_type",
+        "dst_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tot").cast("double"), 6).alias(
+            "p"
+        ),
+    )
+
+
+@query(
+    "category_drift_chisq",
+    oracle="""
+    WITH cells AS (
+      SELECT event_id % 2 AS split, event_type, COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT split, SUM(o) AS r FROM cells GROUP BY split),
+    c AS (SELECT event_type, SUM(o) AS c FROM cells GROUP BY event_type),
+    nn AS (SELECT SUM(o) AS n FROM cells),
+    ct AS (
+      SELECT cells.split, cells.event_type, cells.o,
+             (CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)) / CAST(nn.n AS DOUBLE)
+               AS e
+      FROM cells JOIN r USING (split) JOIN c USING (event_type), nn
+    ),
+    q AS (
+      SELECT split, event_type, o, e,
+             CAST(ROUND((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e,
+                        6) AS DECIMAL(18,6)) AS cq
+      FROM ct
+    ),
+    tot AS (SELECT SUM(cq) AS chi2 FROM q)
+    SELECT q.split, q.event_type, CAST(q.o AS BIGINT) AS observed,
+           ROUND(q.e, 6) AS expected,
+           CAST(q.cq AS DOUBLE) AS contrib,
+           ROUND(CAST(tot.chi2 AS DOUBLE), 6) AS chi2_total
+    FROM q, tot
+    """,
+)
+def category_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHI-SQUARE CATEGORY-DRIFT test between two halves of the event
+    stream (split = event_id parity): the distribution-shift check a
+    pipeline runs between a corpus snapshot and its refresh. All cell
+    and margin counts are exact BIGINTs; each cell's expected value
+    and contribution are ONE fixed-order double formula (the ari_score
+    float pattern), and the chi-square TOTAL is the exact DECIMAL sum
+    of the per-cell contributions quantized to 6 dp — quantize-then-
+    exact-sum, so the cross-cell reduction is order-free under any
+    partitioning (a raw double SUM over cells would hash-drift).
+    Physical: one scan -> keyed cell counts (|splits| x |types| rows),
+    margins by two tiny re-aggregations of the CELLS (never rescanning
+    events), one-row scalar broadcasts for N and the total."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("event_id") % 2).alias("split"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("o"))
+    r = cells.groupBy("split").agg(F.sum("o").alias("r"))
+    c = cells.groupBy("event_type").agg(F.sum("o").alias("c"))
+    nn = cells.agg(F.sum("o").alias("n"))
+    po = F.col("o").cast("double")
+    e = (F.col("r").cast("double") * F.col("c").cast("double")) / F.col("n").cast(
+        "double"
+    )
+    q = (
+        cells.join(r, "split")
+        .join(c, "event_type")
+        .crossJoin(F.broadcast(nn))
+        .withColumn("e", e)
+        .withColumn(
+            "cq",
+            F.round((po - F.col("e")) * (po - F.col("e")) / F.col("e"), 6).cast(
+                "decimal(18,6)"
+            ),
+        )
+    )
+    tot = q.agg(F.sum("cq").alias("chi2"))
+    return q.crossJoin(F.broadcast(tot)).select(
+        "split",
+        "event_type",
+        F.col("o").cast("long").alias("observed"),
+        F.round("e", 6).alias("expected"),
+        F.col("cq").cast("double").alias("contrib"),
+        F.round(F.col("chi2").cast("double"), 6).alias("chi2_total"),
+    )
+
+
+@query(
+    "interval_coverage_counts",
+    oracle="""
+    WITH iv AS (
+      SELECT CAST(l_shipdate AS DATE) AS d0,
+             CAST(l_orderkey % 14 + 1 AS INTEGER) AS w, l_returnflag
+      FROM lineitem
+    ),
+    b AS (SELECT MIN(d0) AS lo, MAX(d0 + to_days(w)) AS hi FROM iv),
+    days AS (
+      SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS dd
+      FROM b
+    )
+    SELECT strftime(dd, '%Y-%m-%d') AS day, l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_covering
+    FROM days JOIN iv ON days.dd BETWEEN iv.d0 AND iv.d0 + to_days(iv.w)
+    GROUP BY 1, 2
+    """,
+)
+def interval_coverage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-INTERVAL coverage (operators/temporal.py:
+    interval_coverage): each lineitem becomes a shipment validity
+    window [shipdate, shipdate + (l_orderkey % 14 + 1) days], and the
+    query counts, per calendar day and returnflag, how many windows
+    cover that day. The engine side runs the LINEAR bounded-width
+    physical (sequence + explode + hash count — zero joins); the
+    oracle is the INDEPENDENT naive formulation, a day-domain BETWEEN
+    range join — a hash match proves the unnest plan emits exactly
+    the theta join's semantics. Days render as strings (DATE
+    fetch-path rule)."""
+    from streaming_cdc_spark.operators.temporal import interval_coverage
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_shipdate",
+        (F.col("l_orderkey") % 14 + 1).alias("w"),
+        "l_returnflag",
+    )
+    return interval_coverage(li, "l_shipdate", "w", "l_returnflag")
+
+
+def _kcore_sql(k: int = 2, rounds: int = 3) -> str:
+    from streaming_cdc_spark.queries.cdc import _EDGES_SQL
+
+    parts = [
+        f"e0 AS (SELECT u, v FROM ({_EDGES_SQL}) WHERE sim > 0.3)",
+        "sym0 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"d{i} AS (SELECT u, COUNT(*) AS d FROM sym{i - 1} GROUP BY u)"
+        )
+        parts.append(f"k{i} AS (SELECT u FROM d{i} WHERE d >= {k})")
+        parts.append(
+            f"sym{i} AS (SELECT s.u, s.v FROM sym{i - 1} s "
+            f"WHERE s.u IN (SELECT u FROM k{i}) "
+            f"AND s.v IN (SELECT u FROM k{i}))"
+        )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"\n    SELECT u AS vec_id, CAST(COUNT(*) AS BIGINT) AS deg "
+        f"FROM sym{rounds} GROUP BY u"
+    )
+
+
+@query("kcore_peel_rounds", oracle=_kcore_sql())
+def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE PEELING (operators/clustering.py: kcore_peel) of the
+    tau=0.3 cosine near-dup graph: 3 synchronous rounds dropping every
+    node of current degree < 2 with its edges. Survivors are the
+    densely interlinked near-duplicate mass (template families), the
+    triage complement to triangle_counts' cohesion signal. The fixed
+    round count makes it SQL-replayable: the oracle unrolls the
+    degree/keep/filter CTE triple per round verbatim. Per round one
+    keyed count + two semi-joins — all equi-joins, skew-bounded by the
+    graph's degeneracy, no driver state."""
+    from streaming_cdc_spark.operators.clustering import kcore_peel
+    from streaming_cdc_spark.operators.similarity import cosine_self_edges
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = cosine_self_edges(emb, 0.3).select("u", "v")
+    return kcore_peel(edges, k=2, rounds=3)
+
+
+_HH_K = 16  # Misra-Gries counters per partition; bound = N div (k+1)
+
+_HH_KEY_SQL = """
+    CASE WHEN event_id % 3 <> 0
+         THEN 'hot' || CAST(event_id % 2 AS VARCHAR)
+         ELSE 'u' || CAST(user_id AS VARCHAR) END
+"""
+
+
+@query(
+    "heavy_hitters_bounds",
+    oracle=f"""
+    WITH keyed AS (SELECT {_HH_KEY_SQL} AS key FROM events),
+    n AS (SELECT key, COUNT(*) AS n FROM keyed GROUP BY key),
+    tot AS (SELECT COUNT(*) AS total FROM keyed)
+    SELECT key, CAST(n.n AS BIGINT) AS n,
+           CAST(tot.total // {_HH_K + 1} AS BIGINT) AS bound,
+           CAST(1 AS BIGINT) AS in_summary,
+           CAST(1 AS BIGINT) AS within_bound
+    FROM n, tot WHERE n.n > tot.total // {_HH_K + 1}
+    """,
+)
+def heavy_hitters_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAVY HITTERS under the MISRA-GRIES theorem bound — the
+    frequency-sketch row of the approx_distinct_bounds /
+    approx_quantile_bounds pattern: the engine runs the real mergeable
+    summary (operators/profile.py: misra_gries_summary, k=16 counters
+    per partition, merged by one keyed SUM — never on the driver) over
+    a skewed key stream (two planted hot keys carry ~2/3 of the rows;
+    the ~|users| tail keys force real decrements in every partition),
+    then surfaces, for every key whose EXACT count exceeds N div
+    (k+1): the exact count, the bound, and two theorem BITS computed
+    from the live sketch — present-in-summary (guaranteed: a key
+    above the bound cannot be fully decremented away) and
+    within-bound (est <= true and true - est <= N div (k+1)). The
+    estimates themselves are arrival-order-dependent and never leave
+    the query; the bits are invariant under any partitioning, so the
+    oracle states them as literals — a sketch bug flips a bit and
+    fails the hash."""
+    from streaming_cdc_spark.operators.profile import misra_gries_summary
+
+    ev = load(spark, sf_dir, "events")
+    key = F.when(
+        F.col("event_id") % 3 != 0,
+        F.concat(F.lit("hot"), (F.col("event_id") % 2).cast("string")),
+    ).otherwise(F.concat(F.lit("u"), F.col("user_id").cast("string")))
+    keyed = ev.select(key.alias("key"))
+    summ = misra_gries_summary(keyed, "key", _HH_K)
+    exact = keyed.groupBy("key").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = keyed.agg(F.count(F.lit(1)).alias("total"))
+    heavy = (
+        exact.crossJoin(F.broadcast(tot))
+        .withColumn("bound", F.expr(f"total div {_HH_K + 1}").cast("long"))
+        .filter(F.col("n") > F.col("bound"))
+    )
+    j = heavy.join(summ, "key", "left")
+    est = F.coalesce(F.col("est"), F.lit(0))
+    return j.select(
+        "key",
+        "n",
+        "bound",
+        (est > 0).cast("long").alias("in_summary"),
+        ((est <= F.col("n")) & (F.col("n") - est <= F.col("bound")))
+        .cast("long")
+        .alias("within_bound"),
+    )

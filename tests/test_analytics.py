@@ -1,0 +1,161 @@
+"""Tests for the analytics family: Misra-Gries summary bounds,
+k-core peeling, interval coverage, transition matrix, chi-square
+drift."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from streaming_cdc_spark.operators.clustering import kcore_peel
+from streaming_cdc_spark.operators.profile import misra_gries_summary
+from streaming_cdc_spark.operators.temporal import interval_coverage
+
+
+def _mg_check(spark, rows: list[str], k: int) -> None:
+    df = spark.createDataFrame([(x,) for x in rows], "key string")
+    est = {
+        r["key"]: r["est"] for r in misra_gries_summary(df, "key", k).collect()
+    }
+    true = {}
+    for x in rows:
+        true[x] = true.get(x, 0) + 1
+    bound = len(rows) // (k + 1)
+    for key, t in true.items():
+        e = est.get(key, 0)
+        assert 0 <= e <= t, (key, e, t)
+        assert t - e <= bound, (key, e, t, bound)
+        if t > bound:  # guaranteed presence
+            assert e > 0, (key, e, t, bound)
+    for key in est:  # summary never invents keys
+        assert key in true
+
+
+def test_misra_gries_bounds_skewed_stream(spark):
+    # 2 hot keys (300 each) + 200 distinct tail keys (2 each): the
+    # tail forces decrements; theorem bounds must hold for EVERY key.
+    rows = (
+        ["hot0", "hot1"] * 300
+        + [f"t{i}" for i in range(200)] * 2
+    )
+    _mg_check(spark, rows, k=8)
+
+
+def test_misra_gries_adversarial_order(spark):
+    # all tail first (fills + churns the counters), hot keys last —
+    # the arrival order that maximally suppresses early estimates
+    rows = [f"t{i}" for i in range(500)] + ["hot"] * 100
+    _mg_check(spark, rows, k=4)
+
+
+def test_misra_gries_fewer_keys_than_counters_is_exact(spark):
+    rows = ["a"] * 10 + ["b"] * 5 + ["c"] * 1
+    df = spark.createDataFrame([(x,) for x in rows], "key string")
+    est = {
+        r["key"]: r["est"]
+        for r in misra_gries_summary(df, "key", 8).collect()
+    }
+    assert est == {"a": 10, "b": 5, "c": 1}
+
+
+def test_kcore_peel_triangle_survives_pendant_path_dies(spark):
+    # triangle {1,2,3} + path 3-4-5: node 5 (deg 1) dies round 1,
+    # node 4 dies round 2; the 2-core is exactly the triangle.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], "u long, v long"
+    )
+    out = {r["vec_id"]: r["deg"] for r in kcore_peel(edges, k=2, rounds=3).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_zero_rounds_is_input_degrees(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    out = {r["vec_id"]: r["deg"] for r in kcore_peel(edges, k=5, rounds=0).collect()}
+    assert out == {1: 1, 2: 2, 3: 1}
+
+
+def test_interval_coverage_counts_overlap(spark):
+    d = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(d, 2, "A"), (datetime.datetime(2024, 1, 2), 1, "A"),
+         (datetime.datetime(2024, 1, 5), 0, "B")],
+        "start timestamp, w int, g string",
+    )
+    out = {
+        (r["day"], r["g"]): r["n_covering"]
+        for r in interval_coverage(df, "start", "w", "g").collect()
+    }
+    # interval 1 covers 1..3, interval 2 covers 2..3, interval 3 covers 5
+    assert out == {
+        ("2024-01-01", "A"): 1,
+        ("2024-01-02", "A"): 2,
+        ("2024-01-03", "A"): 2,
+        ("2024-01-05", "B"): 1,
+    }
+
+
+def test_interval_coverage_plan_has_no_join(spark):
+    df = spark.range(10).select(
+        F.to_timestamp(F.lit("2024-01-01")).alias("start"),
+        F.lit(3).alias("w"),
+        (F.col("id") % 2).cast("string").alias("g"),
+    )
+    plan = (
+        interval_coverage(df, "start", "w", "g")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan  # linear unnest physical: explode + agg only
+
+
+def test_transition_matrix_golden(spark, tmp_path):
+    import pandas as pd
+
+    rows = []
+    t0 = datetime.datetime(2024, 1, 1)
+    # user 1: a -> b -> a ; user 2: b -> b
+    for i, (u, et) in enumerate(
+        [(1, "a"), (1, "b"), (1, "a"), (2, "b"), (2, "b")]
+    ):
+        rows.append((i, t0 + datetime.timedelta(minutes=i), u, et, 0.0, "{}"))
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+    from streaming_cdc_spark.queries.analytics import event_transition_matrix
+
+    out = {
+        (r["src_type"], r["dst_type"]): (r["n"], r["p"])
+        for r in event_transition_matrix(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        ("a", "b"): (1, 1.0),
+        ("b", "a"): (1, 0.5),
+        ("b", "b"): (1, 0.5),
+    }
+
+
+def test_chisq_identical_halves_is_zero(spark, tmp_path):
+    import pandas as pd
+
+    rows = []
+    t0 = datetime.datetime(2024, 1, 1)
+    # event_id parity defines the split; make both halves identical:
+    # ids 2j / 2j+1 share the same type, so o == e for every cell
+    for j in range(40):
+        et = "abcd"[j % 4]
+        rows.append((2 * j, t0, 1, et, 0.0, "{}"))
+        rows.append((2 * j + 1, t0, 1, et, 0.0, "{}"))
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+    from streaming_cdc_spark.queries.analytics import category_drift_chisq
+
+    res = category_drift_chisq(spark, str(tmp_path)).collect()
+    assert len(res) == 8  # 2 splits x 4 types
+    for r in res:
+        assert r["contrib"] == 0.0
+        assert r["chi2_total"] == 0.0
+        assert r["observed"] == 10
+        assert r["expected"] == 10.0

@@ -59,6 +59,8 @@ BNLJ_WHITELIST = {
     "record_linkage_scores",  # one-row Fellegi-Sunter u-stats broadcast
     "ari_score",  # four one-row scalar sums (P, A, B, n) crossJoined
     "approx_quantile_bounds",  # one-row (n, approx, rank) scalar broadcasts
+    "category_drift_chisq",  # one-row N total + one-row chi2 total broadcasts
+    "heavy_hitters_bounds",  # one-row stream-total (bound) broadcast
 }
 
 

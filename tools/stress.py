@@ -14,6 +14,12 @@ r6 (VERDICT r5 #2) adds the r5 flagship operators:
   with a PLANTED 30%-HOT KEY (the argmax partial-aggregates map-side;
   the deltas window pays one big-partition sort — measured honestly);
 - pagerank_exact over 1M/4M synthetic edges (3 iterations);
+r6 second session adds the round's new operator families:
+- sorted_neighborhood_pairs at 1M/4M records (rank-banded blocking —
+  candidate volume n*(window-1) by construction, skew-free bands);
+- label_propagation (3 mode-vote iterations) and kcore_peel (3
+  peeling rounds) at 1M/4M edges;
+- chunk_dedup_stats at 100k/400k docs with planted duplicates.
 - the blocked cosine kernel, which is QUADRATIC BY DESIGN (all-pairs
   compute in bounded-memory blocks): its expected time ratio is
   size_ratio^2, asserted as such — the LINEAR corpus-scale paths are
@@ -230,6 +236,64 @@ def main() -> None:
         results.setdefault("pagerank_3it", []).append(round(time.time() - t0, 2))
         e.unpersist()
     sizes["pagerank_3it"] = m_big / m_small
+
+    # --- r6 operators: SNM blocking, LPA + k-core, chunk dedup -----
+    from streaming_cdc_spark.operators.clustering import (
+        kcore_peel,
+        label_propagation,
+    )
+    from streaming_cdc_spark.operators.linkage import sorted_neighborhood_pairs
+    from streaming_cdc_spark.operators.text import chunk_dedup_stats
+
+    # sorted-neighborhood blocking at 1M/4M records, window 8:
+    # candidate volume is n*(window-1) BY CONSTRUCTION (rank bands)
+    for n in (10 * n_small, 10 * n_big):
+        rec = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("rid"),
+                F.concat(
+                    F.lit("n"),
+                    F.pmod(F.xxhash64("id"), F.lit(max(n // 2, 1))).cast("string"),
+                ).alias("name"),
+            )
+            .persist()
+        )
+        rec.count()
+        t0 = time.time()
+        sorted_neighborhood_pairs(rec, ["name", "rid"], "rid", 8).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        results.setdefault("snm_pairs", []).append(round(time.time() - t0, 2))
+        rec.unpersist()
+    sizes["snm_pairs"] = n_big / n_small
+
+    # label propagation (3 mode-vote iterations) + k-core peeling
+    # (3 rounds) over the same 1M/4M synthetic edge sets as pagerank
+    for m in (m_small, m_big):
+        e = synth_edges(spark, m, m // 4).persist()
+        e.count()
+        t0 = time.time()
+        label_propagation(e, iterations=3).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        results.setdefault("label_prop_3it", []).append(round(time.time() - t0, 2))
+        t0 = time.time()
+        kcore_peel(e, k=2, rounds=3).write.format("noop").mode("overwrite").save()
+        results.setdefault("kcore_3rounds", []).append(round(time.time() - t0, 2))
+        e.unpersist()
+    sizes["label_prop_3it"] = sizes["kcore_3rounds"] = m_big / m_small
+
+    # content-defined chunking dedup profile at 100k/400k docs with
+    # planted duplicates (so the chunk-sharing join sees real matches)
+    for n in (n_small, n_big):
+        dup = synth_dup_docs(spark, n).persist()
+        dup.count()
+        t0 = time.time()
+        chunk_dedup_stats(dup).write.format("noop").mode("overwrite").save()
+        results.setdefault("chunk_dedup", []).append(round(time.time() - t0, 2))
+        dup.unpersist()
+    sizes["chunk_dedup"] = n_big / n_small
 
     # the raw blocked kernel is QUADRATIC by design (all-pairs compute
     # in bounded-memory blocks) — expected ratio is size_ratio^2.
