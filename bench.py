@@ -66,6 +66,12 @@ HEADLINE = [
     "interval_coverage_counts",
     "kcore_peel_rounds",
     "heavy_hitters_bounds",
+    # r6: PMI collocations (no-ln fixed-order ratio), last-touch
+    # attribution (typed as-of vs DuckDB native ASOF oracle),
+    # equi-width value histogram
+    "collocation_pmi",
+    "purchase_attribution",
+    "value_histogram_bins",
     "cluster_summary",
     "muc_prf",
     "tfidf_blend_clusters",

@@ -171,3 +171,41 @@ def constraint_checks(
         F.col("n_violations").cast("long").alias("n_violations"),
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def numeric_histogram(df: DataFrame, value_col: str, bins: int) -> DataFrame:
+    """EQUI-WIDTH NUMERIC HISTOGRAM — the profiling companion to
+    column_profile: one pass for the global [min, max] (a one-row
+    scalar broadcast), one scan assigning each value its bin by a
+    fixed-order double formula (identical IEEE ops on any engine:
+    width = (max-min)/bins; bin = least(floor((v-min)/width),
+    bins-1), the right edge clamped into the last bin; a degenerate
+    min==max column collapses to bin 0), one keyed count. NULLs are
+    excluded (profile them via column_profile's null counts).
+    Output: (bin, bin_lo, bin_hi, n) — edges rounded to 6 dp."""
+    vals = df.select(F.col(value_col).cast("double").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    stats = vals.agg(F.min("_v").alias("_mn"), F.max("_v").alias("_mx"))
+    j = vals.crossJoin(F.broadcast(stats))
+    width = (F.col("_mx") - F.col("_mn")) / F.lit(float(bins))
+    bin_ = F.when(F.col("_mx") == F.col("_mn"), F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.floor((F.col("_v") - F.col("_mn")) / width),
+            F.lit(bins - 1).cast("long"),
+        )
+    )
+    g = j.groupBy(bin_.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("_mn").alias("_mn"),
+        F.max("_mx").alias("_mx"),
+    )
+    w2 = (F.col("_mx") - F.col("_mn")) / F.lit(float(bins))
+    return g.select(
+        "bin",
+        F.round(F.col("_mn") + F.col("bin").cast("double") * w2, 6).alias("bin_lo"),
+        F.round(F.col("_mn") + (F.col("bin") + 1).cast("double") * w2, 6).alias(
+            "bin_hi"
+        ),
+        "n",
+    )

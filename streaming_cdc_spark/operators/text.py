@@ -929,3 +929,79 @@ def temperature_mix(
         ).cast("int").alias("sel"),
     )
     return flagged
+
+
+def collocation_pmi(
+    docs: DataFrame,
+    top_n: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """COLLOCATION MINING by pointwise mutual information — the
+    corpus-linguistics primitive behind multiword-expression
+    detection and tokenizer-vocabulary curation (Church & Hanks '90).
+    Scored as the RAW probability ratio
+    p(w1,w2) / (p(w1) p(w2)) = n_ab * N^2 / (B * n_a * n_b),
+    NOT its log: ln() is not bit-identical across engines (the
+    ari_score lesson), while this ratio is ONE fixed-order chain of
+    IEEE double multiply/divide over exact BIGINT counts — identical
+    bits on Spark and DuckDB, and monotone in log-PMI so the ranking
+    is the textbook one.
+
+    Physical: one token explode for unigram counts, one doc-local
+    bigram explode for pair counts (both partial-aggregated), a
+    min_count frequency cut BEFORE the two unigram-count joins (the
+    candidate set shrinks to frequent pairs first), one-row scalar
+    broadcasts for the two corpus totals, then the two-pass global
+    rank (row_number_global — never a single-partition window).
+    Output: (w1, w2, n_ab, n_a, n_b, pmi_ratio, rank), top_n rows."""
+    from streaming_cdc_spark.operators.ranking import row_number_global
+    from streaming_cdc_spark.session import fan_out
+
+    # the split is referenced by both the unigram and bigram passes
+    # (and their totals) — materialize it once instead of re-running
+    # the scan+split lineage four times
+    base = fan_out(
+        docs.select(F.split(F.col(text_col), " ").alias("_t"))
+    ).localCheckpoint()
+    toks = base.select(F.explode("_t").alias("w"))
+    ua = toks.groupBy("w").agg(F.count(F.lit(1)).alias("_n"))
+    nn = toks.agg(F.count(F.lit(1)).alias("_n_tok"))
+    bg = base.filter(F.size("_t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_t) - 1), "
+                "i -> struct(element_at(_t, i) AS w1, "
+                "element_at(_t, i + 1) AS w2))"
+            )
+        ).alias("_b")
+    ).select("_b.w1", "_b.w2")
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    bb = bg.agg(F.count(F.lit(1)).alias("_n_bg"))
+    f = (
+        bc.filter(F.col("n_ab") >= min_count)
+        .join(ua.select(F.col("w").alias("w1"), F.col("_n").alias("n_a")), "w1")
+        .join(ua.select(F.col("w").alias("w2"), F.col("_n").alias("n_b")), "w2")
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(bb))
+    )
+    pmi = (
+        (F.col("n_ab").cast("double") * F.col("_n_tok").cast("double"))
+        * F.col("_n_tok").cast("double")
+    ) / (
+        (F.col("_n_bg").cast("double") * F.col("n_a").cast("double"))
+        * F.col("n_b").cast("double")
+    )
+    s = f.withColumn("_pmi", pmi)
+    ranked = row_number_global(
+        s, [F.desc("_pmi"), F.asc("w1"), F.asc("w2")], "rank"
+    ).filter(F.col("rank") <= top_n)
+    return ranked.select(
+        "w1",
+        "w2",
+        F.col("n_ab").cast("long").alias("n_ab"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("_pmi", 6).alias("pmi_ratio"),
+        "rank",
+    )

@@ -300,3 +300,141 @@ def heavy_hitters_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("within_bound"),
     )
+
+
+@query(
+    "collocation_pmi",
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    uni AS (SELECT u.w AS w FROM toks, UNNEST(t) AS u(w)),
+    ua AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY w),
+    nn AS (SELECT COUNT(*) AS n_tok FROM uni),
+    bg AS (SELECT t[i] AS w1, t[i + 1] AS w2
+           FROM toks, UNNEST(range(1, greatest(len(t), 2))) AS u(i)
+           WHERE i + 1 <= len(t)),
+    bc AS (SELECT w1, w2, COUNT(*) AS n_ab FROM bg GROUP BY 1, 2),
+    bb AS (SELECT COUNT(*) AS n_bg FROM bg),
+    f AS (SELECT bc.w1, bc.w2, bc.n_ab, a.n AS n_a, b.n AS n_b
+          FROM bc JOIN ua a ON bc.w1 = a.w JOIN ua b ON bc.w2 = b.w
+          WHERE bc.n_ab >= 5),
+    s AS (SELECT w1, w2, n_ab, n_a, n_b,
+                 ((CAST(n_ab AS DOUBLE) * CAST(nn.n_tok AS DOUBLE))
+                   * CAST(nn.n_tok AS DOUBLE))
+                 / ((CAST(bb.n_bg AS DOUBLE) * CAST(n_a AS DOUBLE))
+                    * CAST(n_b AS DOUBLE)) AS pmi
+          FROM f, nn, bb)
+    SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab, CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b, ROUND(pmi, 6) AS pmi_ratio, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rank
+          FROM s)
+    WHERE rank <= 50
+    """,
+)
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 COLLOCATIONS by PMI ratio (operators/text.py:
+    collocation_pmi — Church & Hanks '90) over the documents corpus:
+    frequent bigrams scored by p(ab)/(p(a)p(b)) as one fixed-order
+    double formula over exact BIGINT counts (no ln() — the ari_score
+    cross-engine determinism rule), ranked with the two-pass global
+    row number and a total (pmi DESC, w1, w2) order."""
+    from streaming_cdc_spark.operators.text import collocation_pmi as op
+
+    return op(load(spark, sf_dir, "documents"), top_n=50, min_count=5)
+
+
+_GAP_LIMIT_US = 7 * 86400 * 1_000_000  # attribution window: 7 days
+
+
+@query(
+    "purchase_attribution",
+    oracle=f"""
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+               FROM events WHERE event_type = 'purchase'),
+    c0 AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'click'),
+    c AS (SELECT user_id, ts, MAX(event_id) AS click_id
+          FROM c0 GROUP BY user_id, ts),
+    j AS (SELECT p.purchase_id, p.user_id, c.click_id,
+                 epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+          FROM p ASOF JOIN c
+            ON p.user_id = c.user_id AND p.ts >= c.ts)
+    SELECT purchase_id, user_id, click_id,
+           CAST(gap_us // 1000000 AS BIGINT) AS gap_s
+    FROM j WHERE gap_us <= {_GAP_LIMIT_US}
+    """,
+)
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH ATTRIBUTION — the marketing-analytics as-of variant:
+    each purchase attributes to the same user's most recent click at
+    or before it, within a 7-day window. Typed event predicates make
+    this distinct from the plain as-of join: both sides are FILTERED
+    slices of one event stream. Engine side reuses asof_join (the
+    union+window single-shuffle strategy; same-instant click ties go
+    to the max event_id — mirrored by the oracle's per-(user, ts)
+    argmax); the oracle is DuckDB's NATIVE ASOF JOIN, an independent
+    formulation. Gap reported in whole seconds (integer division —
+    no float time arithmetic)."""
+    from streaming_cdc_spark.operators.temporal import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    j = asof_join(
+        purch,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["click_id", "click_ts"],
+    )
+    gap_us = F.unix_micros("ts") - F.unix_micros("click_ts")
+    return (
+        j.withColumn("_gap_us", gap_us)
+        .filter(F.col("_gap_us") <= _GAP_LIMIT_US)
+        .select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            F.expr("_gap_us div 1000000").cast("long").alias("gap_s"),
+        )
+    )
+
+
+@query(
+    "value_histogram_bins",
+    oracle="""
+    WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+               WHERE value IS NOT NULL),
+    s AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM v),
+    b AS (SELECT CASE WHEN s.mx = s.mn THEN 0
+                 ELSE least(CAST(floor((v.v - s.mn) / ((s.mx - s.mn) / 20.0))
+                                 AS BIGINT), 19) END AS bin,
+                 s.mn, s.mx
+          FROM v, s),
+    g AS (SELECT bin, COUNT(*) AS n, MIN(mn) AS mn, MAX(mx) AS mx
+          FROM b GROUP BY bin)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           ROUND(mn + CAST(bin AS DOUBLE) * ((mx - mn) / 20.0), 6) AS bin_lo,
+           ROUND(mn + (CAST(bin AS DOUBLE) + 1.0) * ((mx - mn) / 20.0), 6)
+             AS bin_hi,
+           CAST(n AS BIGINT) AS n
+    FROM g
+    """,
+)
+def value_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin EQUI-WIDTH HISTOGRAM of event values
+    (operators/profile.py: numeric_histogram): global min/max as a
+    one-row scalar broadcast, per-row bin assignment by one
+    fixed-order double formula (right edge clamped into the last
+    bin), one keyed count. The numeric-distribution profiling row
+    next to column_profile's null/distinct counts."""
+    from streaming_cdc_spark.operators.profile import numeric_histogram
+
+    return numeric_histogram(load(spark, sf_dir, "events"), "value", 20)

@@ -159,3 +159,65 @@ def test_chisq_identical_halves_is_zero(spark, tmp_path):
         assert r["chi2_total"] == 0.0
         assert r["observed"] == 10
         assert r["expected"] == 10.0
+
+
+def test_collocation_pmi_golden(spark):
+    from streaming_cdc_spark.operators.text import collocation_pmi
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    rows = collocation_pmi(docs, top_n=10, min_count=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # unigrams a:3 b:3 c:1 (N=7); bigrams (a,b):3 (b,a):1 (b,c):1 (B=5)
+    assert (r["w1"], r["w2"], r["n_ab"], r["n_a"], r["n_b"], r["rank"]) == (
+        "a", "b", 3, 3, 3, 1
+    )
+    assert r["pmi_ratio"] == round(3 * 49 / (5 * 3 * 3), 6)
+
+
+def test_numeric_histogram_golden(spark):
+    from streaming_cdc_spark.operators.profile import numeric_histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(11)], "v double")
+    out = {r["bin"]: r for r in numeric_histogram(df, "v", 5).collect()}
+    assert {b: r["n"] for b, r in out.items()} == {0: 2, 1: 2, 2: 2, 3: 2, 4: 3}
+    assert out[0]["bin_lo"] == 0.0 and out[0]["bin_hi"] == 2.0
+    assert out[4]["bin_lo"] == 8.0 and out[4]["bin_hi"] == 10.0
+
+
+def test_numeric_histogram_degenerate_single_value(spark):
+    from streaming_cdc_spark.operators.profile import numeric_histogram
+
+    df = spark.createDataFrame([(5.0,)] * 7, "v double")
+    out = numeric_histogram(df, "v", 5).collect()
+    assert len(out) == 1 and out[0]["bin"] == 0 and out[0]["n"] == 7
+
+
+def test_purchase_attribution_golden(spark, tmp_path):
+    import pandas as pd
+
+    t0 = datetime.datetime(2024, 1, 10)
+    s = lambda sec: t0 + datetime.timedelta(seconds=sec)  # noqa: E731
+    rows = [
+        # user 1: two same-instant clicks (max id wins), purchase 10s later
+        (1, s(0), 1, "click", 0.0, "{}"),
+        (2, s(0), 1, "click", 0.0, "{}"),
+        (3, s(10), 1, "purchase", 0.0, "{}"),
+        # user 2: click 8 days before the purchase -> outside the window
+        (4, t0 - datetime.timedelta(days=8), 2, "click", 0.0, "{}"),
+        (5, s(0), 2, "purchase", 0.0, "{}"),
+        # user 3: purchase with no click at all -> dropped (inner as-of)
+        (6, s(0), 3, "purchase", 0.0, "{}"),
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+    from streaming_cdc_spark.queries.analytics import purchase_attribution
+
+    out = {
+        r["purchase_id"]: (r["click_id"], r["gap_s"])
+        for r in purchase_attribution(spark, str(tmp_path)).collect()
+    }
+    assert out == {3: (2, 10)}

@@ -61,6 +61,8 @@ BNLJ_WHITELIST = {
     "approx_quantile_bounds",  # one-row (n, approx, rank) scalar broadcasts
     "category_drift_chisq",  # one-row N total + one-row chi2 total broadcasts
     "heavy_hitters_bounds",  # one-row stream-total (bound) broadcast
+    "collocation_pmi",  # one-row token/bigram corpus totals broadcasts
+    "value_histogram_bins",  # one-row global min/max bounds broadcast
 }
 
 
