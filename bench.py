@@ -72,6 +72,11 @@ HEADLINE = [
     "collocation_pmi",
     "purchase_attribution",
     "value_histogram_bins",
+    # r6: streaming sharded-state Misra-Gries (same oracle as the
+    # batch sketch) and resource-allocation link prediction (integer
+    # micro-unit 1/deg wedge sums)
+    "streaming_heavy_hitters",
+    "resource_allocation_links",
     "cluster_summary",
     "muc_prf",
     "tfidf_blend_clusters",

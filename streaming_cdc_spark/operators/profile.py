@@ -63,6 +63,28 @@ def check_unique(cols: list[str]) -> Column:
     return F.coalesce(F.sum(nn.cast("long")), F.lit(0)) - F.count_distinct(key)
 
 
+def mg_insert(d: dict, key: str, w: int, k: int) -> dict:
+    """Weighted Misra-Gries insert of (key, weight) into a ≤k-counter
+    dict: increment, claim a free slot, or repeatedly decrement all
+    counters and the remaining weight by the smaller of (min counter,
+    remaining weight) — each decrement event of size dec removes
+    dec*(k+1) total mass, which is where the N/(k+1) error bound comes
+    from. Shared by the batch summary and the streaming sharded-state
+    twin. Returns the (possibly rebuilt) dict."""
+    while w > 0:
+        if key in d:
+            d[key] += w
+            w = 0
+        elif len(d) < k:
+            d[key] = w
+            w = 0
+        else:
+            dec = min(min(d.values()), w)
+            d = {x: c - dec for x, c in d.items() if c > dec}
+            w -= dec
+    return d
+
+
 def misra_gries_summary(df: DataFrame, key_col: str, k: int) -> DataFrame:
     """Mergeable MISRA-GRIES frequency summary (Misra & Gries 1982;
     merged with the counter-SUM rule of Agarwal et al. PODS'12):
@@ -95,18 +117,7 @@ def misra_gries_summary(df: DataFrame, key_col: str, k: int) -> DataFrame:
             if len(pdf) == 0:
                 continue
             for key, w in pdf["key"].value_counts().items():
-                w = int(w)
-                while w > 0:
-                    if key in d:
-                        d[key] += w
-                        w = 0
-                    elif len(d) < k:
-                        d[key] = w
-                        w = 0
-                    else:
-                        dec = min(min(d.values()), w)
-                        d = {x: c - dec for x, c in d.items() if c > dec}
-                        w -= dec
+                d = mg_insert(d, key, int(w), k)
         import pandas as pd
 
         yield pd.DataFrame(

@@ -234,7 +234,7 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_peel(edges, k=2, rounds=3)
 
 
-_HH_K = 16  # Misra-Gries counters per partition; bound = N div (k+1)
+_HH_K = 16  # Misra-Gries counters per partition/shard; bound = N div (k+1)
 
 _HH_KEY_SQL = """
     CASE WHEN event_id % 3 <> 0
@@ -242,10 +242,11 @@ _HH_KEY_SQL = """
          ELSE 'u' || CAST(user_id AS VARCHAR) END
 """
 
-
-@query(
-    "heavy_hitters_bounds",
-    oracle=f"""
+# One oracle, two physicals (the cdc_streaming_apply pattern): the
+# batch mapInPandas summary and the streaming sharded-ValueState twin
+# both satisfy est <= true, true - est <= N div (k+1), so both emit
+# the same exact counts + literal theorem bits.
+_HH_ORACLE = f"""
     WITH keyed AS (SELECT {_HH_KEY_SQL} AS key FROM events),
     n AS (SELECT key, COUNT(*) AS n FROM keyed GROUP BY key),
     tot AS (SELECT COUNT(*) AS total FROM keyed)
@@ -254,8 +255,40 @@ _HH_KEY_SQL = """
            CAST(1 AS BIGINT) AS in_summary,
            CAST(1 AS BIGINT) AS within_bound
     FROM n, tot WHERE n.n > tot.total // {_HH_K + 1}
-    """,
-)
+    """
+
+
+def _hh_key_col():
+    return F.when(
+        F.col("event_id") % 3 != 0,
+        F.concat(F.lit("hot"), (F.col("event_id") % 2).cast("string")),
+    ).otherwise(F.concat(F.lit("u"), F.col("user_id").cast("string")))
+
+
+def _hh_assemble(keyed: DataFrame, summ: DataFrame) -> DataFrame:
+    """Exact counts + theorem bits for every key above the MG bound,
+    given the keyed stream and a merged (key, est) summary."""
+    exact = keyed.groupBy("key").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = keyed.agg(F.count(F.lit(1)).alias("total"))
+    heavy = (
+        exact.crossJoin(F.broadcast(tot))
+        .withColumn("bound", F.expr(f"total div {_HH_K + 1}").cast("long"))
+        .filter(F.col("n") > F.col("bound"))
+    )
+    j = heavy.join(summ, "key", "left")
+    est = F.coalesce(F.col("est"), F.lit(0))
+    return j.select(
+        "key",
+        "n",
+        "bound",
+        (est > 0).cast("long").alias("in_summary"),
+        ((est <= F.col("n")) & (F.col("n") - est <= F.col("bound")))
+        .cast("long")
+        .alias("within_bound"),
+    )
+
+
+@query("heavy_hitters_bounds", oracle=_HH_ORACLE)
 def heavy_hitters_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HEAVY HITTERS under the MISRA-GRIES theorem bound — the
     frequency-sketch row of the approx_distinct_bounds /
@@ -276,30 +309,84 @@ def heavy_hitters_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_cdc_spark.operators.profile import misra_gries_summary
 
     ev = load(spark, sf_dir, "events")
-    key = F.when(
-        F.col("event_id") % 3 != 0,
-        F.concat(F.lit("hot"), (F.col("event_id") % 2).cast("string")),
-    ).otherwise(F.concat(F.lit("u"), F.col("user_id").cast("string")))
-    keyed = ev.select(key.alias("key"))
+    keyed = ev.select(_hh_key_col().alias("key"))
     summ = misra_gries_summary(keyed, "key", _HH_K)
-    exact = keyed.groupBy("key").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    tot = keyed.agg(F.count(F.lit(1)).alias("total"))
-    heavy = (
-        exact.crossJoin(F.broadcast(tot))
-        .withColumn("bound", F.expr(f"total div {_HH_K + 1}").cast("long"))
-        .filter(F.col("n") > F.col("bound"))
+    return _hh_assemble(keyed, summ)
+
+
+_HH_SPLITS: dict[str, str] = {}
+
+
+@query("streaming_heavy_hitters", oracle=_HH_ORACLE)
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of heavy_hitters_bounds under the SAME
+    oracle (the cdc_streaming_apply pattern — one oracle, two
+    physicals): the event stream drains over four id-range
+    micro-batches (maxFilesPerTrigger=1, mtime-pinned order) through
+    streaming_misra_gries (streaming/windows.py) — a sharded
+    applyInPandasWithState ValueState of at most k counters per shard
+    FOREVER, carried across batches, so the final summary covers the
+    whole stream, not the last batch. Each key lives in exactly one
+    shard, whose decrements total <= n_shard/(k+1) <= N div (k+1) —
+    the same theorem bound as the batch form, so the exact counts +
+    literal bits hash-match identically. Final state = the max
+    batch_idx row-set per shard; estimates never reach the output."""
+    import os
+    import shutil
+    import uuid
+
+    from streaming_cdc_spark.session import cached_tmp_dir
+    from streaming_cdc_spark.streaming.windows import streaming_misra_gries
+
+    keyed_batch = load(spark, sf_dir, "events").select(
+        "event_id", _hh_key_col().alias("key")
     )
-    j = heavy.join(summ, "key", "left")
-    est = F.coalesce(F.col("est"), F.lit(0))
-    return j.select(
-        "key",
-        "n",
-        "bound",
-        (est > 0).cast("long").alias("in_summary"),
-        ((est <= F.col("n")) & (F.col("n") - est <= F.col("bound")))
-        .cast("long")
-        .alias("within_bound"),
+    src_dir = _HH_SPLITS.get(sf_dir)
+    if src_dir is None or not os.path.isdir(src_dir):
+        lo, hi = keyed_batch.agg(F.min("event_id"), F.max("event_id")).first()
+        src_dir = cached_tmp_dir("hhst_src_")
+        n_splits = 4
+        step = (hi - lo + n_splits) // n_splits
+        for i in range(n_splits):
+            part = keyed_batch.filter(
+                (F.col("event_id") >= lo + i * step)
+                & (F.col("event_id") < lo + (i + 1) * step)
+            )
+            path = os.path.join(src_dir, f"split_{i}")
+            part.coalesce(1).write.parquet(path)
+            # oldest-mtime-first admission: pin batch order == id order
+            for root, _dirs, files in os.walk(path):
+                for f_ in files:
+                    os.utime(os.path.join(root, f_), (1_000_000 + i, 1_000_000 + i))
+        _HH_SPLITS[sf_dir] = src_dir
+    stream = (
+        spark.readStream.schema("event_id long, key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/split_*/*.parquet")
     )
+    out = streaming_misra_gries(
+        stream, key_col="key", id_col="event_id", k=_HH_K, n_shards=8
+    )
+    name = f"hhst_{uuid.uuid4().hex[:8]}"
+    ckpt = cached_tmp_dir("hhst_ckpt_")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        # untimed await (sibling convention): a timed one can return
+        # False on a slow host -> partial table + live-ckpt rmtree
+        q.awaitTermination()
+        emitted = spark.table(name).localCheckpoint()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        spark.catalog.dropTempView(name)
+    last = emitted.groupBy("shard").agg(F.max("batch_idx").alias("batch_idx"))
+    summ = emitted.join(last, ["shard", "batch_idx"]).select("key", "est")
+    return _hh_assemble(keyed_batch.select("key"), summ)
 
 
 @query(
@@ -438,3 +525,44 @@ def value_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_cdc_spark.operators.profile import numeric_histogram
 
     return numeric_histogram(load(spark, sf_dir, "events"), "value", 20)
+
+
+def _ra_sql(top_n: int = 100, unit: int = 1_000_000) -> str:
+    from streaming_cdc_spark.queries.cdc import _EDGES_SQL
+
+    return f"""
+    WITH e0 AS (SELECT u, v FROM ({_EDGES_SQL}) WHERE sim > 0.3),
+    sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    deg AS (SELECT u AS w, COUNT(*) AS d FROM sym GROUP BY u),
+    wd AS (SELECT s1.u AS w, s1.v AS a, s2.v AS b
+           FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v),
+    sc AS (SELECT a, b, CAST(SUM({unit} // deg.d) AS BIGINT) AS score_micro
+           FROM wd JOIN deg ON wd.w = deg.w GROUP BY a, b),
+    fl AS (SELECT sc.a, sc.b, sc.score_micro,
+                  CASE WHEN e0.u IS NULL THEN 0 ELSE 1 END AS linked
+           FROM sc LEFT JOIN e0 ON e0.u = sc.a AND e0.v = sc.b)
+    SELECT a AS u, b AS v, score_micro, CAST(linked AS BIGINT) AS linked, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score_micro DESC, a, b) AS rank
+          FROM fl)
+    WHERE rank <= {top_n}
+    """
+
+
+@query("resource_allocation_links", oracle=_ra_sql())
+def resource_allocation_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 RESOURCE-ALLOCATION link predictions
+    (operators/clustering.py: resource_allocation_links) over the
+    tau=0.3 cosine near-dup graph: common-neighbor mass weighted by
+    1/deg(hub) in exact integer micro-units (no ln() — the
+    Adamic-Adar variant that stays bit-identical cross-engine), with
+    existing edges flagged so the non-edge rows are the link
+    PREDICTIONS. The oracle re-derives the wedge sum and flag
+    independently with plain joins."""
+    from streaming_cdc_spark.operators.clustering import (
+        resource_allocation_links as op,
+    )
+    from streaming_cdc_spark.operators.similarity import cosine_self_edges
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = cosine_self_edges(emb, 0.3).select("u", "v")
+    return op(edges, top_n=100)

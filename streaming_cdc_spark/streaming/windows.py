@@ -374,3 +374,99 @@ def streaming_bloom_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_misra_gries(
+    stream: DataFrame,
+    key_col: str = "key",
+    id_col: str = "event_id",
+    k: int = 16,
+    n_shards: int = 8,
+) -> DataFrame:
+    """STREAMING heavy-hitter sketch with BOUNDED state: the
+    Misra-Gries summary (operators/profile.py: mg_insert) kept as
+    sharded ``applyInPandasWithState`` ValueState — each key hashes to
+    one shard (md5, uniform), each shard holds at most ``k`` weighted
+    counters FOREVER (state is n_shards * k rows, not O(distinct
+    keys)), and counters carry across micro-batches, so the sketch
+    summarizes the WHOLE stream prefix, not just the current batch.
+
+    Error theorem under sharding: a key lives in exactly one shard,
+    and its shard's decrements total at most n_shard/(k+1) <=
+    N/(k+1) — the same bound the batch operator satisfies, so the
+    streaming and batch forms are interchangeable evidence-wise (the
+    cdc_streaming_apply pattern: one oracle, two physicals). Estimates
+    remain arrival-order-dependent (any mergeable sketch is); queries
+    must surface exact counts + theorem bits only.
+
+    Emits (append mode), after every micro-batch, each updated
+    shard's CURRENT counters tagged with a per-shard batch index:
+    (shard, batch_idx, key, est). The final summary is the max
+    batch_idx row-set per shard."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from streaming_cdc_spark.functions.hashing import md5_long
+    from streaming_cdc_spark.operators.profile import mg_insert
+    from streaming_cdc_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(stream.sparkSession)
+    keyed = stream.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(key_col).cast("string").alias("_k"),
+        (md5_long(key_col, salt="hhshard") % n_shards).cast("long").alias("shard"),
+    )
+    out_schema = StructType(
+        [
+            StructField("shard", LongType()),
+            StructField("batch_idx", LongType()),
+            StructField("key", StringType()),
+            StructField("est", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("keys", ArrayType(StringType())),
+            StructField("counts", ArrayType(LongType())),
+            StructField("batches", LongType()),
+        ]
+    )
+
+    def process(key, pdfs, state: GroupState):
+        if state.exists:
+            keys, counts, b = state.get
+            d = dict(zip(list(keys), [int(c) for c in counts]))
+        else:
+            d, b = {}, 0
+        # drain the whole group before sorting (the Arrow-chunk-order
+        # lesson): process rows in global id order within the batch
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("_id")
+            for kk in pdf["_k"].to_numpy():
+                d = mg_insert(d, str(kk), 1, k)
+        b += 1
+        state.update((list(d.keys()), [int(v) for v in d.values()], b))
+        yield pd.DataFrame(
+            {
+                "shard": [int(key[0])] * len(d),
+                "batch_idx": [b] * len(d),
+                "key": list(d.keys()),
+                "est": [int(v) for v in d.values()],
+            }
+        )
+
+    return keyed.groupBy("shard").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -221,3 +221,87 @@ def test_purchase_attribution_golden(spark, tmp_path):
         for r in purchase_attribution(spark, str(tmp_path)).collect()
     }
     assert out == {3: (2, 10)}
+
+
+def test_resource_allocation_golden_square(spark):
+    from streaming_cdc_spark.operators.clustering import resource_allocation_links
+
+    # square 1-2-3-4-1: (1,3) and (2,4) share two degree-2 hubs each
+    # -> score 1,000,000; adjacent pairs share no neighbor
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "u long, v long"
+    )
+    rows = resource_allocation_links(edges, top_n=10).collect()
+    out = {(r["u"], r["v"]): (r["score_micro"], r["linked"]) for r in rows}
+    assert out == {(1, 3): (1_000_000, 0), (2, 4): (1_000_000, 0)}
+
+
+def test_resource_allocation_hub_cap_drops_center_not_node(spark):
+    from streaming_cdc_spark.operators.clustering import resource_allocation_links
+
+    # star center 0 with leaves 1..4 plus edge 1-2: with the cap
+    # excluding the hub as a CENTER, only the wedge centered at 1 and
+    # 2 (degree 2) survives: (0, 2) and (0, 1) via their shared edge
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2)], "u long, v long"
+    )
+    rows = resource_allocation_links(
+        edges, top_n=10, max_center_degree=2
+    ).collect()
+    out = {(r["u"], r["v"]): (r["score_micro"], r["linked"]) for r in rows}
+    # centers of degree <= 2: nodes 1 and 2 (degree 2 each), 3, 4 (1).
+    # wedges: center 1 -> (0,2); center 2 -> (0,1). hub 0 emits none.
+    assert out == {(0, 2): (500_000, 1), (0, 1): (500_000, 1)}
+
+
+def test_streaming_misra_gries_state_carries_across_batches(spark, tmp_path):
+    import os
+
+    import pandas as pd
+
+    from streaming_cdc_spark.streaming.windows import streaming_misra_gries
+
+    # two files -> two micro-batches; 'hot' mass is split across both,
+    # so a correct final estimate REQUIRES state carry-over
+    f1 = pd.DataFrame(
+        {"event_id": range(0, 100), "key": ["hot"] * 60 + [f"a{i}" for i in range(40)]}
+    )
+    f2 = pd.DataFrame(
+        {"event_id": range(100, 200),
+         "key": ["hot"] * 60 + [f"b{i}" for i in range(40)]}
+    )
+    for i, f in enumerate((f1, f2)):
+        p = str(tmp_path / f"split_{i}.parquet")
+        f.to_parquet(p)
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))
+    stream = (
+        spark.readStream.schema("event_id long, key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path) + "/*.parquet")
+    )
+    out = streaming_misra_gries(stream, k=4, n_shards=2)
+    name = "mgtest_carry"
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(name).collect()
+    spark.catalog.dropTempView(name)
+    # the hot key's shard saw both batches
+    hot_rows = [r for r in emitted if r["key"] == "hot"]
+    assert max(r["batch_idx"] for r in hot_rows) == 2
+    final = {
+        r["key"]: r["est"]
+        for r in emitted
+        if r["batch_idx"] == max(x["batch_idx"] for x in emitted
+                                 if x["shard"] == r["shard"])
+    }
+    # true hot = 120 over its shard's substream; N = 200, bound with
+    # per-shard k=4 is n_shard/5 <= 200/5 = 40
+    assert 0 < final["hot"] <= 120
+    assert 120 - final["hot"] <= 40

@@ -63,6 +63,7 @@ BNLJ_WHITELIST = {
     "heavy_hitters_bounds",  # one-row stream-total (bound) broadcast
     "collocation_pmi",  # one-row token/bigram corpus totals broadcasts
     "value_histogram_bins",  # one-row global min/max bounds broadcast
+    "streaming_heavy_hitters",  # one-row stream-total (bound) broadcast
 }
 
 
