@@ -77,6 +77,10 @@ HEADLINE = [
     # micro-unit 1/deg wedge sums)
     "streaming_heavy_hitters",
     "resource_allocation_links",
+    # r6: greedy max-coverage subset selection (3 unrolled rounds)
+    # and integer-quantized per-label centroid outliers
+    "greedy_coverage_docs",
+    "label_centroid_outliers",
     "cluster_summary",
     "muc_prf",
     "tfidf_blend_clusters",

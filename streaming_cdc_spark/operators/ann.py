@@ -721,3 +721,70 @@ def load_ann_index(
             books.append([])
         books[j].append((code, vec))
     return centroids, books
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_k: int = 5,
+    unit: int = 1_000_000,
+    shift: int = 1_000_000,
+) -> DataFrame:
+    """PER-GROUP EMBEDDING OUTLIERS by distance to the group centroid
+    — the "prune the weird vectors" curation step — in EXACT INTEGER
+    arithmetic end to end: components quantize to micro-units
+    (round(x * unit) + shift; the shift makes every quantized value
+    non-negative so the centroid's integer division is
+    truncation-safe cross-engine — Spark `div` truncates toward zero
+    while DuckDB `//` floors, which only agree on non-negatives),
+    the centroid is the per-(group, dim) integer mean (sum div n),
+    and the distance is the exact integer sum of squared diffs —
+    shift-invariant, order-free under any partitioning (a float
+    centroid would hash-drift).
+
+    Physical: one posexplode (rows = n * dim, linear), one
+    (group, dim) sum, one broadcast-sized join back (groups * dim
+    rows), one keyed sum, one PER-GROUP window rank. Output:
+    (<group_col>, <id_col>, dist_q, rank) — the top_k farthest
+    vectors per group under the total (dist DESC, id ASC) order."""
+    from pyspark.sql import Window as W
+
+    q = F.expr(
+        f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {unit}, 0) "
+        f"AS BIGINT) + {shift})"
+    )
+    d = emb.select(
+        F.col(id_col).cast("long").alias("_vid"),
+        F.col(group_col).cast("long").alias("_g"),
+        F.posexplode(q).alias("_dim", "_qv"),
+    )
+    s = d.groupBy("_g", "_dim").agg(
+        F.sum("_qv").alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    cent = s.select("_g", "_dim", F.expr("_s div _n").alias("_c"))
+    dist = (
+        d.join(cent, ["_g", "_dim"])
+        .select(
+            "_vid",
+            "_g",
+            # integer multiply, NOT ** (Column ** lowers to double pow)
+            ((F.col("_qv") - F.col("_c")) * (F.col("_qv") - F.col("_c"))).alias(
+                "_d2"
+            ),
+        )
+        .groupBy("_vid", "_g")
+        .agg(F.sum("_d2").cast("long").alias("dist_q"))
+    )
+    w = W.partitionBy("_g").orderBy(F.desc("dist_q"), F.asc("_vid"))
+    return (
+        dist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_vid").alias(id_col),
+            "dist_q",
+            "rank",
+        )
+    )

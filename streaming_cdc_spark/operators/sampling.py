@@ -94,3 +94,57 @@ def weighted_priority_sample(
         F.expr(f"(_u40 * {unit}) div greatest(cast({weight_col} as long), 1)"),
     )
     return out.drop("_u40").orderBy("priority", id_col).limit(k)
+
+
+def greedy_max_coverage(
+    items: DataFrame,
+    id_col: str,
+    elem_col: str,
+    k: int,
+) -> DataFrame:
+    """GREEDY MAX-COVERAGE subset selection — the (1 - 1/e)
+    submodular greedy (Nemhauser/Wolsey/Fisher '78), the standard
+    coverage-based data-subset-selection step (pick the k documents
+    that jointly cover the most distinct shingles/facts/n-grams):
+    per round, each candidate's MARGINAL gain is its count of
+    still-uncovered elements; the (gain DESC, id ASC) argmax joins
+    the selection and its elements join the covered set.
+
+    Fully distributed: per round one anti-join against the covered
+    set + one keyed count + one global top-1 (TakeOrdered — never a
+    single-partition window); the covered set stays a DataFrame (no
+    driver collect) and is localCheckpointed so round r+1's plan does
+    not re-run rounds 1..r. Fixed k keeps it SQL-replayable (unrolled
+    round CTEs, the pagerank/bisection convention). Rounds after
+    coverage is exhausted emit no row. Output:
+    (pick_round, <id_col>, gain)."""
+    s = (
+        items.select(F.col(id_col).alias("_id"), F.col(elem_col).alias("_e"))
+        .distinct()
+        .localCheckpoint()
+    )
+    covered: DataFrame | None = None
+    picks: list[DataFrame] = []
+    for r in range(1, k + 1):
+        remaining = s if covered is None else s.join(covered, "_e", "left_anti")
+        gains = remaining.groupBy("_id").agg(
+            F.count(F.lit(1)).cast("long").alias("gain")
+        )
+        top = (
+            gains.orderBy(F.desc("gain"), F.asc("_id")).limit(1).localCheckpoint()
+        )
+        picks.append(
+            top.select(
+                F.lit(r).cast("long").alias("pick_round"),
+                F.col("_id").alias(id_col),
+                "gain",
+            )
+        )
+        newly = s.join(top.select("_id"), "_id", "left_semi").select("_e")
+        covered = (
+            newly if covered is None else covered.union(newly)
+        ).localCheckpoint()
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

@@ -566,3 +566,83 @@ def resource_allocation_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     edges = cosine_self_edges(emb, 0.3).select("u", "v")
     return op(edges, top_n=100)
+
+
+def _coverage_sql(k: int = 3) -> str:
+    from streaming_cdc_spark.queries.dedup import _SHINGLES
+
+    parts = [_SHINGLES.strip().rstrip(), "s0 AS (SELECT doc_id, shingle FROM sh)"]
+    finals = []
+    for r in range(1, k + 1):
+        parts.append(
+            f"g{r} AS (SELECT doc_id, COUNT(*) AS gain FROM s{r - 1} GROUP BY doc_id)"
+        )
+        parts.append(
+            f"p{r} AS (SELECT doc_id, CAST(gain AS BIGINT) AS gain FROM "
+            f"(SELECT *, ROW_NUMBER() OVER (ORDER BY gain DESC, doc_id) AS rn "
+            f"FROM g{r}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"s{r} AS (SELECT s.doc_id, s.shingle FROM s{r - 1} s "
+            f"WHERE s.shingle NOT IN "
+            f"(SELECT sh.shingle FROM sh JOIN p{r} USING (doc_id)))"
+        )
+        finals.append(
+            f"SELECT CAST({r} AS BIGINT) AS pick_round, doc_id, gain FROM p{r}"
+        )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL ".join(finals)
+
+
+@query("greedy_coverage_docs", oracle=_coverage_sql())
+def greedy_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY MAX-COVERAGE document selection
+    (operators/sampling.py: greedy_max_coverage): the three documents
+    that jointly cover the most distinct word-3-gram shingles — the
+    (1-1/e) submodular greedy behind coverage-based training-data
+    subset selection. Shingle keys are the hashed 8-byte form
+    (injectivity pinned by tests/test_dedup.py), the oracle replays
+    the three rounds on the string shingles — a hash match proves the
+    round-by-round marginal-gain argmaxes coincide."""
+    from streaming_cdc_spark.operators.dedup import exploded_shingles
+    from streaming_cdc_spark.operators.sampling import greedy_max_coverage
+
+    docs = load(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs, hashed=True)
+    return greedy_max_coverage(sh, "doc_id", "shingle", k=3)
+
+
+@query(
+    "label_centroid_outliers",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label, u.i AS dim,
+             CAST(ROUND(CAST(embedding[u.i] AS DOUBLE) * 1000000.0, 0)
+                  AS BIGINT) + 1000000 AS qv
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    s AS (SELECT label, dim, SUM(qv) AS s, COUNT(*) AS n
+          FROM d GROUP BY label, dim),
+    c AS (SELECT label, dim, s // n AS c FROM s),
+    dist AS (SELECT d.vec_id, d.label,
+                    SUM((d.qv - c.c) * (d.qv - c.c)) AS dist_q
+             FROM d JOIN c USING (label, dim) GROUP BY d.vec_id, d.label)
+    SELECT label, vec_id, CAST(dist_q AS BIGINT) AS dist_q, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                       ORDER BY dist_q DESC, vec_id) AS rank
+          FROM dist)
+    WHERE rank <= 5
+    """,
+)
+def label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label EMBEDDING OUTLIERS (operators/ann.py:
+    centroid_outliers): the 5 vectors farthest from their label's
+    integer-quantized centroid — micro-unit quantization + a
+    non-negativity shift make the centroid mean and squared distances
+    EXACT integers (Spark div truncates, DuckDB // floors; they only
+    agree on non-negatives — the shift is what buys cross-engine
+    parity), so the whole op is order-free under any partitioning.
+    The embedding-hygiene row: prune these before computing corpus
+    statistics."""
+    from streaming_cdc_spark.operators.ann import centroid_outliers
+
+    return centroid_outliers(load(spark, sf_dir, "embeddings"), top_k=5)

@@ -305,3 +305,58 @@ def test_streaming_misra_gries_state_carries_across_batches(spark, tmp_path):
     # per-shard k=4 is n_shard/5 <= 200/5 = 40
     assert 0 < final["hot"] <= 120
     assert 120 - final["hot"] <= 40
+
+
+def test_greedy_max_coverage_golden(spark):
+    from streaming_cdc_spark.operators.sampling import greedy_max_coverage
+
+    items = spark.createDataFrame(
+        [("A", 1), ("A", 2), ("A", 3), ("B", 3), ("B", 8),
+         ("C", 4), ("C", 5), ("C", 6), ("C", 7)],
+        "doc string, e long",
+    )
+    out = [
+        (r["pick_round"], r["doc"], r["gain"])
+        for r in greedy_max_coverage(items, "doc", "e", 3)
+        .orderBy("pick_round")
+        .collect()
+    ]
+    # C covers 4 fresh, then A 3 fresh (3 now overlaps nothing picked
+    # yet), then B only its uncovered 8
+    assert out == [(1, "C", 4), (2, "A", 3), (3, "B", 1)]
+
+
+def test_greedy_max_coverage_tiebreak_and_exhaustion(spark):
+    from streaming_cdc_spark.operators.sampling import greedy_max_coverage
+
+    items = spark.createDataFrame(
+        [("x", 1), ("x", 2), ("y", 1), ("y", 2)], "doc string, e long"
+    )
+    out = [
+        (r["pick_round"], r["doc"], r["gain"])
+        for r in greedy_max_coverage(items, "doc", "e", 3)
+        .orderBy("pick_round")
+        .collect()
+    ]
+    # equal gains tie-break to the smaller id; afterwards coverage is
+    # exhausted: rounds 2 and 3 emit nothing
+    assert out == [(1, "x", 2)]
+
+
+def test_centroid_outliers_golden(spark):
+    from streaming_cdc_spark.operators.ann import centroid_outliers
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0], 0), (1, [1.0, 0.0], 0), (2, [-1.0, 0.0], 0),
+         (3, [0.5, 0.5], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = centroid_outliers(emb, top_k=2).collect()
+    out = {(r["label"], r["rank"]): (r["vec_id"], r["dist_q"]) for r in rows}
+    # label 0 centroid = (0, 0); vids 1 and 2 are both 1e12 away in
+    # micro-units^2; tie -> smaller vec_id ranks first
+    assert out == {
+        (0, 1): (1, 10**12),
+        (0, 2): (2, 10**12),
+        (1, 1): (3, 0),
+    }
