@@ -81,6 +81,8 @@ HEADLINE = [
     # and integer-quantized per-label centroid outliers
     "greedy_coverage_docs",
     "label_centroid_outliers",
+    # r6: random walk with restart (seed-biased teleport)
+    "personalized_pagerank",
     "cluster_summary",
     "muc_prf",
     "tfidf_blend_clusters",

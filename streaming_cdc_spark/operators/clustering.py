@@ -456,6 +456,7 @@ def pagerank_exact(
     iterations: int = 3,
     damping_pct: int = 85,
     unit: int = 1_000_000,
+    seed_pred=None,
 ) -> DataFrame:
     """Damped PageRank over an UNDIRECTED edge list (u < v pairs;
     symmetrized internally), in INTEGER MICRO-UNITS so every step is
@@ -485,10 +486,19 @@ def pagerank_exact(
         .localCheckpoint()
     )
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
+    base = (100 - damping_pct) * unit // 100
+    # PERSONALIZED variant (random walk with restart, Jeh & Widom
+    # '03): ``seed_pred`` is a boolean Column over the node id `u` —
+    # teleport mass (the base term, and the initial rank) goes ONLY
+    # to seed nodes; None keeps the uniform classic form.
+    if seed_pred is None:
+        init_r, base_col = F.lit(unit), F.lit(base)
+    else:
+        init_r = F.when(seed_pred, F.lit(unit)).otherwise(F.lit(0))
+        base_col = F.when(seed_pred, F.lit(base)).otherwise(F.lit(0))
     # every node of the symmetrized graph has deg >= 1 and at least
     # one in-neighbor (in = out), so no dangling-mass handling needed
-    ranks = deg.select("u", F.lit(unit).cast("long").alias("r"))
-    base = (100 - damping_pct) * unit // 100
+    ranks = deg.select("u", init_r.cast("long").alias("r"))
     for _ in range(iterations):
         contrib = (
             sym.join(ranks, "u")
@@ -500,7 +510,7 @@ def pagerank_exact(
         ranks = deg.join(contrib, deg["u"] == contrib["v"], "left").select(
             deg["u"],
             (
-                F.lit(base)
+                base_col
                 + F.expr(f"({damping_pct} * coalesce(s, 0)) div 100")
             ).cast("long").alias("r"),
         )

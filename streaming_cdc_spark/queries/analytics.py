@@ -646,3 +646,52 @@ def label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_cdc_spark.operators.ann import centroid_outliers
 
     return centroid_outliers(load(spark, sf_dir, "embeddings"), top_k=5)
+
+
+def _ppr_sql(
+    iterations: int = 3, unit: int = 1_000_000, dp: int = 85, seed_mod: int = 10
+) -> str:
+    from streaming_cdc_spark.queries.cdc import _EDGES_SQL
+
+    base = (100 - dp) * unit // 100
+    seed = f"u % {seed_mod} = 0"
+    parts = [
+        f"e0 AS (SELECT u, v FROM ({_EDGES_SQL}) WHERE sim > 0.3)",
+        "edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0)",
+        "deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u)",
+        f"r0 AS (SELECT u, CAST(CASE WHEN {seed} THEN {unit} ELSE 0 END "
+        f"AS BIGINT) AS r FROM deg)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"c{i} AS (SELECT e.v, SUM(r.r // dg.d) AS s FROM edges e "
+            f"JOIN r{i - 1} r ON e.u = r.u JOIN deg dg ON e.u = dg.u GROUP BY e.v)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT dg.u, CAST(CASE WHEN dg.u % {seed_mod} = 0 "
+            f"THEN {base} ELSE 0 END + ({dp} * COALESCE(c.s, 0)) // 100 "
+            f"AS BIGINT) AS r FROM deg dg LEFT JOIN c{i} c ON dg.u = c.v)"
+        )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"\n    SELECT u AS vec_id, r AS rank_micro FROM r{iterations}"
+    )
+
+
+@query("personalized_pagerank", oracle=_ppr_sql())
+def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank / random walk with restart (Jeh & Widom
+    '03) over the tau=0.3 cosine near-dup graph, seeded at vec_id %
+    10 == 0: teleport mass and initial rank go ONLY to the seed set,
+    so rank measures proximity TO THE SEEDS — the graph-based
+    relevance-expansion primitive ("find documents similar to this
+    curated set") that uniform PageRank cannot express. Same exact
+    integer micro-unit arithmetic and unrolled-CTE oracle as
+    pagerank_neardup_graph (operators/clustering.py: pagerank_exact
+    with seed_pred)."""
+    from streaming_cdc_spark.operators.clustering import pagerank_exact
+    from streaming_cdc_spark.operators.similarity import cosine_self_edges
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = cosine_self_edges(emb, 0.3).select("u", "v")
+    return pagerank_exact(edges, iterations=3, seed_pred=F.col("u") % 10 == 0)
