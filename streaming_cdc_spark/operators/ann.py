@@ -751,15 +751,27 @@ def centroid_outliers(
     vectors per group under the total (dist DESC, id ASC) order."""
     from pyspark.sql import Window as W
 
+    from streaming_cdc_spark.session import fan_out
+
     q = F.expr(
         f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {unit}, 0) "
         f"AS BIGINT) + {shift})"
     )
-    d = emb.select(
-        F.col(id_col).cast("long").alias("_vid"),
-        F.col(group_col).cast("long").alias("_g"),
-        F.posexplode(q).alias("_dim", "_qv"),
+    # fan_out: embeddings is typically one small parquet file -> one
+    # scan partition; without it the n*dim posexplode and the map-side
+    # (group, dim) partials run in ONE task (the doc_fingerprints
+    # regression shape). REQUIRES components >= -shift/unit (pinned by
+    # tests/test_analytics.py on the fixture): a negative quantized
+    # value would make Spark `div` (truncates) and DuckDB `//`
+    # (floors) disagree on the centroid.
+    base = fan_out(
+        emb.select(
+            F.col(id_col).cast("long").alias("_vid"),
+            F.col(group_col).cast("long").alias("_g"),
+            q.alias("_q"),
+        )
     )
+    d = base.select("_vid", "_g", F.posexplode("_q").alias("_dim", "_qv"))
     s = d.groupBy("_g", "_dim").agg(
         F.sum("_qv").alias("_s"), F.count(F.lit(1)).alias("_n")
     )

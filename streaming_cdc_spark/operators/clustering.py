@@ -336,8 +336,14 @@ def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
     for _ in range(rounds):
         deg = alive.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.filter(F.col("d") >= k).select("u")
-        alive = alive.join(keep, "u", "left_semi").join(
-            keep.withColumnRenamed("u", "v"), "v", "left_semi"
+        # alive is referenced 3x per round (degrees + both semi-join
+        # probes) and feeds the next round — without a per-round
+        # materialization the recompute tree grows 3^rounds (the
+        # r4 "referenced ~5x -> recomputes per reference" lesson)
+        alive = (
+            alive.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .localCheckpoint()
         )
     return alive.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg")).select(
         F.col("u").alias("vec_id"), "deg"

@@ -105,11 +105,19 @@ def misra_gries_summary(df: DataFrame, key_col: str, k: int) -> DataFrame:
     counts plus theorem-bound BITS (the approx_distinct_bounds
     pattern), never the raw estimate.
 
-    Returns (key string, est long)."""
+    NULL keys are EXCLUDED (consistently with the queries' exact
+    sides — a NULL never equi-joins back anyway, and pandas
+    value_counts would silently drop it here while the exact count
+    kept it, skewing the theorem bits). Returns (key string, est
+    long)."""
     from streaming_cdc_spark.session import ensure_package_on_executors, fan_out
 
     ensure_package_on_executors(df.sparkSession)
-    base = fan_out(df.select(F.col(key_col).cast("string").alias("key")))
+    base = fan_out(
+        df.select(F.col(key_col).cast("string").alias("key")).filter(
+            F.col("key").isNotNull()
+        )
+    )
 
     def gen(batches):
         d: dict[str, int] = {}

@@ -210,9 +210,15 @@ def interval_coverage(
     calendar buckets emitted as strings per the DATE fetch-path rule.
     """
     start = F.to_date(F.col(start_col))
-    days = F.explode(
-        F.sequence(start, F.date_add(start, F.col(width_days_col).cast("int")))
-    ).alias("_day")
+    w = F.col(width_days_col).cast("int")
+    # a negative width is an EMPTY interval (the BETWEEN formulation's
+    # semantics), not a reversed one — Spark's sequence() would count
+    # DOWN (step defaults to -1 when start > stop) and silently cover
+    # the days BEFORE start
+    span = F.when(w >= 0, F.sequence(start, F.date_add(start, w))).otherwise(
+        F.array().cast("array<date>")
+    )
+    days = F.explode(span).alias("_day")
     return (
         df.select(days, F.col(group_col))
         .groupBy(

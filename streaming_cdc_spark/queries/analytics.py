@@ -267,7 +267,10 @@ def _hh_key_col():
 
 def _hh_assemble(keyed: DataFrame, summ: DataFrame) -> DataFrame:
     """Exact counts + theorem bits for every key above the MG bound,
-    given the keyed stream and a merged (key, est) summary."""
+    given the keyed stream and a merged (key, est) summary. NULL keys
+    excluded, matching the sketch operators (a NULL group would count
+    here, never appear in the summary, and break the bits)."""
+    keyed = keyed.filter(F.col("key").isNotNull())
     exact = keyed.groupBy("key").agg(F.count(F.lit(1)).cast("long").alias("n"))
     tot = keyed.agg(F.count(F.lit(1)).alias("total"))
     heavy = (

@@ -418,11 +418,13 @@ def streaming_misra_gries(
     from streaming_cdc_spark.session import ensure_package_on_executors
 
     ensure_package_on_executors(stream.sparkSession)
+    # NULL keys excluded, matching the batch summary (str(None) would
+    # otherwise invent a 'None' key that never joins back)
     keyed = stream.select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(key_col).cast("string").alias("_k"),
         (md5_long(key_col, salt="hhshard") % n_shards).cast("long").alias("shard"),
-    )
+    ).filter(F.col("_k").isNotNull())
     out_schema = StructType(
         [
             StructField("shard", LongType()),

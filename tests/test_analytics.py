@@ -360,3 +360,49 @@ def test_centroid_outliers_golden(spark):
         (0, 2): (2, 10**12),
         (1, 1): (3, 0),
     }
+
+
+def test_misra_gries_null_keys_excluded(spark):
+    from streaming_cdc_spark.operators.profile import misra_gries_summary
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("a",), (None,), ("b",)], "key string"
+    )
+    est = {
+        r["key"]: r["est"]
+        for r in misra_gries_summary(df, "key", 8).collect()
+    }
+    # NULLs never enter the sketch (consistent with the exact side's
+    # NULL exclusion in _hh_assemble)
+    assert est == {"a": 2, "b": 1}
+
+
+def test_interval_coverage_negative_width_is_empty(spark):
+    d = datetime.datetime(2024, 1, 10)
+    df = spark.createDataFrame(
+        [(d, -3, "A"), (d, 0, "B")], "start timestamp, w int, g string"
+    )
+    out = {
+        (r["day"], r["g"]): r["n_covering"]
+        for r in interval_coverage(df, "start", "w", "g").collect()
+    }
+    # negative width = EMPTY interval (the BETWEEN semantics), never a
+    # reversed sequence covering the days before start
+    assert out == {("2024-01-10", "B"): 1}
+
+
+def test_centroid_outliers_shift_assumption_holds_on_fixture(spark):
+    # the non-negativity shift (qv = round(x * 1e6) + 1e6 >= 0) is
+    # LOAD-BEARING: Spark div truncates, DuckDB // floors, and they
+    # only agree on non-negatives. Pin the fixture's component range;
+    # if testdata regenerates wider than [-1, 1], this names the cause
+    # instead of an opaque label_centroid_outliers hash FAIL.
+    from streaming_cdc_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    mn, mx = (
+        emb.select(F.explode("embedding").alias("x"))
+        .agg(F.min("x"), F.max("x"))
+        .first()
+    )
+    assert mn > -1.0 and mx < 1.0, (mn, mx)
