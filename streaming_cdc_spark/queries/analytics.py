@@ -530,15 +530,17 @@ def value_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return numeric_histogram(load(spark, sf_dir, "events"), "value", 20)
 
 
-def _ra_sql(top_n: int = 100, unit: int = 1_000_000) -> str:
+def _ra_sql(top_n: int = 100, unit: int = 1_000_000, cap: int = 16) -> str:
     from streaming_cdc_spark.queries.cdc import _EDGES_SQL
 
     return f"""
     WITH e0 AS (SELECT u, v FROM ({_EDGES_SQL}) WHERE sim > 0.3),
     sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
     deg AS (SELECT u AS w, COUNT(*) AS d FROM sym GROUP BY u),
+    ctr AS (SELECT w FROM deg WHERE d <= {cap}),
+    symc AS (SELECT s.u, s.v FROM sym s JOIN ctr ON s.u = ctr.w),
     wd AS (SELECT s1.u AS w, s1.v AS a, s2.v AS b
-           FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v),
+           FROM symc s1 JOIN symc s2 ON s1.u = s2.u AND s1.v < s2.v),
     sc AS (SELECT a, b, CAST(SUM({unit} // deg.d) AS BIGINT) AS score_micro
            FROM wd JOIN deg ON wd.w = deg.w GROUP BY a, b),
     fl AS (SELECT sc.a, sc.b, sc.score_micro,
@@ -559,7 +561,14 @@ def resource_allocation_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/deg(hub) in exact integer micro-units (no ln() — the
     Adamic-Adar variant that stays bit-identical cross-engine), with
     existing edges flagged so the non-edge rows are the link
-    PREDICTIONS. The oracle re-derives the wedge sum and flag
+    PREDICTIONS. Registered WITH the max_center_degree=16 hub cap —
+    fixed-tau near-dup graphs DENSIFY as the corpus grows (sf0.01
+    median degree 4 → sf0.1 median 15), so uncapped wedge volume is
+    superlinear in corpus size (measure_shuffle caught alpha 1.21);
+    the cap bounds it at n·C(cap,2), restoring linear shuffle growth,
+    and super-hub centers contribute the least RA mass (1/deg) anyway
+    — the same recall-trading dial as cap_shingle_df. The oracle
+    mirrors the cap and re-derives the wedge sum and flag
     independently with plain joins."""
     from streaming_cdc_spark.operators.clustering import (
         resource_allocation_links as op,
@@ -568,7 +577,7 @@ def resource_allocation_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     edges = cosine_self_edges(emb, 0.3).select("u", "v")
-    return op(edges, top_n=100)
+    return op(edges, top_n=100, max_center_degree=16)
 
 
 def _coverage_sql(k: int = 3) -> str:
