@@ -119,6 +119,26 @@ SHOWCASE = [
         "NOT-EXISTS definitional form exists only in the oracle.",
         [r"HashAggregate", r"rangepartitioning"],
     ),
+    (
+        "interval_coverage_counts",
+        "Point-in-interval coverage (r6): bounded-width intervals UNNEST "
+        "into covered days (Generate/explode) and hash-aggregate — the "
+        "range join exists ONLY in the oracle's naive BETWEEN "
+        "formulation; this plan has zero joins of any kind.",
+        [r"Generate explode", r"HashAggregate"],
+    ),
+    (
+        "kcore_peel_rounds",
+        "K-core peeling (r6): three rounds, each one keyed degree "
+        "aggregate plus two LeftSemi equi-joins of the surviving edges "
+        "against the keep set; every round localCheckpoints (the "
+        "recompute-tree fix), so the FINAL plan is the last degree "
+        "aggregate over the materialized survivor RDD — the per-round "
+        "semi-join physicals are pinned by tests/test_analytics.py "
+        "goldens, not visible here (the sorted_neighborhood "
+        "ExistingRDD effect).",
+        [r"HashAggregate", r"Scan ExistingRDD"],
+    ),
 ]
 
 
