@@ -83,6 +83,9 @@ HEADLINE = [
     "label_centroid_outliers",
     # r6: random walk with restart (seed-biased teleport)
     "personalized_pagerank",
+    # r6: 3-step path mining + exact weighted median per type
+    "event_path_trigrams",
+    "weighted_median_value",
     "cluster_summary",
     "muc_prf",
     "tfidf_blend_clusters",

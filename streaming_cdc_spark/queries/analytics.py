@@ -707,3 +707,111 @@ def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     edges = cosine_self_edges(emb, 0.3).select("u", "v")
     return pagerank_exact(edges, iterations=3, seed_pred=F.col("u") % 10 == 0)
+
+
+@query(
+    "event_path_trigrams",
+    oracle="""
+    WITH o AS (
+      SELECT event_type,
+             lag(event_type, 2) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS s1,
+             lag(event_type, 1) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS s2
+      FROM events
+    ),
+    n AS (SELECT s1, s2, event_type AS s3, COUNT(*) AS n
+          FROM o WHERE s1 IS NOT NULL GROUP BY 1, 2, 3)
+    SELECT s1, s2, s3, CAST(n AS BIGINT) AS n, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, s1, s2, s3) AS rank
+          FROM n)
+    WHERE rank <= 20
+    """,
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-20 THREE-STEP PATHS through the event stream — the
+    path-analysis extension of event_transition_matrix: per-user
+    (ts, event_id)-ordered trigrams of event types, globally ranked
+    by frequency under the total (n DESC, s1, s2, s3) order. Physical:
+    the SAME per-user window evaluates both lags (one sort, two
+    offsets), one keyed count (|types|^3 rows at most), then the
+    two-pass global rank."""
+    from streaming_cdc_spark.operators.ranking import row_number_global
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        F.lag("event_type", 2).over(w).alias("s1"),
+        F.lag("event_type", 1).over(w).alias("s2"),
+        F.col("event_type").alias("s3"),
+    ).filter(F.col("s1").isNotNull())
+    n = o.groupBy("s1", "s2", "s3").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return row_number_global(
+        n, [F.desc("n"), F.asc("s1"), F.asc("s2"), F.asc("s3")], "rank"
+    ).filter(F.col("rank") <= 20)
+
+
+@query(
+    "weighted_median_value",
+    oracle="""
+    WITH k AS (
+      SELECT event_type, value, event_id,
+             CAST(user_id % 5 + 1 AS BIGINT) AS wt
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, value, event_id, wt,
+             SUM(wt) OVER (PARTITION BY event_type
+                           ORDER BY value, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+      FROM k
+    ),
+    t AS (SELECT event_type, SUM(wt) AS tot FROM k GROUP BY event_type),
+    x AS (
+      SELECT c.event_type, c.value, c.event_id, t.tot
+      FROM c JOIN t USING (event_type)
+      WHERE c.cum * 2 >= t.tot
+    )
+    SELECT event_type, ROUND(value, 2) AS weighted_median,
+           CAST(tot AS BIGINT) AS tot_weight
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id) AS rn
+          FROM x)
+    WHERE rn = 1
+    """,
+)
+def weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED MEDIAN of event value per type (weight =
+    user_id % 5 + 1 — an integer importance weight): the smallest
+    value whose cumulative weight reaches half the total, under the
+    deterministic (value, event_id) order. The weighted twin of the
+    exact-median row (A3): one per-type cumulative-sum window, a
+    per-type totals join (no nested windows — the DuckDB rule), and a
+    first-crossing row_number. All weight arithmetic is exact
+    BIGINT; the only float is the reported value itself."""
+    ev = load(spark, sf_dir, "events")
+    k = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        (F.col("user_id") % 5 + 1).cast("long").alias("wt"),
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("value", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = k.withColumn("cum", F.sum("wt").over(wcum))
+    t = k.groupBy("event_type").agg(F.sum("wt").cast("long").alias("tot"))
+    x = c.join(t, "event_type").filter(F.col("cum") * 2 >= F.col("tot"))
+    wrn = W.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        x.withColumn("rn", F.row_number().over(wrn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.round("value", 2).alias("weighted_median"),
+            F.col("tot").alias("tot_weight"),
+        )
+    )

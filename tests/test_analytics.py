@@ -406,3 +406,53 @@ def test_centroid_outliers_shift_assumption_holds_on_fixture(spark):
         .first()
     )
     assert mn > -1.0 and mx < 1.0, (mn, mx)
+
+
+def test_weighted_median_golden(spark, tmp_path):
+    import pandas as pd
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # weight = user_id % 5 + 1. type A: values 1(w2), 2(w1), 3(w1):
+    # tot=4, cum at v=1 is 2 -> 2*2 >= 4 -> median 1.0.
+    # type B: values 5(w1), 7(w1): tot=2, cum at 5 is 1 -> 2 >= 2 -> 5.0
+    rows = [
+        (1, t0, 1, "A", 1.0, "{}"),   # w=2
+        (2, t0, 0, "A", 2.0, "{}"),   # w=1
+        (3, t0, 0, "A", 3.0, "{}"),   # w=1
+        (4, t0, 0, "B", 7.0, "{}"),
+        (5, t0, 0, "B", 5.0, "{}"),
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+    from streaming_cdc_spark.queries.analytics import weighted_median_value
+
+    out = {
+        r["event_type"]: (r["weighted_median"], r["tot_weight"])
+        for r in weighted_median_value(spark, str(tmp_path)).collect()
+    }
+    assert out == {"A": (1.0, 4), "B": (5.0, 2)}
+
+
+def test_path_trigrams_golden(spark, tmp_path):
+    import pandas as pd
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # user 1: a b c d -> trigrams (a,b,c), (b,c,d); user 2: a b (none)
+    for i, (u, et) in enumerate(
+        [(1, "a"), (1, "b"), (1, "c"), (1, "d"), (2, "a"), (2, "b")]
+    ):
+        rows.append((i, t0 + datetime.timedelta(minutes=i), u, et, 0.0, "{}"))
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+    from streaming_cdc_spark.queries.analytics import event_path_trigrams
+
+    out = [
+        (r["s1"], r["s2"], r["s3"], r["n"], r["rank"])
+        for r in event_path_trigrams(spark, str(tmp_path))
+        .orderBy("rank")
+        .collect()
+    ]
+    assert out == [("a", "b", "c", 1, 1), ("b", "c", "d", 1, 2)]
