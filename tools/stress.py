@@ -128,6 +128,22 @@ def synth_embeddings(spark, n: int, dim: int = 32):
 def main() -> None:
     n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     n_big = int(sys.argv[2]) if len(sys.argv) > 2 else 400_000
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        load1 = 0.0
+    print(f"host load average (1m): {load1:.1f}")
+    if load1 > 4:
+        # r6 post-mortem: a co-tenant window with idle-load ~11 made
+        # identical code measure 2.5s vs 32-48s (cdc_deltas 4M) —
+        # ratios from such a window are meaningless. Warn loudly; the
+        # bands still gate so a genuinely bad op cannot hide behind
+        # this message.
+        print(
+            "WARNING: host is loaded by co-tenants — expect spurious "
+            "OUT OF BAND flags; re-run in a quiet window before "
+            "believing any ratio here"
+        )
     spark = get_spark("stress")
 
     from streaming_cdc_spark.operators.dedup import (
@@ -294,6 +310,55 @@ def main() -> None:
         results.setdefault("chunk_dedup", []).append(round(time.time() - t0, 2))
         dup.unpersist()
     sizes["chunk_dedup"] = n_big / n_small
+
+    # --- r6 second session: interval unnest + greedy coverage ------
+    from streaming_cdc_spark.operators.sampling import greedy_max_coverage
+    from streaming_cdc_spark.operators.temporal import interval_coverage
+
+    # bounded-width interval coverage at 1M/4M intervals (width <= 14
+    # days -> explode rows = n * ~8, linear by construction)
+    for n in (10 * n_small, 10 * n_big):
+        iv = (
+            spark.range(n)
+            .select(
+                F.timestamp_micros(
+                    F.lit(1_700_000_000_000_000)
+                    + F.pmod(F.xxhash64("id"), F.lit(365)) * 86_400_000_000
+                ).alias("start"),
+                F.pmod(F.xxhash64("id", F.lit(1)), F.lit(14)).cast("int").alias("w"),
+                F.pmod(F.col("id"), F.lit(3)).cast("string").alias("g"),
+            )
+            .persist()
+        )
+        iv.count()
+        t0 = time.time()
+        interval_coverage(iv, "start", "w", "g").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        results.setdefault("interval_coverage", []).append(
+            round(time.time() - t0, 2)
+        )
+        iv.unpersist()
+    sizes["interval_coverage"] = n_big / n_small
+
+    # greedy max-coverage (k=3 rounds) over hashed shingles of the
+    # duplicated corpus: per round one anti-join + keyed count +
+    # global top-1 — linear per round
+    from streaming_cdc_spark.operators.dedup import exploded_shingles
+
+    for n in (n_small, n_big):
+        dup = synth_dup_docs(spark, n).persist()
+        dup.count()
+        sh = exploded_shingles(dup, hashed=True)
+        t0 = time.time()
+        greedy_max_coverage(sh, "doc_id", "shingle", k=3).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        results.setdefault("greedy_coverage_k3", []).append(
+            round(time.time() - t0, 2)
+        )
+        dup.unpersist()
+    sizes["greedy_coverage_k3"] = n_big / n_small
 
     # the raw blocked kernel is QUADRATIC by design (all-pairs compute
     # in bounded-memory blocks) — expected ratio is size_ratio^2.
