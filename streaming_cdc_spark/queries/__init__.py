@@ -69,124 +69,94 @@ from streaming_cdc_spark.queries import (  # noqa: E402,F401
 # r6 late swap: cdc_evolving_apply (NEW — schema-evolution apply,
 # VERDICT r5 #3) took first_occurrence_ids' slot (R1 holds five
 # rounds of driver evidence; still registered + locally gated).
+# r7 ROTATION (VERDICT r6 top-next #1/#2): 18 slots swapped so the
+# driver first-time-verifies the strongest of the 82 never-driver-
+# checked oracles, including TWO more streaming-state physicals
+# (streaming_heavy_hitters = sharded applyInPandasWithState sketch;
+# streaming_bloom_status = bitmap-prefix replay;
+# watermarked_daily_counts = watermark lag semantics — with
+# materialized_user_value's foreachBatch sink and
+# streaming_sessions_finalized's session_window already in-window,
+# every streaming state pattern now has a driver hash row).
+# Rotated OUT (each holds r1-r6 driver evidence + family cover stays
+# in-window; all remain registered + locally gated + benched):
+# max_active_sweep (A5), event_type_stats (A1/A3/A4), entity_vocab
+# (R4), cosine_edges_blocked (J6 — kernel math re-verified in-window
+# by pagerank_neardup_graph/semantic_dedup edges), cluster_summary
+# (J2), muc_prf (A6 — b3_prf + ceaf_e_prf keep coref metrics),
+# greedy_parity_clusters (C1/C2 — threshold_cc_distributed keeps the
+# scale physical), tfidf_blend_clusters (V1-V3/C16),
+# hash_encoded_mentions (P8/V4 default path), exact_dedup_prefix,
+# simhash_dedup_groups, bm25_topk, cosine_topk, embedding_norm_stats
+# (P10), text_quality, media_stats, asof_join_orders (temporal keeps
+# cohort_retention + sessions in-window), quality_decile_curriculum.
 _PRIORITY = [
-    # relational core
+    # relational core (J1 broadcast join stays as the anchor row)
     "revenue_by_nation",
-    "max_active_sweep",
-    "event_type_stats",
-    "entity_vocab",
-    # CDC pipeline (oracle-checked)
-    # r4: the SCALE-path twins replace their small-n siblings in the
-    # window (VERDICT r3 top-next): cosine_edges_blocked forces the
-    # exact triangle-blocked kernel and threshold_cc_distributed
-    # forces blocked kernel + distributed pointer-jumping CC
-    # (driver_cutoff=0), so CORRECTNESS_r4 hash-verifies the 100 TB
-    # physicals themselves. The broadcast/driver-union-find siblings
-    # stay registered + locally gated, and those small-n strategies
-    # keep in-window driver evidence via cluster_summary /
-    # greedy_parity_clusters / tfidf_blend_clusters (all auto-path).
-    "cosine_edges_blocked",
+    # CDC pipeline scale physicals + coref metrics + trees
     "threshold_cc_distributed",
-    "cluster_summary",
-    "muc_prf",
     "b3_prf",
-    # CDC pipeline (r4: tree_cut_clusters, bisect_clusters, ceaf_e_prf
-    # and dendrogram_purity_fixture all gained FULL oracles — fixture
-    # dendrogram cut, unrolled bisection stages, exhaustive Hungarian
-    # enumeration, bit-arithmetic LCA purity. The only remaining
-    # in-window rows-only query is grinch_flat_clusters: the
-    # sequential order-dependent GRINCH build itself.)
     "ceaf_e_prf",
-    "greedy_parity_clusters",
-    # r5: grinch_forest_invariants (FULL oracle — order-insensitive
-    # well-formedness + leaf-checksum projection of the per-key GRINCH
-    # forest, VERDICT r4 #6) replaced rows-only grinch_flat_clusters,
-    # which stays registered + locally gated + benched + golden-tested;
-    # the window is now 50/50 full-oracle.
     "grinch_forest_invariants",
     "dendrogram_purity_fixture",
-    "tfidf_blend_clusters",
     "tree_cut_clusters",
     "bisect_clusters",
-    "hash_encoded_mentions",
-    # r6: the namesake CDC family, first-time driver verification —
-    # streaming apply (foreachBatch twin, SAME oracle as the batch
-    # apply), snapshot capture-diff, SCD2 history, and IVM group sums
-    # (oracle = the independent recompute, so the hash match IS the
-    # sum-of-deltas theorem).
+    # the namesake CDC family (first driver-verified r6) + r7:
+    # cdc_time_travel (VERSION AS OF over the versioned sink — the
+    # retention/time-travel contract, never driver-checked).
     "cdc_streaming_apply",
     "cdc_capture_diff",
     "cdc_scd2_history",
     "cdc_evolving_apply",
     "ivm_group_sums",
-    # dedup family
-    "exact_dedup_prefix",
-    # r6: minhash_dedup_groups (LSH bands -> verify-on-candidates ->
-    # CC -> min-id canonical, the WHOLE chain under one oracle)
-    # replaced minhash_band_candidates, whose banding math the chain
-    # oracle re-derives; candidates stays registered + locally gated.
-    "minhash_dedup_groups",
     "cdc_log_apply",
-    # r4: simhash_dedup_groups (fingerprint -> exact-fp collapse ->
-    # banded Hamming join -> CC -> map-back, linear output, one oracle
-    # replaying the WHOLE chain incl. fingerprints) replaced
-    # simhash_fingerprints, whose math the groups oracle re-derives;
-    # fingerprints stays registered + locally gated.
-    "simhash_dedup_groups",
-    # r3: pipeline_manifest (the whole filter->dedup->split->pack DAG
-    # under ONE oracle) replaced containment_pairs (shingle family
-    # keeps jaccard+minhash reps; containment stays registered)
+    "cdc_time_travel",
+    # dedup family: the full-chain reps stay; r7 adds the planted-skew
+    # PPJoin twin and content-defined chunking (both never
+    # driver-checked).
+    "minhash_dedup_groups",
     "pipeline_manifest",
     "semantic_dedup",
-    # r4: duplicate_span_islands (sliding-window ExactSubstr islands —
-    # a dedup GRANULARITY no other in-window query covers: substring-
-    # level, any-offset) replaced token_histogram; token counting keeps
-    # regex_token_stats + sequence_packing_exact in-window and
-    # token_histogram stays registered + locally gated.
     "duplicate_span_islands",
-    # r3: progressive_stream_resolution (budgeted streaming ER, FULL
-    # oracle over the whole per-batch schedule) replaced
-    # near_dup_resolution — the near-dup family keeps 6 in-window
-    # reps incl. the full minhash chain inside pipeline_manifest;
-    # near_dup_resolution stays registered + locally gated
     "progressive_stream_resolution",
-    # r6: ppjoin_exact_pairs (exact set-similarity join — rarest-prefix
-    # index, all-integer threshold, verify-on-candidates) and
-    # edit_distance_pairs (Ed-Join: rarest-gram prefix + length band +
-    # banded Levenshtein) — the two EXACT similarity-join physicals.
     "ppjoin_exact_pairs",
+    "ppjoin_skewed_pairs",
     "edit_distance_pairs",
-    # similarity / ANN family
-    "cosine_topk",
-    "bm25_topk",
+    "chunk_dedup_profile",
+    # similarity / ANN
     "ivf_topk_exact",
-    "embedding_norm_stats",
-    # r6: pq_adc_topk (product quantization with integer micro-unit
-    # LUT ADC) — the compressed-ANN physical, first driver check.
     "pq_adc_topk",
-    # text analysis / multimodal / training-pipeline
-    "text_quality",
-    # r6: gopher_quality_flags (the full Rae et al. A1.1 rule battery
-    # as one zero-shuffle projection) joins the window; language-ID /
-    # fingerprints keep local-gate + five rounds of driver evidence.
+    # text analysis / training-pipeline
     "gopher_quality_flags",
-    "media_stats",
     "sequence_packing_exact",
-    "quality_decile_curriculum",
-    # temporal / streaming
-    "asof_join_orders",
+    "collocation_pmi",
+    # record linkage (SNM blocking + Fellegi-Sunter, r6 family)
+    "record_linkage_scores",
+    # temporal / streaming state physicals
     "materialized_user_value",
-    # r6: streaming_sessions_finalized (native session_window +
-    # watermark append-mode emission rule, replayed in SQL) and
-    # exact_moment_corr (Pearson from DECIMAL/BIGINT moments — the
-    # partition-invariant float pattern) get first driver checks.
     "streaming_sessions_finalized",
+    "streaming_heavy_hitters",
+    "streaming_bloom_status",
+    "watermarked_daily_counts",
+    "cohort_retention",
     "exact_moment_corr",
-    # graph / layout / skew — never driver-verified before r6:
-    # integer-arithmetic PageRank, the manifest-indirected z-table
-    # lifecycle, exactly-once streaming z-ingest, and the salted
-    # hot-key join evidence query.
+    # analytics family (r6, never driver-checked): independent-
+    # formulation interval oracle, quantize-then-exact-sum chi-square,
+    # MG sketch bounds (fixture now plants NULL keys — the driver
+    # hash-verifies NULL-exclusion), GK rank-interval bounds, ARI.
+    "interval_coverage_counts",
+    "category_drift_chisq",
+    "heavy_hitters_bounds",
+    "approx_quantile_bounds",
+    "ari_score",
+    # graph
     "pagerank_neardup_graph",
+    "label_propagation_communities",
+    "kcore_peel_rounds",
+    # selection / curriculum
+    "pareto_front_docs",
+    "greedy_coverage_docs",
+    # layout / skew
     "zorder_table_roundtrip",
     "zorder_streaming_ingest",
     "salted_skew_stats",

@@ -237,7 +237,8 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HH_K = 16  # Misra-Gries counters per partition/shard; bound = N div (k+1)
 
 _HH_KEY_SQL = """
-    CASE WHEN event_id % 3 <> 0
+    CASE WHEN event_id % 11 = 5 THEN NULL
+         WHEN event_id % 3 <> 0
          THEN 'hot' || CAST(event_id % 2 AS VARCHAR)
          ELSE 'u' || CAST(user_id AS VARCHAR) END
 """
@@ -247,7 +248,8 @@ _HH_KEY_SQL = """
 # both satisfy est <= true, true - est <= N div (k+1), so both emit
 # the same exact counts + literal theorem bits.
 _HH_ORACLE = f"""
-    WITH keyed AS (SELECT {_HH_KEY_SQL} AS key FROM events),
+    WITH raw AS (SELECT {_HH_KEY_SQL} AS key FROM events),
+    keyed AS (SELECT key FROM raw WHERE key IS NOT NULL),
     n AS (SELECT key, COUNT(*) AS n FROM keyed GROUP BY key),
     tot AS (SELECT COUNT(*) AS total FROM keyed)
     SELECT key, CAST(n.n AS BIGINT) AS n,
@@ -259,10 +261,18 @@ _HH_ORACLE = f"""
 
 
 def _hh_key_col():
-    return F.when(
-        F.col("event_id") % 3 != 0,
-        F.concat(F.lit("hot"), (F.col("event_id") % 2).cast("string")),
-    ).otherwise(F.concat(F.lit("u"), F.col("user_id").cast("string")))
+    # event_id % 11 == 5 rows carry a NULL key: the driver
+    # hash-verifies the sketches' NULL-exclusion semantics (the r6
+    # latent-defect class) instead of leaving it unit-test-only —
+    # NULL rows must vanish from counts, total, AND both summaries.
+    return (
+        F.when(F.col("event_id") % 11 == 5, F.lit(None).cast("string"))
+        .when(
+            F.col("event_id") % 3 != 0,
+            F.concat(F.lit("hot"), (F.col("event_id") % 2).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("u"), F.col("user_id").cast("string")))
+    )
 
 
 def _hh_assemble(keyed: DataFrame, summ: DataFrame) -> DataFrame:
@@ -757,7 +767,7 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH k AS (
       SELECT event_type, value, event_id,
              CAST(user_id % 5 + 1 AS BIGINT) AS wt
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     c AS (
       SELECT event_type, value, event_id, wt,
@@ -789,8 +799,11 @@ def weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-median row (A3): one per-type cumulative-sum window, a
     per-type totals join (no nested windows — the DuckDB rule), and a
     first-crossing row_number. All weight arithmetic is exact
-    BIGINT; the only float is the reported value itself."""
-    ev = load(spark, sf_dir, "events")
+    BIGINT; the only float is the reported value itself. NULL values
+    are filtered on BOTH sides (Spark sorts NULLS FIRST ascending,
+    DuckDB NULLS LAST — an unfiltered nullable sort key would diverge
+    if testdata ever regenerates with NULLs; re-verify on regen)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     k = ev.select(
         "event_type",
         "value",

@@ -372,7 +372,7 @@ def approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH o AS (
       SELECT value, row_number() OVER (ORDER BY value, event_id) AS rn,
              COUNT(*) OVER () AS n
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     ex AS (SELECT ROUND(value, 2) AS exact_median
            FROM o WHERE rn = (n + 1) // 2)
@@ -389,10 +389,22 @@ def approx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes it via the rank-based two-pass, no single-partition
     window) plus the bound bit derived from the sketch: a drifting
     sketch flips within_bound and fails the hash while its
-    platform-specific estimate stays out of the compared output."""
+    platform-specific estimate stays out of the compared output.
+    With heavy duplicates at the median, the estimate's rank is an
+    INTERVAL [count(value < apx) + 1, count(value <= apx)] — the GK
+    guarantee holds for SOME rank among the equal values, so the
+    bound bit passes iff that interval intersects n/2 +- (n/1000 + 1)
+    (checking only the max rank could flip a correct sketch). NULLs
+    are filtered on both sides (Spark/DuckDB NULL sort order differs;
+    re-verify on testdata regen)."""
     from streaming_cdc_spark.operators.ranking import row_number_global
 
-    ev = load(spark, sf_dir, "events").select("event_id", "value").localCheckpoint()
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "value")
+        .filter(F.col("value").isNotNull())
+        .localCheckpoint()
+    )
     ranked = row_number_global(ev, ["value", "event_id"], "rn")
     n_df = ev.agg(F.count(F.lit(1)).alias("n"))
     exact = (
@@ -403,17 +415,22 @@ def approx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ev.agg(
         F.percentile_approx("value", 0.5, 1000).alias("_apx")
     )
-    # rank of the approx value = # values <= it; bound: |rank - n/2|
-    # <= n/1000 + 1
-    apx_rank = (
-        ev.crossJoin(F.broadcast(approx))
-        .agg(F.sum((F.col("value") <= F.col("_apx")).cast("long")).alias("_r"))
+    # rank interval of the approx value among duplicates:
+    # [count(value < apx) + 1, count(value <= apx)]; the GK bound
+    # holds for SOME rank in it, so pass iff it intersects
+    # [n/2 - slack, n/2 + slack] with slack = n/1000 + 1.
+    apx_rank = ev.crossJoin(F.broadcast(approx)).agg(
+        (F.sum((F.col("value") < F.col("_apx")).cast("long")) + F.lit(1)).alias(
+            "_lo"
+        ),
+        F.sum((F.col("value") <= F.col("_apx")).cast("long")).alias("_hi"),
     )
     out = exact.crossJoin(F.broadcast(approx)).crossJoin(F.broadcast(apx_rank))
+    slack = F.expr("n div 1000") + F.lit(1)
     return out.select(
         "exact_median",
         (
-            F.abs(F.col("_r") - F.expr("n div 2"))
-            <= F.expr("n div 1000") + F.lit(1)
+            (F.col("_lo") <= F.expr("n div 2") + slack)
+            & (F.col("_hi") >= F.expr("n div 2") - slack)
         ).alias("within_bound"),
     )

@@ -74,11 +74,14 @@ _EVOLVE_SQL = f"""
     WITH log AS (
         SELECT user_id, event_id AS seq, {_OP_CASE} AS op,
                CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS schema_version,
-               CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR) AS p_cents,
                -- DuckDB arg_max SKIPS NULL values (it would take the
-               -- latest v2 event_type instead of the v1 NULL) — carry
-               -- absence as the empty-string sentinel and decode after
-               -- the argmax (event_type vocabulary is never empty).
+               -- latest non-NULL payload instead of the true last row)
+               -- — carry absence as the empty-string sentinel on EVERY
+               -- payload field and decode after the argmax
+               -- (event_type vocabulary is never empty; '' never
+               -- casts to a BIGINT cents value).
+               COALESCE(CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR),
+                        '') AS p_cents,
                CASE WHEN event_id % 2 = 1 THEN event_type ELSE '' END AS p_etype
         FROM events
     ),
@@ -91,7 +94,8 @@ _EVOLVE_SQL = f"""
         FROM log GROUP BY user_id
     )
     SELECT user_id, last_seq, schema_version,
-           CAST(c AS BIGINT) AS value_cents, NULLIF(e, '') AS event_type
+           CAST(NULLIF(c, '') AS BIGINT) AS value_cents,
+           NULLIF(e, '') AS event_type
     FROM last WHERE op != 'D'
 """
 

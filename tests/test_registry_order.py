@@ -18,32 +18,37 @@ def test_first_50_match_priority():
 
 def test_every_family_in_checked_window():
     first = set(list(QUERIES)[:50])
-    # r6 rotation (VERDICT r5 #1): 15 slots swapped to first-time
-    # driver-verify the r5 flagships; every rotated-out query holds
-    # five rounds of driver evidence (CORRECTNESS_r01..r05) and stays
+    # r7 rotation (VERDICT r6 #1/#2): 18 slots swapped to first-time
+    # driver-verify the strongest of the 82 never-driver-checked
+    # oracles, incl. three more streaming-state physicals. Every
+    # rotated-out query holds r1-r6 driver evidence and stays
     # registered + locally gated + benched. Family reps below reflect
     # the post-rotation window.
     families = {
-        "relational": {"revenue_by_nation", "max_active_sweep"},
-        "cdc_metrics": {"muc_prf", "b3_prf", "ceaf_e_prf"},
-        "clustering": {"threshold_cc_distributed", "greedy_parity_clusters", "grinch_forest_invariants"},
-        "similarity_kernel": {"cosine_edges_blocked"},
-        # r6: minhash_dedup_groups (full chain) replaced
-        # minhash_band_candidates (its banding math is re-derived by
-        # the chain oracle); exact-join physicals ppjoin_exact_pairs +
-        # edit_distance_pairs join the window.
-        "dedup": {"exact_dedup_prefix", "minhash_dedup_groups", "simhash_dedup_groups",
-                  "duplicate_span_islands", "ppjoin_exact_pairs", "edit_distance_pairs"},
-        "ann": {"cosine_topk", "bm25_topk", "ivf_topk_exact", "pq_adc_topk"},
+        "relational": {"revenue_by_nation"},
+        "cdc_metrics": {"b3_prf", "ceaf_e_prf", "ari_score"},
+        "clustering": {"threshold_cc_distributed", "grinch_forest_invariants",
+                       "tree_cut_clusters", "bisect_clusters"},
+        "dedup": {"minhash_dedup_groups", "duplicate_span_islands",
+                  "ppjoin_exact_pairs", "ppjoin_skewed_pairs",
+                  "edit_distance_pairs", "chunk_dedup_profile"},
+        "ann": {"ivf_topk_exact", "pq_adc_topk"},
         "semantic_dedup": {"semantic_dedup"},
-        "text": {"text_quality", "gopher_quality_flags"},
-        "multimodal": {"media_stats"},
+        "text": {"gopher_quality_flags", "collocation_pmi"},
         "packing": {"sequence_packing_exact"},
-        "temporal": {"asof_join_orders", "streaming_sessions_finalized"},
-        # r6: the full namesake CDC family is in-window
+        "temporal": {"cohort_retention", "streaming_sessions_finalized"},
+        "streaming_state": {"materialized_user_value", "streaming_heavy_hitters",
+                            "streaming_bloom_status", "watermarked_daily_counts",
+                            "progressive_stream_resolution"},
         "changelog": {"cdc_log_apply", "cdc_streaming_apply", "cdc_capture_diff",
-                      "cdc_scd2_history", "cdc_evolving_apply", "ivm_group_sums"},
-        "graph": {"pagerank_neardup_graph"},
+                      "cdc_scd2_history", "cdc_evolving_apply", "ivm_group_sums",
+                      "cdc_time_travel"},
+        "linkage": {"record_linkage_scores"},
+        "analytics": {"interval_coverage_counts", "category_drift_chisq",
+                      "heavy_hitters_bounds", "approx_quantile_bounds"},
+        "graph": {"pagerank_neardup_graph", "label_propagation_communities",
+                  "kcore_peel_rounds"},
+        "selection": {"pareto_front_docs", "greedy_coverage_docs"},
         "layout": {"zorder_table_roundtrip", "zorder_streaming_ingest"},
         "skew": {"salted_skew_stats"},
     }

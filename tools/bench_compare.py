@@ -76,6 +76,17 @@ def main() -> None:
         "(anything else dropped still gates)",
     )
     ap.add_argument(
+        "--drift-cap",
+        type=float,
+        default=2.5,
+        help="gate when the run-wide MEDIAN per-query ratio itself "
+        "exceeds this — drift normalization makes a genuinely uniform "
+        "regression (e.g. a session-config change slowing everything "
+        "2x) look like host drift, so past this cap the tool refuses "
+        "to self-certify and demands a same-window A/B (git worktree "
+        "the old commit, time both; CLAUDE.md r6 protocol)",
+    )
+    ap.add_argument(
         "--exempt",
         default="",
         help="comma-separated documented-flaky queries (python-heavy "
@@ -160,6 +171,15 @@ def main() -> None:
             f"\nhost-window drift: median per-query ratio {drift:.2f} — "
             f"effective per-query threshold {eff_threshold:.2f}x"
         )
+    if drift > ns.drift_cap:
+        print(
+            f"\nDRIFT CAP EXCEEDED: median ratio {drift:.2f} > "
+            f"{ns.drift_cap:.2f} — a uniform slowdown this large is "
+            f"indistinguishable from host drift; re-run in a quiet "
+            f"window (check uptime) or A/B the old commit in the SAME "
+            f"window before trusting either verdict"
+        )
+        sys.exit(1)
     if regressions:
         print(f"\n{len(regressions)} regression(s): {', '.join(regressions)}")
         sys.exit(1)

@@ -137,7 +137,8 @@ def main() -> int:
             print(f"exempt (documented flaky, not gating): {', '.join(skipped)}")
         if gating:
             print(f"GATE FAIL: {', '.join(gating)} above "
-                  f"{args.factor}x historical min")
+                  f"{eff_factor:.2f}x historical min "
+                  f"(base {args.factor}x, drift-adjusted)")
             return 1
     return 0
 
