@@ -72,6 +72,8 @@ HEADLINE = [
     "collocation_pmi",
     "purchase_attribution",
     "value_histogram_bins",
+    "equidepth_histogram",
+    "bpe_merge_table",
     # r6: streaming sharded-state Misra-Gries (same oracle as the
     # batch sketch) and resource-allocation link prediction (integer
     # micro-unit 1/deg wedge sums)
@@ -113,6 +115,7 @@ HEADLINE = [
     "entity_vocab",
     "event_gaps",
     "revenue_rollup",
+    "rollup_revenue_cube",
     "docs_with_token",
     "lang_id_confusion",
     "ngram_repetition_stats",
@@ -168,6 +171,7 @@ HEADLINE = [
     # r5: incremental view maintenance — sum-of-deltas view vs the
     # recompute oracle
     "ivm_group_sums",
+    "ivm_hotkey_sums",
     # r5: planted 40%-hot-key join+agg through the salted path
     # (shuffle-hash pinned) — skew handling gets a measured number
     "salted_skew_stats",

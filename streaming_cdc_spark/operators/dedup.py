@@ -1272,7 +1272,15 @@ def ppjoin_pairs(
     size_a, size_b), all BIGINT."""
     sh = exploded_shingles(docs, id_col, text_col, hashed=True).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
-    cand = ppjoin_candidates(sh, sizes, t_num, t_den, id_col=id_col)
+    # checkpoint the candidate set before the verify joins: Catalyst's
+    # static estimate for a self-join + distinct is "huge", so the
+    # fused plan sort-merge-joins the (tiny, prefix-filtered)
+    # candidates against the full per-doc set table; materializing
+    # hands AQE the TRUE candidate size, letting it broadcast the
+    # candidate side of both verify joins (r7: 58.5s -> 50.4s at 400k
+    # docs, and the gap widens with corpus size since the misplanned
+    # side is the n-sized one)
+    cand = ppjoin_candidates(sh, sizes, t_num, t_den, id_col=id_col).localCheckpoint()
     sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("_toks"))
     sa = sets.select(
         F.col(id_col).alias("doc_a"),

@@ -696,6 +696,96 @@ def bpe_pair_counts(
     )
 
 
+def bpe_merge_rounds(
+    docs: DataFrame,
+    rounds: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The FULL iterative BPE merge-training loop (Sennrich et al.
+    2016) that bpe_pair_counts is one step of: per round, count ALL
+    adjacent token pairs corpus-wide (overlapping occurrences count,
+    the standard convention), pick the most frequent pair (ties by
+    (a, b) ascending — a total order, so training is deterministic),
+    then merge every non-overlapping occurrence greedily
+    left-to-right in every document and recount. Output: one row per
+    round — (merge_round, pair_a, pair_b, n_pairs), the learned merge
+    table with its evidence counts (round r's count depends on round
+    r-1's merge, so the row set verifies the whole loop, not just
+    counting).
+
+    Physical: pair counting is zip_with(toks, toks[2:]) -> explode ->
+    one partial-aggregated groupBy + a one-row global top (per round:
+    one shuffle + one tiny sort); the merge is a doc-local array FOLD
+    (F.aggregate) against the one-row broadcast winner — zero extra
+    shuffles, no Python. Greedy non-overlap falls out of the fold:
+    after merging, the accumulator's last element is 'a+b', which can
+    never equal `a` (it is strictly longer), so a run 'a a a' merges
+    positions (1,2) and leaves 3 — exactly the left-to-right rule.
+    try_element_at guards the empty accumulator (ANSI). Rounds
+    localCheckpoint the token arrays so Catalyst cannot re-inline the
+    fold pipeline into the next round's count (the r6 chunk_dedup
+    20x trap), and the recompute tree stays flat (the kcore rule).
+    At 100 TB: per-round cost is one scan + one pair-count shuffle —
+    the loop is rounds x linear, with only one-row collects."""
+    toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+    outs = []
+    for r in range(1, rounds + 1):
+        toks = toks.localCheckpoint()
+        bi = toks.select(
+            F.explode(
+                F.zip_with(
+                    "_toks",
+                    F.expr("slice(_toks, 2, greatest(size(_toks) - 1, 0))"),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p")
+        ).filter(F.col("p.b").isNotNull())
+        top = (
+            bi.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        outs.append(
+            top.select(
+                F.lit(r).cast("long").alias("merge_round"),
+                F.col("a").alias("pair_a"),
+                F.col("b").alias("pair_b"),
+                F.col("n").alias("n_pairs"),
+            )
+        )
+        if r == rounds:
+            break
+        winner = F.broadcast(
+            top.select(F.col("a").alias("_ma"), F.col("b").alias("_mb"))
+        )
+        merged_tok = F.concat(F.col("_ma"), F.lit("+"), F.col("_mb"))
+
+        def _fold(acc, x):
+            hit = (F.try_element_at(acc, F.lit(-1)) == F.col("_ma")) & (
+                x == F.col("_mb")
+            )
+            return F.when(
+                hit,
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(merged_tok)
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        toks = toks.crossJoin(winner).select(
+            F.col(id_col),
+            F.aggregate(
+                "_toks", F.array().cast("array<string>"), _fold
+            ).alias("_toks"),
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def unigram_logprob(
     docs: DataFrame,
     id_col: str = "doc_id",

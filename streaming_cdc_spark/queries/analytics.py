@@ -828,3 +828,111 @@ def weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tot").alias("tot_weight"),
         )
     )
+
+
+@query(
+    "equidepth_histogram",
+    oracle="""
+    WITH o AS (
+      SELECT value, row_number() OVER (ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (SELECT value, ((rn - 1) * 10) // n AS bin FROM o)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           ROUND(MIN(value), 2) AS lo,
+           ROUND(MAX(value), 2) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM b GROUP BY bin
+    """,
+)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH (quantile-bin) HISTOGRAM of event values — the
+    equi-WIDTH sibling is value_histogram_bins; equi-depth is what
+    optimizers and drift monitors actually keep (each bin holds n/10
+    rows, so bin boundaries ARE the deciles). Physical: the two-pass
+    rank (operators/ranking.row_number_global — range exchange +
+    partition offsets, never a single-partition window) assigns
+    global ranks, bin = (rn-1)*10 div n is pure integer arithmetic,
+    then one keyed aggregate. Ties across a bin edge split
+    deterministically by the (value, event_id) total order on both
+    engines. NULLs filtered both sides (the weighted_median rule).
+    At 100 TB: one range exchange + one groupBy(10 keys) — the same
+    shape as a terasort sample pass."""
+    from streaming_cdc_spark.operators.ranking import row_number_global
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "value")
+        .filter(F.col("value").isNotNull())
+        .localCheckpoint()
+    )
+    ranked = row_number_global(ev, ["value", "event_id"], "rn")
+    n_df = ev.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_df))
+        .withColumn("bin", F.expr("(rn - 1) * 10 div _n"))
+        .groupBy("bin")
+        .agg(
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .select("bin", "lo", "hi", "n_rows")
+    )
+
+
+@query(
+    "rollup_revenue_cube",
+    oracle="""
+    SELECT COALESCE(r.r_name, '(all)') AS region_name,
+           COALESCE(n.n_name, '(all)') AS nation_name,
+           CAST(GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS BIGINT)
+               AS lvl,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                 AS DOUBLE), 2) AS revenue_r
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rollup_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIERARCHICAL ROLLUP aggregation (region -> nation -> grand
+    total) — the OLAP grouping-sets surface: one scan produces all
+    three aggregation levels with GROUPING markers (lvl 0 = leaf,
+    1 = per-region subtotal, 3 = grand total), exactly Spark's
+    df.rollup == SQL GROUP BY ROLLUP. Catalyst expands the rollup
+    into one Expand + one aggregate — a single shuffle for all
+    levels, vs three scans if the levels were unioned by hand
+    (.explain shows one Exchange). Rollup NULL markers are decoded to
+    '(all)' via GROUPING (not the key's own NULL-ness) on both
+    engines, so NULL-keyed data can't fake a subtotal row. Money sums
+    follow the DECIMAL(18,2) registry rule. Joins: orders->customer->
+    nation->region — the two dims broadcast (plans/ tests pin the
+    revenue_by_nation pattern)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    j = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    g = j.rollup("r_name", "n_name").agg(
+        F.grouping_id().cast("long").alias("lvl"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("revenue_r"),
+    )
+    return g.select(
+        F.coalesce("r_name", F.lit("(all)")).alias("region_name"),
+        F.coalesce("n_name", F.lit("(all)")).alias("nation_name"),
+        "lvl",
+        "n_orders",
+        "revenue_r",
+    )

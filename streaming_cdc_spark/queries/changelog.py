@@ -457,3 +457,65 @@ def ivm_group_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_live") > 0)
         .select("grp", "n_live", "view_sum_r")
     )
+
+
+# 30% of all ops land on ONE key (the salted_skew_stats /
+# ppjoin_skewed_pairs pattern for this family): key 0 absorbs every
+# event_id % 10 < 3 op; everyone else keeps user_id + 1.
+_HOT_CASE = "CASE WHEN event_id % 10 < 3 THEN 0 ELSE user_id + 1 END"
+
+
+@query(
+    "ivm_hotkey_sums",
+    oracle=f"""
+    WITH log AS (
+        SELECT {_HOT_CASE} AS k, event_id AS seq, {_OP_CASE} AS op, value
+        FROM events
+    ),
+    cur AS (
+        SELECT k, arg_max(value, seq) AS v
+        FROM log GROUP BY k
+        HAVING arg_max(op, seq) != 'D'
+    )
+    SELECT k % 10 AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_live,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE), 2) AS view_sum_r
+    FROM cur GROUP BY 1
+    """,
+)
+def ivm_hotkey_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivm_group_sums under a PLANTED 30%-HOT KEY (VERDICT r6 #5):
+    key 0 absorbs 3 of every 10 ops, and ``band_width`` is pinned to
+    4096 so the BANDED-lag physical (the r6 stress fix — 4M hot ops
+    25.4s -> 2.9s; operators/changelog.py docstring) actually executes
+    at driver scale instead of the adaptive default's plain-window
+    shortcut below 250k rows (the threshold_cc_distributed pattern:
+    force the 100 TB physical so the driver hash-verifies IT). The hot
+    key's ops spread over seq-range/4096 bands (sf0.01: ~3k hot rows
+    over 3 bands; sf0.1: ~30k over 25), so every window partition is
+    band-bounded — no task ever sorts the hot key whole — while the
+    band-first/band-last pre-image stitching is exercised across
+    dozens of hot-key band boundaries. The oracle stays the
+    independent recompute formulation, so the hash match is the IVM
+    theorem ON THE SKEWED LOG via the banded path. Flat per-band
+    partition sizes are pinned by tests/test_changelog.py."""
+    from streaming_cdc_spark.operators.changelog import changelog_deltas
+
+    ev = load(spark, sf_dir, "events")
+    log = ev.select(
+        F.expr(_HOT_CASE).cast("long").alias("k"),
+        F.col("event_id").alias("seq"),
+        F.expr(_OP_CASE).alias("op"),
+        "value",
+    )
+    d = changelog_deltas(log, ["k"], "seq", "op", "value", band_width=4096)
+    return (
+        d.withColumn("grp", F.col("k") % 10)
+        .groupBy("grp")
+        .agg(
+            F.sum("delta_live").cast("long").alias("n_live"),
+            F.round(F.sum("delta_value").cast("double"), 2).alias("view_sum_r"),
+        )
+        .filter(F.col("n_live") > 0)
+        .select("grp", "n_live", "view_sum_r")
+    )

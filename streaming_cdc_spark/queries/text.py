@@ -1109,3 +1109,93 @@ def phrase_match_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1", "w2", "doc_id")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
+
+
+def _bpe_round(i: int) -> str:
+    """One unrolled BPE round: overlapping pair counts -> top pair ->
+    greedy non-overlapping merge via gaps-and-islands (odd ranks
+    within each run of consecutive candidate positions — exactly the
+    left-to-right rule the engine's fold implements)."""
+    t, p = f"t{i}", f"top{i}"
+    return f"""
+    {p} AS (
+      SELECT a, b, COUNT(*) AS n FROM (
+        SELECT tok AS a,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+        FROM {t}) q WHERE b IS NOT NULL
+      GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1
+    ),
+    c{i} AS (
+      SELECT t.doc_id, t.pos, t.tok,
+             COALESCE(t.tok = {p}.a AND
+               lead(t.tok) OVER (PARTITION BY t.doc_id ORDER BY t.pos) = {p}.b,
+               FALSE) AS cand
+      FROM {t} t, {p}
+    ),
+    i{i} AS (
+      SELECT *, CASE WHEN cand THEN pos - ROW_NUMBER() OVER
+          (PARTITION BY doc_id, cand ORDER BY pos) END AS isl
+      FROM c{i}
+    ),
+    s{i} AS (
+      SELECT *, CASE WHEN cand THEN
+          (ROW_NUMBER() OVER (PARTITION BY doc_id, isl ORDER BY pos) % 2 = 1)
+          ELSE FALSE END AS sel
+      FROM i{i}
+    ),
+    m{i} AS (
+      SELECT doc_id, pos,
+             CASE WHEN sel THEN (SELECT a || '+' || b FROM {p})
+                  ELSE tok END AS tok,
+             COALESCE(lag(sel) OVER (PARTITION BY doc_id ORDER BY pos),
+                      FALSE) AS prev_sel
+      FROM s{i}
+    ),
+    t{i + 1} AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+             tok
+      FROM m{i} WHERE NOT prev_sel
+    )"""
+
+
+_BPE_ORACLE = f"""
+    WITH t1 AS (
+      SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d
+    ),
+    {_bpe_round(1)},
+    {_bpe_round(2)},
+    {_bpe_round(3)}
+    SELECT CAST(1 AS BIGINT) AS merge_round, a AS pair_a, b AS pair_b,
+           CAST(n AS BIGINT) AS n_pairs FROM top1
+    UNION ALL SELECT CAST(2 AS BIGINT), a, b, CAST(n AS BIGINT) FROM top2
+    UNION ALL SELECT CAST(3 AS BIGINT), a, b, CAST(n AS BIGINT) FROM top3
+"""
+
+
+@query("bpe_merge_table", oracle=_BPE_ORACLE)
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of the FULL BPE merge-training loop
+    (operators/text.py: bpe_merge_rounds) over word-level tokens of
+    the documents corpus: per round, corpus-wide overlapping pair
+    counts pick the most frequent adjacent pair ((n DESC, a, b) total
+    order), every document greedily merges its non-overlapping
+    occurrences left-to-right (a doc-local array fold — zero extra
+    shuffles), and the next round counts over the MERGED corpus, so
+    each output row depends on every prior round's merge. The oracle
+    unrolls the three rounds relationally (the kcore/bisect pattern):
+    counts via lead(), the greedy merge via gaps-and-islands over the
+    candidate positions (odd ranks within each run = the
+    left-to-right rule), position renumbering per round. A hash match
+    is therefore the whole trainer loop — selection, tie-breaking,
+    overlap handling, and recounting — not just one pair count.
+    Completes the reference-adjacent tokenizer surface that
+    bpe_pair_counts (single step) opened. t4 is built but unread —
+    DuckDB prunes it; Spark never constructs it (rounds=3 stops after
+    the third count)."""
+    from streaming_cdc_spark.operators.text import bpe_merge_rounds
+    from streaming_cdc_spark.session import fan_out
+
+    docs = fan_out(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    return bpe_merge_rounds(docs, rounds=3)

@@ -456,3 +456,41 @@ def test_path_trigrams_golden(spark, tmp_path):
         .collect()
     ]
     assert out == [("a", "b", "c", 1, 1), ("b", "c", "d", 1, 2)]
+
+
+def test_equidepth_histogram_bins(spark):
+    sf_dir = "/root/testdata/sf0.01"
+    """Equi-depth property on the real table: 10 bins, each holding
+    n div 10 (+1 for the first n mod 10) rows under the (value,
+    event_id) total order, bin ranges non-overlapping and ordered."""
+    from streaming_cdc_spark.queries.analytics import equidepth_histogram
+
+    rows = sorted(
+        equidepth_histogram(spark, sf_dir).collect(), key=lambda r: r["bin"]
+    )
+    assert [r["bin"] for r in rows] == list(range(10))
+    n = sum(r["n_rows"] for r in rows)
+    lo, hi = n // 10, -(-n // 10)
+    assert all(lo <= r["n_rows"] <= hi for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert a["lo"] <= a["hi"] <= b["lo"] <= b["hi"]
+
+
+def test_rollup_levels_consistent(spark):
+    sf_dir = "/root/testdata/sf0.01"
+    """ROLLUP output self-consistency: leaf revenues sum to their
+    region subtotal, region subtotals sum to the grand total, and
+    grouping levels carry the documented markers."""
+    from streaming_cdc_spark.queries.analytics import rollup_revenue_cube
+
+    rows = rollup_revenue_cube(spark, sf_dir).collect()
+    leafs = [r for r in rows if r["lvl"] == 0]
+    regs = {r["region_name"]: r for r in rows if r["lvl"] == 1}
+    tot = [r for r in rows if r["lvl"] == 3]
+    assert len(tot) == 1 and tot[0]["region_name"] == "(all)"
+    assert set(regs) == {r["region_name"] for r in leafs}
+    for name, reg in regs.items():
+        part = [r for r in leafs if r["region_name"] == name]
+        assert sum(r["n_orders"] for r in part) == reg["n_orders"]
+        assert abs(sum(r["revenue_r"] for r in part) - reg["revenue_r"]) < 0.05
+    assert sum(r["n_orders"] for r in leafs) == tot[0]["n_orders"]

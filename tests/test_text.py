@@ -379,3 +379,49 @@ def test_chunk_dedup_stats_flags_shared_chunks(spark):
     assert got[3]["n_shared"] == 0 and got[3]["shared_len"] == 0
     assert got[1]["shared_len"] > 0
     assert got[1]["n_distinct"] <= got[1]["n_chunks"]
+
+
+def test_bpe_merge_rounds_hand_computed(spark):
+    """Three BPE rounds on a corpus small enough to train by hand:
+    round 1 picks (a,a) from the overlap-counted run, the greedy
+    left-to-right merge collapses 'a a a a' to two 'a+a' tokens
+    (non-overlap), round 2 picks (a,b) over the MERGED corpus, and
+    round 3's three-way n=1 tie resolves by (a, b) ascending —
+    selection, overlap handling, recounting and tie-break all
+    pinned."""
+    from streaming_cdc_spark.operators.text import bpe_merge_rounds
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b a b"), (3, "x y")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["merge_round"]: (r["pair_a"], r["pair_b"], r["n_pairs"])
+        for r in bpe_merge_rounds(docs, rounds=3).collect()
+    }
+    assert got == {
+        1: ("a", "a", 3),
+        2: ("a", "b", 2),
+        3: ("a+a", "a+a", 1),
+    }
+
+
+def test_bpe_merge_fold_overlap_runs(spark):
+    """The fold's non-overlap rule on pathological runs: 'a a a'
+    merges (1,2) and leaves the third 'a' unmerged; 'a a a a a'
+    yields two merges + a leftover. Verified via round-2 counts (the
+    merged corpus is what round 2 sees)."""
+    from streaming_cdc_spark.operators.text import bpe_merge_rounds
+
+    docs = spark.createDataFrame(
+        [(1, "a a a"), (2, "a a a a a")], "doc_id long, text string"
+    )
+    rows = {
+        r["merge_round"]: (r["pair_a"], r["pair_b"], r["n_pairs"])
+        for r in bpe_merge_rounds(docs, rounds=2).collect()
+    }
+    # round 1: overlapping count of (a,a) = 2 + 4
+    assert rows[1] == ("a", "a", 6)
+    # merged: [a+a, a] and [a+a, a+a, a] -> round-2 pairs:
+    # (a+a,a)x1, (a+a,a+a)x1, (a+a,a)x1 -> top (a+a, a) n=2
+    assert rows[2] == ("a+a", "a", 2)

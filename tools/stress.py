@@ -62,18 +62,24 @@ def synth_docs(spark, n: int, tokens_per_doc: int = 100, vocab: int = 1000):
     )
 
 
-def synth_dup_docs(spark, n: int, dup_every: int = 97, **kw):
+def synth_dup_docs(spark, n: int, dup_every: int = 97, vocab: int = 1000, **kw):
     """Corpus with ~1% planted near-dup pairs: doc i with
     i % dup_every == 1 re-generates doc i-1's token stream (identical
     shingle set, J = 1), so candidate generation AND verification see
-    real positives at scale."""
-    base = synth_docs(spark, n, **kw)
+    real positives at scale. ``vocab`` sizes the token space — pass
+    vocab ∝ n to model Heaps'-law growth (real corpora grow
+    vocabulary with size, keeping shingle df flat); a FIXED vocab
+    DENSIFIES with n (coincidental shared 3-grams ~ C(total,2)/vocab³
+    ∝ n²), which makes any exact similarity join's OUTPUT itself
+    superlinear — that is a property of the corpus, not the
+    algorithm (r7 ppjoin post-mortem)."""
+    base = synth_docs(spark, n, vocab=vocab, **kw)
     seed = F.when(
         F.pmod(F.col("doc_id"), F.lit(dup_every)) == 1, F.col("doc_id") - 1
     ).otherwise(F.col("doc_id"))
     idx = F.sequence(F.lit(0), F.lit(99))
     tok = lambda j: F.concat(  # noqa: E731
-        F.lit("w"), F.pmod(F.xxhash64(seed, j), F.lit(1000)).cast("string")
+        F.lit("w"), F.pmod(F.xxhash64(seed, j), F.lit(vocab)).cast("string")
     )
     return base.select(
         "doc_id", F.array_join(F.transform(idx, tok), " ").alias("text"), "source"
@@ -217,8 +223,14 @@ def main() -> None:
 
     sizes: dict[str, float] = {name: n_big / n_small for name in results}
 
+    # ppjoin runs on a Heaps'-law corpus (vocab ∝ n): with a FIXED
+    # vocab the corpus densifies and the EXACT join's output grows
+    # ~n² (r7 post-mortem: 20s -> 156s at 4x on vocab=1000 — the
+    # coincidental-3-gram pair count is quadratic by construction, so
+    # the band flagged the corpus, not the operator). The planted 1%
+    # dups dominate the scale-invariant corpus's candidates instead.
     for n in (n_small, n_big):
-        dup = synth_dup_docs(spark, n).persist()
+        dup = synth_dup_docs(spark, n, vocab=max(n // 100, 1000)).persist()
         dup.count()
         t0 = time.time()
         ppjoin_pairs(dup, 1, 2).write.format("noop").mode("overwrite").save()
@@ -359,6 +371,94 @@ def main() -> None:
         )
         dup.unpersist()
     sizes["greedy_coverage_k3"] = n_big / n_small
+
+    # --- r7 (VERDICT r6 #3): the r6 analytics family at 1M/4M ------
+    from streaming_cdc_spark.operators.profile import misra_gries_summary
+
+    def synth_events(n: int):
+        """n events: ~n/20 users, 5 types, unique seq — distributed."""
+        return spark.range(n).select(
+            F.pmod(F.xxhash64("id"), F.lit(max(n // 20, 1))).alias("user_id"),
+            F.col("id").alias("seq"),
+            F.concat(
+                F.lit("t"), F.pmod(F.xxhash64("id", F.lit(1)), F.lit(5)).cast("string")
+            ).alias("event_type"),
+            (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(10000)).cast("double") / 100.0)
+            .alias("value"),
+        )
+
+    from pyspark.sql import Window as W
+
+    for n in (10 * n_small, 10 * n_big):
+        ev = synth_events(n).persist()
+        ev.count()
+        # per-user transition bigrams: window partitions are user-sized
+        # (~20 rows) — linear by construction
+        t0 = time.time()
+        wu = W.partitionBy("user_id").orderBy("seq")
+        (
+            ev.select(
+                F.lag("event_type").over(wu).alias("s1"),
+                F.col("event_type").alias("s2"),
+            )
+            .filter(F.col("s1").isNotNull())
+            .groupBy("s1", "s2")
+            .agg(F.count(F.lit(1)).alias("n"))
+        ).write.format("noop").mode("overwrite").save()
+        results.setdefault("transition_matrix", []).append(round(time.time() - t0, 2))
+        # Misra-Gries summary: per-partition k-counter fold + one keyed
+        # SUM merge — linear, never driver-side
+        t0 = time.time()
+        misra_gries_summary(ev.select(F.col("event_type").alias("key")), "key", 16)\
+            .write.format("noop").mode("overwrite").save()
+        results.setdefault("heavy_hitters_mg", []).append(round(time.time() - t0, 2))
+        # exact weighted median per type: the cum-sum window partitions
+        # by event_type (5 partitions!) — measured honestly; the
+        # low-cardinality-group sort is the known wall this row watches
+        t0 = time.time()
+        wcum = (
+            W.partitionBy("event_type")
+            .orderBy("value", "seq")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        k = ev.withColumn("wt", (F.col("user_id") % 5 + 1).cast("long"))
+        c = k.withColumn("cum", F.sum("wt").over(wcum))
+        t = k.groupBy("event_type").agg(F.sum("wt").alias("tot"))
+        x = c.join(t, "event_type").filter(F.col("cum") * 2 >= F.col("tot"))
+        wrn = W.partitionBy("event_type").orderBy("value", "seq")
+        (
+            x.withColumn("rn", F.row_number().over(wrn))
+            .filter(F.col("rn") == 1)
+            .select("event_type", "value", "tot")
+        ).write.format("noop").mode("overwrite").save()
+        results.setdefault("weighted_median", []).append(round(time.time() - t0, 2))
+        ev.unpersist()
+    sizes["transition_matrix"] = sizes["heavy_hitters_mg"] = sizes[
+        "weighted_median"
+    ] = n_big / n_small
+
+    # SNM at window 32 — the realistic wide-band config (candidate
+    # volume n*31, still linear by construction)
+    for n in (10 * n_small, 10 * n_big):
+        rec = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("rid"),
+                F.concat(
+                    F.lit("n"),
+                    F.pmod(F.xxhash64("id"), F.lit(max(n // 2, 1))).cast("string"),
+                ).alias("name"),
+            )
+            .persist()
+        )
+        rec.count()
+        t0 = time.time()
+        sorted_neighborhood_pairs(rec, ["name", "rid"], "rid", 32).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        results.setdefault("snm_pairs_w32", []).append(round(time.time() - t0, 2))
+        rec.unpersist()
+    sizes["snm_pairs_w32"] = n_big / n_small
 
     # the raw blocked kernel is QUADRATIC by design (all-pairs compute
     # in bounded-memory blocks) — expected ratio is size_ratio^2.
