@@ -234,6 +234,7 @@ HEADLINE = [
     # r5: native streaming SESSION windows (merging state), emission
     # + microsecond gap-merge rules both replayed in the oracle
     "streaming_sessions_finalized",
+    "streaming_dedup_watermark",
     # budgeted progressive ER, long-stream form: EIGHT micro-batches
     # (top-25 each — same 200-pair total budget as the 4-batch query)
     # with state compaction scheduled mid-stream (compact_every=3),

@@ -798,3 +798,147 @@ def exact_moment_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nd * sxx - sx * sx) * (nd * syy - sy * sy)
     )
     return m.select("event_type", "n", F.round(corr, 6).alias("corr_r"))
+
+
+_DDW_SRC: dict[str, str] = {}
+_DDW_T0, _DDW_G, _DDW_Q, _DDW_D = 1_700_000_000, 1000, 130, 550
+
+
+def _ddw_batch_cte(j: int) -> str:
+    """One unrolled dropDuplicatesWithinWatermark batch: the alive
+    test uses W(j-1) (the eviction the state survived at the end of
+    the PREVIOUS batch — dedup-check precedes eviction within a
+    batch, pinned empirically), a first-seen-while-dead occurrence
+    emits and becomes the new state, a dropped duplicate does NOT
+    refresh state."""
+    prev = f"st{j - 1}"
+    return f"""
+    a{j} AS (
+      SELECT COALESCE(p.k, o.k) AS k, o.sec AS osec, p.s AS ps,
+             (p.s IS NOT NULL AND p.s + {_DDW_D} >=
+              COALESCE((SELECT wm FROM w WHERE j = {j - 1}),
+                       -9223372036854775807)) AS alive,
+             (o.k IS NOT NULL) AS present
+      FROM {prev} p FULL OUTER JOIN (SELECT * FROM occ WHERE b = {j}) o
+        ON p.k = o.k
+    ),
+    e{j} AS (SELECT k, osec AS sec FROM a{j} WHERE present AND NOT alive),
+    st{j} AS (
+      SELECT k, CASE WHEN present AND NOT alive THEN osec
+                     WHEN alive THEN ps END AS s
+      FROM a{j}
+      WHERE (present AND NOT alive) OR alive
+    )"""
+
+
+_DDW_ORACLE = f"""
+    WITH lohi AS (
+      SELECT MIN(event_id) AS lo, MAX(event_id) AS hi,
+             (MAX(event_id) - MIN(event_id) + 4) // 4 AS step
+      FROM events
+    ),
+    ev AS (
+      SELECT user_id % 50 AS k, (event_id - lo) // step AS b
+      FROM events, lohi
+    ),
+    occ AS (
+      SELECT DISTINCT k, b,
+             CAST({_DDW_T0} + b * {_DDW_G} + (k % 7) * {_DDW_Q} AS BIGINT)
+               AS sec
+      FROM ev
+    ),
+    mx AS (SELECT b, MAX(sec) AS mts FROM occ GROUP BY b),
+    w AS (
+      SELECT j, (SELECT MAX(mts) FROM mx WHERE b < j) - {_DDW_D} AS wm
+      FROM (SELECT unnest(generate_series(0, 3)) AS j) jj
+    ),
+    st0 AS (SELECT k, sec AS s FROM occ WHERE b = 0),
+    e0 AS (SELECT k, sec FROM occ WHERE b = 0),
+    {_ddw_batch_cte(1)},
+    {_ddw_batch_cte(2)},
+    {_ddw_batch_cte(3)}
+    SELECT k, sec FROM e0
+    UNION ALL SELECT k, sec FROM e1
+    UNION ALL SELECT k, sec FROM e2
+    UNION ALL SELECT k, sec FROM e3
+"""
+
+
+@query("streaming_dedup_watermark", oracle=_DDW_ORACLE)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's dropDuplicatesWithinWatermark STATE SEMANTICS under a
+    FULL oracle — the remaining streaming-state pattern (keyed dedup
+    state with watermark-driven TTL) after sessions / sharded sketch /
+    foreachBatch / bitmap state. The event stream drains over four
+    mtime-pinned id-range micro-batches; key = user_id % 50, event
+    time = T0 + batch*1000s + (key%7)*130s (same-key rows within a
+    batch share one timestamp, so the within-batch survivor is
+    value-identical no matter which physical row wins), delay 550s.
+    The geometry makes the state machine's branches all fire: every
+    key emits at batch 0, is dropped at batches 1-2 while its entry
+    is live, and re-emits at batch 3 iff its entry was evicted
+    (key%7 <= 5; margins 30s/100s from the eviction boundary — no
+    strict-vs-non-strict ambiguity). The oracle replays the
+    empirically pinned mechanics relationally, one CTE per batch:
+    watermark W(j) = max event time of batches < j minus delay
+    (lagging one batch), DEDUP-CHECK BEFORE EVICTION inside a batch
+    (an arriving duplicate is dropped against an entry the same
+    batch then evicts — probe: key present in batches 0-5 with 100s
+    eras re-emitted at batch 4, not 3), and NO state refresh from
+    dropped duplicates (else that probe's key would never re-emit).
+    All arithmetic integer seconds. A Spark-version change to any of
+    those three rules flips the hash."""
+    import os
+    import shutil
+    import uuid
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    src = _DDW_SRC.get(sf_dir)
+    if src is None or not os.path.isdir(src):
+        lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+        step = (hi - lo + 4) // 4
+        src = cached_tmp_dir("ddw_src_")
+        for i in range(4):
+            part = ev.filter(
+                (F.col("event_id") >= lo + i * step)
+                & (F.col("event_id") < lo + (i + 1) * step)
+            ).select(
+                (F.col("user_id") % 50).alias("k"),
+                (
+                    F.lit(_DDW_T0 + i * _DDW_G)
+                    + (F.col("user_id") % 50 % 7) * _DDW_Q
+                ).cast("long").alias("sec"),
+            )
+            path = os.path.join(src, f"split_{i}")
+            part.coalesce(1).write.parquet(path)
+            for root, _dirs, files in os.walk(path):
+                for f_ in files:
+                    os.utime(os.path.join(root, f_), (1_000_000 + i, 1_000_000 + i))
+        _DDW_SRC[sf_dir] = src
+    stream = (
+        spark.readStream.schema("k long, sec long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/split_*/*.parquet")
+    )
+    ded = (
+        stream.withColumn("ts", F.timestamp_seconds("sec"))
+        .withWatermark("ts", f"{_DDW_D} seconds")
+        .dropDuplicatesWithinWatermark(["k"])
+    )
+    name = f"ddw_{uuid.uuid4().hex[:8]}"
+    ckpt = cached_tmp_dir("ddw_ckpt_")
+    try:
+        q = (
+            ded.select("k", "sec")
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(name).select("k", "sec").localCheckpoint()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        spark.catalog.dropTempView(name)
+    return out

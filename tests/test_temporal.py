@@ -127,3 +127,54 @@ def test_resample_locf_carries_null_observations(spark):
         for r in resample_locf(ev, freq_us=100).collect()
     }
     assert got == {1: None, 2: None, 3: None}  # NULL at 150 masks 1.0
+
+
+def test_ddww_semantics_probe(spark, tmp_path):
+    """Pins the three dropDuplicatesWithinWatermark mechanics the
+    streaming_dedup_watermark oracle replays (probed on Spark 4.1):
+    (1) watermark lags one batch, (2) dedup-check precedes eviction
+    within a batch, (3) dropped duplicates do NOT refresh state. A
+    key arriving in six consecutive 100s-era batches with a 60s delay
+    must re-emit at batch 4 — not 3 (check-before-evict), and not
+    never (no refresh). If a Spark upgrade changes any rule this
+    fails HERE with a named cause instead of an opaque oracle hash
+    mismatch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    T0 = 1_700_000_000
+    base = tmp_path / "src"
+    for b in range(6):
+        rows = [("kall", T0 + b * 100), (f"kwm{b}", T0 + b * 100)]
+        p = str(base / f"b{b}")
+        spark.createDataFrame(rows, "k string, sec long").coalesce(1).write.parquet(p)
+        for root, _d, files in os.walk(p):
+            for f_ in files:
+                os.utime(os.path.join(root, f_), (1_000_000 + b, 1_000_000 + b))
+    stream = (
+        spark.readStream.schema("k string, sec long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/b*/*.parquet")
+    )
+    ded = (
+        stream.withColumn("ts", F.timestamp_seconds("sec"))
+        .withWatermark("ts", "60 seconds")
+        .dropDuplicatesWithinWatermark(["k"])
+    )
+    emitted = []
+
+    def sink(df, bid):
+        emitted.extend((r["k"], r["sec"] - T0) for r in df.collect())
+
+    q = (
+        ded.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    kall = sorted(t for k, t in emitted if k == "kall")
+    assert kall == [0, 400], f"dedup-state mechanics changed: {kall}"
+    assert sorted(t for k, t in emitted if k.startswith("kwm")) == [
+        0, 100, 200, 300, 400, 500]
