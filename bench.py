@@ -235,6 +235,7 @@ HEADLINE = [
     # + microsecond gap-merge rules both replayed in the oracle
     "streaming_sessions_finalized",
     "streaming_dedup_watermark",
+    "streaming_stream_join",
     # budgeted progressive ER, long-stream form: EIGHT micro-batches
     # (top-25 each — same 200-pair total budget as the 4-batch query)
     # with state compaction scheduled mid-stream (compact_every=3),

@@ -942,3 +942,182 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
         spark.catalog.dropTempView(name)
     return out
+
+
+_SSJ_SRC: dict[str, str] = {}
+_SSJ_T0, _SSJ_G, _SSJ_R = 1_700_000_000, 1000, 900
+
+
+_SSJ_ORACLE = f"""
+    WITH lohi AS (
+      SELECT MIN(event_id) AS lo,
+             (MAX(event_id) - MIN(event_id) + 4) // 4 AS step
+      FROM events
+    ),
+    clk AS (
+      SELECT user_id % 40 AS k, (event_id - lo) // step AS era,
+             CAST({_SSJ_T0} + ((event_id - lo) // step) * {_SSJ_G}
+                  + (user_id % 40 % 5) * 40 AS BIGINT) AS csec
+      FROM events, lohi WHERE event_id % 25 = 0
+    ),
+    buy AS (
+      SELECT user_id % 40 AS k, (event_id - lo) // step AS era,
+             CAST({_SSJ_T0} + ((event_id - lo) // step) * {_SSJ_G}
+                  + (user_id % 40 % 5) * 40 + 70 + (user_id % 40 % 3) * 300
+                  - CASE WHEN user_id % 40 % 11 = 3 THEN 2000 ELSE 0 END
+                  AS BIGINT) AS bsec
+      FROM events, lohi WHERE event_id % 25 = 1
+    ),
+    -- clicks arrive at batch = era; buys of era e arrive at batch e+1
+    mxc AS (SELECT era AS b, MAX(csec) AS m FROM clk GROUP BY era),
+    mxb AS (SELECT era + 1 AS b, MAX(bsec) AS m FROM buy GROUP BY era),
+    -- Spark's global watermark = MIN over sides; a side that has
+    -- produced NO rows yet holds its watermark at epoch 0, so the
+    -- global stays unset (no late drops) until BOTH sides have data
+    -- before batch j — LEAST must not skip the NULL side
+    w AS (
+      SELECT j,
+             CASE WHEN (SELECT MAX(m) FROM mxc WHERE b < j) IS NOT NULL
+                   AND (SELECT MAX(m) FROM mxb WHERE b < j) IS NOT NULL
+                  THEN LEAST((SELECT MAX(m) FROM mxc WHERE b < j),
+                             (SELECT MAX(m) FROM mxb WHERE b < j))
+             END AS wm
+      FROM (SELECT unnest(generate_series(0, 4)) AS j) jj
+    ),
+    cok AS (
+      SELECT c.* FROM clk c
+      WHERE c.csec >= COALESCE((SELECT wm FROM w WHERE j = c.era),
+                               -9223372036854775807)
+    ),
+    bok AS (
+      SELECT b.* FROM buy b
+      WHERE b.bsec >= COALESCE((SELECT wm FROM w WHERE j = b.era + 1),
+                               -9223372036854775807)
+    )
+    SELECT c.k, c.csec, b.bsec
+    FROM cok c JOIN bok b
+      ON c.k = b.k AND b.bsec >= c.csec AND b.bsec <= c.csec + {_SSJ_R}
+"""
+
+
+@query("streaming_stream_join", oracle=_SSJ_ORACLE)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM INNER JOIN (symmetric hash-join state on both
+    sides, watermark-driven eviction) under a FULL oracle — the last
+    Structured Streaming state pattern in the registry. Two file
+    streams derive from events: 'clicks' (event_id % 25 = 0) arrive
+    at batch = era; 'buys' (% 25 = 1) of time-era e arrive one batch
+    LATER (e+1), so every match crosses a micro-batch boundary — the
+    click side's state genuinely carries the pair. Join condition:
+    same key (user_id % 40) and bts in [cts, cts + 900s]; same-era
+    offsets (70/370/670s by key) are all inside the window, adjacent
+    eras are 1000s apart and outside — matches are exactly same-era.
+    A planted slice (key % 11 = 3) ships its buys with time shifted
+    two eras back: LATE input (below the lagging min-of-sides
+    watermark by >= 170s at arrival) that Spark drops at the input —
+    and whose only cond-true partners are anyway long-evicted clicks,
+    so both streaming drop mechanisms agree with the oracle's late
+    filter. The oracle replays: watermark W(j) = least over sides of
+    max event time in batches < j (delay 0), a row is on-time iff
+    ts >= W(arrival batch), and — the probe-pinned guarantee — ALL
+    cond-true pairs of on-time rows emit (state eviction is safe by
+    construction: an earlier row is evicted only when no on-time
+    future partner can satisfy the condition). Row multiplicities
+    carry through the join on both engines."""
+    import os
+    import shutil
+    import uuid
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    src = _SSJ_SRC.get(sf_dir)
+    if src is None or not os.path.isdir(src):
+        lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+        step = (hi - lo + 4) // 4
+        src = cached_tmp_dir("ssj_src_")
+        k = F.col("user_id") % 40
+        era = (F.col("event_id") - F.lit(lo)).cast("long") / F.lit(step)
+        era = F.floor(era).cast("long")
+        for i in range(5):
+            clk = (
+                ev.filter(
+                    (F.col("event_id") % 25 == 0)
+                    & (F.col("event_id") >= lo + i * step)
+                    & (F.col("event_id") < lo + (i + 1) * step)
+                ).select(
+                    k.alias("k"),
+                    (
+                        F.lit(_SSJ_T0 + i * _SSJ_G) + (k % 5) * 40
+                    ).cast("long").alias("sec"),
+                )
+                if i < 4
+                else ev.filter(F.lit(False)).select(
+                    k.alias("k"), F.lit(0).cast("long").alias("sec")
+                )
+            )
+            e = i - 1  # buys arriving at batch i carry time-era i-1
+            buy = (
+                ev.filter(
+                    (F.col("event_id") % 25 == 1)
+                    & (F.col("event_id") >= lo + e * step)
+                    & (F.col("event_id") < lo + (e + 1) * step)
+                ).select(
+                    k.alias("k"),
+                    (
+                        F.lit(_SSJ_T0 + e * _SSJ_G)
+                        + (k % 5) * 40 + F.lit(70) + (k % 3) * 300
+                        - F.when(k % 11 == 3, 2000).otherwise(0)
+                    ).cast("long").alias("sec"),
+                )
+                if e >= 0
+                else ev.filter(F.lit(False)).select(
+                    k.alias("k"), F.lit(0).cast("long").alias("sec")
+                )
+            )
+            for side, part in (("clk", clk), ("buy", buy)):
+                path = os.path.join(src, side, f"split_{i}")
+                part.coalesce(1).write.parquet(path)
+                for root, _dirs, files in os.walk(path):
+                    for f_ in files:
+                        os.utime(
+                            os.path.join(root, f_), (1_000_000 + i, 1_000_000 + i)
+                        )
+        _SSJ_SRC[sf_dir] = src
+
+    def _rd(side: str):
+        return (
+            spark.readStream.schema("k long, sec long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/{side}/split_*/*.parquet")
+            .withColumn("ts", F.timestamp_seconds("sec"))
+            .withWatermark("ts", "0 seconds")
+        )
+
+    c = _rd("clk").select(
+        F.col("k").alias("ck"), F.col("ts").alias("cts"), F.col("sec").alias("csec")
+    )
+    b = _rd("buy").select(
+        F.col("k").alias("bk"), F.col("ts").alias("bts"), F.col("sec").alias("bsec")
+    )
+    j = c.join(
+        b,
+        (F.col("ck") == F.col("bk"))
+        & (F.col("bts") >= F.col("cts"))
+        & (F.col("bts") <= F.col("cts") + F.expr(f"INTERVAL {_SSJ_R} SECONDS")),
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    ckpt = cached_tmp_dir("ssj_ckpt_")
+    try:
+        q = (
+            j.select(F.col("ck").alias("k"), "csec", "bsec")
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(name).select("k", "csec", "bsec").localCheckpoint()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        spark.catalog.dropTempView(name)
+    return out

@@ -59,6 +59,7 @@ BNLJ_WHITELIST = {
     "record_linkage_scores",  # one-row Fellegi-Sunter u-stats broadcast
     "ari_score",  # four one-row scalar sums (P, A, B, n) crossJoined
     "approx_quantile_bounds",  # one-row (n, approx, rank) scalar broadcasts
+    "equidepth_histogram",  # one-row global row count broadcast (bin sizing)
     "category_drift_chisq",  # one-row N total + one-row chi2 total broadcasts
     "heavy_hitters_bounds",  # one-row stream-total (bound) broadcast
     "collocation_pmi",  # one-row token/bigram corpus totals broadcasts
