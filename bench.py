@@ -64,6 +64,7 @@ HEADLINE = [
     "event_transition_matrix",
     "category_drift_chisq",
     "interval_coverage_counts",
+    "interval_overlap_join",
     "kcore_peel_rounds",
     "heavy_hitters_bounds",
     # r6: PMI collocations (no-ln fixed-order ratio), last-touch
@@ -88,6 +89,7 @@ HEADLINE = [
     # r6: 3-step path mining + exact weighted median per type
     "event_path_trigrams",
     "weighted_median_value",
+    "weighted_median_banded",
     "cluster_summary",
     "muc_prf",
     "tfidf_blend_clusters",

@@ -217,3 +217,79 @@ def running_sum_global(
     if dict(df.dtypes).get(val_col) in {"tinyint", "smallint", "int", "bigint"}:
         total = total.cast("long")
     return out.withColumn(out_col, total).drop("_pid", "_run", "_off")
+
+
+def grouped_weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    weight_col: str,
+    band_expr=None,
+) -> DataFrame:
+    """Exact per-group WEIGHTED MEDIAN without per-group sort walls:
+    the direct form (one cum-sum window partitioned by group) puts a
+    group's ENTIRE row set in one sort task — fatal when groups are
+    few and huge (5 event types at 100 TB = 20 TB per task). This is
+    the changelog_deltas BANDING trick applied to rank selection:
+
+    1. quantize values into bands (``band_expr``, default
+       floor(value)); per-(group, band) weight totals are a TINY
+       relation (groups x bands);
+    2. one window over that tiny relation yields exclusive band-prefix
+       weights and each group's total;
+    3. only the CROSSING band (first band whose running total reaches
+       half) needs row-level ranking — its rows are band-bounded, and
+       the in-band cum-sum window partitions by (group, band);
+    4. the median row = first row in the crossing band whose
+       band-prefix + in-band cumulative weight reaches half the total,
+       under the (value, id) total order — ties across band
+       boundaries cannot occur because the crossing band is defined
+       by the same prefix sums the rows extend.
+
+    Band granularity is the skew dial (a hot band bounds the residual
+    sort). Returns one row per group: (group_cols..., median_value,
+    tot_weight). All weight arithmetic exact BIGINT."""
+    band = band_expr if band_expr is not None else F.floor(F.col(value_col))
+    rows = df.select(
+        *group_cols,
+        F.col(value_col).alias("_v"),
+        F.col(id_col).alias("_id"),
+        F.col(weight_col).cast("long").alias("_wt"),
+        band.cast("long").alias("_band"),
+    )
+    bt = rows.groupBy(*group_cols, "_band").agg(F.sum("_wt").alias("_bw"))
+    wb = (
+        W.partitionBy(*group_cols)
+        .orderBy("_band")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wt = W.partitionBy(*group_cols)
+    bands = bt.select(
+        *group_cols,
+        "_band",
+        (F.sum("_bw").over(wb) - F.col("_bw")).alias("_pre"),
+        F.sum("_bw").over(wb).alias("_thru"),
+        F.sum("_bw").over(wt).alias("_tot"),
+    )
+    crossing = bands.filter(
+        (F.col("_thru") * 2 >= F.col("_tot")) & (F.col("_pre") * 2 < F.col("_tot"))
+    ).select(*group_cols, "_band", "_pre", "_tot")
+    inband = rows.join(crossing, [*group_cols, "_band"])
+    wc = (
+        W.partitionBy(*group_cols, "_band")
+        .orderBy("_v", "_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = inband.withColumn("_cum", F.col("_pre") + F.sum("_wt").over(wc))
+    hit = cum.filter(F.col("_cum") * 2 >= F.col("_tot"))
+    wr = W.partitionBy(*group_cols).orderBy("_v", "_id")
+    return (
+        hit.withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *group_cols,
+            F.col("_v").alias("median_value"),
+            F.col("_tot").alias("tot_weight"),
+        )
+    )

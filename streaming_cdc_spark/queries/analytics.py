@@ -761,9 +761,7 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rank") <= 20)
 
 
-@query(
-    "weighted_median_value",
-    oracle="""
+_WMED_ORACLE = """
     WITH k AS (
       SELECT event_type, value, event_id,
              CAST(user_id % 5 + 1 AS BIGINT) AS wt
@@ -789,8 +787,10 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        ORDER BY value, event_id) AS rn
           FROM x)
     WHERE rn = 1
-    """,
-)
+    """
+
+
+@query("weighted_median_value", oracle=_WMED_ORACLE)
 def weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact WEIGHTED MEDIAN of event value per type (weight =
     user_id % 5 + 1 — an integer importance weight): the smallest
@@ -935,4 +935,37 @@ def rollup_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lvl",
         "n_orders",
         "revenue_r",
+    )
+
+
+@query("weighted_median_banded", oracle=_WMED_ORACLE)
+def weighted_median_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE twin of weighted_median_value under the SAME oracle
+    (the threshold_cc_distributed / ivm_hotkey_sums pattern — force
+    the 100 TB physical so the driver hash-verifies IT): the direct
+    form's cum-sum window partitions by event_type, and with FIVE
+    types one sort task owns a fifth of the corpus — at 100 TB that
+    task owns 20 TB. grouped_weighted_median (operators/ranking.py)
+    bands values first (floor(value) here: ~100 bands), reduces to a
+    tiny (type, band) prefix-weight relation, and row-ranks ONLY the
+    crossing band — every window partition is band-bounded. The hash
+    match against the direct formulation's oracle proves band-prefix
+    + in-band rank selection equals the global cum-sum rule,
+    boundary ties included."""
+    from streaming_cdc_spark.operators.ranking import grouped_weighted_median
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    k = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        (F.col("user_id") % 5 + 1).cast("long").alias("wt"),
+    )
+    m = grouped_weighted_median(
+        k, ["event_type"], "value", "event_id", "wt"
+    )
+    return m.select(
+        "event_type",
+        F.round("median_value", 2).alias("weighted_median"),
+        F.col("tot_weight"),
     )

@@ -1121,3 +1121,46 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
         spark.catalog.dropTempView(name)
     return out
+
+
+@query(
+    "interval_overlap_join",
+    oracle="""
+    WITH iv AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS iid,
+             date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS s,
+             date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               + l_orderkey % 14 + 1 AS e
+      FROM lineitem WHERE l_orderkey % 101 = 0
+    )
+    SELECT a.flag, a.iid AS id_a, b.iid AS id_b,
+           CAST(LEAST(a.e, b.e) - GREATEST(a.s, b.s) + 1 AS BIGINT)
+             AS overlap_len
+    FROM iv a JOIN iv b
+      ON a.flag = b.flag AND a.iid < b.iid
+     AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL OVERLAP SELF-JOIN (operators/temporal.py:
+    interval_overlap_pairs): sampled shipment validity windows
+    [shipdate, shipdate + orderkey%14 + 1 days] per returnflag; the
+    engine runs the bucket-join physical (14-day buckets — max span,
+    so <= 2 bucket rows per interval; equi-join + DISTINCT + exact
+    verify), the oracle is the INDEPENDENT naive theta join. The hash
+    match proves the bucketing loses no pair and the verify admits no
+    false one — the interval-JOIN sibling of interval_coverage_counts'
+    point-in-interval check. Dates as epoch-day integers end to end
+    (the DATE fetch-path rule)."""
+    from streaming_cdc_spark.operators.temporal import interval_overlap_pairs
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 101 == 0)
+    s = F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date"))
+    iv = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long").alias("iid"),
+        s.cast("long").alias("s"),
+        (s + F.col("l_orderkey") % 14 + 1).cast("long").alias("e"),
+    )
+    return interval_overlap_pairs(iv, "flag", "iid", "s", "e", bucket_width=14)

@@ -494,3 +494,35 @@ def test_rollup_levels_consistent(spark):
         assert sum(r["n_orders"] for r in part) == reg["n_orders"]
         assert abs(sum(r["revenue_r"] for r in part) - reg["revenue_r"]) < 0.05
     assert sum(r["n_orders"] for r in leafs) == tot[0]["n_orders"]
+
+
+def test_grouped_weighted_median_equals_direct(spark):
+    """Banded median == the definitional sort-and-accumulate rule on
+    a fixture dense with band-boundary ties (values exactly at
+    integer band edges, duplicate values, weight skew)."""
+    from streaming_cdc_spark.operators.ranking import grouped_weighted_median
+
+    rows = []
+    for g in range(3):
+        for i in range(200):
+            v = float((i * 7 + g) % 13)  # many exact-integer boundary values
+            rows.append((f"g{g}", v, i, (i % 4) + 1))
+    df = spark.createDataFrame(rows, "grp string, v double, id long, wt long")
+    got = {
+        r["grp"]: (r["median_value"], r["tot_weight"])
+        for r in grouped_weighted_median(df, ["grp"], "v", "id", "wt").collect()
+    }
+    # direct rule per group
+    import collections
+    by_g = collections.defaultdict(list)
+    for g, v, i, w in rows:
+        by_g[g].append((v, i, w))
+    for g, items in by_g.items():
+        items.sort()
+        tot = sum(w for _, _, w in items)
+        cum = 0
+        for v, _i, w in items:
+            cum += w
+            if cum * 2 >= tot:
+                assert got[g] == (v, tot), (g, got[g], v, tot)
+                break
