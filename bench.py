@@ -67,6 +67,7 @@ HEADLINE = [
     "interval_overlap_join",
     "kcore_peel_rounds",
     "heavy_hitters_bounds",
+    "count_min_replay",
     # r6: PMI collocations (no-ln fixed-order ratio), last-touch
     # attribution (typed as-of vs DuckDB native ASOF oracle),
     # equi-width value histogram

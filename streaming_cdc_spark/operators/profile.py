@@ -228,3 +228,49 @@ def numeric_histogram(df: DataFrame, value_col: str, bins: int) -> DataFrame:
         ),
         "n",
     )
+
+
+def count_min_summary(
+    df: DataFrame, key_col: str, width: int, depth: int
+) -> DataFrame:
+    """COUNT-MIN sketch (Cormode & Muthukrishnan 2005) built
+    distributed: ``depth`` salted md5 hash rows of ``width`` cells;
+    cell(d, h) = total count of keys hashing to h at depth d;
+    est(key) = MIN over depths of its cell totals — always >= the
+    true count, overcounting only by colliding keys' mass. The
+    sketch is MERGEABLE by cell-wise addition, so at 100 TB each
+    partition sums its own table and one (d, cell) groupBy merges —
+    width*depth cells total, independent of key cardinality. Unlike
+    GK/HLL, every cell is an exact SUM over a deterministic hash
+    partition of the keys, so the WHOLE sketch — not just a theorem
+    bit — replays in SQL (the streaming_bloom_status rule:
+    probabilistic != non-deterministic). NULL keys excluded (the
+    sketch-family convention). Returns (key, n, est, overcount)."""
+    from streaming_cdc_spark.functions.hashing import md5_long
+
+    keyed = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    hashed = keyed.withColumn(
+        "d", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+    ).withColumn(
+        "cell",
+        md5_long(
+            F.concat(F.lit("cm"), F.col("d").cast("string"), F.lit(":"), F.col("key"))
+        )
+        % width,
+    )
+    cells = hashed.groupBy("d", "cell").agg(F.sum("n").alias("cn"))
+    return (
+        hashed.join(cells, ["d", "cell"])
+        .groupBy("key", "n")
+        .agg(F.min("cn").cast("long").alias("est"))
+        .select(
+            "key",
+            "n",
+            "est",
+            (F.col("est") - F.col("n")).cast("long").alias("overcount"),
+        )
+    )

@@ -969,3 +969,44 @@ def weighted_median_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("median_value", 2).alias("weighted_median"),
         F.col("tot_weight"),
     )
+
+
+@query(
+    "count_min_replay",
+    oracle=f"""
+    WITH raw AS (SELECT {_HH_KEY_SQL} AS key FROM events),
+    keyed AS (SELECT key, COUNT(*) AS n FROM raw
+              WHERE key IS NOT NULL GROUP BY key),
+    dd AS (SELECT unnest(generate_series(0, 2)) AS d),
+    h AS (
+      SELECT k.key, k.n, dd.d,
+             CAST(concat('0x', substr(md5(concat('cm', dd.d, ':', k.key)),
+                                      1, 15)) AS BIGINT) % 32 AS cell
+      FROM keyed k, dd
+    ),
+    cells AS (SELECT d, cell, SUM(n) AS cn FROM h GROUP BY d, cell)
+    SELECT h.key, CAST(h.n AS BIGINT) AS n,
+           CAST(MIN(c.cn) AS BIGINT) AS est,
+           CAST(MIN(c.cn) - h.n AS BIGINT) AS overcount
+    FROM h JOIN cells c ON h.d = c.d AND h.cell = c.cell
+    GROUP BY h.key, h.n
+    """,
+)
+def count_min_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN sketch with the ENTIRE sketch hash-verified
+    (operators/profile.py: count_min_summary, width 32 x depth 3,
+    md5-salted rows) over the heavy-hitters key fixture (two planted
+    hot keys, a user-sized tail, NULL keys excluded): every cell is
+    an exact SUM over a deterministic hash partition, so the oracle
+    replays the full table and the estimate — (key, n, est,
+    overcount) all hash-compared, est >= n by construction and the
+    collision overcounting itself is part of the checked output
+    (width 32 against ~150+ tail keys FORCES collisions: the sketch's
+    probabilistic behavior is exercised, not avoided). Fourth sketch
+    family row (MG / GK / HLL-bound siblings), and the only one whose
+    estimator — not just its theorem bound — is SQL-checkable."""
+    from streaming_cdc_spark.operators.profile import count_min_summary
+
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(_hh_key_col().alias("key"))
+    return count_min_summary(keyed, "key", width=32, depth=3)
