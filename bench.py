@@ -62,6 +62,8 @@ HEADLINE = [
     # oracle's naive range join), k-core peeling of the near-dup
     # graph, Misra-Gries heavy hitters under the theorem bound
     "event_transition_matrix",
+    "pivot_user_event_matrix",
+    "hopping_window_counts",
     "category_drift_chisq",
     "interval_coverage_counts",
     "interval_overlap_join",

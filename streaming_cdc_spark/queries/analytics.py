@@ -1010,3 +1010,90 @@ def count_min_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     keyed = ev.select(_hh_key_col().alias("key"))
     return count_min_summary(keyed, "key", width=32, depth=3)
+
+
+_ETYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "pivot_user_event_matrix",
+    oracle=f"""
+    SELECT user_id % 100 AS ubucket,
+           {", ".join(
+               f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+               f" AS n_{t}" for t in _ETYPES)},
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                      FILTER (WHERE event_type = 'purchase') AS DOUBLE), 2)
+             AS purchase_value_r
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (long -> wide) via Spark's native `groupBy().pivot()`
+    with EXPLICIT values — the one-pass form: without the value list
+    Spark runs an extra distinct-collect job, and at 100 TB the wide
+    schema must be static anyway (the oracle's column set is). One
+    shuffle produces the whole user-bucket x event-type count matrix
+    plus a pivoted DECIMAL money sum (the registry float rule inside
+    a pivot cell). Missing cells are 0/NULL-coalesced identically on
+    both engines. The event-type vocabulary is pinned
+    (click/error/purchase/signup/view — re-verify on testdata regen;
+    a new type would land in no column on BOTH engines by
+    construction, keeping the hash honest)."""
+    ev = load(spark, sf_dir, "events")
+    g = (
+        ev.groupBy((F.col("user_id") % 100).alias("ubucket"))
+        .pivot("event_type", _ETYPES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        )
+    )
+    cols = [F.col("ubucket")]
+    for t in _ETYPES:
+        cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"n_{t}"))
+    cols.append(
+        F.round(F.col("purchase_sv").cast("double"), 2).alias("purchase_value_r")
+    )
+    return g.select(*cols)
+
+
+@query(
+    "hopping_window_counts",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS tus FROM events
+    ),
+    -- each event belongs to exactly two 2h-hop windows of a 4h width:
+    -- window starts at floor(t/hop)*hop and (floor(t/hop)-1)*hop
+    w2 AS (
+      SELECT event_type,
+             (tus // 7200000000 - k) * 7200000000 AS win_start_us
+      FROM e, (SELECT unnest([0, 1]) AS k) kk
+      WHERE tus - ((tus // 7200000000 - k) * 7200000000) < 14400000000
+    )
+    SELECT win_start_us, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM w2 GROUP BY 1, 2
+    """,
+)
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING (sliding) event-time windows — width 4h, hop 2h — via
+    Spark's native `F.window(ts, '4 hours', '2 hours')`: each event
+    lands in exactly width/hop = 2 overlapping windows, the third
+    window kind after tumbling (watermarked_daily_counts) and session
+    (streaming_sessions_finalized). The oracle derives membership
+    arithmetically in epoch micros (window starts are the hop-aligned
+    grid points within width of the event — the same rule Spark's
+    Expand generates), so the hash checks Spark's window assignment
+    itself. Physical: one Expand (x2 rows) + one keyed count — no
+    joins, no Python."""
+    ev = load(spark, sf_dir, "events")
+    g = (
+        ev.groupBy(
+            F.window("ts", "4 hours", "2 hours").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return g.select(
+        F.unix_micros("w.start").alias("win_start_us"), "event_type", "n"
+    )
