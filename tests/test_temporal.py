@@ -178,3 +178,37 @@ def test_ddww_semantics_probe(spark, tmp_path):
     assert kall == [0, 400], f"dedup-state mechanics changed: {kall}"
     assert sorted(t for k, t in emitted if k.startswith("kwm")) == [
         0, 100, 200, 300, 400, 500]
+
+
+def test_interval_overlap_pairs_edges(spark):
+    """Bucket-join overlap vs brute force on adversarial geometry:
+    endpoint touching (inclusive ends), nesting, identical intervals,
+    bucket-boundary straddling, and cross-key isolation."""
+    from streaming_cdc_spark.operators.temporal import interval_overlap_pairs
+
+    rows = [
+        # key, id, s, e
+        ("a", 1, 0, 10),
+        ("a", 2, 10, 20),    # touches 1 at day 10 -> overlap_len 1
+        ("a", 3, 21, 30),    # gap of 1 from 2 -> no overlap
+        ("a", 4, 5, 6),      # nested in 1
+        ("a", 5, 0, 10),     # identical to 1
+        ("a", 6, 13, 16),    # straddles bucket boundary (width 7: 13//7=1, 16//7=2)
+        ("b", 7, 0, 100),    # other key: overlaps nobody in 'a'
+    ]
+    df = spark.createDataFrame(rows, "k string, iid long, s long, e long")
+    got = {
+        (r["k"], r["id_a"], r["id_b"]): r["overlap_len"]
+        for r in interval_overlap_pairs(df, "k", "iid", "s", "e", 7).collect()
+    }
+    want = {}
+    for i, (ka, ia, sa, ea) in enumerate(rows):
+        for kb, ib, sb, eb in rows[i + 1:]:
+            if ka == kb and sa <= eb and sb <= ea:
+                lo, hi = sorted((ia, ib))
+                want[(ka, lo, hi)] = min(ea, eb) - max(sa, sb) + 1
+    assert got == want
+    assert got[("a", 1, 2)] == 1          # endpoint touch
+    assert got[("a", 1, 4)] == 2          # nested
+    assert got[("a", 1, 5)] == 11         # identical
+    assert ("a", 2, 3) not in got         # gap
