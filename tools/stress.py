@@ -460,6 +460,48 @@ def main() -> None:
         rec.unpersist()
     sizes["snm_pairs_w32"] = n_big / n_small
 
+    # r7: interval overlap join at 1M/4M intervals (bucket width =
+    # max span -> <= 2 bucket rows per interval; pair volume bounded
+    # by planted density) and the 3-round BPE merge trainer at
+    # 100k/400k docs (per round: one pair-count shuffle + a doc-local
+    # fold)
+    from streaming_cdc_spark.operators.temporal import interval_overlap_pairs
+    from streaming_cdc_spark.operators.text import bpe_merge_rounds
+
+    for n in (10 * n_small, 10 * n_big):
+        iv = (
+            spark.range(n)
+            .select(
+                F.pmod(F.col("id"), F.lit(3)).cast("string").alias("g"),
+                F.col("id").alias("iid"),
+                (F.pmod(F.xxhash64("id"), F.lit(n // 10))).alias("s"),
+                (
+                    F.pmod(F.xxhash64("id"), F.lit(n // 10))
+                    + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(14))
+                ).alias("e"),
+            )
+            .persist()
+        )
+        iv.count()
+        t0 = time.time()
+        interval_overlap_pairs(iv, "g", "iid", "s", "e", 14).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        results.setdefault("interval_overlap", []).append(round(time.time() - t0, 2))
+        iv.unpersist()
+    sizes["interval_overlap"] = n_big / n_small
+
+    for n in (n_small, n_big):
+        docs = synth_docs(spark, n).persist()
+        docs.count()
+        t0 = time.time()
+        bpe_merge_rounds(docs, rounds=3).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        results.setdefault("bpe_3rounds", []).append(round(time.time() - t0, 2))
+        docs.unpersist()
+    sizes["bpe_3rounds"] = n_big / n_small
+
     # the raw blocked kernel is QUADRATIC by design (all-pairs compute
     # in bounded-memory blocks) — expected ratio is size_ratio^2.
     # Default sizes keep the default run short; STRESS_KERNEL_ROWS=a,b
