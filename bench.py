@@ -93,6 +93,7 @@ HEADLINE = [
     "event_path_trigrams",
     "weighted_median_value",
     "weighted_median_banded",
+    "user_range_frame_sums",
     "cluster_summary",
     "muc_prf",
     "tfidf_blend_clusters",

@@ -1097,3 +1097,52 @@ def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         F.unix_micros("w.start").alias("win_start_us"), "event_type", "n"
     )
+
+
+@query(
+    "user_range_frame_sums",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) // 1000000 AS tsec,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id, event_id,
+           ROUND(CAST(SUM(v) OVER (
+             PARTITION BY user_id ORDER BY tsec
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+             AS trailing_7d_sum
+    FROM e
+    """,
+)
+def user_range_frame_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-BASED (RANGE) window frame — the third frame kind after
+    ROWS frames and growing frames: each event's trailing-7-day value
+    sum per user, frame bounded by the ORDER-BY VALUE (epoch seconds)
+    rather than row offsets. RANGE frames include ALL peers of the
+    current row's sort value on both engines, so timestamp ties are
+    frame-deterministic BY SEMANTICS — the reason this query needs no
+    event_id tiebreak (a ROWS frame with ties would be
+    partition-order-dependent and could never hash-match). Sums in
+    DECIMAL, rounded once at the edge. Physical: per-user window
+    partitions (user-bounded), RangeFrame evaluated in one pass over
+    each sorted partition."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = ev.select(
+        "user_id",
+        "event_id",
+        # integer div — a double divide could round across a second
+        # boundary before the cast truncates
+        F.expr("unix_micros(ts) div 1000000").alias("tsec"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("tsec")
+        .rangeBetween(-604800, W.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("v").over(w).cast("double"), 2).alias("trailing_7d_sum"),
+    )
