@@ -264,7 +264,14 @@ def interval_overlap_pairs(
             F.col(start_col).alias("_s"),
             F.col(end_col).alias("_e"),
         )
+        # degenerate (end < start) intervals contain no point: emit
+        # nothing for them — without the guard Spark sequence() counts
+        # DOWN (the r6 interval_coverage defect class) and the verify
+        # predicate would pass them with NEGATIVE overlap_len
+        .filter(F.col("_s") <= F.col("_e"))
     )
+    # both join sides reference this explode — checkpoint or the scan
+    # + sequence-explode recompute once per side (house rule)
     bucketed = rows.select(
         "_k",
         "_id",
@@ -275,7 +282,7 @@ def interval_overlap_pairs(
                 F.expr(f"_s div {bucket_width}"), F.expr(f"_e div {bucket_width}")
             )
         ).alias("_b"),
-    )
+    ).localCheckpoint()
     a = bucketed.select(
         F.col("_k"), F.col("_b"),
         F.col("_id").alias("id_a"), F.col("_s").alias("_sa"), F.col("_e").alias("_ea"),

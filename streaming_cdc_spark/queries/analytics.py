@@ -885,8 +885,10 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "rollup_revenue_cube",
     oracle="""
-    SELECT COALESCE(r.r_name, '(all)') AS region_name,
-           COALESCE(n.n_name, '(all)') AS nation_name,
+    SELECT CASE WHEN GROUPING(r.r_name) = 1 THEN '(all)'
+                ELSE r.r_name END AS region_name,
+           CASE WHEN GROUPING(n.n_name) = 1 THEN '(all)'
+                ELSE n.n_name END AS nation_name,
            CAST(GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS BIGINT)
                AS lvl,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -929,9 +931,15 @@ def rollup_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
         ).alias("revenue_r"),
     )
+    # decode via the GROUPING bits (lvl), not the key's own NULL-ness:
+    # a genuinely NULL-named leaf must never render as a subtotal row
     return g.select(
-        F.coalesce("r_name", F.lit("(all)")).alias("region_name"),
-        F.coalesce("n_name", F.lit("(all)")).alias("nation_name"),
+        F.when(F.col("lvl").bitwiseAND(2) == 2, F.lit("(all)"))
+        .otherwise(F.col("r_name"))
+        .alias("region_name"),
+        F.when(F.col("lvl").bitwiseAND(1) == 1, F.lit("(all)"))
+        .otherwise(F.col("n_name"))
+        .alias("nation_name"),
         "lvl",
         "n_orders",
         "revenue_r",

@@ -889,8 +889,8 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     All arithmetic integer seconds. A Spark-version change to any of
     those three rules flips the hash."""
     import os
-    import shutil
-    import uuid
+
+    from streaming_cdc_spark.session import drain_to_memory, write_mtime_pinned_splits
 
     ev = load(spark, sf_dir, "events").select("event_id", "user_id")
     src = _DDW_SRC.get(sf_dir)
@@ -898,8 +898,8 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
         step = (hi - lo + 4) // 4
         src = cached_tmp_dir("ddw_src_")
-        for i in range(4):
-            part = ev.filter(
+        parts = [
+            ev.filter(
                 (F.col("event_id") >= lo + i * step)
                 & (F.col("event_id") < lo + (i + 1) * step)
             ).select(
@@ -909,11 +909,9 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + (F.col("user_id") % 50 % 7) * _DDW_Q
                 ).cast("long").alias("sec"),
             )
-            path = os.path.join(src, f"split_{i}")
-            part.coalesce(1).write.parquet(path)
-            for root, _dirs, files in os.walk(path):
-                for f_ in files:
-                    os.utime(os.path.join(root, f_), (1_000_000 + i, 1_000_000 + i))
+            for i in range(4)
+        ]
+        write_mtime_pinned_splits(parts, src)
         _DDW_SRC[sf_dir] = src
     stream = (
         spark.readStream.schema("k long, sec long")
@@ -925,23 +923,7 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", f"{_DDW_D} seconds")
         .dropDuplicatesWithinWatermark(["k"])
     )
-    name = f"ddw_{uuid.uuid4().hex[:8]}"
-    ckpt = cached_tmp_dir("ddw_ckpt_")
-    try:
-        q = (
-            ded.select("k", "sec")
-            .writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        out = spark.table(name).select("k", "sec").localCheckpoint()
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
-        spark.catalog.dropTempView(name)
-    return out
+    return drain_to_memory(ded.select("k", "sec"), "ddw").select("k", "sec")
 
 
 _SSJ_SRC: dict[str, str] = {}
@@ -1025,8 +1007,6 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     future partner can satisfy the condition). Row multiplicities
     carry through the join on both engines."""
     import os
-    import shutil
-    import uuid
 
     ev = load(spark, sf_dir, "events").select("event_id", "user_id")
     src = _SSJ_SRC.get(sf_dir)
@@ -1034,11 +1014,15 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
         step = (hi - lo + 4) // 4
         src = cached_tmp_dir("ssj_src_")
+        from streaming_cdc_spark.session import write_mtime_pinned_splits
+
         k = F.col("user_id") % 40
-        era = (F.col("event_id") - F.lit(lo)).cast("long") / F.lit(step)
-        era = F.floor(era).cast("long")
+        empty = ev.filter(F.lit(False)).select(
+            k.alias("k"), F.lit(0).cast("long").alias("sec")
+        )
+        clks, buys = [], []
         for i in range(5):
-            clk = (
+            clks.append(
                 ev.filter(
                     (F.col("event_id") % 25 == 0)
                     & (F.col("event_id") >= lo + i * step)
@@ -1050,12 +1034,10 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).cast("long").alias("sec"),
                 )
                 if i < 4
-                else ev.filter(F.lit(False)).select(
-                    k.alias("k"), F.lit(0).cast("long").alias("sec")
-                )
+                else empty
             )
             e = i - 1  # buys arriving at batch i carry time-era i-1
-            buy = (
+            buys.append(
                 ev.filter(
                     (F.col("event_id") % 25 == 1)
                     & (F.col("event_id") >= lo + e * step)
@@ -1069,18 +1051,10 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).cast("long").alias("sec"),
                 )
                 if e >= 0
-                else ev.filter(F.lit(False)).select(
-                    k.alias("k"), F.lit(0).cast("long").alias("sec")
-                )
+                else empty
             )
-            for side, part in (("clk", clk), ("buy", buy)):
-                path = os.path.join(src, side, f"split_{i}")
-                part.coalesce(1).write.parquet(path)
-                for root, _dirs, files in os.walk(path):
-                    for f_ in files:
-                        os.utime(
-                            os.path.join(root, f_), (1_000_000 + i, 1_000_000 + i)
-                        )
+        write_mtime_pinned_splits(clks, os.path.join(src, "clk"))
+        write_mtime_pinned_splits(buys, os.path.join(src, "buy"))
         _SSJ_SRC[sf_dir] = src
 
     def _rd(side: str):
@@ -1104,23 +1078,11 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("bts") >= F.col("cts"))
         & (F.col("bts") <= F.col("cts") + F.expr(f"INTERVAL {_SSJ_R} SECONDS")),
     )
-    name = f"ssj_{uuid.uuid4().hex[:8]}"
-    ckpt = cached_tmp_dir("ssj_ckpt_")
-    try:
-        q = (
-            j.select(F.col("ck").alias("k"), "csec", "bsec")
-            .writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        out = spark.table(name).select("k", "csec", "bsec").localCheckpoint()
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
-        spark.catalog.dropTempView(name)
-    return out
+    from streaming_cdc_spark.session import drain_to_memory
+
+    return drain_to_memory(
+        j.select(F.col("ck").alias("k"), "csec", "bsec"), "ssj"
+    ).select("k", "csec", "bsec")
 
 
 @query(

@@ -115,3 +115,51 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def write_mtime_pinned_splits(parts, base_dir: str, names=None) -> None:
+    """Write each DataFrame in ``parts`` as one parquet file under
+    ``base_dir``/split_i and pin file mtimes to 1_000_000 + i, so a
+    file stream with maxFilesPerTrigger=1 admits them oldest-first in
+    exactly list order — the micro-batch-order convention every
+    streaming-state oracle in this repo depends on (the r6 z-table
+    and r7 DDW/SSJ queries each hand-rolled this loop; bug-fixes to
+    the pinning belong HERE now). ``names`` overrides the split dir
+    names (e.g. per-side subdirs)."""
+    import os
+
+    for i, part in enumerate(parts):
+        path = os.path.join(base_dir, names[i] if names else f"split_{i}")
+        part.coalesce(1).write.parquet(path)
+        for root, _dirs, files in os.walk(path):
+            for f_ in files:
+                os.utime(os.path.join(root, f_), (1_000_000 + i, 1_000_000 + i))
+
+
+def drain_to_memory(out_df, prefix: str):
+    """availableNow-drain a streaming DataFrame through a memory sink
+    and return the collected table as a localCheckpointed batch
+    DataFrame. Owns the crash-safety conventions fixed piecemeal in
+    r4-r6: UNTIMED awaitTermination (a timed one can return False on
+    a slow host -> partial table + rmtree of a LIVE checkpoint),
+    checkpoint rmtree and temp-view drop in finally, fresh uuid query
+    name per call (replays must not collide)."""
+    import shutil
+    import uuid
+
+    spark = out_df.sparkSession
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    ckpt = cached_tmp_dir(f"{prefix}_ckpt_")
+    try:
+        q = (
+            out_df.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).localCheckpoint()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        spark.catalog.dropTempView(name)
