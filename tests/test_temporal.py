@@ -212,3 +212,19 @@ def test_interval_overlap_pairs_edges(spark):
     assert got[("a", 1, 4)] == 2          # nested
     assert got[("a", 1, 5)] == 11         # identical
     assert ("a", 2, 3) not in got         # gap
+
+
+def test_interval_overlap_reversed_interval_emits_nothing(spark):
+    """r7 review finding: a degenerate (end < start) interval contains
+    no point and must pair with nobody — without the guard, Spark
+    sequence() counts DOWN through its buckets and the verify
+    predicate passes it with NEGATIVE overlap_len."""
+    from streaming_cdc_spark.operators.temporal import interval_overlap_pairs
+
+    rows = [("a", 1, 10, 5), ("a", 2, 0, 20), ("a", 3, 6, 8)]
+    df = spark.createDataFrame(rows, "k string, iid long, s long, e long")
+    got = {
+        (r["id_a"], r["id_b"]): r["overlap_len"]
+        for r in interval_overlap_pairs(df, "k", "iid", "s", "e", 7).collect()
+    }
+    assert got == {(2, 3): 3}  # only the two real intervals pair
