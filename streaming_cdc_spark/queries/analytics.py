@@ -345,10 +345,12 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal bits hash-match identically. Final state = the max
     batch_idx row-set per shard; estimates never reach the output."""
     import os
-    import shutil
-    import uuid
 
-    from streaming_cdc_spark.session import cached_tmp_dir
+    from streaming_cdc_spark.session import (
+        cached_tmp_dir,
+        drain_to_memory,
+        write_mtime_pinned_splits,
+    )
     from streaming_cdc_spark.streaming.windows import streaming_misra_gries
 
     keyed_batch = load(spark, sf_dir, "events").select(
@@ -360,17 +362,16 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_dir = cached_tmp_dir("hhst_src_")
         n_splits = 4
         step = (hi - lo + n_splits) // n_splits
-        for i in range(n_splits):
-            part = keyed_batch.filter(
-                (F.col("event_id") >= lo + i * step)
-                & (F.col("event_id") < lo + (i + 1) * step)
-            )
-            path = os.path.join(src_dir, f"split_{i}")
-            part.coalesce(1).write.parquet(path)
-            # oldest-mtime-first admission: pin batch order == id order
-            for root, _dirs, files in os.walk(path):
-                for f_ in files:
-                    os.utime(os.path.join(root, f_), (1_000_000 + i, 1_000_000 + i))
+        write_mtime_pinned_splits(
+            [
+                keyed_batch.filter(
+                    (F.col("event_id") >= lo + i * step)
+                    & (F.col("event_id") < lo + (i + 1) * step)
+                )
+                for i in range(n_splits)
+            ],
+            src_dir,
+        )
         _HH_SPLITS[sf_dir] = src_dir
     stream = (
         spark.readStream.schema("event_id long, key string")
@@ -380,23 +381,7 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = streaming_misra_gries(
         stream, key_col="key", id_col="event_id", k=_HH_K, n_shards=8
     )
-    name = f"hhst_{uuid.uuid4().hex[:8]}"
-    ckpt = cached_tmp_dir("hhst_ckpt_")
-    try:
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        # untimed await (sibling convention): a timed one can return
-        # False on a slow host -> partial table + live-ckpt rmtree
-        q.awaitTermination()
-        emitted = spark.table(name).localCheckpoint()
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
-        spark.catalog.dropTempView(name)
+    emitted = drain_to_memory(out, "hhst")
     last = emitted.groupBy("shard").agg(F.max("batch_idx").alias("batch_idx"))
     summ = emitted.join(last, ["shard", "batch_idx"]).select("key", "est")
     return _hh_assemble(keyed_batch.select("key"), summ)

@@ -270,20 +270,18 @@ def ep2_streaming_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_dir = tempfile.mkdtemp(prefix="ep2mb_src_")
         n_splits = 4
         step = (hi - lo + n_splits) // n_splits
-        for i in range(n_splits):
-            part = emb.filter(
-                (F.col("vec_id") >= lo + i * step)
-                & (F.col("vec_id") < lo + (i + 1) * step)
-            )
-            path = os.path.join(src_dir, f"split_{i}")
-            part.coalesce(1).write.parquet(path)
-            # the file source admits oldest-modification-time first:
-            # pin split i strictly older than split i+1 so batch order
-            # == id order regardless of write speed / fs timestamp
-            # granularity
-            for root, _dirs, files in os.walk(path):
-                for f_ in files:
-                    os.utime(os.path.join(root, f_), (1_000_000 + i, 1_000_000 + i))
+        from streaming_cdc_spark.session import write_mtime_pinned_splits
+
+        write_mtime_pinned_splits(
+            [
+                emb.filter(
+                    (F.col("vec_id") >= lo + i * step)
+                    & (F.col("vec_id") < lo + (i + 1) * step)
+                )
+                for i in range(n_splits)
+            ],
+            src_dir,
+        )
         # fixture prep, not query work: the split layout is immutable
         # per sf_dir, so repeated calls (bench passes, gate + oracle)
         # re-run the STREAM each time but not the writes

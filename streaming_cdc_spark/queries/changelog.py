@@ -201,13 +201,11 @@ def _split_dir(spark: SparkSession, sf_dir: str) -> str:
         return src
     src = cached_tmp_dir("cdclog_src_")
     log = _oplog(spark, sf_dir)
-    for i in range(4):
-        part = log.filter(F.col("seq") % 4 == i)
-        path = os.path.join(src, f"split_{i}")
-        part.coalesce(1).write.parquet(path)
-        for root, _dirs, files in os.walk(path):
-            for f_ in files:
-                os.utime(os.path.join(root, f_), (1_000_000 + i, 1_000_000 + i))
+    from streaming_cdc_spark.session import write_mtime_pinned_splits
+
+    write_mtime_pinned_splits(
+        [log.filter(F.col("seq") % 4 == i) for i in range(4)], src
+    )
     _CDC_SPLITS[sf_dir] = src
     return src
 

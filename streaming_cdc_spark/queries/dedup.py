@@ -1114,17 +1114,18 @@ def _run_progressive_stream(
             return spark.createDataFrame([], ProgressiveResolver.RESULT_SCHEMA)
         step = (hi - lo + n_splits) // n_splits
         src = tempfile.mkdtemp(prefix="progstream_src_")
-        for i in range(n_splits):
-            part = docs.filter(
-                (F.col("doc_id") >= lo + i * step)
-                & (F.col("doc_id") < lo + (i + 1) * step)
-            ).withColumn("bucket", F.lit(i))
-            path = os.path.join(src, f"split_{i}")
-            part.coalesce(1).write.parquet(path)
-            # oldest-mtime-first admission: pin batch order == id order
-            for root, _dirs, files in os.walk(path):
-                for f_ in files:
-                    os.utime(os.path.join(root, f_), (1_000_000 + i, 1_000_000 + i))
+        from streaming_cdc_spark.session import write_mtime_pinned_splits
+
+        write_mtime_pinned_splits(
+            [
+                docs.filter(
+                    (F.col("doc_id") >= lo + i * step)
+                    & (F.col("doc_id") < lo + (i + 1) * step)
+                ).withColumn("bucket", F.lit(i))
+                for i in range(n_splits)
+            ],
+            src,
+        )
         _PROGSTREAM_SPLITS[(sf_dir, n_splits)] = src
     state_dir = tempfile.mkdtemp(prefix="progstream_state_")
     ckpt_dir = tempfile.mkdtemp(prefix="progstream_ckpt_")
@@ -1289,17 +1290,18 @@ def streaming_bloom_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_dir = tempfile.mkdtemp(prefix="bloomst_src_")
         n_splits = 4
         step = (hi - lo + n_splits) // n_splits
-        for i in range(n_splits):
-            part = docs.filter(
-                (F.col("doc_id") >= lo + i * step)
-                & (F.col("doc_id") < lo + (i + 1) * step)
-            )
-            path = os.path.join(src_dir, f"split_{i}")
-            part.coalesce(1).write.parquet(path)
-            # oldest-mtime-first admission: pin batch order == id order
-            for root, _dirs, files in os.walk(path):
-                for f_ in files:
-                    os.utime(os.path.join(root, f_), (1_000_000 + i, 1_000_000 + i))
+        from streaming_cdc_spark.session import write_mtime_pinned_splits
+
+        write_mtime_pinned_splits(
+            [
+                docs.filter(
+                    (F.col("doc_id") >= lo + i * step)
+                    & (F.col("doc_id") < lo + (i + 1) * step)
+                )
+                for i in range(n_splits)
+            ],
+            src_dir,
+        )
         _BLOOM_SPLITS[sf_dir] = src_dir
     stream = (
         spark.readStream.schema("doc_id long, kk string")

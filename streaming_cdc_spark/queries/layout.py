@@ -174,13 +174,11 @@ def zorder_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _ZSTREAM_SPLITS.get(sf_dir)
     if src is None or not os.path.isdir(src):
         src = cached_tmp_dir("zstream_src_")
-        for i in range(8):
-            part = events.filter(F.col("event_id") % 8 == i)
-            p = os.path.join(src, f"split_{i}")
-            part.coalesce(1).write.parquet(p)
-            for root, _dirs, files in os.walk(p):
-                for f_ in files:
-                    os.utime(os.path.join(root, f_), (1_000_000 + i, 1_000_000 + i))
+        from streaming_cdc_spark.session import write_mtime_pinned_splits
+
+        write_mtime_pinned_splits(
+            [events.filter(F.col("event_id") % 8 == i) for i in range(8)], src
+        )
         _ZSTREAM_SPLITS[sf_dir] = src
     path = tempfile.mkdtemp(prefix="zsink_table_")
     ckpt = tempfile.mkdtemp(prefix="zsink_ckpt_")

@@ -498,14 +498,11 @@ def watermarked_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _WM_SPLITS.get(sf_dir)
     if src is None or not os.path.isdir(src):
         src = cached_tmp_dir("wm_src_")
-        for i in range(4):
-            part = ev.filter(F.col("event_id") % 4 == i)
-            path = os.path.join(src, f"split_{i}")
-            part.coalesce(1).write.parquet(path)
-            # oldest-mtime-first admission: batch order == bucket order
-            for root, _dirs, files in os.walk(path):
-                for f_ in files:
-                    os.utime(os.path.join(root, f_), (1_000_000 + i, 1_000_000 + i))
+        from streaming_cdc_spark.session import write_mtime_pinned_splits
+
+        write_mtime_pinned_splits(
+            [ev.filter(F.col("event_id") % 4 == i) for i in range(4)], src
+        )
         _WM_SPLITS[sf_dir] = src
     ckpt = tempfile.mkdtemp(prefix="wm_ckpt_")
     stream = (
