@@ -64,6 +64,7 @@ HEADLINE = [
     "event_transition_matrix",
     "pivot_user_event_matrix",
     "hopping_window_counts",
+    "hopping_distinct_users",
     "category_drift_chisq",
     "interval_coverage_counts",
     "interval_overlap_join",
@@ -89,11 +90,18 @@ HEADLINE = [
     "label_centroid_outliers",
     # r6: random walk with restart (seed-biased teleport)
     "personalized_pagerank",
+    # r7: exact-moment OLS trend, Apriori basket pairs, MAD outliers
+    # (two chained banded medians), bounded-hop BFS distances
+    "value_trend_slope",
+    "basket_part_pairs",
+    "mad_outlier_stats",
+    "bfs_hop_distances",
     # r6: 3-step path mining + exact weighted median per type
     "event_path_trigrams",
     "weighted_median_value",
     "weighted_median_banded",
     "user_range_frame_sums",
+    "time_weighted_value",
     "cluster_summary",
     "muc_prf",
     "tfidf_blend_clusters",
@@ -242,6 +250,7 @@ HEADLINE = [
     "streaming_sessions_finalized",
     "streaming_dedup_watermark",
     "streaming_stream_join",
+    "streaming_outer_join",
     # budgeted progressive ER, long-stream form: EIGHT micro-batches
     # (top-25 each — same 200-pair total budget as the 4-batch query)
     # with state compaction scheduled mid-stream (compact_every=3),

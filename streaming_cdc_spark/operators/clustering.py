@@ -521,3 +521,43 @@ def pagerank_exact(
             ).cast("long").alias("r"),
         )
     return ranks.select(F.col("u").alias("vec_id"), F.col("r").alias("rank_micro"))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "node",
+    rounds: int = 3,
+) -> DataFrame:
+    """Bounded-hop BFS: exact shortest-path distances (hop counts)
+    from a seed set over an undirected edge list, ``rounds``
+    synchronous relaxation rounds — the distributed Bellman-Ford
+    step specialised to unit weights. Each round is one equi-join
+    (frontier against edges) + one keyed MIN — the standard
+    scale-shape: no driver-side frontier, no global sort, per-round
+    cost linear in |edges|. Fixed round count keeps it SQL-replayable
+    (the unrolled-CTE oracle family: kcore_peel_rounds,
+    label_propagation). Inputs are localCheckpointed so the edge
+    kernel isn't recomputed per round and the plan tree stays flat
+    (the pagerank_exact lesson). Returns (id_col, dist) for every
+    node within ``rounds`` hops of a seed; dist is exact BIGINT, so
+    the min-reduction is order-free under any partitioning."""
+    und = (
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint()
+    )
+    dist = seeds.select(
+        F.col(id_col).alias("node"), F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint()
+    for _ in range(rounds):
+        prop = und.join(dist, und.u == dist.node).select(
+            F.col("v").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist.select(F.col("node").alias(id_col), "dist")

@@ -1139,3 +1139,378 @@ def user_range_frame_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.sum("v").over(w).cast("double"), 2).alias("trailing_7d_sum"),
     )
+
+
+@query(
+    "value_trend_slope",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                      AS DECIMAL(18,0))) AS sx,
+             SUM(CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                      AS DECIMAL(18,0))
+                 * CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                        AS DECIMAL(18,0))) AS sxx,
+             SUM(CAST(value AS DECIMAL(18,6))) AS sy,
+             SUM(CAST(value AS DECIMAL(18,6))
+                 * CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                        AS DECIMAL(18,0))) AS sxy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             6
+           ) AS slope_r,
+           ROUND(
+             (CAST(sy AS DOUBLE)
+              - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE),
+             6
+           ) AS intercept_r
+    FROM m
+    """,
+)
+def value_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS TIME-TREND fit (is this metric drifting?) from
+    EXACT MOMENTS — the exact_moment_corr pattern extended to the
+    regression coefficients: x = days-since-epoch of the event date
+    (exact integer, accumulated as DECIMAL(18,0) so a 10^12-row scan
+    cannot overflow the BIGINT sum the way SUM(long) would under
+    ANSI), y = value as DECIMAL(18,6). The four sums are order-free
+    monoid accumulators; slope = (n*sxy - sx*sy)/(n*sxx - sx^2) and
+    intercept = (sy - slope*sx)/n are single double expressions over
+    those exact inputs, identical term order on both engines, rounded
+    6dp. The built-in regr_slope streams float partials whose merge
+    order varies with partitioning — the silent-divergence class
+    check_invariance exists for. One keyed aggregation, no joins."""
+    ev = load(spark, sf_dir, "events")
+    x = F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("decimal(18,0)")
+    y = F.col("value").cast("decimal(18,6)")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(y * x).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return m.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope_r"),
+        F.round((sy - slope * sx) / nd, 6).alias("intercept_r"),
+    )
+
+
+@query(
+    "basket_part_pairs",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem
+    ),
+    items AS (SELECT item, COUNT(*) AS n_i FROM baskets GROUP BY item),
+    freq AS (SELECT item, n_i FROM items WHERE n_i >= 2),
+    fb AS (
+      SELECT b.okey, b.item, f.n_i FROM baskets b JOIN freq f USING (item)
+    ),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             a.n_i AS n_a, b.n_i AS n_b, COUNT(*) AS support
+      FROM fb a JOIN fb b ON a.okey = b.okey AND a.item < b.item
+      GROUP BY 1, 2, 3, 4
+    ),
+    tot AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM baskets)
+    SELECT item_a, item_b, CAST(support AS BIGINT) AS support,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(CAST(support AS DOUBLE) * CAST(n_orders AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS lift_r
+    FROM pairs, tot WHERE support >= 2
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FREQUENT-ITEMSET mining (Apriori level 2) over order baskets:
+    items are the distinct parts of each order, and the query emits
+    every part pair co-occurring in >= 2 orders with its support,
+    per-item supports, and lift. The Apriori anti-monotonicity prune
+    is the scale move: items below the support floor are removed by a
+    keyed semi-join BEFORE pair generation (a pair of an infrequent
+    item can never be frequent), so the quadratic step runs on the
+    pruned baskets only. Pair generation is a SELF-JOIN CO-PARTITIONED
+    ON THE BASKET KEY — per-basket work is C(|basket|, 2) with basket
+    size bounded by the order (TPC-H caps at 7 lineitems; a real
+    pipeline would cap giant baskets the way resource_allocation_links
+    caps hub degree). Lift = support * N / (n_a * n_b) is one double
+    formula over exact BIGINT counts (round 6dp); the one-row order
+    total broadcasts (BNLJ whitelist)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("item")
+    )
+    baskets = li.distinct()
+    items = baskets.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n_i"))
+    freq = items.filter(F.col("n_i") >= 2)
+    fb = baskets.join(freq, "item").localCheckpoint()
+    a = fb.select(
+        "okey", F.col("item").alias("item_a"), F.col("n_i").alias("n_a")
+    )
+    b = fb.select(
+        "okey", F.col("item").alias("item_b"), F.col("n_i").alias("n_b")
+    )
+    pairs = (
+        a.join(b, ["okey"])
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    tot = baskets.agg(F.countDistinct("okey").cast("long").alias("n_orders"))
+    return pairs.crossJoin(F.broadcast(tot)).select(
+        "item_a",
+        "item_b",
+        "support",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("support").cast("double")
+            * F.col("n_orders").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            6,
+        ).alias("lift_r"),
+    )
+
+
+@query(
+    "mad_outlier_stats",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, event_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    r1 AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    ),
+    med AS (SELECT event_type, cents AS med_cents FROM r1
+            WHERE rn = (n + 1) // 2),
+    d AS (
+      SELECT c.event_type, c.event_id, m.med_cents,
+             ABS(c.cents - m.med_cents) AS dev
+      FROM c JOIN med m USING (event_type)
+    ),
+    r2 AS (
+      SELECT event_type, dev,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY dev, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM d
+    ),
+    mad AS (SELECT event_type, dev AS mad_cents FROM r2
+            WHERE rn = (n + 1) // 2)
+    SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           d.med_cents, mad.mad_cents,
+           CAST(SUM(CASE WHEN d.dev > 3 * mad.mad_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d JOIN mad USING (event_type)
+    GROUP BY d.event_type, d.med_cents, mad.mad_cents
+    """,
+)
+def mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST OUTLIER DETECTION via MEDIAN ABSOLUTE DEVIATION — two
+    chained EXACT integer medians (value cents, then |cents - med|)
+    computed with the BANDED rank-selection operator
+    (operators/ranking.py: grouped_weighted_median, unit weights,
+    cents div 500 bands ~ 100 bands/type), so neither median pays the
+    per-type sort wall the direct cum-sum form would at 100 TB. The
+    median under unit weights is the lower median (first rank whose
+    doubled cumulative count reaches the total = rank (n+1)//2),
+    which the oracle replays with plain row_number ranks — ties in
+    value cannot diverge because only the VALUE at the rank is
+    emitted. Outliers = rows with deviation > 3 * MAD, all-integer
+    comparisons end to end (no float sigma). Physical: quantize ->
+    banded median -> 5-row broadcast join -> banded median -> 5-row
+    broadcast join -> one keyed count; the cents base is
+    localCheckpointed once and reused by all three passes."""
+    from streaming_cdc_spark.operators.ranking import grouped_weighted_median
+
+    base = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .withColumn("wt", F.lit(1).cast("long"))
+        .localCheckpoint()
+    )
+    med = grouped_weighted_median(
+        base,
+        ["event_type"],
+        "cents",
+        "event_id",
+        "wt",
+        band_expr=F.col("cents") / F.lit(500),
+    ).select("event_type", F.col("median_value").alias("med_cents"))
+    dev = (
+        base.join(F.broadcast(med), "event_type")
+        .withColumn("dev", F.abs(F.col("cents") - F.col("med_cents")))
+        .localCheckpoint()
+    )
+    mad = grouped_weighted_median(
+        dev,
+        ["event_type"],
+        "dev",
+        "event_id",
+        "wt",
+        band_expr=F.col("dev") / F.lit(500),
+    ).select("event_type", F.col("median_value").alias("mad_cents"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med_cents", "mad_cents")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select("event_type", "n", "med_cents", "mad_cents", "n_outliers")
+    )
+
+
+@query(
+    "hopping_distinct_users",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tus FROM events
+    ),
+    w2 AS (
+      SELECT user_id,
+             (tus // 7200000000 - k) * 7200000000 AS win_start_us
+      FROM e, (SELECT unnest([0, 1]) AS k) kk
+      WHERE tus - ((tus // 7200000000 - k) * 7200000000) < 14400000000
+    )
+    SELECT win_start_us,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM w2 GROUP BY 1
+    """,
+)
+def hopping_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT DISTINCT COUNT per HOPPING window (4h width, 2h hop) —
+    the sliding-audience question ('how many distinct users were
+    active in each trailing 4h?') that approx sketches usually
+    answer; this is the exact form, and approx_distinct_bounds is its
+    sketch-bounded sibling. A user active in both halves of a window
+    must count ONCE there but once in each of the two windows that
+    cover only one half — per-window dedup, which a tumbling rollup
+    can't compose into. Physical: one Expand (x2 rows, Spark's native
+    window assignment) + count_distinct per window (partial
+    aggregation handles the distinct on the map side). The oracle
+    derives hop-grid membership arithmetically in epoch micros, same
+    rule as hopping_window_counts."""
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy(F.window("ts", "4 hours", "2 hours").alias("w")).agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return g.select(
+        F.unix_micros("w.start").alias("win_start_us"), "n_users", "n_events"
+    )
+
+
+@query(
+    "time_weighted_value",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    d AS (
+      SELECT user_id, cents,
+             lead(tus) OVER (PARTITION BY user_id
+                             ORDER BY tus, event_id) - tus AS dt_us
+      FROM e
+    ),
+    s AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             SUM(CAST(cents AS DECIMAL(18,0))
+                 * CAST(dt_us AS DECIMAL(18,0))) AS swx,
+             SUM(CAST(dt_us AS DECIMAL(18,0))) AS sw
+      FROM d WHERE dt_us IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_held,
+           ROUND(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) / 100.0, 6)
+             AS twap_r
+    FROM s WHERE sw > 0
+    """,
+)
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED AVERAGE value per user (TWAP — the metering /
+    billing aggregate: each observation holds until the next one, so
+    its weight is the HOLD DURATION, not 1). Per-user lead window
+    under the (ts, event_id) total order gives exact integer
+    microsecond hold times (timestamp ties contribute zero weight
+    deterministically — the tied-first row's dt is 0 under the total
+    order); the integration is exact DECIMAL products
+    (cents × dt_us, DECIMAL(37,0) — BIGINT sums would overflow at
+    10^12-row scale) summed order-free, and the average is ONE double
+    division rounded 6dp. Users whose observations all share one
+    timestamp carry zero total weight and are excluded on both
+    engines (sw > 0). Physical: one per-user window (millions of
+    small partitions at scale) + one keyed aggregation — the
+    user_range_frame_sums shape with value-weighted time instead of
+    time-bounded value."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("tus"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("tus", "event_id")
+    d = ev.select(
+        "user_id",
+        "cents",
+        (F.lead("tus").over(w) - F.col("tus")).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    s = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_held"),
+        F.sum(
+            F.col("cents").cast("decimal(18,0)")
+            * F.col("dt_us").cast("decimal(18,0)")
+        ).alias("swx"),
+        F.sum(F.col("dt_us").cast("decimal(18,0)")).alias("sw"),
+    )
+    return s.filter(F.col("sw") > 0).select(
+        "user_id",
+        "n_held",
+        F.round(
+            F.col("swx").cast("double") / F.col("sw").cast("double") / 100.0, 6
+        ).alias("twap_r"),
+    )

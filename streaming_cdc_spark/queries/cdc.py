@@ -907,3 +907,51 @@ def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     edges = cosine_self_edges(emb, 0.3).select("u", "v")
     return tc(edges)
+
+
+def _bfs_sql(rounds: int = 3) -> str:
+    parts = [
+        f"e0 AS (SELECT u, v FROM ({_EDGES_SQL}) WHERE sim > 0.3)",
+        "edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0)",
+        "d0 AS (SELECT vec_id AS node, CAST(0 AS BIGINT) AS dist "
+        "FROM embeddings WHERE vec_id % 17 = 0)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"d{i} AS (SELECT node, MIN(dist) AS dist FROM ("
+            f"SELECT e.v AS node, d.dist + 1 AS dist "
+            f"FROM edges e JOIN d{i - 1} d ON e.u = d.node "
+            f"UNION ALL SELECT node, dist FROM d{i - 1}) GROUP BY node)"
+        )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"\n    SELECT node AS vec_id, CAST(dist AS BIGINT) AS dist"
+        f" FROM d{rounds}"
+    )
+
+
+@query("bfs_hop_distances", oracle=_bfs_sql())
+def bfs_hop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS (operators/clustering.py: bfs_distances) from
+    the vec_id % 17 = 0 seed set over the tau=0.3 cosine near-dup
+    graph: 3 synchronous unit-weight relaxation rounds give each
+    reachable node its exact hop distance — the contamination-radius
+    question ('how far does this template's influence spread through
+    the near-dup graph?') and the primitive behind k-hop neighborhood
+    sampling for graph training data. Per round one frontier-edge
+    equi-join + one keyed MIN over exact BIGINTs (order-free under
+    any partitioning); the fixed round count makes it SQL-replayable
+    and the oracle unrolls the three relaxation rounds verbatim, so
+    the hash match proves join-min relaxation == the definitional
+    level-set expansion."""
+    from streaming_cdc_spark.operators.clustering import bfs_distances
+    from streaming_cdc_spark.operators.similarity import cosine_self_edges
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = cosine_self_edges(emb, 0.3).select("u", "v")
+    seeds = emb.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("node")
+    )
+    return bfs_distances(edges, seeds, id_col="node", rounds=3).select(
+        F.col("node").alias("vec_id"), "dist"
+    )

@@ -1123,3 +1123,185 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (s + F.col("l_orderkey") % 14 + 1).cast("long").alias("e"),
     )
     return interval_overlap_pairs(iv, "flag", "iid", "s", "e", bucket_width=14)
+
+
+_LOJ_SRC: dict[str, str] = {}
+
+
+_LOJ_ORACLE = f"""
+    WITH lohi AS (
+      SELECT MIN(event_id) AS lo,
+             (MAX(event_id) - MIN(event_id) + 4) // 4 AS step
+      FROM events
+    ),
+    clk AS (
+      SELECT user_id % 40 AS k, (event_id - lo) // step AS era,
+             CAST({_SSJ_T0} + ((event_id - lo) // step) * {_SSJ_G}
+                  + (user_id % 40 % 5) * 40 AS BIGINT) AS csec
+      FROM events, lohi WHERE event_id % 25 = 0
+    ),
+    buy AS (
+      SELECT user_id % 40 AS k, (event_id - lo) // step AS era,
+             CAST({_SSJ_T0} + ((event_id - lo) // step) * {_SSJ_G}
+                  + (user_id % 40 % 5) * 40 + 70 + (user_id % 40 % 3) * 300
+                  - CASE WHEN user_id % 40 % 11 = 3 THEN 5000 ELSE 0 END
+                  AS BIGINT) AS bsec
+      FROM events, lohi
+      WHERE event_id % 25 = 1 AND user_id % 40 % 4 <> 1
+    ),
+    mxc AS (SELECT era AS b, MAX(csec) AS m FROM clk GROUP BY era),
+    mxb AS (SELECT era + 1 AS b, MAX(bsec) AS m FROM buy GROUP BY era),
+    w AS (
+      SELECT j,
+             CASE WHEN (SELECT MAX(m) FROM mxc WHERE b < j) IS NOT NULL
+                   AND (SELECT MAX(m) FROM mxb WHERE b < j) IS NOT NULL
+                  THEN LEAST((SELECT MAX(m) FROM mxc WHERE b < j),
+                             (SELECT MAX(m) FROM mxb WHERE b < j))
+             END AS wm
+      FROM (SELECT unnest(generate_series(0, 4)) AS j) jj
+    ),
+    -- final watermark after the availableNow flush batch: min over
+    -- sides of the max event time across ALL batches
+    wfin AS (
+      SELECT LEAST((SELECT MAX(m) FROM mxc), (SELECT MAX(m) FROM mxb)) AS wm
+    ),
+    cok AS (
+      SELECT c.* FROM clk c
+      WHERE c.csec >= COALESCE((SELECT wm FROM w WHERE j = c.era),
+                               -9223372036854775807)
+    ),
+    bok AS (
+      SELECT b.* FROM buy b
+      WHERE b.bsec >= COALESCE((SELECT wm FROM w WHERE j = b.era + 1),
+                               -9223372036854775807)
+    )
+    SELECT c.k, c.csec, b.bsec
+    FROM cok c JOIN bok b
+      ON c.k = b.k AND b.bsec >= c.csec AND b.bsec <= c.csec + {_SSJ_R}
+    UNION ALL
+    SELECT c.k, c.csec, CAST(-1 AS BIGINT) AS bsec
+    FROM cok c
+    WHERE NOT EXISTS (
+            SELECT 1 FROM bok b
+            WHERE b.k = c.k AND b.bsec >= c.csec
+              AND b.bsec <= c.csec + {_SSJ_R})
+      AND c.csec + {_SSJ_R} < (SELECT wm FROM wfin)
+"""
+
+
+@query("streaming_outer_join", oracle=_LOJ_ORACLE)
+def streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER JOIN under a FULL oracle — the outer
+    variant adds the state pattern the inner form (streaming_stream_
+    join) cannot exercise: an unmatched left row must eventually emit
+    a NULL-padded result, and WHEN is a watermark decision, not a
+    data decision. Empirically pinned mechanics (probe + regression
+    test): (1) a left row emits its NULL row exactly when the
+    watermark passes its eviction point STRICTLY (csec + R < wm; an
+    eviction point equal to the final watermark stays in state and
+    emits NOTHING), (2) matched rows never also emit a NULL row,
+    (3) rows still in state when the availableNow drain finishes are
+    silently discarded — the oracle's wfin CTE replays the flush
+    batch's watermark (min over sides of each side's max event time
+    across all batches) and applies the strict rule. Fixture: the
+    streaming_stream_join geometry (clicks arrive at batch = era,
+    buys one batch later, era-local offsets inside the 900s window)
+    minus the buys of the k%4=1 'abandoned' key slice — a quarter of
+    the click volume can never match and must surface through the
+    NULL path: era 0-2 abandoned clicks emit (margins 100s+ from the
+    boundary), era-3 clicks sit at eviction points >= 740s past the
+    final watermark and must NOT. The k%11=3 late slice ships its
+    buys 5000s back — BEYOND every click's join window, not the
+    inner query's 2000s: Spark's late-INPUT filter uses the PREVIOUS
+    batch's watermark (SPARK-24634 two-watermark semantics) while
+    state eviction runs AFTER the join within a batch, so a late row
+    landing between the two watermarks joins rows still in state —
+    observed live: removing the k%4=1 buys lowered the buy-side max
+    enough that a boundary late row un-dropped and matched an
+    era-(e-2) click (probe-pinned in tests/test_temporal.py). An
+    unmatchable late slice keeps the oracle outside that boundary's
+    blast radius while still exercising late input in the stream.
+    NULL bsec is carried as the -1 sentinel on both engines
+    (nullable-BIGINT NaN is the scd2 fetch-path hazard)."""
+    import os
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    src = _LOJ_SRC.get(sf_dir)
+    if src is None or not os.path.isdir(src):
+        lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+        step = (hi - lo + 4) // 4
+        src = cached_tmp_dir("loj_src_")
+        from streaming_cdc_spark.session import write_mtime_pinned_splits
+
+        k = F.col("user_id") % 40
+        empty = ev.filter(F.lit(False)).select(
+            k.alias("k"), F.lit(0).cast("long").alias("sec")
+        )
+        clks, buys = [], []
+        for i in range(5):
+            clks.append(
+                ev.filter(
+                    (F.col("event_id") % 25 == 0)
+                    & (F.col("event_id") >= lo + i * step)
+                    & (F.col("event_id") < lo + (i + 1) * step)
+                ).select(
+                    k.alias("k"),
+                    (
+                        F.lit(_SSJ_T0 + i * _SSJ_G) + (k % 5) * 40
+                    ).cast("long").alias("sec"),
+                )
+                if i < 4
+                else empty
+            )
+            e = i - 1  # buys arriving at batch i carry time-era i-1
+            buys.append(
+                ev.filter(
+                    (F.col("event_id") % 25 == 1)
+                    & (k % 4 != 1)  # the abandoned slice ships no buys
+                    & (F.col("event_id") >= lo + e * step)
+                    & (F.col("event_id") < lo + (e + 1) * step)
+                ).select(
+                    k.alias("k"),
+                    (
+                        F.lit(_SSJ_T0 + e * _SSJ_G)
+                        + (k % 5) * 40 + F.lit(70) + (k % 3) * 300
+                        - F.when(k % 11 == 3, 5000).otherwise(0)
+                    ).cast("long").alias("sec"),
+                )
+                if e >= 0
+                else empty
+            )
+        write_mtime_pinned_splits(clks, os.path.join(src, "clk"))
+        write_mtime_pinned_splits(buys, os.path.join(src, "buy"))
+        _LOJ_SRC[sf_dir] = src
+
+    def _rd(side: str):
+        return (
+            spark.readStream.schema("k long, sec long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/{side}/split_*/*.parquet")
+            .withColumn("ts", F.timestamp_seconds("sec"))
+            .withWatermark("ts", "0 seconds")
+        )
+
+    c = _rd("clk").select(
+        F.col("k").alias("ck"), F.col("ts").alias("cts"), F.col("sec").alias("csec")
+    )
+    b = _rd("buy").select(
+        F.col("k").alias("bk"), F.col("ts").alias("bts"), F.col("sec").alias("bsec")
+    )
+    j = c.join(
+        b,
+        (F.col("ck") == F.col("bk"))
+        & (F.col("bts") >= F.col("cts"))
+        & (F.col("bts") <= F.col("cts") + F.expr(f"INTERVAL {_SSJ_R} SECONDS")),
+        "leftOuter",
+    )
+    from streaming_cdc_spark.session import drain_to_memory
+
+    out = drain_to_memory(
+        j.select(F.col("ck").alias("k"), "csec", "bsec"), "loj"
+    )
+    return out.select(
+        "k", "csec", F.coalesce(F.col("bsec"), F.lit(-1).cast("long")).alias("bsec")
+    )

@@ -24,9 +24,24 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_scs_pyfiles_added", False):
         return
+    import atexit
+
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_base = os.path.join(tempfile.gettempdir(), "streaming_cdc_spark_pyfiles")
-    zip_path = shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir), "streaming_cdc_spark")
+    # the zip path MUST be per-process: a fixed shared /tmp name lets a
+    # concurrent session (second gate run, probe script, a co-hosted
+    # driver process) re-archive the package and change the file's
+    # contents AFTER this session's executors cached it — every
+    # subsequent task then dies with "File ... exists and does not
+    # match contents". The pid suffix also freezes a content snapshot:
+    # source edits made while this session runs can't mutate what the
+    # executors fetch.
+    zip_base = os.path.join(
+        tempfile.gettempdir(), f"streaming_cdc_spark_pyfiles_{os.getpid()}"
+    )
+    zip_path = shutil.make_archive(
+        zip_base, "zip", os.path.dirname(pkg_dir), "streaming_cdc_spark"
+    )
+    atexit.register(lambda p=zip_path: os.path.exists(p) and os.remove(p))
     sc.addPyFile(zip_path)
     sc._scs_pyfiles_added = True
 

@@ -526,3 +526,126 @@ def test_grouped_weighted_median_equals_direct(spark):
             if cum * 2 >= tot:
                 assert got[g] == (v, tot), (g, got[g], v, tot)
                 break
+
+
+def test_value_trend_slope_exact_fit(spark, tmp_path):
+    import pandas as pd
+
+    # value = 0.5 * days_since_epoch - 9000: an exact linear fit, so
+    # the moment formula must recover slope/intercept exactly
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(6):
+        ts = t0 + datetime.timedelta(days=i)
+        x = (ts.date() - datetime.date(1970, 1, 1)).days
+        rows.append((i, ts, 1, "a", 0.5 * x - 9000.0, "{}"))
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+    from streaming_cdc_spark.queries.analytics import value_trend_slope
+
+    [r] = value_trend_slope(spark, str(tmp_path)).collect()
+    assert r["n"] == 6
+    assert r["slope_r"] == 0.5
+    assert r["intercept_r"] == -9000.0
+
+
+def test_basket_pairs_bruteforce(spark):
+    import itertools
+
+    import duckdb
+
+    sf_dir = "/root/testdata/sf0.001"
+    from streaming_cdc_spark.queries.analytics import basket_part_pairs
+
+    got = {
+        (r["item_a"], r["item_b"]): (r["support"], r["n_a"], r["n_b"])
+        for r in basket_part_pairs(spark, sf_dir).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchall()
+    baskets: dict[int, set[int]] = {}
+    item_n: dict[int, int] = {}
+    for okey, item in rows:
+        baskets.setdefault(okey, set()).add(item)
+    for items in baskets.values():
+        for it in items:
+            item_n[it] = item_n.get(it, 0) + 1
+    pair_n: dict[tuple[int, int], int] = {}
+    for items in baskets.values():
+        for a, b in itertools.combinations(sorted(items), 2):
+            pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    want = {
+        p: (n, item_n[p[0]], item_n[p[1]])
+        for p, n in pair_n.items()
+        if n >= 2  # item prune (n_i >= 2) is implied: pair support
+        # >= 2 forces both item supports >= 2
+    }
+    assert got == want
+
+
+def test_mad_outliers_bruteforce(spark):
+    import math
+
+    import duckdb
+
+    sf_dir = "/root/testdata/sf0.001"
+    from streaming_cdc_spark.queries.analytics import mad_outlier_stats
+
+    got = {
+        r["event_type"]: (r["n"], r["med_cents"], r["mad_cents"], r["n_outliers"])
+        for r in mad_outlier_stats(spark, sf_dir).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT event_type, value FROM '{sf_dir}/events.parquet' "
+        "WHERE value IS NOT NULL"
+    ).fetchall()
+    by_type: dict[str, list[int]] = {}
+    for et, v in rows:
+        by_type.setdefault(et, []).append(math.floor(v * 100))
+
+    def lower_median(xs: list[int]) -> int:
+        s = sorted(xs)
+        return s[(len(s) + 1) // 2 - 1]
+
+    want = {}
+    for et, cents in by_type.items():
+        med = lower_median(cents)
+        devs = [abs(c - med) for c in cents]
+        mad = lower_median(devs)
+        want[et] = (
+            len(cents),
+            med,
+            mad,
+            sum(1 for d in devs if d > 3 * mad),
+        )
+    assert got == want
+
+
+def test_hopping_distinct_users_golden(spark, tmp_path):
+    import pandas as pd
+
+    # user 1 active in BOTH halves of the 0h window: counts once
+    # there, once in each of the single-half windows either side
+    t0 = datetime.datetime(2024, 1, 1, 0, 30)
+    t1 = datetime.datetime(2024, 1, 1, 2, 30)
+    rows = [
+        (0, t0, 1, "a", 0.0, "{}"),
+        (1, t1, 1, "a", 0.0, "{}"),
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+    from streaming_cdc_spark.queries.analytics import hopping_distinct_users
+
+    got = {
+        r["win_start_us"] // 3_600_000_000: (r["n_users"], r["n_events"])
+        for r in hopping_distinct_users(spark, str(tmp_path)).collect()
+    }
+    h0 = (datetime.datetime(2024, 1, 1) - datetime.datetime(1970, 1, 1)) // datetime.timedelta(hours=1)
+    assert got == {
+        h0 - 2: (1, 1),  # covers only t0
+        h0: (1, 2),      # covers both events: distinct user counted ONCE
+        h0 + 2: (1, 1),  # covers only t1
+    }

@@ -198,3 +198,44 @@ def test_pagerank_exact_partition_invariant(spark):
     a = sorted(map(tuple, pagerank_exact(df1, 3).collect()))
     b = sorted(map(tuple, pagerank_exact(df16, 3).collect()))
     assert a == b
+
+
+def test_bfs_distances_path_single_seed(spark):
+    from streaming_cdc_spark.operators.clustering import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "u long, v long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, seeds, rounds=3).collect()
+    }
+    # nodes beyond 3 hops are absent, not infinite
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_distances_multi_seed_takes_min(spark):
+    from streaming_cdc_spark.operators.clustering import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "u long, v long"
+    )
+    seeds = spark.createDataFrame([(0,), (5,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, seeds, rounds=3).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 2, 4: 1, 5: 0}
+
+
+def test_bfs_distances_edges_are_undirected(spark):
+    from streaming_cdc_spark.operators.clustering import bfs_distances
+
+    edges = spark.createDataFrame([(7, 8)], "u long, v long")
+    seeds = spark.createDataFrame([(8,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, seeds, rounds=2).collect()
+    }
+    assert got == {8: 0, 7: 1}

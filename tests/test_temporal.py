@@ -228,3 +228,146 @@ def test_interval_overlap_reversed_interval_emits_nothing(spark):
         for r in interval_overlap_pairs(df, "k", "iid", "s", "e", 7).collect()
     }
     assert got == {(2, 3): 3}  # only the two real intervals pair
+
+
+def test_stream_left_outer_null_emission_probe(spark, tmp_path):
+    """Pins the three left-outer stream-stream join mechanics the
+    streaming_outer_join oracle replays (probed on Spark 4.1):
+    (1) an unmatched left row emits its NULL row iff the FINAL
+    watermark passes its eviction point STRICTLY (cts + R < wm; a
+    row whose eviction point equals the final watermark emits
+    NOTHING), (2) matched rows never also emit a NULL row, (3) rows
+    still in state at the end of the availableNow drain are silently
+    discarded. If a Spark upgrade changes any rule this fails HERE
+    with a named cause instead of an opaque oracle hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from streaming_cdc_spark.session import write_mtime_pinned_splits
+
+    R = 100
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k long, sec long")
+
+    # batch0 clicks: k1 evicts strictly before the final wm (4999 <
+    # 5000), k2 exactly AT it (5000), k3 past it (5001), k4 matched;
+    # batch1 advances both sides' max event time to 5000
+    clk = [df([(1, 4899), (2, 4900), (3, 4901), (4, 4899)]), df([(99, 5000)])]
+    buy = [df([(4, 4950)]), df([(98, 5000)])]
+    base = str(tmp_path / "src")
+    write_mtime_pinned_splits(clk, base + "/clk")
+    write_mtime_pinned_splits(buy, base + "/buy")
+
+    def rd(side):
+        return (
+            spark.readStream.schema("k long, sec long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/{side}/split_*/*.parquet")
+            .withColumn("ts", F.timestamp_seconds("sec"))
+            .withWatermark("ts", "0 seconds")
+        )
+
+    c = rd("clk").select(
+        F.col("k").alias("ck"), F.col("ts").alias("cts"), F.col("sec").alias("csec")
+    )
+    b = rd("buy").select(
+        F.col("k").alias("bk"), F.col("ts").alias("bts"), F.col("sec").alias("bsec")
+    )
+    j = c.join(
+        b,
+        (F.col("ck") == F.col("bk"))
+        & (F.col("bts") >= F.col("cts"))
+        & (F.col("bts") <= F.col("cts") + F.expr(f"INTERVAL {R} SECONDS")),
+        "leftOuter",
+    )
+    emitted = []
+
+    def sink(df_, bid):
+        emitted.extend((r["ck"], r["csec"], r["bsec"]) for r in df_.collect())
+
+    q = (
+        j.select("ck", "csec", "bsec")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(emitted) == [
+        (1, 4899, None),  # evict point 4999 < wm 5000: NULL row
+        (4, 4899, 4950),  # matched: the pair, and no extra NULL row
+        # k2 (evict point == wm) and k3 (past wm) and the batch-1
+        # rows (k99 in state, k98 right-side) emit nothing
+    ], f"left-outer emission mechanics changed: {sorted(emitted)}"
+
+
+def test_stream_join_late_filter_lags_one_extra_batch(spark, tmp_path):
+    """Pins the two-watermark mechanics (SPARK-24634) that make
+    near-boundary late rows dangerous for stream-join oracles: the
+    late-INPUT filter uses the PREVIOUS batch's watermark while state
+    eviction uses the current one and runs AFTER the join — so a
+    right row arriving below the current watermark (the buy at 1050
+    arrives at batch 2 when the eviction watermark is already 3000)
+    still joins a left row whose eviction point (1100) that same
+    watermark has long passed. Holds for BOTH inner and leftOuter.
+    This is why streaming_outer_join ships its late slice beyond
+    every join window instead of 2000s back."""
+    from pyspark.sql import functions as F
+
+    from streaming_cdc_spark.session import write_mtime_pinned_splits
+
+    R = 100
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k long, sec long")
+
+    clk = [df([(1, 1000)]), df([(9, 3000)]), df([])]
+    buy = [df([]), df([(9, 3000)]), df([(1, 1050)])]
+    for mode in ("inner", "leftOuter"):
+        base = str(tmp_path / f"src_{mode}")
+        write_mtime_pinned_splits(clk, base + "/clk")
+        write_mtime_pinned_splits(buy, base + "/buy")
+
+        def rd(side):
+            return (
+                spark.readStream.schema("k long, sec long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{base}/{side}/split_*/*.parquet")
+                .withColumn("ts", F.timestamp_seconds("sec"))
+                .withWatermark("ts", "0 seconds")
+            )
+
+        c = rd("clk").select(
+            F.col("k").alias("ck"), F.col("ts").alias("cts"),
+            F.col("sec").alias("csec"),
+        )
+        b = rd("buy").select(
+            F.col("k").alias("bk"), F.col("ts").alias("bts"),
+            F.col("sec").alias("bsec"),
+        )
+        j = c.join(
+            b,
+            (F.col("ck") == F.col("bk"))
+            & (F.col("bts") >= F.col("cts"))
+            & (F.col("bts") <= F.col("cts") + F.expr(f"INTERVAL {R} SECONDS")),
+            mode,
+        )
+        emitted = []
+
+        def sink(df_, bid):
+            emitted.extend(
+                (r["ck"], r["csec"], r["bsec"]) for r in df_.collect()
+            )
+
+        q = (
+            j.select("ck", "csec", "bsec")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / f"ck_{mode}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert sorted(emitted) == [
+            (1, 1000, 1050),  # the late buy matched the in-state click
+            (9, 3000, 3000),
+        ], f"{mode}: two-watermark late-filter mechanics changed: {sorted(emitted)}"

@@ -65,6 +65,7 @@ BNLJ_WHITELIST = {
     "collocation_pmi",  # one-row token/bigram corpus totals broadcasts
     "value_histogram_bins",  # one-row global min/max bounds broadcast
     "streaming_heavy_hitters",  # one-row stream-total (bound) broadcast
+    "basket_part_pairs",  # one-row order-total broadcast (lift denominator)
 }
 
 

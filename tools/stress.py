@@ -502,6 +502,87 @@ def main() -> None:
         docs.unpersist()
     sizes["bpe_3rounds"] = n_big / n_small
 
+    # r7 second session: wide-schema pivot (40 explicit value columns
+    # — one Expand-free partial-agg pass), the banded median under a
+    # PLANTED HOT BAND (50% of the mass in [50, 50.5): the coarse
+    # floor(value) banding would put half the corpus in ONE in-band
+    # window partition; band granularity is the documented skew dial,
+    # so the stress row measures the x128-finer banding that keeps
+    # every partition bounded), and 3-hop BFS over synth edges
+    from streaming_cdc_spark.operators.clustering import bfs_distances
+    from streaming_cdc_spark.operators.ranking import grouped_weighted_median
+
+    for n in (10 * n_small, 10 * n_big):
+        ev40 = (
+            spark.range(n)
+            .select(
+                F.pmod(F.xxhash64("id"), F.lit(max(n // 20, 1))).alias("uid"),
+                F.concat(
+                    F.lit("t"),
+                    F.pmod(F.xxhash64("id", F.lit(1)), F.lit(40)).cast("string"),
+                ).alias("etype"),
+                F.pmod(F.xxhash64("id", F.lit(2)), F.lit(100)).alias("v"),
+            )
+            .persist()
+        )
+        ev40.count()
+        t0 = time.time()
+        (
+            ev40.groupBy("uid")
+            .pivot("etype", [f"t{i}" for i in range(40)])
+            .agg(F.sum("v"))
+        ).write.format("noop").mode("overwrite").save()
+        results.setdefault("pivot_wide40", []).append(round(time.time() - t0, 2))
+        ev40.unpersist()
+    sizes["pivot_wide40"] = n_big / n_small
+
+    for n in (10 * n_small, 10 * n_big):
+        hot = (
+            spark.range(n)
+            .select(
+                F.pmod(F.col("id"), F.lit(5)).cast("string").alias("g"),
+                F.col("id").alias("rid"),
+                F.lit(1).cast("long").alias("wt"),
+                F.when(
+                    F.pmod(F.xxhash64("id"), F.lit(2)) == 0,
+                    50.0 + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(500))
+                    .cast("double") / 1000.0,
+                )
+                .otherwise(
+                    F.pmod(F.xxhash64("id", F.lit(2)), F.lit(10000))
+                    .cast("double") / 100.0
+                )
+                .alias("value"),
+            )
+            .persist()
+        )
+        hot.count()
+        t0 = time.time()
+        grouped_weighted_median(
+            hot, ["g"], "value", "rid", "wt",
+            band_expr=F.floor(F.col("value") * 128),
+        ).write.format("noop").mode("overwrite").save()
+        results.setdefault("banded_median_hotband", []).append(
+            round(time.time() - t0, 2)
+        )
+        hot.unpersist()
+    sizes["banded_median_hotband"] = n_big / n_small
+
+    for m in (n_ops_small, n_ops_big):
+        g = synth_edges(spark, m, m // 4).persist()
+        g.count()
+        seeds = (
+            g.select(F.col("u").alias("node")).distinct()
+            .filter(F.col("node") % 1000 == 0)
+        )
+        t0 = time.time()
+        bfs_distances(g, seeds, rounds=3).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        results.setdefault("bfs_3hop", []).append(round(time.time() - t0, 2))
+        g.unpersist()
+    sizes["bfs_3hop"] = n_ops_big / n_ops_small
+
     # the raw blocked kernel is QUADRATIC by design (all-pairs compute
     # in bounded-memory blocks) — expected ratio is size_ratio^2.
     # Default sizes keep the default run short; STRESS_KERNEL_ROWS=a,b
