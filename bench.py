@@ -251,6 +251,7 @@ HEADLINE = [
     "streaming_dedup_watermark",
     "streaming_stream_join",
     "streaming_outer_join",
+    "streaming_join_then_window",
     # budgeted progressive ER, long-stream form: EIGHT micro-batches
     # (top-25 each — same 200-pair total budget as the 4-batch query)
     # with state compaction scheduled mid-stream (compact_every=3),

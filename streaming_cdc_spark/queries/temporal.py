@@ -1305,3 +1305,194 @@ def streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "k", "csec", F.coalesce(F.col("bsec"), F.lit(-1).cast("long")).alias("bsec")
     )
+
+
+_SJW_SRC: dict[str, str] = {}
+
+
+_SJW_ORACLE = f"""
+    WITH lohi AS (
+      SELECT MIN(event_id) AS lo,
+             (MAX(event_id) - MIN(event_id) + 4) // 4 AS step
+      FROM events
+    ),
+    clk AS (
+      SELECT user_id % 40 AS k, (event_id - lo) // step AS era,
+             CAST({_SSJ_T0} + ((event_id - lo) // step) * {_SSJ_G}
+                  + (user_id % 40 % 5) * 40 AS BIGINT) AS csec
+      FROM events, lohi WHERE event_id % 25 = 0
+    ),
+    buy AS (
+      SELECT user_id % 40 AS k, (event_id - lo) // step AS era,
+             CAST({_SSJ_T0} + ((event_id - lo) // step) * {_SSJ_G}
+                  + (user_id % 40 % 5) * 40 + 70 + (user_id % 40 % 3) * 300
+                  AS BIGINT) AS bsec
+      FROM events, lohi WHERE event_id % 25 = 1
+    ),
+    mxc AS (SELECT era AS b, MAX(csec) AS m FROM clk GROUP BY era),
+    mxb AS (SELECT era + 1 AS b, MAX(bsec) AS m FROM buy GROUP BY era),
+    w AS (
+      SELECT j,
+             CASE WHEN (SELECT MAX(m) FROM mxc WHERE b < j) IS NOT NULL
+                   AND (SELECT MAX(m) FROM mxb WHERE b < j) IS NOT NULL
+                  THEN LEAST((SELECT MAX(m) FROM mxc WHERE b < j),
+                             (SELECT MAX(m) FROM mxb WHERE b < j))
+             END AS wm
+      FROM (SELECT unnest(generate_series(0, 4)) AS j) jj
+    ),
+    wfin AS (
+      SELECT LEAST((SELECT MAX(m) FROM mxc), (SELECT MAX(m) FROM mxb)) AS wm
+    ),
+    cok AS (
+      SELECT c.* FROM clk c
+      WHERE c.csec >= COALESCE((SELECT wm FROM w WHERE j = c.era),
+                               -9223372036854775807)
+    ),
+    bok AS (
+      SELECT b.* FROM buy b
+      WHERE b.bsec >= COALESCE((SELECT wm FROM w WHERE j = b.era + 1),
+                               -9223372036854775807)
+    ),
+    m AS (
+      SELECT c.k, c.csec, b.bsec - c.csec AS lag_sec
+      FROM cok c JOIN bok b
+        ON c.k = b.k AND b.bsec >= c.csec AND b.bsec <= c.csec + {_SSJ_R}
+    ),
+    agg AS (
+      SELECT (csec // 1000) * 1000 AS win_start_sec,
+             COUNT(*) AS n_pairs,
+             SUM(lag_sec) AS sum_lag_sec
+      FROM m GROUP BY 1
+    )
+    SELECT CAST(win_start_sec AS BIGINT) AS win_start_sec,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(sum_lag_sec AS BIGINT) AS sum_lag_sec
+    FROM agg WHERE win_start_sec + 1000 <= (SELECT wm FROM wfin) - {_SSJ_R}
+"""
+
+
+@query("streaming_join_then_window", oracle=_SJW_ORACLE)
+def streaming_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED MULTI-STATEFUL streaming query under a FULL oracle —
+    a stream-stream inner join FEEDING a watermarked tumbling-window
+    aggregation in ONE streaming query (two stateful operators,
+    legal since multiple-stateful-operator support, SPARK-42376):
+    conversion-rate-per-window over click->buy pairs, the composition
+    a real funnel dashboard runs. Upstream join = the
+    streaming_stream_join geometry WITHOUT the late slice (the
+    SPARK-24634 two-watermark boundary must stay out of oracle reach
+    — see streaming_outer_join); downstream = 1000s tumbling windows
+    on the CLICK's event time (the join output keeps cts as its
+    event-time column after the buy side's is stripped), counting
+    pairs and exact lag sums per window (countDistinct is unsupported
+    in streaming aggregations). Emission (probe-pinned): the join
+    DELAYS the downstream watermark by its state-holding interval —
+    the aggregation finalizes a window iff its END <= final flush
+    watermark MINUS the 900s join bound (a join output row carrying
+    cts can still appear while wm <= cts + 900, so the agg's
+    operative watermark is wm - 900; observed live: era-2's window,
+    which the undelayed rule would emit at margin 160s, stays open).
+    Era 0-1 windows emit (margins 260s+), eras 2-3 must NOT (margins
+    740s+); window ends are 1000-aligned while the threshold carries
+    a 740s offset, so strict-vs-non-strict is unobservable. The
+    oracle replays join + window assignment + the delayed-watermark
+    emission rule relationally; a hash match certifies the watermark
+    arithmetic propagates CORRECTLY THROUGH the join into the
+    aggregation's finalization decision — the property
+    single-operator queries cannot test."""
+    import os
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    src = _SJW_SRC.get(sf_dir)
+    if src is None or not os.path.isdir(src):
+        lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+        step = (hi - lo + 4) // 4
+        src = cached_tmp_dir("sjw_src_")
+        from streaming_cdc_spark.session import write_mtime_pinned_splits
+
+        k = F.col("user_id") % 40
+        empty = ev.filter(F.lit(False)).select(
+            k.alias("k"), F.lit(0).cast("long").alias("sec")
+        )
+        clks, buys = [], []
+        for i in range(5):
+            clks.append(
+                ev.filter(
+                    (F.col("event_id") % 25 == 0)
+                    & (F.col("event_id") >= lo + i * step)
+                    & (F.col("event_id") < lo + (i + 1) * step)
+                ).select(
+                    k.alias("k"),
+                    (
+                        F.lit(_SSJ_T0 + i * _SSJ_G) + (k % 5) * 40
+                    ).cast("long").alias("sec"),
+                )
+                if i < 4
+                else empty
+            )
+            e = i - 1
+            buys.append(
+                ev.filter(
+                    (F.col("event_id") % 25 == 1)
+                    & (F.col("event_id") >= lo + e * step)
+                    & (F.col("event_id") < lo + (e + 1) * step)
+                ).select(
+                    k.alias("k"),
+                    (
+                        F.lit(_SSJ_T0 + e * _SSJ_G)
+                        + (k % 5) * 40 + F.lit(70) + (k % 3) * 300
+                    ).cast("long").alias("sec"),
+                )
+                if e >= 0
+                else empty
+            )
+        write_mtime_pinned_splits(clks, os.path.join(src, "clk"))
+        write_mtime_pinned_splits(buys, os.path.join(src, "buy"))
+        _SJW_SRC[sf_dir] = src
+
+    def _rd(side: str):
+        return (
+            spark.readStream.schema("k long, sec long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/{side}/split_*/*.parquet")
+            .withColumn("ts", F.timestamp_seconds("sec"))
+            .withWatermark("ts", "0 seconds")
+        )
+
+    c = _rd("clk").select(
+        F.col("k").alias("ck"), F.col("ts").alias("cts"), F.col("sec").alias("csec")
+    )
+    b = _rd("buy").select(
+        F.col("k").alias("bk"), F.col("ts").alias("bts"), F.col("sec").alias("bsec")
+    )
+    j = c.join(
+        b,
+        (F.col("ck") == F.col("bk"))
+        & (F.col("bts") >= F.col("cts"))
+        & (F.col("bts") <= F.col("cts") + F.expr(f"INTERVAL {_SSJ_R} SECONDS")),
+    )
+    # strip the buy side's event time (cast round-trip) so exactly one
+    # event-time column feeds the downstream stateful aggregation —
+    # the multi_stream_join chaining rule
+    g = (
+        j.select(
+            F.col("cts").alias("ts"),
+            (F.col("bsec") - F.col("csec")).alias("lag_sec"),
+        )
+        .groupBy(F.window("ts", "1000 seconds").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("lag_sec").cast("long").alias("sum_lag_sec"),
+        )
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("win_start_sec"),
+            "n_pairs",
+            "sum_lag_sec",
+        )
+    )
+    from streaming_cdc_spark.session import drain_to_memory
+
+    return drain_to_memory(g, "sjw").select(
+        "win_start_sec", "n_pairs", "sum_lag_sec"
+    )
+

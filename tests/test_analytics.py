@@ -649,3 +649,30 @@ def test_hopping_distinct_users_golden(spark, tmp_path):
         h0: (1, 2),      # covers both events: distinct user counted ONCE
         h0 + 2: (1, 1),  # covers only t1
     }
+
+
+def test_time_weighted_value_golden(spark, tmp_path):
+    import pandas as pd
+
+    # v=1.00 held 10s, v=3.00 held 30s, final obs unheld:
+    # TWAP = (100*10 + 300*30) / 40 cents = 2.5
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 1, "a", 1.00, "{}"),
+        (1, t0 + datetime.timedelta(seconds=10), 1, "a", 3.00, "{}"),
+        (2, t0 + datetime.timedelta(seconds=40), 1, "a", 99.0, "{}"),
+        # user 2: both events share one timestamp -> zero total weight,
+        # excluded on both engines
+        (3, t0, 2, "a", 5.0, "{}"),
+        (4, t0, 2, "a", 7.0, "{}"),
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+    from streaming_cdc_spark.queries.analytics import time_weighted_value
+
+    out = {
+        r["user_id"]: (r["n_held"], r["twap_r"])
+        for r in time_weighted_value(spark, str(tmp_path)).collect()
+    }
+    assert out == {1: (2, 2.5)}
