@@ -78,6 +78,7 @@ HEADLINE = [
     "purchase_attribution",
     "value_histogram_bins",
     "equidepth_histogram",
+    "unpivot_metric_stats",
     "bpe_merge_table",
     # r6: streaming sharded-state Misra-Gries (same oracle as the
     # batch sketch) and resource-allocation link prediction (integer

@@ -504,3 +504,52 @@ def running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.sum(F.col("value").cast(DEC)).over(w).cast("double"), 2).alias("cum_value"),
     )
+
+
+@query(
+    "unpivot_metric_stats",
+    oracle="""
+    WITH m AS (
+      SELECT 'l_quantity' AS metric, l_quantity AS v FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT metric, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS sum_r,
+           ROUND(MIN(v), 2) AS min_r,
+           ROUND(MAX(v), 2) AS max_r
+    FROM m GROUP BY metric
+    """,
+)
+def unpivot_metric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse of pivot_user_event_matrix and
+    the remaining reshaping surface: four lineitem measure columns
+    melt into (metric, value) rows via the native
+    ``DataFrame.unpivot``, then one keyed aggregation profiles each
+    metric. Catalyst lowers unpivot to ONE Expand (x4 rows) feeding a
+    partial aggregate — one scan and one shuffle for all four
+    profiles, vs four scans if each metric were aggregated separately
+    (the same Expand economics as the rollup cube). The ORACLE is the
+    independent four-way UNION ALL formulation, so the hash match
+    proves the Expand lowering loses/duplicates nothing. Money sums
+    follow the DECIMAL(18,2) registry rule; min/max round 2dp."""
+    li = load(spark, sf_dir, "lineitem")
+    m = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "v",
+    )
+    return m.groupBy("metric").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum(F.col("v").cast("decimal(18,2)")).cast("double"), 2).alias(
+            "sum_r"
+        ),
+        F.round(F.min("v"), 2).alias("min_r"),
+        F.round(F.max("v"), 2).alias("max_r"),
+    )

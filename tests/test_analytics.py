@@ -676,3 +676,81 @@ def test_time_weighted_value_golden(spark, tmp_path):
         for r in time_weighted_value(spark, str(tmp_path)).collect()
     }
     assert out == {1: (2, 2.5)}
+
+
+def test_streaming_misra_gries_resumes_across_query_restarts(spark, tmp_path):
+    """OPERATIONAL resume evidence: applyInPandasWithState state must
+    survive a query STOP and a later start from the same checkpoint
+    (every other streaming test drains in one availableNow run). Two
+    files drain in run 1, the query terminates, two MORE files land,
+    and a second query start on the SAME checkpoint processes only
+    the new files — the final counters must equal a fresh single-run
+    drain of all four files. Also pins that the file source tracks
+    processed files by its own log, not mtimes: the run-2 files carry
+    OLDER mtimes than the already-processed ones (the pinning helper
+    restarts its clock per call) and must still be admitted, in
+    mtime order relative to each other."""
+    import os
+
+    import pandas as pd
+
+    from streaming_cdc_spark.streaming.windows import streaming_misra_gries
+
+    def write(i: int, keys: list[str]) -> None:
+        p = str(tmp_path / "src" / f"split_{i}.parquet")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        pd.DataFrame(
+            {"event_id": range(i * 100, i * 100 + len(keys)), "key": keys}
+        ).to_parquet(p)
+        # deliberately NOT monotone across runs: splits 2-3 get the
+        # same low mtimes as 0-1 did
+        os.utime(p, (1_000_000 + i % 2, 1_000_000 + i % 2))
+
+    batches = [
+        ["hot"] * 30 + [f"a{i}" for i in range(20)],
+        ["hot"] * 10 + [f"b{i}" for i in range(30)],
+        ["hot"] * 25 + [f"c{i}" for i in range(15)],
+        ["hot"] * 5 + [f"d{i}" for i in range(35)],
+    ]
+
+    def drain(src: str, ckpt: str, name: str):
+        stream = (
+            spark.readStream.schema("event_id long, key string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*.parquet")
+        )
+        out = streaming_misra_gries(stream, k=4, n_shards=1)
+        rows = []
+
+        # memory sink does not support checkpoint RECOVERY; foreachBatch does
+        def sink(df_, bid):
+            rows.extend(df_.collect())
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return rows
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    write(0, batches[0])
+    write(1, batches[1])
+    r1 = drain(src, ckpt, "mg_resume_run1")
+    assert max(r["batch_idx"] for r in r1) == 2
+    write(2, batches[2])
+    write(3, batches[3])
+    r2 = drain(src, ckpt, "mg_resume_run2")
+    # run 2 processed ONLY the new files, continuing the state: batch
+    # indices continue at 3 and 4
+    assert sorted({r["batch_idx"] for r in r2}) == [3, 4]
+    final = {r["key"]: r["est"] for r in r2 if r["batch_idx"] == 4}
+
+    # single-run reference over all four files, fresh checkpoint
+    src_ref = str(tmp_path / "src")  # same files
+    ref_rows = drain(src_ref, str(tmp_path / "ckpt_ref"), "mg_resume_ref")
+    ref = {r["key"]: r["est"] for r in ref_rows if r["batch_idx"] == 4}
+    assert final == ref
