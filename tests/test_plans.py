@@ -282,3 +282,42 @@ def test_pq_adc_scan_carries_no_vectors_past_encode(spark):
     assert "Window" in plan
     ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert ex and all("embedding" not in l for l in ex), ex
+
+
+def test_parquet_aggregate_pushdown_serves_from_footers(spark):
+    """At 100 TB, COUNT/MIN/MAX over a partition-pruned slice should
+    be answered from parquet footer statistics, not by scanning data:
+    with the v2 parquet source and aggregatePushdown on, the scan node
+    carries PushedAggregation and the values still match the v1 scan
+    path. This is the one optimizer surface the default v1 session
+    cannot exercise — pinned here with a scoped conf flip."""
+    from pyspark.sql import functions as F
+
+    old_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    old_pd = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    agg_cols = [
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_quantity").alias("mn"),
+        F.max("l_quantity").alias("mx"),
+    ]
+    ref = (
+        spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        .agg(*agg_cols)
+        .collect()[0]
+    )
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        df = spark.read.parquet(
+            "/root/testdata/sf0.01/lineitem.parquet"
+        ).agg(*agg_cols)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert (
+            "PushedAggregation: [COUNT(*), MIN(l_quantity), MAX(l_quantity)]"
+            in plan
+        ), plan[:1500]
+        got = df.collect()[0]
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", old_pd)
+    assert tuple(got) == tuple(ref)

@@ -139,6 +139,33 @@ SHOWCASE = [
         "ExistingRDD effect).",
         [r"HashAggregate", r"Scan ExistingRDD"],
     ),
+    (
+        "unpivot_metric_stats",
+        "UNPIVOT/melt (r7): DataFrame.unpivot lowers to ONE Expand (x4 "
+        "rows) feeding a partial aggregate — one scan and one shuffle "
+        "profile all four measures; the oracle's four-scan UNION ALL "
+        "formulation exists only in DuckDB.",
+        [r"Expand", r"HashAggregate"],
+    ),
+    (
+        "mad_outlier_stats",
+        "MAD outliers (r7): two chained banded exact medians — each "
+        "median is a tiny (type, band) prefix-weight window plus an "
+        "in-band rank window (every Window partition band-bounded), "
+        "and the 5-row med/mad relations come back as broadcast hash "
+        "joins; the cents base is one localCheckpointed scan shared by "
+        "all three passes.",
+        [r"Window", r"BroadcastHashJoin", r"Scan ExistingRDD"],
+    ),
+    (
+        "basket_part_pairs",
+        "Apriori pair mining (r7): the frequent-item semi-prune is a "
+        "keyed equi-join BEFORE the quadratic step, and pair generation "
+        "self-joins the pruned baskets CO-PARTITIONED on the basket key "
+        "(both sides hashpartition on okey, one shuffle each); the "
+        "one-row order total rides in as a whitelisted scalar broadcast.",
+        [r"hashpartitioning\(okey"],
+    ),
 ]
 
 
