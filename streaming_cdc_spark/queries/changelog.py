@@ -489,14 +489,20 @@ def ivm_hotkey_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     at driver scale instead of the adaptive default's plain-window
     shortcut below 250k rows (the threshold_cc_distributed pattern:
     force the 100 TB physical so the driver hash-verifies IT). The hot
-    key's ops spread over seq-range/4096 bands (sf0.01: ~3k hot rows
-    over 3 bands; sf0.1: ~30k over 25), so every window partition is
-    band-bounded — no task ever sorts the hot key whole — while the
-    band-first/band-last pre-image stitching is exercised across
-    dozens of hot-key band boundaries. The oracle stays the
-    independent recompute formulation, so the hash match is the IVM
-    theorem ON THE SKEWED LOG via the banded path. Flat per-band
-    partition sizes are pinned by tests/test_changelog.py."""
+    key's ops spread across the banded windows, so every window
+    partition is band-bounded — no task ever sorts the hot key whole
+    — while the band-first/band-last pre-image stitching is exercised
+    across dozens of hot-key band boundaries. The forced width SCALES
+    with the seq range (range/64, floored at 256): the original fixed
+    4096 made bands-per-key GROW with sf in the transition regime
+    (the r6 adaptive-band lesson recurring in the query that disables
+    adaptivity — measure_shuffle alpha 1.21), while range/64 keeps
+    the hot key at a constant ~40-64 bands at every scale, so the
+    band-last relation stays proportional to keys, not to rows. The
+    oracle stays the independent recompute formulation (band-width-
+    invariant), so the hash match is the IVM theorem ON THE SKEWED
+    LOG via the banded path. Flat per-band partition sizes are pinned
+    by tests/test_changelog.py."""
     from streaming_cdc_spark.operators.changelog import changelog_deltas
 
     ev = load(spark, sf_dir, "events")
@@ -506,7 +512,9 @@ def ivm_hotkey_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_OP_CASE).alias("op"),
         "value",
     )
-    d = changelog_deltas(log, ["k"], "seq", "op", "value", band_width=4096)
+    lo, hi = log.agg(F.min("seq"), F.max("seq")).first()
+    bw = max(256, (hi - lo + 1) // 64)
+    d = changelog_deltas(log, ["k"], "seq", "op", "value", band_width=bw)
     return (
         d.withColumn("grp", F.col("k") % 10)
         .groupBy("grp")

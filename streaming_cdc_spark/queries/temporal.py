@@ -1086,43 +1086,50 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "interval_overlap_join",
     oracle="""
     WITH iv AS (
-      SELECT l_returnflag AS flag,
+      SELECT l_suppkey AS skey,
              CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS iid,
              date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS s,
              date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
                + l_orderkey % 14 + 1 AS e
-      FROM lineitem WHERE l_orderkey % 101 = 0
+      FROM lineitem WHERE l_orderkey % 13 = 0
     )
-    SELECT a.flag, a.iid AS id_a, b.iid AS id_b,
+    SELECT a.skey, a.iid AS id_a, b.iid AS id_b,
            CAST(LEAST(a.e, b.e) - GREATEST(a.s, b.s) + 1 AS BIGINT)
              AS overlap_len
     FROM iv a JOIN iv b
-      ON a.flag = b.flag AND a.iid < b.iid
+      ON a.skey = b.skey AND a.iid < b.iid
      AND a.s <= b.e AND b.s <= a.e
     """,
 )
 def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERVAL OVERLAP SELF-JOIN (operators/temporal.py:
     interval_overlap_pairs): sampled shipment validity windows
-    [shipdate, shipdate + orderkey%14 + 1 days] per returnflag; the
+    [shipdate, shipdate + orderkey%14 + 1 days] per SUPPLIER; the
     engine runs the bucket-join physical (14-day buckets — max span,
     so <= 2 bucket rows per interval; equi-join + DISTINCT + exact
     verify), the oracle is the INDEPENDENT naive theta join. The hash
     match proves the bucketing loses no pair and the verify admits no
     false one — the interval-JOIN sibling of interval_coverage_counts'
-    point-in-interval check. Dates as epoch-day integers end to end
-    (the DATE fetch-path rule)."""
+    point-in-interval check. The key MUST scale with the corpus: the
+    original returnflag key (3 values over a fixed 7-year range)
+    densified with sf — intervals per key grew 10x per sf, so output
+    pairs grew ~100x (measure_shuffle alpha 1.54 — the ppjoin
+    fixed-vocab densification class). Supplier cardinality grows
+    linearly with sf, so intervals-per-key (~46) and pairs-per-key
+    are CONSTANT across scales: measured pair counts 62/708/6753 at
+    sf0.001/0.01/0.1 — exactly linear. Dates as epoch-day integers
+    end to end (the DATE fetch-path rule)."""
     from streaming_cdc_spark.operators.temporal import interval_overlap_pairs
 
-    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 101 == 0)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 13 == 0)
     s = F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date"))
     iv = li.select(
-        F.col("l_returnflag").alias("flag"),
+        F.col("l_suppkey").alias("skey"),
         (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long").alias("iid"),
         s.cast("long").alias("s"),
         (s + F.col("l_orderkey") % 14 + 1).cast("long").alias("e"),
     )
-    return interval_overlap_pairs(iv, "flag", "iid", "s", "e", bucket_width=14)
+    return interval_overlap_pairs(iv, "skey", "iid", "s", "e", bucket_width=14)
 
 
 _LOJ_SRC: dict[str, str] = {}
