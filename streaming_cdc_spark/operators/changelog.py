@@ -191,6 +191,7 @@ def changelog_deltas(
     value_col: str,
     delete_op: str = DELETE_OP,
     band_width: int | None = None,
+    target_bands: int | None = None,
 ) -> DataFrame:
     """Incremental-view-maintenance DELTAS from an I/U/D op-log: each
     op's contribution to any downstream SUM/COUNT view, so the view is
@@ -242,16 +243,24 @@ def changelog_deltas(
     the side-table ∝ keys at small scale and <= rows always. Logs
     that fit the per-band target entirely take the PLAIN single
     per-key window (band_width=0 forces it): no partition can exceed
-    the bound anyway, and the band machinery costs ~2x there."""
+    the bound anyway, and the band machinery costs ~2x there.
+    ``target_bands`` FORCES the banded path with a width sized from
+    the operator's own planning scalars so the seq range splits into
+    ~that many bands at any scale — the driver-scale 'force the 100 TB
+    physical' dial (ivm_hotkey_sums) without the transition-regime
+    superlinearity a FIXED forced width has (bands-per-key must stay
+    constant across scales, not grow with the seq range)."""
     from pyspark.sql import Window as W
 
     _BAND_TARGET = 250_000
-    if band_width is None:
+    if band_width is None or target_bands is not None:
         lo, hi, n = oplog.agg(
             F.min(seq_col), F.max(seq_col), F.count(F.lit(1))
         ).first()
         if n == 0 or lo is None:
             band_width = 1
+        elif target_bands is not None:
+            band_width = max(1, (int(hi) - int(lo)) // max(1, target_bands) + 1)
         elif int(n) <= _BAND_TARGET:
             # banding bounds window partitions at ~_BAND_TARGET rows;
             # when the WHOLE log fits that bound no partition can
@@ -259,8 +268,8 @@ def changelog_deltas(
             # side table + join cost ~2x at small scale for nothing)
             band_width = 0
         else:
-            target_bands = max(32, -(-int(n) // _BAND_TARGET))
-            band_width = max(1, (int(hi) - int(lo)) // target_bands + 1)
+            n_bands = max(32, -(-int(n) // _BAND_TARGET))
+            band_width = max(1, (int(hi) - int(lo)) // n_bands + 1)
     state = F.when(
         F.col(op_col) != delete_op, F.col(value_col).cast("decimal(18,2)")
     )

@@ -1157,7 +1157,7 @@ def user_range_frame_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(value AS DECIMAL(18,6))
                  * CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
                         AS DECIMAL(18,0))) AS sxy
-      FROM events GROUP BY event_type
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n,
            ROUND(
@@ -1193,7 +1193,7 @@ def value_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     6dp. The built-in regr_slope streams float partials whose merge
     order varies with partitioning — the silent-divergence class
     check_invariance exists for. One keyed aggregation, no joins."""
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     x = F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("decimal(18,0)")
     y = F.col("value").cast("decimal(18,6)")
     m = ev.groupBy("event_type").agg(

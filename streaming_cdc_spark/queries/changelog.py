@@ -493,16 +493,16 @@ def ivm_hotkey_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition is band-bounded — no task ever sorts the hot key whole
     — while the band-first/band-last pre-image stitching is exercised
     across dozens of hot-key band boundaries. The forced width SCALES
-    with the seq range (range/64, floored at 256): the original fixed
-    4096 made bands-per-key GROW with sf in the transition regime
-    (the r6 adaptive-band lesson recurring in the query that disables
-    adaptivity — measure_shuffle alpha 1.21), while range/64 keeps
-    the hot key at a constant ~40-64 bands at every scale, so the
-    band-last relation stays proportional to keys, not to rows. The
-    oracle stays the independent recompute formulation (band-width-
-    invariant), so the hash match is the IVM theorem ON THE SKEWED
-    LOG via the banded path. Flat per-band partition sizes are pinned
-    by tests/test_changelog.py."""
+    with the seq range (target_bands=64 — the operator sizes the
+    width from its own planning scalars): the original fixed 4096
+    made bands-per-key GROW with sf in the transition regime (the r6
+    adaptive-band lesson recurring in the query that disables
+    adaptivity — measure_shuffle alpha 1.21), while ~64 bands at
+    every scale keeps the band-last relation proportional to keys,
+    not to rows. The oracle stays the independent recompute
+    formulation (band-width-invariant), so the hash match is the IVM
+    theorem ON THE SKEWED LOG via the banded path. Flat per-band
+    partition sizes are pinned by tests/test_changelog.py."""
     from streaming_cdc_spark.operators.changelog import changelog_deltas
 
     ev = load(spark, sf_dir, "events")
@@ -512,9 +512,7 @@ def ivm_hotkey_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_OP_CASE).alias("op"),
         "value",
     )
-    lo, hi = log.agg(F.min("seq"), F.max("seq")).first()
-    bw = max(256, (hi - lo + 1) // 64)
-    d = changelog_deltas(log, ["k"], "seq", "op", "value", band_width=bw)
+    d = changelog_deltas(log, ["k"], "seq", "op", "value", target_bands=64)
     return (
         d.withColumn("grp", F.col("k") % 10)
         .groupBy("grp")

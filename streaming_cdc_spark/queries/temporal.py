@@ -927,7 +927,24 @@ _SSJ_SRC: dict[str, str] = {}
 _SSJ_T0, _SSJ_G, _SSJ_R = 1_700_000_000, 1000, 900
 
 
-_SSJ_ORACLE = f"""
+def _cb_prologue(late_shift: int, abandoned_mod4: int | None = None) -> str:
+    """Shared oracle prologue for the click/buy stream-join family
+    (streaming_stream_join / streaming_outer_join /
+    streaming_join_then_window): the fixture replay (clicks arrive at
+    batch = era, buys one batch later), the per-batch lagging
+    watermark CTE ``w``, the availableNow flush watermark ``wfin``,
+    and the on-time slices ``cok``/``bok``. The three queries differ
+    only in ``late_shift`` (seconds subtracted from the k%11=3
+    slice's buy times; 0 = no late slice) and the LOJ-only
+    ``abandoned_mod4`` (keys with k%4 = that value ship no buys).
+    Keeping ONE prologue is what stops the geometry from drifting
+    apart across the family (the write_mtime_pinned_splits lesson)."""
+    ab = (
+        f" AND user_id % 40 % 4 <> {abandoned_mod4}"
+        if abandoned_mod4 is not None
+        else ""
+    )
+    return f"""
     WITH lohi AS (
       SELECT MIN(event_id) AS lo,
              (MAX(event_id) - MIN(event_id) + 4) // 4 AS step
@@ -943,9 +960,10 @@ _SSJ_ORACLE = f"""
       SELECT user_id % 40 AS k, (event_id - lo) // step AS era,
              CAST({_SSJ_T0} + ((event_id - lo) // step) * {_SSJ_G}
                   + (user_id % 40 % 5) * 40 + 70 + (user_id % 40 % 3) * 300
-                  - CASE WHEN user_id % 40 % 11 = 3 THEN 2000 ELSE 0 END
+                  - CASE WHEN user_id % 40 % 11 = 3 THEN {late_shift}
+                         ELSE 0 END
                   AS BIGINT) AS bsec
-      FROM events, lohi WHERE event_id % 25 = 1
+      FROM events, lohi WHERE event_id % 25 = 1{ab}
     ),
     -- clicks arrive at batch = era; buys of era e arrive at batch e+1
     mxc AS (SELECT era AS b, MAX(csec) AS m FROM clk GROUP BY era),
@@ -963,6 +981,11 @@ _SSJ_ORACLE = f"""
              END AS wm
       FROM (SELECT unnest(generate_series(0, 4)) AS j) jj
     ),
+    -- final watermark after the availableNow flush batch: min over
+    -- sides of the max event time across ALL batches
+    wfin AS (
+      SELECT LEAST((SELECT MAX(m) FROM mxc), (SELECT MAX(m) FROM mxb)) AS wm
+    ),
     cok AS (
       SELECT c.* FROM clk c
       WHERE c.csec >= COALESCE((SELECT wm FROM w WHERE j = c.era),
@@ -972,7 +995,118 @@ _SSJ_ORACLE = f"""
       SELECT b.* FROM buy b
       WHERE b.bsec >= COALESCE((SELECT wm FROM w WHERE j = b.era + 1),
                                -9223372036854775807)
+    )"""
+
+
+def _cb_fixture(
+    spark: SparkSession,
+    sf_dir: str,
+    cache: dict,
+    prefix: str,
+    late_shift: int,
+    abandoned_mod4: int | None = None,
+) -> str:
+    """Write (once per sf_dir) the click/buy mtime-pinned split dirs
+    the stream-join family reads: 5 batches, clicks of era i in batch
+    i (batch 4 empty), buys of era e in batch e+1 (batch 0 empty) —
+    mirrors _cb_prologue exactly; keep the two in lockstep."""
+    import os
+
+    src = cache.get(sf_dir)
+    if src is not None and os.path.isdir(src):
+        return src
+    from streaming_cdc_spark.session import write_mtime_pinned_splits
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    step = (hi - lo + 4) // 4
+    src = cached_tmp_dir(prefix)
+    k = F.col("user_id") % 40
+    empty = ev.filter(F.lit(False)).select(
+        k.alias("k"), F.lit(0).cast("long").alias("sec")
     )
+    clks, buys = [], []
+    for i in range(5):
+        clks.append(
+            ev.filter(
+                (F.col("event_id") % 25 == 0)
+                & (F.col("event_id") >= lo + i * step)
+                & (F.col("event_id") < lo + (i + 1) * step)
+            ).select(
+                k.alias("k"),
+                (F.lit(_SSJ_T0 + i * _SSJ_G) + (k % 5) * 40)
+                .cast("long")
+                .alias("sec"),
+            )
+            if i < 4
+            else empty
+        )
+        e = i - 1  # buys arriving at batch i carry time-era i-1
+        bf = (
+            (F.col("event_id") % 25 == 1)
+            & (F.col("event_id") >= lo + e * step)
+            & (F.col("event_id") < lo + (e + 1) * step)
+        )
+        if abandoned_mod4 is not None:
+            bf = bf & (k % 4 != abandoned_mod4)
+        buys.append(
+            ev.filter(bf).select(
+                k.alias("k"),
+                (
+                    F.lit(_SSJ_T0 + e * _SSJ_G)
+                    + (k % 5) * 40
+                    + F.lit(70)
+                    + (k % 3) * 300
+                    - F.when(k % 11 == 3, late_shift).otherwise(0)
+                ).cast("long").alias("sec"),
+            )
+            if e >= 0
+            else empty
+        )
+    import os as _os
+
+    write_mtime_pinned_splits(clks, _os.path.join(src, "clk"))
+    write_mtime_pinned_splits(buys, _os.path.join(src, "buy"))
+    cache[sf_dir] = src
+    return src
+
+
+def _cb_streams(spark: SparkSession, src: str):
+    """Standard watermarked click/buy stream pair over a _cb_fixture
+    dir: returns (clicks, buys) with (ck, cts, csec) / (bk, bts,
+    bsec) columns and 0-second watermarks on both sides."""
+
+    def _rd(side: str):
+        return (
+            spark.readStream.schema("k long, sec long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/{side}/split_*/*.parquet")
+            .withColumn("ts", F.timestamp_seconds("sec"))
+            .withWatermark("ts", "0 seconds")
+        )
+
+    c = _rd("clk").select(
+        F.col("k").alias("ck"), F.col("ts").alias("cts"), F.col("sec").alias("csec")
+    )
+    b = _rd("buy").select(
+        F.col("k").alias("bk"), F.col("ts").alias("bts"), F.col("sec").alias("bsec")
+    )
+    return c, b
+
+
+def _cb_join(c, b, how: str = "inner"):
+    """The family's shared join condition: same key, buy time within
+    [click, click + R]."""
+    return c.join(
+        b,
+        (F.col("ck") == F.col("bk"))
+        & (F.col("bts") >= F.col("cts"))
+        & (F.col("bts") <= F.col("cts") + F.expr(f"INTERVAL {_SSJ_R} SECONDS")),
+        how,
+    )
+
+
+_SSJ_ORACLE = _cb_prologue(late_shift=2000) + f"""
     SELECT c.k, c.csec, b.bsec
     FROM cok c JOIN bok b
       ON c.k = b.k AND b.bsec >= c.csec AND b.bsec <= c.csec + {_SSJ_R}
@@ -1003,80 +1137,11 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction: an earlier row is evicted only when no on-time
     future partner can satisfy the condition). Row multiplicities
     carry through the join on both engines."""
-    import os
-
-    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
-    src = _SSJ_SRC.get(sf_dir)
-    if src is None or not os.path.isdir(src):
-        lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
-        step = (hi - lo + 4) // 4
-        src = cached_tmp_dir("ssj_src_")
-        from streaming_cdc_spark.session import write_mtime_pinned_splits
-
-        k = F.col("user_id") % 40
-        empty = ev.filter(F.lit(False)).select(
-            k.alias("k"), F.lit(0).cast("long").alias("sec")
-        )
-        clks, buys = [], []
-        for i in range(5):
-            clks.append(
-                ev.filter(
-                    (F.col("event_id") % 25 == 0)
-                    & (F.col("event_id") >= lo + i * step)
-                    & (F.col("event_id") < lo + (i + 1) * step)
-                ).select(
-                    k.alias("k"),
-                    (
-                        F.lit(_SSJ_T0 + i * _SSJ_G) + (k % 5) * 40
-                    ).cast("long").alias("sec"),
-                )
-                if i < 4
-                else empty
-            )
-            e = i - 1  # buys arriving at batch i carry time-era i-1
-            buys.append(
-                ev.filter(
-                    (F.col("event_id") % 25 == 1)
-                    & (F.col("event_id") >= lo + e * step)
-                    & (F.col("event_id") < lo + (e + 1) * step)
-                ).select(
-                    k.alias("k"),
-                    (
-                        F.lit(_SSJ_T0 + e * _SSJ_G)
-                        + (k % 5) * 40 + F.lit(70) + (k % 3) * 300
-                        - F.when(k % 11 == 3, 2000).otherwise(0)
-                    ).cast("long").alias("sec"),
-                )
-                if e >= 0
-                else empty
-            )
-        write_mtime_pinned_splits(clks, os.path.join(src, "clk"))
-        write_mtime_pinned_splits(buys, os.path.join(src, "buy"))
-        _SSJ_SRC[sf_dir] = src
-
-    def _rd(side: str):
-        return (
-            spark.readStream.schema("k long, sec long")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{src}/{side}/split_*/*.parquet")
-            .withColumn("ts", F.timestamp_seconds("sec"))
-            .withWatermark("ts", "0 seconds")
-        )
-
-    c = _rd("clk").select(
-        F.col("k").alias("ck"), F.col("ts").alias("cts"), F.col("sec").alias("csec")
-    )
-    b = _rd("buy").select(
-        F.col("k").alias("bk"), F.col("ts").alias("bts"), F.col("sec").alias("bsec")
-    )
-    j = c.join(
-        b,
-        (F.col("ck") == F.col("bk"))
-        & (F.col("bts") >= F.col("cts"))
-        & (F.col("bts") <= F.col("cts") + F.expr(f"INTERVAL {_SSJ_R} SECONDS")),
-    )
     from streaming_cdc_spark.session import drain_to_memory
 
+    src = _cb_fixture(spark, sf_dir, _SSJ_SRC, "ssj_src_", late_shift=2000)
+    c, b = _cb_streams(spark, src)
+    j = _cb_join(c, b)
     return drain_to_memory(
         j.select(F.col("ck").alias("k"), "csec", "bsec"), "ssj"
     ).select("k", "csec", "bsec")
@@ -1135,53 +1200,7 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LOJ_SRC: dict[str, str] = {}
 
 
-_LOJ_ORACLE = f"""
-    WITH lohi AS (
-      SELECT MIN(event_id) AS lo,
-             (MAX(event_id) - MIN(event_id) + 4) // 4 AS step
-      FROM events
-    ),
-    clk AS (
-      SELECT user_id % 40 AS k, (event_id - lo) // step AS era,
-             CAST({_SSJ_T0} + ((event_id - lo) // step) * {_SSJ_G}
-                  + (user_id % 40 % 5) * 40 AS BIGINT) AS csec
-      FROM events, lohi WHERE event_id % 25 = 0
-    ),
-    buy AS (
-      SELECT user_id % 40 AS k, (event_id - lo) // step AS era,
-             CAST({_SSJ_T0} + ((event_id - lo) // step) * {_SSJ_G}
-                  + (user_id % 40 % 5) * 40 + 70 + (user_id % 40 % 3) * 300
-                  - CASE WHEN user_id % 40 % 11 = 3 THEN 5000 ELSE 0 END
-                  AS BIGINT) AS bsec
-      FROM events, lohi
-      WHERE event_id % 25 = 1 AND user_id % 40 % 4 <> 1
-    ),
-    mxc AS (SELECT era AS b, MAX(csec) AS m FROM clk GROUP BY era),
-    mxb AS (SELECT era + 1 AS b, MAX(bsec) AS m FROM buy GROUP BY era),
-    w AS (
-      SELECT j,
-             CASE WHEN (SELECT MAX(m) FROM mxc WHERE b < j) IS NOT NULL
-                   AND (SELECT MAX(m) FROM mxb WHERE b < j) IS NOT NULL
-                  THEN LEAST((SELECT MAX(m) FROM mxc WHERE b < j),
-                             (SELECT MAX(m) FROM mxb WHERE b < j))
-             END AS wm
-      FROM (SELECT unnest(generate_series(0, 4)) AS j) jj
-    ),
-    -- final watermark after the availableNow flush batch: min over
-    -- sides of the max event time across ALL batches
-    wfin AS (
-      SELECT LEAST((SELECT MAX(m) FROM mxc), (SELECT MAX(m) FROM mxb)) AS wm
-    ),
-    cok AS (
-      SELECT c.* FROM clk c
-      WHERE c.csec >= COALESCE((SELECT wm FROM w WHERE j = c.era),
-                               -9223372036854775807)
-    ),
-    bok AS (
-      SELECT b.* FROM buy b
-      WHERE b.bsec >= COALESCE((SELECT wm FROM w WHERE j = b.era + 1),
-                               -9223372036854775807)
-    )
+_LOJ_ORACLE = _cb_prologue(late_shift=5000, abandoned_mod4=1) + f"""
     SELECT c.k, c.csec, b.bsec
     FROM cok c JOIN bok b
       ON c.k = b.k AND b.bsec >= c.csec AND b.bsec <= c.csec + {_SSJ_R}
@@ -1230,82 +1249,13 @@ def streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     blast radius while still exercising late input in the stream.
     NULL bsec is carried as the -1 sentinel on both engines
     (nullable-BIGINT NaN is the scd2 fetch-path hazard)."""
-    import os
-
-    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
-    src = _LOJ_SRC.get(sf_dir)
-    if src is None or not os.path.isdir(src):
-        lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
-        step = (hi - lo + 4) // 4
-        src = cached_tmp_dir("loj_src_")
-        from streaming_cdc_spark.session import write_mtime_pinned_splits
-
-        k = F.col("user_id") % 40
-        empty = ev.filter(F.lit(False)).select(
-            k.alias("k"), F.lit(0).cast("long").alias("sec")
-        )
-        clks, buys = [], []
-        for i in range(5):
-            clks.append(
-                ev.filter(
-                    (F.col("event_id") % 25 == 0)
-                    & (F.col("event_id") >= lo + i * step)
-                    & (F.col("event_id") < lo + (i + 1) * step)
-                ).select(
-                    k.alias("k"),
-                    (
-                        F.lit(_SSJ_T0 + i * _SSJ_G) + (k % 5) * 40
-                    ).cast("long").alias("sec"),
-                )
-                if i < 4
-                else empty
-            )
-            e = i - 1  # buys arriving at batch i carry time-era i-1
-            buys.append(
-                ev.filter(
-                    (F.col("event_id") % 25 == 1)
-                    & (k % 4 != 1)  # the abandoned slice ships no buys
-                    & (F.col("event_id") >= lo + e * step)
-                    & (F.col("event_id") < lo + (e + 1) * step)
-                ).select(
-                    k.alias("k"),
-                    (
-                        F.lit(_SSJ_T0 + e * _SSJ_G)
-                        + (k % 5) * 40 + F.lit(70) + (k % 3) * 300
-                        - F.when(k % 11 == 3, 5000).otherwise(0)
-                    ).cast("long").alias("sec"),
-                )
-                if e >= 0
-                else empty
-            )
-        write_mtime_pinned_splits(clks, os.path.join(src, "clk"))
-        write_mtime_pinned_splits(buys, os.path.join(src, "buy"))
-        _LOJ_SRC[sf_dir] = src
-
-    def _rd(side: str):
-        return (
-            spark.readStream.schema("k long, sec long")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{src}/{side}/split_*/*.parquet")
-            .withColumn("ts", F.timestamp_seconds("sec"))
-            .withWatermark("ts", "0 seconds")
-        )
-
-    c = _rd("clk").select(
-        F.col("k").alias("ck"), F.col("ts").alias("cts"), F.col("sec").alias("csec")
-    )
-    b = _rd("buy").select(
-        F.col("k").alias("bk"), F.col("ts").alias("bts"), F.col("sec").alias("bsec")
-    )
-    j = c.join(
-        b,
-        (F.col("ck") == F.col("bk"))
-        & (F.col("bts") >= F.col("cts"))
-        & (F.col("bts") <= F.col("cts") + F.expr(f"INTERVAL {_SSJ_R} SECONDS")),
-        "leftOuter",
-    )
     from streaming_cdc_spark.session import drain_to_memory
 
+    src = _cb_fixture(
+        spark, sf_dir, _LOJ_SRC, "loj_src_", late_shift=5000, abandoned_mod4=1
+    )
+    c, b = _cb_streams(spark, src)
+    j = _cb_join(c, b, "leftOuter")
     out = drain_to_memory(
         j.select(F.col("ck").alias("k"), "csec", "bsec"), "loj"
     )
@@ -1317,49 +1267,7 @@ def streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SJW_SRC: dict[str, str] = {}
 
 
-_SJW_ORACLE = f"""
-    WITH lohi AS (
-      SELECT MIN(event_id) AS lo,
-             (MAX(event_id) - MIN(event_id) + 4) // 4 AS step
-      FROM events
-    ),
-    clk AS (
-      SELECT user_id % 40 AS k, (event_id - lo) // step AS era,
-             CAST({_SSJ_T0} + ((event_id - lo) // step) * {_SSJ_G}
-                  + (user_id % 40 % 5) * 40 AS BIGINT) AS csec
-      FROM events, lohi WHERE event_id % 25 = 0
-    ),
-    buy AS (
-      SELECT user_id % 40 AS k, (event_id - lo) // step AS era,
-             CAST({_SSJ_T0} + ((event_id - lo) // step) * {_SSJ_G}
-                  + (user_id % 40 % 5) * 40 + 70 + (user_id % 40 % 3) * 300
-                  AS BIGINT) AS bsec
-      FROM events, lohi WHERE event_id % 25 = 1
-    ),
-    mxc AS (SELECT era AS b, MAX(csec) AS m FROM clk GROUP BY era),
-    mxb AS (SELECT era + 1 AS b, MAX(bsec) AS m FROM buy GROUP BY era),
-    w AS (
-      SELECT j,
-             CASE WHEN (SELECT MAX(m) FROM mxc WHERE b < j) IS NOT NULL
-                   AND (SELECT MAX(m) FROM mxb WHERE b < j) IS NOT NULL
-                  THEN LEAST((SELECT MAX(m) FROM mxc WHERE b < j),
-                             (SELECT MAX(m) FROM mxb WHERE b < j))
-             END AS wm
-      FROM (SELECT unnest(generate_series(0, 4)) AS j) jj
-    ),
-    wfin AS (
-      SELECT LEAST((SELECT MAX(m) FROM mxc), (SELECT MAX(m) FROM mxb)) AS wm
-    ),
-    cok AS (
-      SELECT c.* FROM clk c
-      WHERE c.csec >= COALESCE((SELECT wm FROM w WHERE j = c.era),
-                               -9223372036854775807)
-    ),
-    bok AS (
-      SELECT b.* FROM buy b
-      WHERE b.bsec >= COALESCE((SELECT wm FROM w WHERE j = b.era + 1),
-                               -9223372036854775807)
-    ),
+_SJW_ORACLE = _cb_prologue(late_shift=0) + f""",
     m AS (
       SELECT c.k, c.csec, b.bsec - c.csec AS lag_sec
       FROM cok c JOIN bok b
@@ -1407,80 +1315,14 @@ def streaming_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic propagates CORRECTLY THROUGH the join into the
     aggregation's finalization decision — the property
     single-operator queries cannot test."""
-    import os
+    from streaming_cdc_spark.session import drain_to_memory
 
-    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
-    src = _SJW_SRC.get(sf_dir)
-    if src is None or not os.path.isdir(src):
-        lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
-        step = (hi - lo + 4) // 4
-        src = cached_tmp_dir("sjw_src_")
-        from streaming_cdc_spark.session import write_mtime_pinned_splits
-
-        k = F.col("user_id") % 40
-        empty = ev.filter(F.lit(False)).select(
-            k.alias("k"), F.lit(0).cast("long").alias("sec")
-        )
-        clks, buys = [], []
-        for i in range(5):
-            clks.append(
-                ev.filter(
-                    (F.col("event_id") % 25 == 0)
-                    & (F.col("event_id") >= lo + i * step)
-                    & (F.col("event_id") < lo + (i + 1) * step)
-                ).select(
-                    k.alias("k"),
-                    (
-                        F.lit(_SSJ_T0 + i * _SSJ_G) + (k % 5) * 40
-                    ).cast("long").alias("sec"),
-                )
-                if i < 4
-                else empty
-            )
-            e = i - 1
-            buys.append(
-                ev.filter(
-                    (F.col("event_id") % 25 == 1)
-                    & (F.col("event_id") >= lo + e * step)
-                    & (F.col("event_id") < lo + (e + 1) * step)
-                ).select(
-                    k.alias("k"),
-                    (
-                        F.lit(_SSJ_T0 + e * _SSJ_G)
-                        + (k % 5) * 40 + F.lit(70) + (k % 3) * 300
-                    ).cast("long").alias("sec"),
-                )
-                if e >= 0
-                else empty
-            )
-        write_mtime_pinned_splits(clks, os.path.join(src, "clk"))
-        write_mtime_pinned_splits(buys, os.path.join(src, "buy"))
-        _SJW_SRC[sf_dir] = src
-
-    def _rd(side: str):
-        return (
-            spark.readStream.schema("k long, sec long")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{src}/{side}/split_*/*.parquet")
-            .withColumn("ts", F.timestamp_seconds("sec"))
-            .withWatermark("ts", "0 seconds")
-        )
-
-    c = _rd("clk").select(
-        F.col("k").alias("ck"), F.col("ts").alias("cts"), F.col("sec").alias("csec")
-    )
-    b = _rd("buy").select(
-        F.col("k").alias("bk"), F.col("ts").alias("bts"), F.col("sec").alias("bsec")
-    )
-    j = c.join(
-        b,
-        (F.col("ck") == F.col("bk"))
-        & (F.col("bts") >= F.col("cts"))
-        & (F.col("bts") <= F.col("cts") + F.expr(f"INTERVAL {_SSJ_R} SECONDS")),
-    )
-    # strip the buy side's event time (cast round-trip) so exactly one
-    # event-time column feeds the downstream stateful aggregation —
-    # the multi_stream_join chaining rule
+    src = _cb_fixture(spark, sf_dir, _SJW_SRC, "sjw_src_", late_shift=0)
+    c, b = _cb_streams(spark, src)
+    j = _cb_join(c, b)
+    # project AWAY the buy side's event-time column so exactly one
+    # event-time column (cts) feeds the downstream stateful
+    # aggregation — the multi_stream_join chaining rule
     g = (
         j.select(
             F.col("cts").alias("ts"),
@@ -1497,8 +1339,6 @@ def streaming_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_lag_sec",
         )
     )
-    from streaming_cdc_spark.session import drain_to_memory
-
     return drain_to_memory(g, "sjw").select(
         "win_start_sec", "n_pairs", "sum_lag_sec"
     )

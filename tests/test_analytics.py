@@ -713,7 +713,7 @@ def test_streaming_misra_gries_resumes_across_query_restarts(spark, tmp_path):
         ["hot"] * 5 + [f"d{i}" for i in range(35)],
     ]
 
-    def drain(src: str, ckpt: str, name: str):
+    def drain(src: str, ckpt: str):
         stream = (
             spark.readStream.schema("event_id long, key string")
             .option("maxFilesPerTrigger", 1)
@@ -739,18 +739,17 @@ def test_streaming_misra_gries_resumes_across_query_restarts(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     write(0, batches[0])
     write(1, batches[1])
-    r1 = drain(src, ckpt, "mg_resume_run1")
+    r1 = drain(src, ckpt)
     assert max(r["batch_idx"] for r in r1) == 2
     write(2, batches[2])
     write(3, batches[3])
-    r2 = drain(src, ckpt, "mg_resume_run2")
+    r2 = drain(src, ckpt)
     # run 2 processed ONLY the new files, continuing the state: batch
     # indices continue at 3 and 4
     assert sorted({r["batch_idx"] for r in r2}) == [3, 4]
     final = {r["key"]: r["est"] for r in r2 if r["batch_idx"] == 4}
 
-    # single-run reference over all four files, fresh checkpoint
-    src_ref = str(tmp_path / "src")  # same files
-    ref_rows = drain(src_ref, str(tmp_path / "ckpt_ref"), "mg_resume_ref")
+    # single-run reference over the same four files, fresh checkpoint
+    ref_rows = drain(src, str(tmp_path / "ckpt_ref"))
     ref = {r["key"]: r["est"] for r in ref_rows if r["batch_idx"] == 4}
     assert final == ref

@@ -402,3 +402,30 @@ def test_ivm_hotkey_banded_partitions_flat(spark):
     assert max(r["count"] for r in sizes) <= bw
     # the hot key really is hot: ~30% of all ops
     assert abs(sum(hot_bands) / n - 0.3) < 0.01
+
+
+def test_changelog_deltas_target_bands_forces_scaled_banding(spark):
+    """target_bands forces the banded physical with a width derived
+    from the operator's own planning scalars: results equal the plain
+    single-window form, and the seq range actually splits into ~the
+    requested band count (the ivm_hotkey_sums dial — a FIXED forced
+    width grows bands-per-key with scale; this must not)."""
+    from pyspark.sql import functions as F
+
+    from streaming_cdc_spark.operators.changelog import changelog_deltas
+
+    rows = [
+        (i % 5, i, "D" if i % 17 == 0 else ("I" if i % 3 == 0 else "U"),
+         float(i % 97))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "k long, seq long, op string, v double")
+    forced = changelog_deltas(df, ["k"], "seq", "op", "v", target_bands=8)
+    plain = changelog_deltas(df, ["k"], "seq", "op", "v", band_width=0)
+    got = {(r["k"], r["seq"]): (r["delta_value"], r["delta_live"])
+           for r in forced.collect()}
+    want = {(r["k"], r["seq"]): (r["delta_value"], r["delta_live"])
+            for r in plain.collect()}
+    assert got == want
+    # width = range // 8 + 1 = 75 -> 8 bands over seqs 0..599
+    assert "_band" not in forced.columns  # internal column projected away
