@@ -101,63 +101,85 @@ _PRIORITY = [
     "dendrogram_purity_fixture",
     "tree_cut_clusters",
     "bisect_clusters",
-    # the namesake CDC family (first driver-verified r6) + r7:
-    # cdc_time_travel (VERSION AS OF over the versioned sink — the
-    # retention/time-travel contract, never driver-checked).
+    # the namesake CDC family: r6 driver-verified the whole five-piece
+    # surface; the r7 MID-ROUND EXTENSION keeps the streaming twin +
+    # the never-checked time-travel contract in-window and swaps the
+    # four r6-verified batch members out for the r7-second-session
+    # backlog (every rotated-out query keeps its CORRECTNESS_r06 row
+    # and stays registered + locally gated + benched).
+    # ivm_hotkey_sums replaces its uniform-fixture sibling
+    # ivm_group_sums: same IVM recompute-oracle, but the fixture
+    # plants a 30% hot key so the driver hash-verifies the adaptive
+    # banded-lag physical (VERDICT r6 #5 asked for exactly this
+    # driver-facing number).
     "cdc_streaming_apply",
-    "cdc_capture_diff",
-    "cdc_scd2_history",
-    "cdc_evolving_apply",
-    "ivm_group_sums",
-    "cdc_log_apply",
     "cdc_time_travel",
-    # dedup family: the full-chain reps stay; r7 adds the planted-skew
-    # PPJoin twin and content-defined chunking (both never
-    # driver-checked).
-    "minhash_dedup_groups",
+    "ivm_hotkey_sums",
+    # streaming state physicals, r7 second-session: empirically
+    # pinned dropDuplicatesWithinWatermark state semantics;
+    # symmetric stream-stream join state (two-watermark late-input
+    # rule); chained multi-stateful (join -> delayed-watermark
+    # windowed agg).
+    "streaming_dedup_watermark",
+    "streaming_stream_join",
+    "streaming_join_then_window",
+    # dedup family: full-chain reps + the planted-skew PPJoin twin
+    # and content-defined chunking (ppjoin_exact_pairs /
+    # edit_distance_pairs / minhash_dedup_groups rotated out with
+    # r6 driver evidence; family cover stays via these five).
     "pipeline_manifest",
     "semantic_dedup",
     "duplicate_span_islands",
     "progressive_stream_resolution",
-    "ppjoin_exact_pairs",
     "ppjoin_skewed_pairs",
-    "edit_distance_pairs",
     "chunk_dedup_profile",
-    # similarity / ANN
+    # similarity / ANN (pq_adc_topk r6-verified, rotated out)
     "ivf_topk_exact",
-    "pq_adc_topk",
-    # text analysis / training-pipeline
-    "gopher_quality_flags",
+    # text analysis / training-pipeline: BPE merge-table training is
+    # the never-checked one (iterative greedy fold); gopher r6-out.
     "sequence_packing_exact",
     "collocation_pmi",
+    "bpe_merge_table",
     # record linkage (SNM blocking + Fellegi-Sunter, r6 family)
     "record_linkage_scores",
     # temporal / streaming state physicals
     "materialized_user_value",
-    "streaming_sessions_finalized",
     "streaming_heavy_hitters",
     "streaming_bloom_status",
     "watermarked_daily_counts",
     "cohort_retention",
-    "exact_moment_corr",
-    # analytics family (r6, never driver-checked): independent-
-    # formulation interval oracle, quantize-then-exact-sum chi-square,
-    # MG sketch bounds (fixture now plants NULL keys — the driver
-    # hash-verifies NULL-exclusion), GK rank-interval bounds, ARI.
+    # analytics family: independent-formulation interval oracle,
+    # quantize-then-exact-sum chi-square, MG sketch bounds (fixture
+    # plants NULL keys), GK rank-interval bounds, ARI, plus the r7
+    # second-session batch: full Count-Min replay, exact-moment OLS
+    # trend (exact_moment_corr r6-verified, rotated out for its
+    # regression sibling), MAD double-banded medians, Apriori-L2
+    # baskets, native pivot, ROLLUP grouping sets, and the banded
+    # weighted-median scale physical (shares weighted_median_value's
+    # oracle VERBATIM — the driver hash-verifies physical == direct).
     "interval_coverage_counts",
     "category_drift_chisq",
     "heavy_hitters_bounds",
     "approx_quantile_bounds",
     "ari_score",
-    # graph
-    "pagerank_neardup_graph",
+    "count_min_replay",
+    "value_trend_slope",
+    "mad_outlier_stats",
+    "basket_part_pairs",
+    "pivot_user_event_matrix",
+    "rollup_revenue_cube",
+    "weighted_median_banded",
+    "interval_overlap_join",
+    # graph (pagerank r6-verified, out; BFS hop distances in)
     "label_propagation_communities",
     "kcore_peel_rounds",
+    "bfs_hop_distances",
     # selection / curriculum
     "pareto_front_docs",
     "greedy_coverage_docs",
-    # layout / skew
-    "zorder_table_roundtrip",
+    # layout / skew (zorder_table_roundtrip r6-verified, out —
+    # zorder_streaming_ingest keeps the whole z-table lifecycle +
+    # manifest + compaction in-window)
     "zorder_streaming_ingest",
     "salted_skew_stats",
 ]

@@ -18,38 +18,45 @@ def test_first_50_match_priority():
 
 def test_every_family_in_checked_window():
     first = set(list(QUERIES)[:50])
-    # r7 rotation (VERDICT r6 #1/#2): 18 slots swapped to first-time
-    # driver-verify the strongest of the 82 never-driver-checked
-    # oracles, incl. three more streaming-state physicals. Every
-    # rotated-out query holds r1-r6 driver evidence and stays
-    # registered + locally gated + benched. Family reps below reflect
-    # the post-rotation window.
+    # r7 rotation + mid-round extension (VERDICT r6 #1/#2): 32 window
+    # slots now hold never-before-driver-verified oracles — the 18
+    # first-session swaps plus 14 second-session swaps covering the
+    # r7 additions (stream-stream join state, watermark dedup state,
+    # BPE training, Count-Min replay, banded weighted median, OLS
+    # trend, MAD, Apriori, pivot/ROLLUP, interval overlap, BFS, the
+    # hot-key IVM twin). Every rotated-out query holds r1-r6 driver
+    # evidence and stays registered + locally gated + benched.
+    # Family reps below reflect the post-rotation window.
     families = {
         "relational": {"revenue_by_nation"},
         "cdc_metrics": {"b3_prf", "ceaf_e_prf", "ari_score"},
         "clustering": {"threshold_cc_distributed", "grinch_forest_invariants",
                        "tree_cut_clusters", "bisect_clusters"},
-        "dedup": {"minhash_dedup_groups", "duplicate_span_islands",
-                  "ppjoin_exact_pairs", "ppjoin_skewed_pairs",
-                  "edit_distance_pairs", "chunk_dedup_profile"},
-        "ann": {"ivf_topk_exact", "pq_adc_topk"},
+        "dedup": {"duplicate_span_islands", "ppjoin_skewed_pairs",
+                  "chunk_dedup_profile", "pipeline_manifest"},
+        "ann": {"ivf_topk_exact"},
         "semantic_dedup": {"semantic_dedup"},
-        "text": {"gopher_quality_flags", "collocation_pmi"},
+        "text": {"collocation_pmi", "bpe_merge_table"},
         "packing": {"sequence_packing_exact"},
-        "temporal": {"cohort_retention", "streaming_sessions_finalized"},
+        "temporal": {"cohort_retention", "interval_overlap_join"},
         "streaming_state": {"materialized_user_value", "streaming_heavy_hitters",
                             "streaming_bloom_status", "watermarked_daily_counts",
-                            "progressive_stream_resolution"},
-        "changelog": {"cdc_log_apply", "cdc_streaming_apply", "cdc_capture_diff",
-                      "cdc_scd2_history", "cdc_evolving_apply", "ivm_group_sums",
-                      "cdc_time_travel"},
+                            "progressive_stream_resolution",
+                            "streaming_dedup_watermark", "streaming_stream_join",
+                            "streaming_join_then_window"},
+        "changelog": {"cdc_streaming_apply", "cdc_time_travel",
+                      "ivm_hotkey_sums"},
         "linkage": {"record_linkage_scores"},
         "analytics": {"interval_coverage_counts", "category_drift_chisq",
-                      "heavy_hitters_bounds", "approx_quantile_bounds"},
-        "graph": {"pagerank_neardup_graph", "label_propagation_communities",
-                  "kcore_peel_rounds"},
+                      "heavy_hitters_bounds", "approx_quantile_bounds",
+                      "count_min_replay", "value_trend_slope",
+                      "mad_outlier_stats", "basket_part_pairs",
+                      "pivot_user_event_matrix", "rollup_revenue_cube",
+                      "weighted_median_banded"},
+        "graph": {"label_propagation_communities", "kcore_peel_rounds",
+                  "bfs_hop_distances"},
         "selection": {"pareto_front_docs", "greedy_coverage_docs"},
-        "layout": {"zorder_table_roundtrip", "zorder_streaming_ingest"},
+        "layout": {"zorder_streaming_ingest"},
         "skew": {"salted_skew_stats"},
     }
     for fam, members in families.items():
