@@ -103,6 +103,16 @@ HEADLINE = [
     "weighted_median_banded",
     "user_range_frame_sums",
     "time_weighted_value",
+    # r7 third session: sketch-family completion (full HLL register
+    # replay), map-side partial Gram covariance, label-partition
+    # modularity on the cosine graph, Benford screen, dyadic EWMA,
+    # stream-static broadcast enrichment
+    "hll_replay_distinct",
+    "embedding_covariance",
+    "graph_modularity",
+    "benford_digit_profile",
+    "ewma_user_value",
+    "stream_static_enrich",
     "cluster_summary",
     "muc_prf",
     "tfidf_blend_clusters",

@@ -1514,3 +1514,131 @@ def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("swx").cast("double") / F.col("sw").cast("double") / 100.0, 6
         ).alias("twap_r"),
     )
+
+
+_HLL_ORACLE = """
+    WITH el AS (
+      SELECT event_type,
+             concat(CAST(user_id AS VARCHAR), '-', strftime(ts, '%Y%m%d')) AS elem
+      FROM events
+    ),
+    h AS (
+      SELECT DISTINCT event_type,
+             CAST(concat('0x', substr(md5(elem), 1, 15)) AS BIGINT) AS hv
+      FROM el
+    ),
+    r AS (
+      SELECT event_type, hv % 64 AS reg,
+             CASE WHEN hv // 64 = 0 THEN 55
+                  ELSE 55 - length(bin(hv // 64)) END AS rho
+      FROM h
+    ),
+    mx AS (SELECT event_type, reg, MAX(rho) AS mreg FROM r GROUP BY 1, 2),
+    grid AS (
+      SELECT t.event_type, g.reg
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS reg) g
+    ),
+    fullr AS (
+      SELECT g.event_type, COALESCE(mx.mreg, 0) AS mreg
+      FROM grid g LEFT JOIN mx ON g.event_type = mx.event_type AND g.reg = mx.reg
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(CAST(1 AS BIGINT) << (55 - mreg)) AS BIGINT) AS s_scaled,
+             CAST(SUM(CASE WHEN mreg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_regs
+      FROM fullr GROUP BY 1
+    ),
+    ex AS (
+      SELECT event_type, CAST(COUNT(DISTINCT elem) AS BIGINT) AS n_exact
+      FROM el GROUP BY 1
+    )
+    SELECT e.event_type, e.n_exact, a.s_scaled, a.zero_regs,
+           ROUND(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+                 * CAST(36028797018963968 AS DOUBLE)
+                 / CAST(a.s_scaled AS DOUBLE), 4) AS est_raw_r
+    FROM ex e JOIN agg a ON e.event_type = a.event_type
+"""
+
+
+@query("hll_replay_distinct", oracle=_HLL_ORACLE)
+def hll_replay_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog where the WHOLE SKETCH replays in SQL — the
+    count_min_replay pattern for cardinality (Flajolet et al. 2007),
+    completing the sketch family (CM / Misra-Gries / GK / Bloom /
+    HLL). Per event_type the sketched element is user_id-day; m = 64
+    registers, register = low 6 hash bits, rho = leading-zero rank
+    of the remaining 54 bits computed EXACTLY as 55 - bitlength via
+    the binary-string render (bin() exists and agrees in Spark and
+    DuckDB; no float log2). Register state M_j = MAX(rho) is an
+    order-free monoid — the reason an HLL register file is exactly
+    SQL-replayable while a float mergeable summary would not be.
+    The harmonic-mean denominator is kept EXACT-INTEGER by scaling:
+    sum_j 2^-M_j = S / 2^55 with S = sum_j 2^(55-M_j) <= 64*2^55
+    (fits BIGINT), so the raw estimate alpha_64 * m^2 * 2^55 / S is
+    one fixed-order double expression over exact integers, rounded
+    4dp; the platform-free columns (n_exact, s_scaled, zero_regs)
+    are pure integers. The distinct + two tiny keyed aggregates are
+    the only shuffles; the register grid is types x 64 via sequence
+    explode (no cartesian node). Spark's own approx_count_distinct
+    register file is not oracle-replayable (implementation-defined
+    hash) — this query pins the ALGEBRA on a cross-engine hash
+    instead (the approx_distinct_bounds / count_min_replay
+    evidence pattern)."""
+    from streaming_cdc_spark.functions.hashing import md5_long
+
+    ev = load(spark, sf_dir, "events")
+    elem = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("-"),
+        F.date_format("ts", "yyyyMMdd"),
+    )
+    el = ev.select("event_type", elem.alias("elem"))
+    h = el.select("event_type", md5_long(F.col("elem")).alias("hv")).distinct()
+    w = F.expr("hv div 64")
+    r = h.select(
+        "event_type",
+        (F.col("hv") % 64).alias("reg"),
+        F.when(w == F.lit(0), F.lit(55))
+        .otherwise(F.lit(55) - F.length(F.bin(w)))
+        .cast("long")
+        .alias("rho"),
+    )
+    mx = r.groupBy("event_type", "reg").agg(F.max("rho").alias("mreg"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("reg"),
+        )
+        .select("event_type", F.col("reg").cast("long").alias("reg"))
+    )
+    fullr = grid.join(mx, ["event_type", "reg"], "left").select(
+        "event_type", F.coalesce("mreg", F.lit(0).cast("long")).alias("mreg")
+    )
+    term = F.call_function(
+        "shiftleft",
+        F.lit(1).cast("long"),
+        (F.lit(55) - F.col("mreg")).cast("int"),
+    )
+    agg = fullr.groupBy("event_type").agg(
+        F.sum(term).cast("long").alias("s_scaled"),
+        F.sum(F.when(F.col("mreg") == 0, 1).otherwise(0)).cast("long").alias("zero_regs"),
+    )
+    ex = el.groupBy("event_type").agg(
+        F.countDistinct("elem").cast("long").alias("n_exact")
+    )
+    est = (
+        F.lit(0.709)
+        * F.lit(4096.0)
+        * F.lit(36028797018963968.0)
+        / F.col("s_scaled").cast("double")
+    )
+    return ex.join(agg, "event_type").select(
+        "event_type",
+        "n_exact",
+        "s_scaled",
+        "zero_regs",
+        F.round(est, 4).alias("est_raw_r"),
+    )

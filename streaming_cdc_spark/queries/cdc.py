@@ -955,3 +955,97 @@ def bfs_hop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(edges, seeds, id_col="node", rounds=3).select(
         F.col("node").alias("vec_id"), "dist"
     )
+
+
+def _modularity_sql() -> str:
+    return f"""
+    WITH edges AS (
+      SELECT a.label AS cu, b.label AS cv
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) > {TAU}
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+    deg AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS degree_sum FROM (
+        SELECT cu AS c FROM edges UNION ALL SELECT cv AS c FROM edges
+      ) GROUP BY 1
+    ),
+    win AS (
+      SELECT cu AS c, CAST(COUNT(*) AS BIGINT) AS e_within
+      FROM edges WHERE cu = cv GROUP BY 1
+    )
+    SELECT d.c AS community,
+           COALESCE(w.e_within, CAST(0 AS BIGINT)) AS e_within,
+           d.degree_sum,
+           ROUND((CAST(4 AS DOUBLE) * CAST(t.m AS DOUBLE)
+                    * CAST(COALESCE(w.e_within, 0) AS DOUBLE)
+                  - CAST(d.degree_sum AS DOUBLE) * CAST(d.degree_sum AS DOUBLE))
+                 / (CAST(4 AS DOUBLE) * CAST(t.m AS DOUBLE) * CAST(t.m AS DOUBLE)),
+                 6) AS q_contrib_r
+    FROM deg d LEFT JOIN win w ON d.c = w.c CROSS JOIN tot t
+    """
+
+
+@query("graph_modularity", oracle=_modularity_sql())
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman MODULARITY of the gold label partition over the
+    tau-threshold cosine graph — "does the labeling explain the
+    similarity structure?", the graph-side quality metric next to
+    ARI/purity (community detection literature; complements the LPA
+    query whose mode-vote labels it could score). Per-community Q
+    contribution in EXACT integers: with m = |edges|, e_c = within-
+    community edges, d_c = community degree sum, the contribution
+    e_c/m - (d_c/2m)^2 is algebraically (4*m*e_c - d_c^2)/(4*m^2) —
+    integer numerator and denominator, evaluated as ONE fixed-order
+    double division per output row and rounded 6dp. Emitting
+    PER-COMMUNITY rows (global Q = their sum) keeps every float
+    single-expression — no cross-row double reduction to order.
+    Physical: the blocked cosine kernel builds edges once
+    (localCheckpointed — 4 downstream references must not re-run the
+    matmul); m comes off the materialized edge set as a planning
+    scalar, so degree/within aggregates are tiny keyed counts with
+    no scalar cross join. Communities whose nodes have no edges at
+    all carry no degree mass and are absent on both sides by the
+    same rule (degree-bearing communities only)."""
+    emb = load(spark, sf_dir, "embeddings")
+    lab = emb.select("vec_id", "label")
+    el = (
+        cosine_self_edges(emb, TAU)
+        .select("u", "v")
+        .join(
+            lab.select(F.col("vec_id").alias("u"), F.col("label").alias("cu")), "u"
+        )
+        .join(
+            lab.select(F.col("vec_id").alias("v"), F.col("label").alias("cv")), "v"
+        )
+        .localCheckpoint()
+    )
+    m = el.count()
+    deg = (
+        el.select(F.col("cu").alias("c"))
+        .unionAll(el.select(F.col("cv").alias("c")))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree_sum"))
+    )
+    win = (
+        el.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_within"))
+    )
+    md = float(m)
+    ew = F.coalesce(F.col("e_within"), F.lit(0).cast("long"))
+    dd = F.col("degree_sum").cast("double")
+    return (
+        deg.join(win, "c", "left")
+        .select(
+            F.col("c").alias("community"),
+            ew.alias("e_within"),
+            "degree_sum",
+            F.round(
+                (F.lit(4.0) * F.lit(md) * ew.cast("double") - dd * dd)
+                / (F.lit(4.0) * F.lit(md) * F.lit(md)),
+                6,
+            ).alias("q_contrib_r"),
+        )
+    )

@@ -109,3 +109,80 @@ def constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         fk=[("l_orderkey_fk", orders, "l_orderkey", "o_orderkey")],
     )
+
+
+_BENFORD_P = [
+    (1, 0.301030), (2, 0.176091), (3, 0.124939), (4, 0.096910),
+    (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+    (9, 0.045757),
+]
+
+_BENFORD_ORACLE = f"""
+    WITH c AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders WHERE o_totalprice > 0
+    ),
+    d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM c),
+    o AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM d),
+    exp AS (
+      SELECT * FROM (VALUES {", ".join(f"({d}, {p})" for d, p in _BENFORD_P)})
+        AS v(digit, p_benford)
+    )
+    SELECT CAST(e.digit AS BIGINT) AS digit,
+           COALESCE(o.n_obs, CAST(0 AS BIGINT)) AS n_obs,
+           ROUND(CAST(COALESCE(o.n_obs, 0) AS DOUBLE) / CAST(t.total AS DOUBLE),
+                 6) AS p_obs_r,
+           CAST(e.p_benford AS DOUBLE) AS p_benford,
+           ROUND(CAST(COALESCE(o.n_obs, 0) AS DOUBLE) / CAST(t.total AS DOUBLE)
+                 - CAST(e.p_benford AS DOUBLE), 6) AS dev_r
+    FROM exp e LEFT JOIN o ON e.digit = o.digit CROSS JOIN t
+"""
+
+
+@query("benford_digit_profile", oracle=_BENFORD_ORACLE)
+def benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit profile of order totals — the
+    classic anomaly/fabrication screen for financial columns (Deequ-
+    style data-quality family next to column_profile). The digit is
+    taken from EXACT CENTS (DECIMAL(18,2) * 100 -> BIGINT, so no
+    float-to-string formatting divergence can pick a different
+    leading digit), counted per 1-9, left-joined onto the 9-row
+    expected table so digits with zero observations still emit, and
+    compared against the Benford proportions as FIXED 6dp LITERALS
+    on both engines (log10(1+1/d) is never computed at query time —
+    ln/log are not bit-identical across engines; the no-ln rule).
+    p_obs and the deviation are single fixed-order double
+    expressions over exact integers, rounded 6dp. One scan + one
+    9-row aggregate; the grand total rides a one-row broadcast
+    (BNLJ-whitelisted like value_histogram_bins). The synthetic
+    uniform-ish prices deviate from Benford — the deviation column
+    IS the signal, not a failure."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = orders.select(
+        F.substring(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    exp = spark.createDataFrame(_BENFORD_P, "digit long, p_benford double")
+    nobs = F.coalesce(F.col("n_obs"), F.lit(0).cast("long"))
+    p_obs = nobs.cast("double") / F.col("total").cast("double")
+    return (
+        exp.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            nobs.alias("n_obs"),
+            F.round(p_obs, 6).alias("p_obs_r"),
+            "p_benford",
+            F.round(p_obs - F.col("p_benford"), 6).alias("dev_r"),
+        )
+    )

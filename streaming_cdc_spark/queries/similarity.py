@@ -690,3 +690,56 @@ def ivf_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionByName(outs[1])
+
+
+@query(
+    "embedding_covariance",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, i, CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS qv
+      FROM (
+        SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+      )
+    ),
+    g AS (
+      SELECT CAST(a.i AS BIGINT) AS dim_i, CAST(b.i AS BIGINT) AS dim_j,
+             CAST(SUM(a.qv * b.qv) AS BIGINT) AS gram_q,
+             CAST(SUM(a.qv) AS BIGINT) AS sum_i,
+             CAST(SUM(b.qv) AS BIGINT) AS sum_j,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    )
+    SELECT dim_i, dim_j, gram_q, n,
+           ROUND((CAST(gram_q AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(sum_i AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(sum_j AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / 1000000.0, 6) AS cov_r
+    FROM g
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact d x d covariance of the embedding table — the PCA /
+    whitening precursor (the reference whitens mention encodings
+    before clustering; SURVEY §2 vectorize surface) as a DISTRIBUTED
+    LINEAR-ALGEBRA physical: each task folds its rows into one d x d
+    int64 partial via a numpy matmul (operators/gram.py), and the
+    shuffle moves only d(d+1)/2 tiny partial rows per task batch —
+    never the data. The naive relational forms are superlinear in
+    shuffle width (explode + dim self-join moves n*d^2 rows; a
+    pivoted groupBy still moves n*d), so at 100 TB map-side partial
+    accumulation is the only shape that survives; the oracle IS the
+    naive explode + self-join — an independent formulation whose
+    hash match proves the partial-merge algebra. Floats are
+    quantized to milli-units with FLOOR before any accumulation
+    (floor(x*1000): exact in double for float32 inputs, no
+    round-half tie rule needed, identical in Spark/numpy/DuckDB), so
+    every sum is exact integer arithmetic and partition-order free;
+    the covariance is one fixed-order double formula per cell,
+    rounded 6dp."""
+    from streaming_cdc_spark.operators.gram import covariance_matrix
+
+    emb = load(spark, sf_dir, "embeddings")
+    return covariance_matrix(emb, "embedding")

@@ -1343,3 +1343,185 @@ def streaming_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "win_start_sec", "n_pairs", "sum_lag_sec"
     )
 
+
+
+_EWMA_ORACLE = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    l AS (
+      SELECT user_id, event_id, cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tus DESC, event_id DESC) AS rn,
+             LAG(cents, 1) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS c1,
+             LAG(cents, 2) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS c2,
+             LAG(cents, 3) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS c3,
+             LAG(cents, 4) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS c4,
+             LAG(cents, 5) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS c5,
+             LAG(cents, 6) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS c6,
+             LAG(cents, 7) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS c7
+      FROM e
+    ),
+    last AS (SELECT * FROM l WHERE rn = 1)
+    SELECT user_id, event_id AS last_event_id,
+           CAST(cents * 128 + COALESCE(c1, 0) * 64 + COALESCE(c2, 0) * 32
+                + COALESCE(c3, 0) * 16 + COALESCE(c4, 0) * 8
+                + COALESCE(c5, 0) * 4 + COALESCE(c6, 0) * 2
+                + COALESCE(c7, 0) AS BIGINT) AS num,
+           CAST(128 + CASE WHEN c1 IS NULL THEN 0 ELSE 64 END
+                + CASE WHEN c2 IS NULL THEN 0 ELSE 32 END
+                + CASE WHEN c3 IS NULL THEN 0 ELSE 16 END
+                + CASE WHEN c4 IS NULL THEN 0 ELSE 8 END
+                + CASE WHEN c5 IS NULL THEN 0 ELSE 4 END
+                + CASE WHEN c6 IS NULL THEN 0 ELSE 2 END
+                + CASE WHEN c7 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS den,
+           ROUND(CAST(cents * 128 + COALESCE(c1, 0) * 64 + COALESCE(c2, 0) * 32
+                      + COALESCE(c3, 0) * 16 + COALESCE(c4, 0) * 8
+                      + COALESCE(c5, 0) * 4 + COALESCE(c6, 0) * 2
+                      + COALESCE(c7, 0) AS DOUBLE)
+                 / CAST(128 + CASE WHEN c1 IS NULL THEN 0 ELSE 64 END
+                        + CASE WHEN c2 IS NULL THEN 0 ELSE 32 END
+                        + CASE WHEN c3 IS NULL THEN 0 ELSE 16 END
+                        + CASE WHEN c4 IS NULL THEN 0 ELSE 8 END
+                        + CASE WHEN c5 IS NULL THEN 0 ELSE 4 END
+                        + CASE WHEN c6 IS NULL THEN 0 ELSE 2 END
+                        + CASE WHEN c7 IS NULL THEN 0 ELSE 1 END AS DOUBLE)
+                 / 100.0, 4) AS ewma_r
+    FROM last
+"""
+
+
+@query("ewma_user_value", oracle=_EWMA_ORACLE)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's value at
+    their LATEST event — time-series smoothing with alpha = 1/2 over
+    the trailing 8 observations, kept EXACT by construction: the
+    geometric weights 1/2, 1/4, ... are DYADIC, so the weighted sum
+    is an integer combination of cents (newest*128 + ... + oldest*1)
+    and the normalizer is the matching power-of-two sum over the
+    lags that exist — users with < 8 events renormalize over their
+    true history (a per-row integer denominator), never over padded
+    zeros. One hash exchange per user feeds both the 7 LAG columns
+    and the latest-row rank (two sorts, one partitioning); the only
+    float op is the final num/den/100 division, identical order both
+    sides, rounded 4dp. A truly infinite-horizon EWMA is an
+    order-dependent float recurrence (not hash-matchable, and on an
+    unbounded stream not mergeable either); the bounded dyadic form
+    is the determinism-safe equivalent the registry's float rules
+    require. Ties: (tus, event_id) is a total order on both
+    engines."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("tus"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    asc = W.partitionBy("user_id").orderBy("tus", "event_id")
+    desc = W.partitionBy("user_id").orderBy(
+        F.col("tus").desc(), F.col("event_id").desc()
+    )
+    lags = [F.lag("cents", k).over(asc).alias(f"c{k}") for k in range(1, 8)]
+    last = (
+        e.select("user_id", "event_id", "cents", *lags,
+                 F.row_number().over(desc).alias("rn"))
+        .filter(F.col("rn") == 1)
+    )
+    weights = [64, 32, 16, 8, 4, 2, 1]
+    num = F.col("cents") * 128
+    den = F.lit(128)
+    for k, wt in zip(range(1, 8), weights):
+        num = num + F.coalesce(F.col(f"c{k}"), F.lit(0)) * wt
+        den = den + F.when(F.col(f"c{k}").isNull(), 0).otherwise(wt)
+    return last.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        num.cast("long").alias("num"),
+        den.cast("long").alias("den"),
+        F.round(
+            num.cast("double") / den.cast("double") / F.lit(100.0), 4
+        ).alias("ewma_r"),
+    )
+
+
+_SSE_SRC: dict[str, str] = {}
+
+_SSE_ORACLE = """
+    SELECT c.c_mktsegment, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents_sum
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.value IS NOT NULL
+    GROUP BY 1, 2
+"""
+
+
+@query("stream_static_enrich", oracle=_SSE_ORACLE)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC JOIN — the remaining Structured Streaming join
+    kind after the stream-stream family (inner/leftOuter) and the
+    stateful patterns: a micro-batched event stream enriched against
+    a STATIC dimension (customer segment), the canonical streaming
+    fact-to-dim lookup. The static side is re-planned per micro-batch
+    as a BROADCAST hash join build (no state store at all — this is
+    the whole point of the pattern: enrichment needs no watermark,
+    no state, and scales to any stream length; at 100 TB/day the
+    dim broadcast is the only non-linear-in-stream cost). The event
+    stream drains over three mtime-pinned id-range files with
+    maxFilesPerTrigger=1, so three separate batch joins must agree;
+    the drained enriched rows are folded to per-(segment, type)
+    exact-integer counts/cent sums, and the oracle is the
+    INDEPENDENT batch formulation — one plain SQL join — whose hash
+    match proves batch-join == union of per-micro-batch joins.
+    Inner join is total here by fixture shape (every user_id has a
+    customer row at every sf), so no rows ride on matched-ness."""
+    import os
+
+    from streaming_cdc_spark.session import drain_to_memory, write_mtime_pinned_splits
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    src = _SSE_SRC.get(sf_dir)
+    if src is None or not os.path.isdir(src):
+        lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+        step = (hi - lo + 3) // 3
+        src = cached_tmp_dir("sse_src_")
+        parts = [
+            ev.filter(
+                (F.col("event_id") >= lo + i * step)
+                & (F.col("event_id") < lo + (i + 1) * step)
+            ).select(
+                "event_id",
+                "user_id",
+                "event_type",
+                (F.col("value").cast("decimal(18,2)") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+            for i in range(3)
+        ]
+        write_mtime_pinned_splits(parts, src)
+        _SSE_SRC[sf_dir] = src
+    dim = F.broadcast(
+        load(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, cents long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/split_*/*.parquet")
+    )
+    joined = stream.join(dim, "user_id", "inner")
+    drained = drain_to_memory(
+        joined.select("c_mktsegment", "event_type", "cents"), "sse"
+    )
+    return drained.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+    )

@@ -66,6 +66,7 @@ BNLJ_WHITELIST = {
     "value_histogram_bins",  # one-row global min/max bounds broadcast
     "streaming_heavy_hitters",  # one-row stream-total (bound) broadcast
     "basket_part_pairs",  # one-row order-total broadcast (lift denominator)
+    "benford_digit_profile",  # one-row grand-total broadcast (proportion denom)
 }
 
 
