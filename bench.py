@@ -113,6 +113,10 @@ HEADLINE = [
     "benford_digit_profile",
     "ewma_user_value",
     "stream_static_enrich",
+    "clustering_coefficients",
+    "grid_knn_join",
+    "windowed_rank_family",
+    "streaming_sessions_custom_state",
     "cluster_summary",
     "muc_prf",
     "tfidf_blend_clusters",

@@ -1642,3 +1642,51 @@ def hll_replay_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zero_regs",
         F.round(est, 4).alias("est_raw_r"),
     )
+
+
+_RANKFAM_ORACLE = """
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_id, event_type,
+           CAST(NTILE(10) OVER w AS BIGINT) AS decile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr_r,
+           ROUND(CUME_DIST() OVER w, 6) AS cd_r
+    FROM e
+    WINDOW w AS (PARTITION BY event_type ORDER BY cents, event_id)
+"""
+
+
+@query("windowed_rank_family", oracle=_RANKFAM_ORACLE)
+def windowed_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining RANKING window functions in one pass — NTILE
+    (equi-count tiles), PERCENT_RANK ((rank-1)/(n-1)) and CUME_DIST
+    (peers-inclusive rank/n) per event_type over exact cents. All
+    three are deterministic HERE because the ORDER BY is a TOTAL
+    order ((cents, event_id)) — under ties NTILE's tile assignment
+    is partition-order dependent and PERCENT_RANK/CUME_DIST handle
+    peers differently from ROW_NUMBER-derived math, so the tiebreak
+    is load-bearing, not cosmetic. The two ratio outputs are single
+    double expressions evaluated identically by both engines'
+    standard SQL semantics, rounded 6dp. One hash exchange + one
+    sort per type; all three functions share the same window frame,
+    so Spark evaluates them in a single Window operator (one pass
+    over each sorted partition)."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = ev.select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    w = W.partitionBy("event_type").orderBy("cents", "event_id")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr_r"),
+        F.round(F.cume_dist().over(w), 6).alias("cd_r"),
+    )

@@ -1049,3 +1049,77 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_contrib_r"),
         )
     )
+
+
+@query(
+    "clustering_coefficients",
+    oracle=f"""
+    WITH e0 AS (SELECT u, v FROM ({_EDGES_SQL}) WHERE sim > 0.3),
+    edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    deg AS (SELECT u AS vec_id, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM edges GROUP BY 1),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e0 e1
+      JOIN e0 e2 ON e2.u = e1.v
+      JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    members AS (
+      SELECT a AS vec_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ),
+    tcnt AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+             FROM members GROUP BY 1)
+    SELECT d.vec_id, d.degree,
+           COALESCE(t.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+           ROUND(CAST(2 AS DOUBLE) * CAST(COALESCE(t.n_triangles, 0) AS DOUBLE)
+                 / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6) AS lcc_r
+    FROM deg d LEFT JOIN tcnt t ON d.vec_id = t.vec_id
+    WHERE d.degree >= 2
+    """,
+)
+def clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL CLUSTERING COEFFICIENT per node — 2*tri(v) /
+    (deg(v)*(deg(v)-1)), the per-node cohesion diagnostic next to the
+    global triangle counts (Watts-Strogatz; on near-dup graphs low
+    LCC at high degree flags template/boilerplate hubs, high LCC
+    flags true duplicate cliques). Triangles come from the
+    degree-oriented wedge join (skew-proof, each triangle once at
+    its min-degree apex) reused from triangle_counts; degrees from
+    one keyed count over the undirected edge list; nodes with
+    degree >= 2 but zero triangles emit 0 via the left join (an
+    inner join would silently drop exactly the interesting
+    open-neighborhood nodes — the grinch_forest_invariants lesson).
+    The denominator deg*(deg-1) is exact integer; the coefficient
+    is one fixed-order double division, rounded 6dp. The oracle
+    recounts triangles with the naive three-way join — the
+    independent formulation."""
+    from streaming_cdc_spark.operators.clustering import triangle_counts as tc
+    from streaming_cdc_spark.operators.similarity import cosine_self_edges
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = cosine_self_edges(emb, 0.3).select("u", "v").localCheckpoint()
+    deg = (
+        edges.select(F.col("u").alias("vec_id"))
+        .unionAll(edges.select(F.col("v").alias("vec_id")))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tri = tc(edges)
+    nt = F.coalesce(F.col("n_triangles"), F.lit(0).cast("long"))
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, "vec_id", "left")
+        .select(
+            "vec_id",
+            "degree",
+            nt.alias("n_triangles"),
+            F.round(
+                F.lit(2.0)
+                * nt.cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+                6,
+            ).alias("lcc_r"),
+        )
+    )

@@ -743,3 +743,121 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return covariance_matrix(emb, "embedding")
+
+
+_GRID_R = 100_000  # radius in micro-units (0.1 in embedding space)
+_GRID_K = 3
+_GRID_SHIFT = 1_000_000  # makes quantized coords positive: div == floor
+
+_GRID_ORACLE = f"""
+    WITH p AS (
+      SELECT vec_id,
+             CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+               + {_GRID_SHIFT} AS qx,
+             CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT)
+               + {_GRID_SHIFT} AS qy
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT a.vec_id AS q, b.vec_id AS neighbor,
+             (a.qx - b.qx) * (a.qx - b.qx)
+               + (a.qy - b.qy) * (a.qy - b.qy) AS dist2
+      FROM p a JOIN p b ON a.vec_id <> b.vec_id
+      WHERE (a.qx - b.qx) * (a.qx - b.qx)
+              + (a.qy - b.qy) * (a.qy - b.qy)
+            < CAST({_GRID_R} AS BIGINT) * CAST({_GRID_R} AS BIGINT)
+    ),
+    ranked AS (
+      SELECT q, neighbor, CAST(dist2 AS BIGINT) AS dist2,
+             ROW_NUMBER() OVER (PARTITION BY q ORDER BY dist2, neighbor) AS rank
+      FROM cand
+    )
+    SELECT q, neighbor, dist2, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_GRID_K}
+"""
+
+
+@query("grid_knn_join", oracle=_GRID_ORACLE)
+def grid_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRID-ACCELERATED spatial kNN join on the first two embedding
+    dims: each point's top-{_GRID_K} neighbors within radius R, the
+    2-D sibling of the interval bucket join. Coordinates are
+    quantized to EXACT integer micro-units (floor, then a +1e6 shift
+    so every value is positive and `div` == floor on both engines —
+    Spark div truncates toward zero, the label_centroid_outliers
+    negative-operand trap), so the distance predicate and the
+    (dist2, id) ranking are pure integer arithmetic — no float
+    boundary anywhere. Physical: home-cell assignment (cell width =
+    R, so any within-R partner is in the 3x3 neighborhood), probe
+    side exploded to its 9 neighbor cells, equi-join on the build
+    side's single home cell (each candidate pair generated exactly
+    once — no DISTINCT), integer radius filter, then per-probe
+    top-k via row_number — Spark plants a map-side WindowGroupLimit
+    below the exchange, so the rank shuffle carries at most k rows
+    per (probe, input-partition): every shuffle in the plan is
+    LINEAR in n even as cell density grows. The quadratic
+    within-cell candidate work stays compute inside the join stage —
+    at 100 TB the R dial (like tau on similarity graphs) bounds
+    cell population; a fixed-radius ALL-PAIRS emit would instead
+    have quadratic OUTPUT on densifying data, which is why the
+    registered form is top-k. Oracle: the naive theta join + rank,
+    grid-free — an independent formulation, so the hash match
+    proves 3x3 coverage loses nothing."""
+    from pyspark.sql import Window as W
+
+    emb = load(spark, sf_dir, "embeddings")
+    p = emb.select(
+        "vec_id",
+        (
+            F.floor(F.col("embedding").getItem(0).cast("double") * 1_000_000)
+            .cast("long")
+            + _GRID_SHIFT
+        ).alias("qx"),
+        (
+            F.floor(F.col("embedding").getItem(1).cast("double") * 1_000_000)
+            .cast("long")
+            + _GRID_SHIFT
+        ).alias("qy"),
+    ).localCheckpoint()
+    build = p.select(
+        F.col("vec_id").alias("neighbor"),
+        F.col("qx").alias("bx"),
+        F.col("qy").alias("by"),
+        F.expr(f"qx div {_GRID_R}").alias("cx"),
+        F.expr(f"qy div {_GRID_R}").alias("cy"),
+    )
+    probe = (
+        p.select(
+            F.col("vec_id").alias("q"),
+            "qx",
+            "qy",
+            F.expr(f"qx div {_GRID_R}").alias("hx"),
+            F.expr(f"qy div {_GRID_R}").alias("hy"),
+        )
+        .withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            "q", "qx", "qy",
+            (F.col("hx") + F.col("dx")).alias("cx"),
+            (F.col("hy") + F.col("dy")).alias("cy"),
+        )
+    )
+    dist2 = (F.col("qx") - F.col("bx")) * (F.col("qx") - F.col("bx")) + (
+        F.col("qy") - F.col("by")
+    ) * (F.col("qy") - F.col("by"))
+    cand = (
+        probe.join(build, ["cx", "cy"])
+        .filter(F.col("q") != F.col("neighbor"))
+        .select("q", "neighbor", dist2.alias("dist2"))
+        # R^2 = 1e10 exceeds int32: fold it in Python so the literal
+        # lands as a LongType, not an overflowing int multiply
+        .filter(F.col("dist2") < F.lit(_GRID_R * _GRID_R))
+    )
+    w = W.partitionBy("q").orderBy("dist2", "neighbor")
+    return (
+        cand.select(
+            "q", "neighbor", "dist2", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= _GRID_K)
+        .select("q", "neighbor", F.col("dist2").cast("long"), F.col("rank").cast("long"))
+    )

@@ -647,10 +647,11 @@ def hourly_ffill_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SES_SRC: dict[str, str] = {}
 
-
-@query(
-    "streaming_sessions_finalized",
-    oracle="""
+# Shared by streaming_sessions_finalized (native session_window) and
+# streaming_sessions_custom_state (applyInPandasWithState +
+# EventTimeTimeout): one oracle, two physicals — the driver hash
+# match pins custom state machine == native operator.
+_SESSIONS_ORACLE = """
     WITH o AS (SELECT user_id, event_id, ts,
                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
                FROM events),
@@ -671,8 +672,10 @@ _SES_SRC: dict[str, str] = {}
            CAST(n_events AS BIGINT) AS n_events,
            epoch_us(en) - epoch_us(st) AS session_us
     FROM g, wm WHERE en + INTERVAL 30 MINUTE <= w
-    """,
-)
+    """
+
+
+@query("streaming_sessions_finalized", oracle=_SESSIONS_ORACLE)
 def streaming_sessions_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native streaming SESSION WINDOWS under a FULL oracle: events
     drained through `session_window(ts, 30 min)` + a 7-day watermark
@@ -1525,3 +1528,43 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum("cents").cast("long").alias("cents_sum"),
     )
+
+
+@query("streaming_sessions_custom_state", oracle=_SESSIONS_ORACLE)
+def streaming_sessions_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState + EVENT-TIME-TIMEOUT twin of
+    streaming_sessions_finalized — same drain, same watermark, SAME
+    ORACLE, different physical: sessions live as custom ValueState
+    (open-session triples per user) and finalize when the group's
+    event-time timeout fires after the watermark passes each
+    session's expiry (streaming/windows.py:streaming_sessionizer_
+    custom has the full semantics note). This is the last streaming
+    state-API surface without a driver-hashable query: NoTimeout
+    applyInPandasWithState (bloom/Misra-Gries), foreachBatch sinks,
+    native session_window / tumbling / dropDuplicatesWithinWatermark
+    / stream-stream joins all have one; event-time timeouts now do
+    too."""
+    import os
+
+    from streaming_cdc_spark.session import (
+        drain_to_memory,
+        ensure_package_on_executors,
+    )
+    from streaming_cdc_spark.streaming.windows import streaming_sessionizer_custom
+
+    ensure_package_on_executors(spark)
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    src = _SES_SRC.get(sf_dir)
+    if src is None or not os.path.isdir(src):
+        src = cached_tmp_dir("ses_src_")
+        ev.coalesce(1).write.parquet(os.path.join(src, "all"))
+        _SES_SRC[sf_dir] = src
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .parquet(f"{src}/all/*.parquet")
+    )
+    out = streaming_sessionizer_custom(stream)
+    return drain_to_memory(
+        out.select("user_id", "session_start_us", "n_events", "session_us"),
+        "sescs",
+    ).select("user_id", "session_start_us", "n_events", "session_us")

@@ -472,3 +472,136 @@ def streaming_misra_gries(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_sessionizer_custom(
+    stream: DataFrame,
+    gap_us: int = 1_800_000_000,
+    watermark: str = "7 days",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """CUSTOM-STATE sessionization with EVENT-TIME TIMEOUT — the same
+    gap-merge + append-emission semantics as the native
+    ``session_window`` aggregation, rebuilt on
+    ``applyInPandasWithState`` so the remaining state-API surface
+    (GroupStateTimeout.EventTimeTimeout + getCurrentWatermarkMs) has
+    a first-class, oracle-checked exercise. Registered under the
+    SAME oracle as streaming_sessions_finalized: the driver hash
+    match pins custom state machine == native operator (the
+    weighted_median_banded twin-evidence pattern).
+
+    Mechanics (mirroring the empirically pinned native rules):
+    - state per key = the OPEN sessions as (start_us, end_us, count)
+      triples; new events gap-merge at microsecond precision (new
+      session iff gap >= gap_us — matching session_window's merge
+      over [start, last+gap)).
+    - a session emits iff end_us + gap_us <= watermark_us, evaluated
+      from GroupState.getCurrentWatermarkMs()*1000 — the same
+      ms-truncated watermark the native operator compares window
+      ends against (data batches see the PREVIOUS batch's watermark;
+      availableNow's closing no-data batch delivers the final one).
+    - unexpired sessions set an event-time timeout at their earliest
+      expiry (+1 ms: Spark fires timeouts strictly AFTER the
+      timestamp, and setTimeoutTimestamp must exceed the current
+      watermark), so the closing batch re-invokes exactly the groups
+      still holding state, with empty input and hasTimedOut — where
+      expired sessions flush.
+
+    Arrow hands a group as chunks in arbitrary order: drain ALL
+    chunks, concat, sort once by (ts, id) — the r4 per-chunk-sort
+    trap."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(key_col, LongType()),
+            StructField("session_start_us", LongType()),
+            StructField("n_events", LongType()),
+            StructField("session_us", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("starts", ArrayType(LongType())),
+            StructField("ends", ArrayType(LongType())),
+            StructField("counts", ArrayType(LongType())),
+        ]
+    )
+
+    def process(key, pdfs, state: GroupState):
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        sessions = []
+        if state.exists:
+            starts, ends, counts = state.get
+            sessions = [
+                [int(s), int(e), int(c)] for s, e, c in zip(starts, ends, counts)
+            ]
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["_tus", "_id"])
+            for tus in pdf["_tus"].to_numpy():
+                t = int(tus)
+                sessions.append([t, t, 1])
+        # gap-merge the (start-sorted) interval list: stored open
+        # sessions precede this batch's events only if earlier — sort
+        # to make the fold order-correct in the general case
+        sessions.sort()
+        merged = []
+        for s, e, c in sessions:
+            if merged and s - merged[-1][1] < gap_us:
+                merged[-1][1] = max(merged[-1][1], e)
+                merged[-1][2] += c
+            else:
+                merged.append([s, e, c])
+        expired = [x for x in merged if x[1] + gap_us <= wm_us]
+        live = [x for x in merged if x[1] + gap_us > wm_us]
+        if live:
+            state.update(
+                (
+                    [x[0] for x in live],
+                    [x[1] for x in live],
+                    [x[2] for x in live],
+                )
+            )
+            timeout_ms = min(x[1] + gap_us for x in live) // 1000 + 1
+            state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
+        else:
+            state.remove()
+        yield pd.DataFrame(
+            {
+                key_col: pd.array([int(key[0])] * len(expired), dtype="int64"),
+                "session_start_us": pd.array(
+                    [x[0] for x in expired], dtype="int64"
+                ),
+                "n_events": pd.array([x[2] for x in expired], dtype="int64"),
+                "session_us": pd.array(
+                    [x[1] - x[0] for x in expired], dtype="int64"
+                ),
+            }
+        )
+
+    keyed = (
+        stream.withWatermark(ts_col, watermark)
+        .select(
+            F.col(key_col),
+            F.col(ts_col),
+            F.unix_micros(ts_col).alias("_tus"),
+            F.col(id_col).alias("_id"),
+        )
+    )
+    return keyed.groupBy(key_col).applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
