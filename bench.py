@@ -117,6 +117,7 @@ HEADLINE = [
     "grid_knn_join",
     "windowed_rank_family",
     "streaming_sessions_custom_state",
+    "ivm_join_view",
     "cluster_summary",
     "muc_prf",
     "tfidf_blend_clusters",

@@ -523,3 +523,151 @@ def ivm_hotkey_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_live") > 0)
         .select("grp", "n_live", "view_sum_r")
     )
+
+
+@query(
+    "ivm_join_view",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id, arg_max(event_type, event_id) AS segment
+        FROM events WHERE event_id % 13 = 0 GROUP BY user_id
+    ),
+    facts AS (
+        SELECT user_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT d.segment, CAST(COUNT(*) AS BIGINT) AS n_facts,
+           CAST(SUM(f.cents) AS BIGINT) AS cents_sum
+    FROM facts f JOIN dim d ON f.user_id = d.user_id
+    GROUP BY 1
+    """,
+)
+def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MAINTENANCE OF A JOIN VIEW — the delta rule beyond
+    single-table group sums (ivm_group_sums): the view joins a fact
+    changelog (event cents, append-only) to a DIMENSION changelog
+    (each user's segment, upserted whenever event_id % 13 == 0) and
+    aggregates per segment. A dimension upsert RECLASSIFIES every
+    fact of that user — the case naive per-row deltas cannot express
+    and full recompute handles by rescanning the fact table. The
+    maintained identity per batch is the two-term form
+        V' = V + dA JOIN B   +   A' JOIN delta(B)
+    (A' = fact partials incl. this batch; delta(B) = retract the old
+    assignment, insert the new): algebraically (A+dA) JOIN (B+dB),
+    so maintenance cost is batch-sized joins against KEYED PARTIALS
+    (per-user fact partials A, per-user assignment B) — never a
+    rescan of history. Four seq-range batches fold at plan build
+    (each state localCheckpointed per round, the greedy-rounds
+    convention); every quantity is exact integer cents, so all
+    merges are order-free. The oracle is the INDEPENDENT recompute
+    (arg_max dim state joined to all facts) — the hash match is the
+    join-IVM theorem on this log, cross-batch reclassification
+    included (users gain their first assignment mid-stream, and
+    their PRE-ASSIGNMENT facts surface via the A' JOIN delta term).
+    Segments whose support never materializes emit nothing on both
+    sides."""
+    ev = load(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    step = (hi - lo + 4) // 4
+    a_state = None  # (user_id, a_n, a_cents)
+    b_state = None  # (user_id, segment)
+    v_state = None  # (segment, n_facts, cents_sum) signed partials
+    for i in range(4):
+        batch = ev.filter(
+            (F.col("event_id") >= lo + i * step)
+            & (F.col("event_id") < lo + (i + 1) * step)
+        )
+        pa = (
+            batch.filter(F.col("value").isNotNull())
+            .select(
+                "user_id",
+                (F.col("value").cast("decimal(18,2)") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("a_n"),
+                F.sum("cents").cast("long").alias("a_cents"),
+            )
+        )
+        db = (
+            batch.filter(F.col("event_id") % 13 == 0)
+            .groupBy("user_id")
+            .agg(F.max_by("event_type", "event_id").alias("new_seg"))
+        )
+        # term 1: this batch's fact partials against the PRE-batch dim
+        if b_state is not None:
+            t1 = pa.join(b_state, "user_id").select(
+                "segment",
+                F.col("a_n").alias("dn"),
+                F.col("a_cents").alias("dc"),
+            )
+        else:
+            t1 = None
+        # A' = A + dA
+        if a_state is None:
+            a_state = pa.localCheckpoint()
+        else:
+            a_state = (
+                a_state.unionByName(pa)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("a_n").cast("long").alias("a_n"),
+                    F.sum("a_cents").cast("long").alias("a_cents"),
+                )
+                .localCheckpoint()
+            )
+        # delta(B) applied against A': retract old, insert new
+        if b_state is not None:
+            moved = db.join(b_state, "user_id", "left")
+        else:
+            moved = db.withColumn("segment", F.lit(None).cast("string"))
+        moved = moved.join(a_state, "user_id")
+        retract = moved.filter(F.col("segment").isNotNull()).select(
+            "segment",
+            (-F.col("a_n")).alias("dn"),
+            (-F.col("a_cents")).alias("dc"),
+        )
+        insert = moved.select(
+            F.col("new_seg").alias("segment"),
+            F.col("a_n").alias("dn"),
+            F.col("a_cents").alias("dc"),
+        )
+        dv = retract.unionByName(insert)
+        if t1 is not None:
+            dv = dv.unionByName(t1)
+        dv = dv.groupBy("segment").agg(
+            F.sum("dn").cast("long").alias("n_facts"),
+            F.sum("dc").cast("long").alias("cents_sum"),
+        )
+        if v_state is None:
+            v_state = dv.localCheckpoint()
+        else:
+            v_state = (
+                v_state.unionByName(dv)
+                .groupBy("segment")
+                .agg(
+                    F.sum("n_facts").cast("long").alias("n_facts"),
+                    F.sum("cents_sum").cast("long").alias("cents_sum"),
+                )
+                .localCheckpoint()
+            )
+        # B' = B overridden by this batch's last upserts
+        if b_state is None:
+            b_state = db.select(
+                "user_id", F.col("new_seg").alias("segment")
+            ).localCheckpoint()
+        else:
+            b_state = (
+                b_state.join(db, "user_id", "full")
+                .select(
+                    "user_id",
+                    F.coalesce("new_seg", "segment").alias("segment"),
+                )
+                .localCheckpoint()
+            )
+    return v_state.filter(F.col("n_facts") > 0).select(
+        "segment", "n_facts", "cents_sum"
+    )

@@ -803,7 +803,7 @@ def grid_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered form is top-k. Oracle: the naive theta join + rank,
     grid-free — an independent formulation, so the hash match
     proves 3x3 coverage loses nothing."""
-    from pyspark.sql import Window as W
+    from streaming_cdc_spark.operators.spatial import grid_knn
 
     emb = load(spark, sf_dir, "embeddings")
     p = emb.select(
@@ -818,46 +818,5 @@ def grid_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             + _GRID_SHIFT
         ).alias("qy"),
-    ).localCheckpoint()
-    build = p.select(
-        F.col("vec_id").alias("neighbor"),
-        F.col("qx").alias("bx"),
-        F.col("qy").alias("by"),
-        F.expr(f"qx div {_GRID_R}").alias("cx"),
-        F.expr(f"qy div {_GRID_R}").alias("cy"),
     )
-    probe = (
-        p.select(
-            F.col("vec_id").alias("q"),
-            "qx",
-            "qy",
-            F.expr(f"qx div {_GRID_R}").alias("hx"),
-            F.expr(f"qy div {_GRID_R}").alias("hy"),
-        )
-        .withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-        .select(
-            "q", "qx", "qy",
-            (F.col("hx") + F.col("dx")).alias("cx"),
-            (F.col("hy") + F.col("dy")).alias("cy"),
-        )
-    )
-    dist2 = (F.col("qx") - F.col("bx")) * (F.col("qx") - F.col("bx")) + (
-        F.col("qy") - F.col("by")
-    ) * (F.col("qy") - F.col("by"))
-    cand = (
-        probe.join(build, ["cx", "cy"])
-        .filter(F.col("q") != F.col("neighbor"))
-        .select("q", "neighbor", dist2.alias("dist2"))
-        # R^2 = 1e10 exceeds int32: fold it in Python so the literal
-        # lands as a LongType, not an overflowing int multiply
-        .filter(F.col("dist2") < F.lit(_GRID_R * _GRID_R))
-    )
-    w = W.partitionBy("q").orderBy("dist2", "neighbor")
-    return (
-        cand.select(
-            "q", "neighbor", "dist2", F.row_number().over(w).alias("rank")
-        )
-        .filter(F.col("rank") <= _GRID_K)
-        .select("q", "neighbor", F.col("dist2").cast("long"), F.col("rank").cast("long"))
-    )
+    return grid_knn(p, _GRID_R, _GRID_K)

@@ -583,6 +583,70 @@ def main() -> None:
         g.unpersist()
     sizes["bfs_3hop"] = n_ops_big / n_ops_small
 
+    # r7 third session: map-side partial Gram (O(n d^2) numpy flops,
+    # d^2-row shuffle — linear in n by construction), grid spatial
+    # kNN under the CONSTANT-DENSITY model (area grows with n — the
+    # honest scaling model for survey-style spatial data, the Heaps-
+    # vocab lesson applied to geometry; a FIXED area with growing n
+    # is quadratic candidate work by definition and the radius dial
+    # is the documented knob), and the HLL register build (distinct +
+    # two keyed aggregates, linear).
+    from streaming_cdc_spark.operators.gram import covariance_matrix
+    from streaming_cdc_spark.operators.spatial import grid_knn
+
+    for n in (n_small, n_big):
+        emb64 = synth_embeddings(spark, n, dim=64).persist()
+        emb64.count()
+        t0 = time.time()
+        covariance_matrix(emb64).write.format("noop").mode("overwrite").save()
+        results.setdefault("gram_covariance_d64", []).append(
+            round(time.time() - t0, 2)
+        )
+        emb64.unpersist()
+    sizes["gram_covariance_d64"] = n_big / n_small
+
+    for n in (10 * n_small, 10 * n_big):
+        side = int(100 * (n ** 0.5))  # area ~ n -> ~100 points/cell at R=1000
+        pts = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.pmod(F.xxhash64("id"), F.lit(side)).alias("qx"),
+                F.pmod(F.xxhash64("id", F.lit(1)), F.lit(side)).alias("qy"),
+            )
+            .persist()
+        )
+        pts.count()
+        t0 = time.time()
+        grid_knn(pts, 1000, 3).write.format("noop").mode("overwrite").save()
+        results.setdefault("grid_knn_k3", []).append(round(time.time() - t0, 2))
+        pts.unpersist()
+    sizes["grid_knn_k3"] = n_big / n_small
+
+    from streaming_cdc_spark.functions.hashing import md5_long
+
+    for n in (10 * n_small, 10 * n_big):
+        ev = synth_events(n).persist()
+        ev.count()
+        t0 = time.time()
+        h = ev.select(
+            "event_type", md5_long(F.col("user_id").cast("string")).alias("hv")
+        ).distinct()
+        r = h.select(
+            "event_type",
+            (F.col("hv") % 64).alias("reg"),
+            F.when(F.expr("hv div 64") == F.lit(0), F.lit(55))
+            .otherwise(F.lit(55) - F.length(F.bin(F.expr("hv div 64"))))
+            .cast("long")
+            .alias("rho"),
+        )
+        r.groupBy("event_type", "reg").agg(F.max("rho").alias("mreg")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        results.setdefault("hll_registers", []).append(round(time.time() - t0, 2))
+        ev.unpersist()
+    sizes["hll_registers"] = n_big / n_small
+
     # the raw blocked kernel is QUADRATIC by design (all-pairs compute
     # in bounded-memory blocks) — expected ratio is size_ratio^2.
     # Default sizes keep the default run short; STRESS_KERNEL_ROWS=a,b
