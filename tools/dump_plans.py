@@ -166,6 +166,34 @@ SHOWCASE = [
         "one-row order total rides in as a whitelisted scalar broadcast.",
         [r"hashpartitioning\(okey"],
     ),
+    (
+        "embedding_covariance",
+        "Map-side partial Gram (r7 third session): the O(n d^2) matmul "
+        "work happens inside ONE MapInPandas stage reading the scan; "
+        "the only exchange aggregates d(d+1)/2-row partials per task "
+        "batch (dim_i, dim_j keys) — the shuffle never carries data "
+        "rows, which is the whole point of the physical.",
+        [r"MapInPandas", r"hashpartitioning\(dim_i"],
+    ),
+    (
+        "grid_knn_join",
+        "Grid spatial kNN (r7 third session): 9-cell probe explode "
+        "equi-joined to single home cells (no theta join anywhere), "
+        "then the per-probe rank passes through WindowGroupLimit BOTH "
+        "map-side and reduce-side — the rank exchange carries at most "
+        "k rows per (probe, input partition), keeping every shuffle "
+        "linear while within-cell candidate work stays compute.",
+        [r"WindowGroupLimit", r"Generate explode"],
+    ),
+    (
+        "hll_replay_distinct",
+        "HLL register build (r7 third session): register maxes are a "
+        "keyed aggregate with a map-side partial (shuffle carries "
+        "(type, reg) partials), the 64-register grid comes from a "
+        "sequence explode (Generate) — no CartesianProduct — and the "
+        "register file joins back as a broadcast hash join.",
+        [r"HashAggregate", r"Generate explode"],
+    ),
 ]
 
 
