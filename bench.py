@@ -118,6 +118,8 @@ HEADLINE = [
     "windowed_rank_family",
     "streaming_sessions_custom_state",
     "ivm_join_view",
+    "rank_tie_semantics",
+    "cube_returnflag_status",
     "cluster_summary",
     "muc_prf",
     "tfidf_blend_clusters",

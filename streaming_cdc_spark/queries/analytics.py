@@ -1690,3 +1690,103 @@ def windowed_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr_r"),
         F.round(F.cume_dist().over(w), 6).alias("cd_r"),
     )
+
+
+_RANKTIES_ORACLE = """
+    WITH t AS (
+      SELECT event_type, user_id,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) // 100000 AS bucket
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT event_type, user_id, cents,
+           CAST(RANK() OVER (PARTITION BY event_type ORDER BY bucket DESC)
+                AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER (PARTITION BY event_type ORDER BY bucket DESC)
+                AS BIGINT) AS drnk
+    FROM t
+"""
+
+
+@query("rank_tie_semantics", oracle=_RANKTIES_ORACLE)
+def rank_tie_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK vs DENSE_RANK under REAL TIES — the two ranking functions
+    whose tie semantics differ (gap vs no gap) and which are
+    tie-DETERMINISTIC by definition: peers of the sort value share a
+    rank no matter the partition order, so — unlike row_number/NTILE
+    — no tiebreak column is needed, and THAT property is what this
+    query pins cross-engine. Users rank per type by their exact
+    integer cents total COARSENED to 1000-unit buckets (integer //,
+    floor on non-negative sums both engines) so collisions actually
+    occur at every sf — a tie-semantics query over tie-free data
+    would be vacuous. One keyed aggregate + one window pass."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = (
+        ev.select(
+            "event_type",
+            "user_id",
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("c").cast("long").alias("cents"))
+        .withColumn("bucket", F.expr("cents div 100000"))
+    )
+    w = W.partitionBy("event_type").orderBy(F.col("bucket").desc())
+    return t.select(
+        "event_type",
+        "user_id",
+        "cents",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@query(
+    "cube_returnflag_status",
+    oracle="""
+    SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN '(all)'
+                ELSE l_returnflag END AS returnflag,
+           CASE WHEN GROUPING(l_linestatus) = 1 THEN '(all)'
+                ELSE l_linestatus END AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS lvl,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                 AS DOUBLE), 2) AS price_sum_r
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE — the remaining grouping-sets kind after ROLLUP
+    (rollup_revenue_cube): all FOUR aggregation levels including the
+    cross marginals ROLLUP cannot express (lvl 2 = per-linestatus
+    across flags, the row a hierarchy never produces). Same one
+    Expand + one shuffle physical (2^k grouping sets in a single
+    aggregate, vs four hand-unioned scans), same GROUPING-bit decode
+    so NULL-keyed leaves can't fake subtotal rows, same DECIMAL
+    money rule."""
+    li = load(spark, sf_dir, "lineitem")
+    g = li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("lvl"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("price_sum_r"),
+    )
+    return g.select(
+        F.when(F.col("lvl").bitwiseAND(2) == 2, F.lit("(all)"))
+        .otherwise(F.col("l_returnflag"))
+        .alias("returnflag"),
+        F.when(F.col("lvl").bitwiseAND(1) == 1, F.lit("(all)"))
+        .otherwise(F.col("l_linestatus"))
+        .alias("linestatus"),
+        "lvl",
+        "n_items",
+        "price_sum_r",
+    )
