@@ -250,7 +250,7 @@ def find_threshold(
     return best
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame, assume_dedup: bool = False) -> DataFrame:
     """Per-node triangle participation counts via DEGREE-ORIENTED
     wedge closing (Schank/Wagner '05; the MapReduce form is Suri &
     Vassilvitskii WWW'11 "node iterator++") — the join order that
@@ -267,17 +267,25 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
     Input: undirected edges (u, v), u < v, no duplicates. Output:
     (vec_id, n_triangles) for every node in at least one triangle.
+
+    ``assume_dedup``: the caller vouches the input is already unique
+    AND already materialized (localCheckpointed) — skips the distinct
+    shuffle and the second checkpoint (review r7s3: a caller that
+    checkpoints for its own degree pass was paying both twice).
     """
-    # the edge set is referenced ~5x in this plan (degree union x2,
-    # the orientation join, the closure semi-join) and typically comes
-    # off an expensive kernel — materialize it once instead of letting
-    # Catalyst recompute the kernel per reference (the
-    # connected_components persist convention)
-    e = (
-        edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
-        .distinct()
-        .localCheckpoint()
-    )
+    if assume_dedup:
+        e = edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
+    else:
+        # the edge set is referenced ~5x in this plan (degree union
+        # x2, the orientation join, the closure semi-join) and
+        # typically comes off an expensive kernel — materialize it
+        # once instead of letting Catalyst recompute the kernel per
+        # reference (the connected_components persist convention)
+        e = (
+            edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
+            .distinct()
+            .localCheckpoint()
+        )
     deg = (
         e.select(F.col("u").alias("x"))
         .unionAll(e.select(F.col("v").alias("x")))

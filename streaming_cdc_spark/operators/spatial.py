@@ -36,10 +36,18 @@ def grid_knn(
     total (dist2, neighbor) order."""
     from pyspark.sql import Window as W
 
-    p = points.select(
-        F.col(id_col).alias("_id"),
-        F.col(x_col).cast("long").alias("_qx"),
-        F.col(y_col).cast("long").alias("_qy"),
+    from streaming_cdc_spark.session import fan_out
+
+    # fan_out before the checkpoint: a single small parquet row-group
+    # scans as ONE partition, and the 9x probe explode plus the cell
+    # join's map side would run in one task (the doc_fingerprints
+    # lesson — every explode-shaped operator takes this guard)
+    p = fan_out(
+        points.select(
+            F.col(id_col).alias("_id"),
+            F.col(x_col).cast("long").alias("_qx"),
+            F.col(y_col).cast("long").alias("_qy"),
+        )
     ).localCheckpoint()
     build = p.select(
         F.col("_id").alias("neighbor"),

@@ -1099,6 +1099,10 @@ def clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_cdc_spark.operators.similarity import cosine_self_edges
 
     emb = load(spark, sf_dir, "embeddings")
+    # one materialization serves both the degree pass and the triangle
+    # kernel: cosine_self_edges emits unique u<v pairs, so the
+    # operator's own distinct+checkpoint would be pure duplicated
+    # shuffle/IO (assume_dedup skips it — review r7s3)
     edges = cosine_self_edges(emb, 0.3).select("u", "v").localCheckpoint()
     deg = (
         edges.select(F.col("u").alias("vec_id"))
@@ -1106,7 +1110,7 @@ def clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
-    tri = tc(edges)
+    tri = tc(edges, assume_dedup=True)
     nt = F.coalesce(F.col("n_triangles"), F.lit(0).cast("long"))
     return (
         deg.filter(F.col("degree") >= 2)

@@ -572,7 +572,19 @@ def streaming_sessionizer_custom(
                     [x[2] for x in live],
                 )
             )
-            timeout_ms = min(x[1] + gap_us for x in live) // 1000 + 1
+            # Timeout at floor(expiry_ms) - 1, NOT + 1: Spark fires
+            # event-time timeouts strictly AFTER the timestamp, and
+            # the emission rule is boundary-INCLUSIVE (end + gap <=
+            # wm, the empirically pinned native semantics the shared
+            # oracle replays) — with +1 a session expiring within
+            # ~2ms at/below the final watermark would never get its
+            # group re-invoked and silently stay in state (review
+            # r7s3). -1 guarantees: emittable (E <= wm_ms*1000 =>
+            # floor(E/1000) <= wm_ms => wm_ms > timeout) implies
+            # invoked; an early firing just re-arms under the
+            # emission guard. Clamped above the current watermark as
+            # setTimeoutTimestamp requires.
+            timeout_ms = min(x[1] + gap_us for x in live) // 1000 - 1
             state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
         else:
             state.remove()

@@ -108,3 +108,25 @@ def test_no_emission_before_watermark_passes(spark):
         assert got == []
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_expiry_exactly_at_watermark_emits(spark):
+    ensure_package_on_executors(spark)
+    # boundary-INCLUSIVE emission (end + gap <= wm, the pinned native
+    # rule): user 9's session expires EXACTLY at the final watermark.
+    # The +1ms timeout form missed this group entirely (review r7s3);
+    # the -1ms form fires it and the guard emits on equality.
+    t0 = 1_700_000_000_000_000
+    gap, delay = 1_800_000_000, 604_800_000_000
+    anchor = t0 + gap + delay  # final wm = anchor - delay = t0 + gap
+    rows = [(1, 9, t0), (2, 8, anchor)]
+    base = tempfile.mkdtemp(prefix="sescs_bnd_")
+    try:
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, tus long"
+        ).select("event_id", "user_id", F.timestamp_micros(F.col("tus")).alias("ts"))
+        write_mtime_pinned_splits([df], base)
+        got = _drain(spark, f"{base}/split_*/*.parquet")
+        assert got == [(9, t0, 1, 0)]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
