@@ -98,9 +98,17 @@ _PRIORITY = [
     "b3_prf",
     "ceaf_e_prf",
     "grinch_forest_invariants",
-    "dendrogram_purity_fixture",
     "tree_cut_clusters",
-    "bisect_clusters",
+    # third-session window adds (all repro_driver_env-verified):
+    # dendrogram_purity_fixture (r4/r6-verified) -> hll_replay_distinct
+    # (full HLL register replay — the sketch family's last member);
+    # bisect_clusters (r4-verified) -> ivm_join_view (join-view IVM
+    # delta rule); materialized_user_value (r3-verified; foreachBatch
+    # stays covered by cdc_streaming_apply) ->
+    # streaming_sessions_custom_state (event-time-timeout state API
+    # under the native session_window query's SAME oracle).
+    "hll_replay_distinct",
+    "ivm_join_view",
     # the namesake CDC family: r6 driver-verified the whole five-piece
     # surface; the r7 MID-ROUND EXTENSION keeps the streaming twin +
     # the never-checked time-travel contract in-window and swaps the
@@ -143,7 +151,7 @@ _PRIORITY = [
     # record linkage (SNM blocking + Fellegi-Sunter, r6 family)
     "record_linkage_scores",
     # temporal / streaming state physicals
-    "materialized_user_value",
+    "streaming_sessions_custom_state",
     "streaming_heavy_hitters",
     "streaming_bloom_status",
     "watermarked_daily_counts",

@@ -31,7 +31,7 @@ def test_every_family_in_checked_window():
         "relational": {"revenue_by_nation"},
         "cdc_metrics": {"b3_prf", "ceaf_e_prf", "ari_score"},
         "clustering": {"threshold_cc_distributed", "grinch_forest_invariants",
-                       "tree_cut_clusters", "bisect_clusters"},
+                       "tree_cut_clusters"},
         "dedup": {"duplicate_span_islands", "ppjoin_skewed_pairs",
                   "chunk_dedup_profile", "pipeline_manifest"},
         "ann": {"ivf_topk_exact"},
@@ -39,13 +39,16 @@ def test_every_family_in_checked_window():
         "text": {"collocation_pmi", "bpe_merge_table"},
         "packing": {"sequence_packing_exact"},
         "temporal": {"cohort_retention", "interval_overlap_join"},
-        "streaming_state": {"materialized_user_value", "streaming_heavy_hitters",
+        "streaming_state": {"streaming_sessions_custom_state",
+                            "streaming_heavy_hitters",
                             "streaming_bloom_status", "watermarked_daily_counts",
                             "progressive_stream_resolution",
                             "streaming_dedup_watermark", "streaming_stream_join",
                             "streaming_join_then_window"},
         "changelog": {"cdc_streaming_apply", "cdc_time_travel",
-                      "ivm_hotkey_sums"},
+                      "ivm_hotkey_sums", "ivm_join_view"},
+        "sketches": {"hll_replay_distinct", "count_min_replay",
+                     "heavy_hitters_bounds"},
         "linkage": {"record_linkage_scores"},
         "analytics": {"interval_coverage_counts", "category_drift_chisq",
                       "heavy_hitters_bounds", "approx_quantile_bounds",
