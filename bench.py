@@ -118,6 +118,7 @@ HEADLINE = [
     "windowed_rank_family",
     "streaming_sessions_custom_state",
     "ivm_join_view",
+    "ivm_join_retract",
     "rank_tie_semantics",
     "cube_returnflag_status",
     "cluster_summary",

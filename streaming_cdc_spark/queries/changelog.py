@@ -671,3 +671,175 @@ def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v_state.filter(F.col("n_facts") > 0).select(
         "segment", "n_facts", "cents_sum"
     )
+
+
+@query(
+    "ivm_join_retract",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(event_id) AS lo, MAX(event_id) AS hi FROM events
+    ),
+    flog AS (
+        SELECT user_id, event_id AS seq,
+               CAST(1 AS BIGINT) AS dn,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS dc
+        FROM events WHERE value IS NOT NULL
+        UNION ALL
+        SELECT e.user_id, e.event_id + (b.hi - b.lo + 1) // 2 AS seq,
+               CAST(-1 AS BIGINT) AS dn,
+               -CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS dc
+        FROM events e CROSS JOIN bounds b
+        WHERE e.value IS NOT NULL AND e.event_id % 9 = 4
+          AND e.event_id + (b.hi - b.lo + 1) // 2 <= b.hi
+    ),
+    dim AS (
+        SELECT user_id, arg_max(event_type, event_id) AS segment
+        FROM events WHERE event_id % 13 = 0 GROUP BY user_id
+    ),
+    net AS (
+        SELECT user_id, CAST(SUM(dn) AS BIGINT) AS n,
+               CAST(SUM(dc) AS BIGINT) AS c
+        FROM flog GROUP BY user_id
+    )
+    SELECT d.segment,
+           CAST(SUM(net.n) AS BIGINT) AS n_facts,
+           CAST(SUM(net.c) AS BIGINT) AS cents_sum
+    FROM net JOIN dim d ON net.user_id = d.user_id
+    GROUP BY 1
+    HAVING SUM(net.n) > 0
+    """,
+)
+def ivm_join_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivm_join_view with RETRACTABLE FACTS: every event whose
+    event_id % 9 == 4 is VOIDED by a correction delta (-1, -cents)
+    arriving HALF A SEQ-RANGE LATER — by construction two batches
+    after its insert (voids that would land past the log's end are
+    clipped: those facts simply stay un-voided, both sides). The
+    signed fact deltas flow through the SAME two-term rule
+    V' = V + dA JOIN B + A' JOIN delta(B) with zero new machinery —
+    the per-user fact partials A are already a commutative group, so
+    a retraction is just a negative element, and a dimension upsert
+    BETWEEN insert and void moves the un-voided partial to the new
+    segment before the void lands there too (the cross-batch case
+    that distinguishes this from per-row compensation). The oracle
+    derives the identical signed log in SQL and recomputes the final
+    view independently — the hash match is the retraction-IVM
+    theorem. Batching is by SEQ quartiles over the extended log
+    range (not event_id: void seqs exceed the event range)."""
+    ev = load(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    half = (hi - lo + 1) // 2
+    facts = ev.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.lit(1).cast("long").alias("dn"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("dc"),
+    )
+    voids = (
+        ev.filter(
+            F.col("value").isNotNull()
+            & (F.col("event_id") % 9 == 4)
+            & (F.col("event_id") + half <= hi)
+        )
+        .select(
+            "user_id",
+            (F.col("event_id") + half).alias("seq"),
+            F.lit(-1).cast("long").alias("dn"),
+            (-(F.col("value").cast("decimal(18,2)") * 100).cast("long")).alias("dc"),
+        )
+    )
+    flog = facts.unionByName(voids).localCheckpoint()
+    dims_all = ev.filter(F.col("event_id") % 13 == 0).select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.col("event_type").alias("new_seg"),
+    )
+    step = (hi - lo + 1 + 3) // 4  # seq range [lo, hi]; voids clipped to hi
+    a_state = None
+    b_state = None
+    v_state = None
+    for i in range(4):
+        s_lo, s_hi = lo + i * step, lo + (i + 1) * step
+        pa = (
+            flog.filter((F.col("seq") >= s_lo) & (F.col("seq") < s_hi))
+            .groupBy("user_id")
+            .agg(
+                F.sum("dn").cast("long").alias("a_n"),
+                F.sum("dc").cast("long").alias("a_cents"),
+            )
+        )
+        db = (
+            dims_all.filter((F.col("seq") >= s_lo) & (F.col("seq") < s_hi))
+            .groupBy("user_id")
+            .agg(F.max_by("new_seg", "seq").alias("new_seg"))
+        )
+        if b_state is not None:
+            t1 = pa.join(b_state, "user_id").select(
+                "segment",
+                F.col("a_n").alias("dn"),
+                F.col("a_cents").alias("dc"),
+            )
+        else:
+            t1 = None
+        if a_state is None:
+            a_state = pa.localCheckpoint()
+        else:
+            a_state = (
+                a_state.unionByName(pa)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("a_n").cast("long").alias("a_n"),
+                    F.sum("a_cents").cast("long").alias("a_cents"),
+                )
+                .localCheckpoint()
+            )
+        if b_state is not None:
+            moved = db.join(b_state, "user_id", "left")
+        else:
+            moved = db.withColumn("segment", F.lit(None).cast("string"))
+        moved = moved.join(a_state, "user_id")
+        retract = moved.filter(F.col("segment").isNotNull()).select(
+            "segment",
+            (-F.col("a_n")).alias("dn"),
+            (-F.col("a_cents")).alias("dc"),
+        )
+        insert = moved.select(
+            F.col("new_seg").alias("segment"),
+            F.col("a_n").alias("dn"),
+            F.col("a_cents").alias("dc"),
+        )
+        dv = retract.unionByName(insert)
+        if t1 is not None:
+            dv = dv.unionByName(t1)
+        dv = dv.groupBy("segment").agg(
+            F.sum("dn").cast("long").alias("n_facts"),
+            F.sum("dc").cast("long").alias("cents_sum"),
+        )
+        if v_state is None:
+            v_state = dv.localCheckpoint()
+        else:
+            v_state = (
+                v_state.unionByName(dv)
+                .groupBy("segment")
+                .agg(
+                    F.sum("n_facts").cast("long").alias("n_facts"),
+                    F.sum("cents_sum").cast("long").alias("cents_sum"),
+                )
+                .localCheckpoint()
+            )
+        if b_state is None:
+            b_state = db.select(
+                "user_id", F.col("new_seg").alias("segment")
+            ).localCheckpoint()
+        else:
+            b_state = (
+                b_state.join(db, "user_id", "full")
+                .select(
+                    "user_id",
+                    F.coalesce("new_seg", "segment").alias("segment"),
+                )
+                .localCheckpoint()
+            )
+    return v_state.filter(F.col("n_facts") > 0).select(
+        "segment", "n_facts", "cents_sum"
+    )
