@@ -61,6 +61,15 @@ def partial_gram(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
             # float32 -> float64 is exact; *1000 is exact (1000 = 8*125,
             # 125 fits the float32 mantissa headroom); floor is exact.
             m = np.stack(vecs.to_numpy())
+            # NaN/Inf would bypass the overflow guard below:
+            # floor(NaN).astype(int64) is INT64_MIN, whose np.abs is
+            # still negative, so |q| >= Q_MAX never trips and the
+            # matmul silently wraps. Reject non-finite input first.
+            if not np.isfinite(m).all():
+                raise ValueError(
+                    "non-finite embedding values (NaN/Inf): exact "
+                    "quantized Gram is undefined; clean the input"
+                )
             q = np.floor(m.astype(np.float64) * QUANT).astype(np.int64)
             if np.abs(q).max() >= Q_MAX:
                 raise ValueError(

@@ -1720,9 +1720,12 @@ def rank_tie_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no tiebreak column is needed, and THAT property is what this
     query pins cross-engine. Users rank per type by their exact
     integer cents total COARSENED to 1000-unit buckets (integer //,
-    floor on non-negative sums both engines) so collisions actually
-    occur at every sf — a tie-semantics query over tie-free data
-    would be vacuous. One keyed aggregate + one window pass."""
+    floor on non-negative sums both engines; Spark `div` truncates
+    while DuckDB `//` floors, so non-negativity is LOAD-BEARING —
+    pinned by test_rank_tie_cents_nonnegative_on_fixture) so
+    collisions actually occur at every sf — a tie-semantics query
+    over tie-free data would be vacuous. One keyed aggregate + one
+    window pass."""
     from pyspark.sql import Window as W
 
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())

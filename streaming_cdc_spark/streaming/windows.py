@@ -503,11 +503,14 @@ def streaming_sessionizer_custom(
       ends against (data batches see the PREVIOUS batch's watermark;
       availableNow's closing no-data batch delivers the final one).
     - unexpired sessions set an event-time timeout at their earliest
-      expiry (+1 ms: Spark fires timeouts strictly AFTER the
-      timestamp, and setTimeoutTimestamp must exceed the current
-      watermark), so the closing batch re-invokes exactly the groups
-      still holding state, with empty input and hasTimedOut — where
-      expired sessions flush.
+      expiry MINUS 1 ms (Spark fires timeouts strictly AFTER the
+      timestamp while the emission rule is boundary-inclusive;
+      setTimeoutTimestamp must still exceed the current watermark,
+      so the re-arm clamps to wm+1), so the closing batch re-invokes
+      exactly the groups still holding state, with empty input and
+      hasTimedOut — where expired sessions flush. Residual 1-ms
+      quantization blind spot (inherent to ms-granular timeouts +
+      strictly-after firing): see the comment at the re-arm site.
 
     Arrow hands a group as chunks in arbitrary order: drain ALL
     chunks, concat, sort once by (ts, id) — the r4 per-chunk-sort
@@ -584,6 +587,19 @@ def streaming_sessionizer_custom(
             # invoked; an early firing just re-arms under the
             # emission guard. Clamped above the current watermark as
             # setTimeoutTimestamp requires.
+            #
+            # RESIDUAL 1-ms QUANTIZATION BLIND SPOT (inherent to
+            # setTimeoutTimestamp > watermark + strictly-after
+            # firing, NOT fixable by changing the -1): if a group is
+            # invoked at wm == floor(expiry_ms) while still live,
+            # the clamp re-arms at wm+1; should the FINAL watermark
+            # then advance exactly 1 ms to ceil(expiry/1000), the
+            # session is emittable under the boundary-inclusive rule
+            # but wm never strictly passes the timeout, so it stays
+            # in state. Reachable only with sub-ms event times —
+            # whole-second fixtures cannot hit it. Pinned by
+            # test_submillisecond_expiry_blind_spot so a fixture
+            # regen with sub-ms timestamps fails loudly there.
             timeout_ms = min(x[1] + gap_us for x in live) // 1000 - 1
             state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
         else:

@@ -408,6 +408,32 @@ def test_centroid_outliers_shift_assumption_holds_on_fixture(spark):
     assert mn > -1.0 and mx < 1.0, (mn, mx)
 
 
+def test_rank_tie_cents_nonnegative_on_fixture(spark):
+    # rank_tie_semantics buckets per-user cents with Spark `div` vs
+    # DuckDB `//`, which diverge on NEGATIVE operands (truncate vs
+    # floor). The query's determinism rests on every summed cents
+    # value being >= 0; pin that on the fixture so a testdata regen
+    # with negative event values produces THIS named failure instead
+    # of an opaque rank_tie_semantics value-hash FAIL.
+    from streaming_cdc_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.01", "events").filter(
+        F.col("value").isNotNull()
+    )
+    mn = (
+        ev.select(
+            "event_type",
+            "user_id",
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("c").alias("cents"))
+        .agg(F.min("cents"))
+        .first()[0]
+    )
+    assert mn is not None and mn >= 0, mn
+
+
 def test_weighted_median_golden(spark, tmp_path):
     import pandas as pd
 

@@ -110,6 +110,47 @@ def test_no_emission_before_watermark_passes(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_submillisecond_expiry_blind_spot(spark):
+    ensure_package_on_executors(spark)
+    # PINS the documented residual 1-ms quantization blind spot
+    # (streaming/windows.py re-arm comment): with SUB-MS event times,
+    # a live group invoked at wm == floor(expiry_ms) re-arms its
+    # timeout at wm+1 (the setTimeoutTimestamp > wm clamp); when the
+    # final watermark then advances exactly 1 ms to ceil(expiry/1000)
+    # the session is emittable under the boundary-inclusive rule but
+    # the timeout never fires strictly-after — it silently stays in
+    # state. Inherent to ms-granular timeouts; this test exists so a
+    # fixture regen with sub-ms timestamps fails HERE with a named
+    # cause, not as an opaque oracle hash mismatch.
+    gap, delay = 1_800_000_000, 604_800_000_000
+    t0 = 1_700_000_000_000_500  # 500 us sub-ms fraction
+    expiry = t0 + gap  # ...800_000_500 us; floor_ms = ...800_000
+    floor_ms = expiry // 1000
+    # batch-1 anchor drives wm@batch2 to exactly floor(expiry_ms) —
+    # user 9's batch-1 timeout (floor_ms - 1) fires there, live,
+    # re-arms at wm+1 = floor_ms+1. batch-2's anchor drives the
+    # FINAL watermark (availableNow's closing no-data batch) to
+    # exactly ceil(expiry_ms) = floor_ms+1 == the re-armed timeout,
+    # which never fires strictly-after.
+    a1 = floor_ms * 1000 + delay
+    a2 = (floor_ms + 1) * 1000 + delay
+    rows_b1 = [(1, 9, t0), (2, 8, a1)]
+    rows_b2 = [(3, 8, a2)]  # merges into user-8's open session
+    base = tempfile.mkdtemp(prefix="sescs_subms_")
+    try:
+        mk = lambda rows: spark.createDataFrame(
+            rows, "event_id long, user_id long, tus long"
+        ).select("event_id", "user_id", F.timestamp_micros(F.col("tus")).alias("ts"))
+        write_mtime_pinned_splits([mk(rows_b1), mk(rows_b2)], base)
+        got = _drain(spark, f"{base}/split_*/*.parquet")
+        # CURRENT behavior: user 9's session (emittable at the final
+        # watermark) is stuck in state -> nothing emits. If Spark or
+        # the re-arm rule ever changes, this assertion names it.
+        assert got == []
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_expiry_exactly_at_watermark_emits(spark):
     ensure_package_on_executors(spark)
     # boundary-INCLUSIVE emission (end + gap <= wm, the pinned native

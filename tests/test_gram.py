@@ -82,3 +82,14 @@ def test_overflow_guard_raises(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     with pytest.raises(Exception, match="overflow budget"):
         covariance_matrix(df).collect()
+
+
+def test_non_finite_input_raises_not_wraps(spark):
+    # NaN would bypass the magnitude guard (floor(NaN)->INT64_MIN,
+    # np.abs stays negative) and silently wrap the matmul; the
+    # operator must raise a named error instead.
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        rows = [(0, [bad, 1.0]), (1, [2.0, 3.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        with pytest.raises(Exception, match="non-finite"):
+            covariance_matrix(df).collect()
