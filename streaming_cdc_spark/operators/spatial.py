@@ -29,11 +29,25 @@ def grid_knn(
     id_col: str = "vec_id",
     x_col: str = "qx",
     y_col: str = "qy",
+    max_cell_population: int | None = None,
 ) -> DataFrame:
     """points: (id, qx, qy) with NON-NEGATIVE integer coords (already
     quantized + shifted). Returns (q, neighbor, dist2, rank) — each
     point's k nearest neighbors with dist2 < radius^2, ranked by the
-    total (dist2, neighbor) order."""
+    total (dist2, neighbor) order.
+
+    max_cell_population is the SKEW DIAL (the ppjoin_skewed /
+    resource_allocation hub-cap pattern): when set, only the `cap`
+    lowest-id points of each home cell enter the BUILD index — a
+    planted hot cell (a geo point-of-interest, a default coordinate)
+    otherwise makes the within-cell candidate work quadratic in the
+    hot population. The cap is recall-trading but DETERMINISTIC
+    (membership = row_number over (cell, id) <= cap, replayable in
+    SQL), and every point still PROBES, so capped points keep their
+    own neighbor lists. The cap filter itself is skew-safe: Spark
+    plants a map-side WindowGroupLimit below the cell exchange, so
+    the hot cell ships at most cap rows per input partition — the
+    cap never becomes its own single-partition sort wall."""
     from pyspark.sql import Window as W
 
     from streaming_cdc_spark.session import fan_out
@@ -56,6 +70,16 @@ def grid_knn(
         F.expr(f"_qx div {radius}").alias("cx"),
         F.expr(f"_qy div {radius}").alias("cy"),
     )
+    if max_cell_population is not None:
+        cw = W.partitionBy("cx", "cy").orderBy("neighbor")
+        build = (
+            build.select(
+                "neighbor", "bx", "by", "cx", "cy",
+                F.row_number().over(cw).alias("_cr"),
+            )
+            .filter(F.col("_cr") <= max_cell_population)
+            .drop("_cr")
+        )
     probe = (
         p.select(
             F.col("_id").alias("q"),

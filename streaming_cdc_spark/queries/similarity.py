@@ -820,3 +820,92 @@ def grid_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qy"),
     )
     return grid_knn(p, _GRID_R, _GRID_K)
+
+
+_GRIDSK_CAP = 8
+_GRIDSK_HOT = 5_000_000  # its own cell region, far from the data's [0, 2e6]
+
+_GRIDSK_ORACLE = f"""
+    WITH p AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 5 < 2
+                  THEN {_GRIDSK_HOT} + vec_id % 313
+                  ELSE CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000)
+                            AS BIGINT) + {_GRID_SHIFT} END AS qx,
+             CASE WHEN vec_id % 5 < 2
+                  THEN {_GRIDSK_HOT} + vec_id % 331
+                  ELSE CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 1000000)
+                            AS BIGINT) + {_GRID_SHIFT} END AS qy
+      FROM embeddings
+    ),
+    capped AS (
+      SELECT vec_id, qx, qy
+      FROM (
+        SELECT vec_id, qx, qy,
+               ROW_NUMBER() OVER (PARTITION BY qx // {_GRID_R}, qy // {_GRID_R}
+                                  ORDER BY vec_id) AS cr
+        FROM p
+      ) WHERE cr <= {_GRIDSK_CAP}
+    ),
+    cand AS (
+      SELECT a.vec_id AS q, b.vec_id AS neighbor,
+             (a.qx - b.qx) * (a.qx - b.qx)
+               + (a.qy - b.qy) * (a.qy - b.qy) AS dist2
+      FROM p a JOIN capped b ON a.vec_id <> b.vec_id
+      WHERE (a.qx - b.qx) * (a.qx - b.qx)
+              + (a.qy - b.qy) * (a.qy - b.qy)
+            < CAST({_GRID_R} AS BIGINT) * CAST({_GRID_R} AS BIGINT)
+    ),
+    ranked AS (
+      SELECT q, neighbor, CAST(dist2 AS BIGINT) AS dist2,
+             ROW_NUMBER() OVER (PARTITION BY q ORDER BY dist2, neighbor) AS rank
+      FROM cand
+    )
+    SELECT q, neighbor, dist2, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_GRID_K}
+"""
+
+
+@query("grid_knn_skewed", oracle=_GRIDSK_ORACLE)
+def grid_knn_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grid_knn_join's SKEW DIAL under a PLANTED HOT CELL — the
+    ppjoin_skewed pattern applied to spatial data: 40% of the points
+    (vec_id % 5 < 2) are overridden to one geo hotspot (a default
+    coordinate / point-of-interest, the classic spatial skew), whose
+    cell population would otherwise make the within-cell candidate
+    work quadratic in the hot count. max_cell_population={_GRIDSK_CAP}
+    admits only the {_GRIDSK_CAP} lowest-id points of each home cell
+    into the BUILD index, so hot-cell candidates are cap*n_hot, not
+    n_hot^2 — and the cap filter itself is map-side-limited
+    (WindowGroupLimit below the cell exchange, plan-pinned), so the
+    hot cell never becomes a single-partition sort wall. Every point
+    still PROBES: capped points keep their own top-k (over the capped
+    index). The cap bites at every sf ({_GRIDSK_CAP} << 20 hot points
+    at sf0.001). Membership is deterministic (lowest ids), so the
+    oracle replays it exactly: the naive grid-free theta join against
+    the capped set — recall-trading but replayable, the
+    resource_allocation_links hub-cap contract. Hot offsets
+    (vec_id % 313, % 331) give distinct exact-integer distances with
+    the (dist2, neighbor) total order breaking residual ties."""
+    from streaming_cdc_spark.operators.spatial import grid_knn
+
+    emb = load(spark, sf_dir, "embeddings")
+    hot = F.col("vec_id") % 5 < 2
+    p = emb.select(
+        "vec_id",
+        F.when(hot, F.lit(_GRIDSK_HOT) + F.col("vec_id") % 313)
+        .otherwise(
+            F.floor(F.col("embedding").getItem(0).cast("double") * 1_000_000)
+            .cast("long")
+            + _GRID_SHIFT
+        )
+        .alias("qx"),
+        F.when(hot, F.lit(_GRIDSK_HOT) + F.col("vec_id") % 331)
+        .otherwise(
+            F.floor(F.col("embedding").getItem(1).cast("double") * 1_000_000)
+            .cast("long")
+            + _GRID_SHIFT
+        )
+        .alias("qy"),
+    )
+    return grid_knn(p, _GRID_R, _GRID_K, max_cell_population=_GRIDSK_CAP)

@@ -1568,3 +1568,135 @@ def streaming_sessions_custom_state(spark: SparkSession, sf_dir: str) -> DataFra
         out.select("user_id", "session_start_us", "n_events", "session_us"),
         "sescs",
     ).select("user_id", "session_start_us", "n_events", "session_us")
+
+
+_SSEE_ORACLE = """
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (SELECT MIN(event_id) AS lo, MAX(event_id) AS hi FROM ev),
+    seg AS (SELECT c_custkey AS user_id, c_mktsegment FROM customer)
+    SELECT CASE WHEN e.user_id % 5 = 3
+                     AND e.event_id < b.lo + (b.hi - b.lo + 3) // 3
+                THEN '(late-dim)' ELSE s.c_mktsegment END AS segment,
+           e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(e.cents) AS BIGINT) AS cents_sum
+    FROM ev e CROSS JOIN b LEFT JOIN seg s ON e.user_id = s.user_id
+    GROUP BY 1, 2
+"""
+
+
+@query("stream_static_enrich_evolving", oracle=_SSEE_ORACLE)
+def stream_static_enrich_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC JOIN WITH AN EVOLVING DIMENSION — the one
+    stream-static behavior stream_static_enrich cannot pin: the dim
+    is RE-READ FRESH EACH MICRO-BATCH, so dimension rows upserted
+    between triggers enrich later batches (the slowly-changing-dim
+    contract every production enrichment pipeline relies on). A
+    plain static-DataFrame join can NOT promise this — Spark's file
+    index for a static side is resolved when the plan is built, so
+    the supported per-batch-refresh physical is foreachBatch with an
+    explicit spark.read inside the handler (re-planned per batch;
+    the dim stays broadcast-sized, so each batch pays one broadcast
+    build — the only non-linear-in-stream cost at 100 TB/day).
+    Fixture: dim v0 = customer MINUS the user_id % 5 == 3 rows;
+    after batch 0 is processed (and ONLY then) the held-out rows are
+    appended to the dim directory. Three mtime-pinned id-range event
+    batches drain with maxFilesPerTrigger=1; batch-0 events of
+    held-out users enrich to the '(late-dim)' sentinel (left join),
+    while the SAME users' events in batches 1-2 get their real
+    segment — so the oracle (one batch SQL join + the batch-0
+    id-range CASE) hash-matches iff batch 1 actually SAW the rows
+    added after batch 0. Exact-integer counts/cent sums per
+    (segment, event_type), the registry money rule."""
+    import os
+    import shutil
+    import tempfile
+
+    from streaming_cdc_spark.session import write_mtime_pinned_splits
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    src = _SSE_SRC.get(sf_dir)
+    if src is None or not os.path.isdir(src):
+        lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+        step = (hi - lo + 3) // 3
+        src = cached_tmp_dir("sse_src_")
+        parts = [
+            ev.filter(
+                (F.col("event_id") >= lo + i * step)
+                & (F.col("event_id") < lo + (i + 1) * step)
+            ).select(
+                "event_id",
+                "user_id",
+                "event_type",
+                (F.col("value").cast("decimal(18,2)") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+            for i in range(3)
+        ]
+        write_mtime_pinned_splits(parts, src)
+        _SSE_SRC[sf_dir] = src
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    held = F.col("user_id") % 5 == 3
+    # dim + out dirs are FRESH per call: the dim MUTATES mid-run, so
+    # (unlike the cached immutable source splits) reuse would leak
+    # batch-1 state into a replay's batch 0
+    dim_dir = tempfile.mkdtemp(prefix="ssee_dim_")
+    out_dir = tempfile.mkdtemp(prefix="ssee_out_")
+    ckpt = tempfile.mkdtemp(prefix="ssee_ckpt_")
+    try:
+        cust.filter(~held).write.mode("overwrite").parquet(dim_dir)
+        late_rows = cust.filter(held).localCheckpoint()
+
+        def handle(batch_df, batch_id: int) -> None:
+            sp = batch_df.sparkSession
+            dim = F.broadcast(sp.read.parquet(dim_dir))
+            (
+                batch_df.join(dim, "user_id", "left")
+                .select(
+                    F.coalesce(F.col("segment"), F.lit("(late-dim)")).alias(
+                        "segment"
+                    ),
+                    "event_type",
+                    "cents",
+                )
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+            if batch_id == 0:
+                late_rows.write.mode("append").parquet(dim_dir)
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, cents long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/split_*/*.parquet")
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.read.parquet(out_dir)
+            .groupBy("segment", "event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum("cents").cast("long").alias("cents_sum"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(dim_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)

@@ -74,3 +74,55 @@ def test_plan_pushes_rank_limit_below_exchange(spark):
     assert "WindowGroupLimit" in head
     tail = plan.split("Exchange hashpartitioning", 1)[1]
     assert "WindowGroupLimit" in tail
+
+
+def _brute_capped(rows, cap, r=R, k=K):
+    # capped build membership: lowest-id `cap` points per home cell
+    from collections import defaultdict
+
+    cells = defaultdict(list)
+    for i, x, y in rows:
+        cells[(x // r, y // r)].append(i)
+    keep = set()
+    for ids in cells.values():
+        keep.update(sorted(ids)[:cap])
+    out = []
+    for i, xi, yi in rows:
+        cand = []
+        for j, xj, yj in rows:
+            if j == i or j not in keep:
+                continue
+            d2 = (xi - xj) ** 2 + (yi - yj) ** 2
+            if d2 < r * r:
+                cand.append((d2, j))
+        cand.sort()
+        for rank, (d2, j) in enumerate(cand[:k], 1):
+            out.append((i, j, d2, rank))
+    return sorted(out)
+
+
+def test_cell_cap_matches_bruteforce_and_probes_survive(spark):
+    # hot cell: 60 points piled into cell (0,0); cap 5 admits only
+    # ids 0..4 to the build index, but ALL hot points keep their own
+    # top-k as probes
+    rows = [(i, 10 + i % 7, 10 + i % 9) for i in range(60)]
+    rows += [(100 + i, 3000 + 13 * i, 3000) for i in range(6)]  # normal spread
+    got = sorted(
+        map(tuple, grid_knn(_pts(spark, rows), R, K, max_cell_population=5).collect())
+    )
+    assert got == _brute_capped(rows, cap=5)
+    probes = {q for q, *_ in got}
+    assert set(range(60)) <= probes  # capped-out points still probe
+    hot_neighbors = {n for q, n, _, _ in got if q < 60}
+    assert hot_neighbors <= set(range(5))  # only capped members indexed
+
+
+def test_cell_cap_plan_is_map_side_limited(spark):
+    # the cap's row_number filter must plant a WindowGroupLimit BELOW
+    # its exchange too: the hot cell ships <= cap rows per input
+    # partition instead of its whole population
+    rows = [(i, (i * 37) % 5000, (i * 91) % 5000) for i in range(200)]
+    df = grid_knn(_pts(spark, rows), R, K, max_cell_population=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # two rank limits (cap + top-k), each with a map-side copy
+    assert plan.count("WindowGroupLimit") >= 4

@@ -371,3 +371,42 @@ def test_stream_join_late_filter_lags_one_extra_batch(spark, tmp_path):
             (1, 1000, 1050),  # the late buy matched the in-state click
             (9, 3000, 3000),
         ], f"{mode}: two-watermark late-filter mechanics changed: {sorted(emitted)}"
+
+
+def test_evolving_dim_seen_by_later_batches(spark):
+    # stream_static_enrich_evolving's whole point: dim rows appended
+    # AFTER batch 0 must enrich batches 1-2. Held-out users
+    # (user_id % 5 == 3) therefore appear BOTH under '(late-dim)'
+    # (their batch-0 events) and under their real segment (their
+    # later events) — the second part is impossible unless the
+    # per-batch fresh dim read saw the appended rows.
+    from pyspark.sql import functions as F
+
+    from streaming_cdc_spark.queries.temporal import stream_static_enrich_evolving
+    from streaming_cdc_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    res = stream_static_enrich_evolving(spark, sf).localCheckpoint()
+    late = res.filter(F.col("segment") == "(late-dim)")
+    assert late.count() > 0, "no batch-0 held-out events hit the sentinel"
+
+    ev = load(spark, sf, "events").filter(F.col("value").isNotNull())
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    step = (hi - lo + 3) // 3
+    cust = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    # exact expected count of real-segment rows from held-out users'
+    # batch-1/2 events, per (segment, type) — cross-check one total:
+    held_later = (
+        ev.filter(
+            (F.col("user_id") % 5 == 3) & (F.col("event_id") >= lo + step)
+        )
+        .join(cust, "user_id")
+        .count()
+    )
+    assert held_later > 0, "fixture geometry: no held-out events after batch 0"
+    # total event count must be conserved across the sentinel split
+    assert (
+        res.agg(F.sum("n_events")).first()[0] == ev.count()
+    )
