@@ -113,8 +113,10 @@ HEADLINE = [
     "benford_digit_profile",
     "ewma_user_value",
     "stream_static_enrich",
+    "stream_static_enrich_evolving",
     "clustering_coefficients",
     "grid_knn_join",
+    "grid_knn_skewed",
     "windowed_rank_family",
     "streaming_sessions_custom_state",
     "ivm_join_view",

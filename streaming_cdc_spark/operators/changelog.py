@@ -323,3 +323,116 @@ def changelog_deltas(
         (F.col("_live") - F.coalesce(prev_live, F.lit(0)))
         .cast("long").alias("delta_live"),
     )
+
+
+def ivm_join_fold(
+    flog: DataFrame,
+    dims_all: DataFrame,
+    lo: int,
+    hi: int,
+    n_batches: int = 4,
+) -> DataFrame:
+    """JOIN-VIEW IVM batch fold over a SIGNED fact changelog — the
+    two-term delta rule V' = V + dA JOIN B + A' JOIN delta(B),
+    extracted from the ivm_join_retract query so stress.py can drive
+    it on synthetic hot-key logs at 1M-4M ops.
+
+    flog: (user_id, seq, dn, dc) signed fact deltas (a retraction is
+    a negative element of the per-user commutative group — no
+    per-row compensation machinery). dims_all: (user_id, seq,
+    new_seg) dimension upserts; an upsert between a fact's insert
+    and its void reclassifies the un-voided partial to the new
+    segment via keyed partials — NEVER a history rescan (the
+    100 TB contract: per-batch work is O(batch + touched keys)).
+    Batches are seq-range slices of [lo, hi]. Returns the final view
+    (segment, n_facts, cents_sum) INCLUDING zero-support rows —
+    callers filter. localCheckpoint per batch is inherent: the fold
+    is sequential (each batch's view delta depends on the previous
+    A/B state), the greedy-rounds eager-evaluation cost class."""
+    step = (hi - lo + 1 + n_batches - 1) // n_batches
+    a_state = None
+    b_state = None
+    v_state = None
+    for i in range(n_batches):
+        s_lo, s_hi = lo + i * step, lo + (i + 1) * step
+        pa = (
+            flog.filter((F.col("seq") >= s_lo) & (F.col("seq") < s_hi))
+            .groupBy("user_id")
+            .agg(
+                F.sum("dn").cast("long").alias("a_n"),
+                F.sum("dc").cast("long").alias("a_cents"),
+            )
+        )
+        db = (
+            dims_all.filter((F.col("seq") >= s_lo) & (F.col("seq") < s_hi))
+            .groupBy("user_id")
+            .agg(F.max_by("new_seg", "seq").alias("new_seg"))
+        )
+        if b_state is not None:
+            t1 = pa.join(b_state, "user_id").select(
+                "segment",
+                F.col("a_n").alias("dn"),
+                F.col("a_cents").alias("dc"),
+            )
+        else:
+            t1 = None
+        if a_state is None:
+            a_state = pa.localCheckpoint()
+        else:
+            a_state = (
+                a_state.unionByName(pa)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("a_n").cast("long").alias("a_n"),
+                    F.sum("a_cents").cast("long").alias("a_cents"),
+                )
+                .localCheckpoint()
+            )
+        if b_state is not None:
+            moved = db.join(b_state, "user_id", "left")
+        else:
+            moved = db.withColumn("segment", F.lit(None).cast("string"))
+        moved = moved.join(a_state, "user_id")
+        retract = moved.filter(F.col("segment").isNotNull()).select(
+            "segment",
+            (-F.col("a_n")).alias("dn"),
+            (-F.col("a_cents")).alias("dc"),
+        )
+        insert = moved.select(
+            F.col("new_seg").alias("segment"),
+            F.col("a_n").alias("dn"),
+            F.col("a_cents").alias("dc"),
+        )
+        dv = retract.unionByName(insert)
+        if t1 is not None:
+            dv = dv.unionByName(t1)
+        dv = dv.groupBy("segment").agg(
+            F.sum("dn").cast("long").alias("n_facts"),
+            F.sum("dc").cast("long").alias("cents_sum"),
+        )
+        if v_state is None:
+            v_state = dv.localCheckpoint()
+        else:
+            v_state = (
+                v_state.unionByName(dv)
+                .groupBy("segment")
+                .agg(
+                    F.sum("n_facts").cast("long").alias("n_facts"),
+                    F.sum("cents_sum").cast("long").alias("cents_sum"),
+                )
+                .localCheckpoint()
+            )
+        if b_state is None:
+            b_state = db.select(
+                "user_id", F.col("new_seg").alias("segment")
+            ).localCheckpoint()
+        else:
+            b_state = (
+                b_state.join(db, "user_id", "full")
+                .select(
+                    "user_id",
+                    F.coalesce("new_seg", "segment").alias("segment"),
+                )
+                .localCheckpoint()
+            )
+    return v_state

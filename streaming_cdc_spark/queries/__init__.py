@@ -90,104 +90,122 @@ from streaming_cdc_spark.queries import (  # noqa: E402,F401
 # simhash_dedup_groups, bm25_topk, cosine_topk, embedding_norm_stats
 # (P10), text_quality, media_stats, asof_join_orders (temporal keeps
 # cohort_retention + sessions in-window), quality_decile_curriculum.
+# r8 ROTATION (VERDICT r7 top-next #1/#5): 27 slots swapped to burn
+# the never-driver-verified backlog's high-value tail, every swap-in
+# repro_driver_env-verified BEFORE the swap (three recorded batches,
+# 27/27 PASS). In: the r7 post-battery ivm_join_retract; the two
+# remaining streaming shapes (streaming_outer_join,
+# stream_static_enrich) plus the NEW evolving-dim twin
+# (stream_static_enrich_evolving — per-batch dim re-read) and
+# mid-stream compaction (progressive_longstream_compacted); the
+# spatial kNN pair (grid_knn_join + the NEW hot-cell-capped
+# grid_knn_skewed); distributed Gram covariance; the graph tail
+# (modularity, clustering coefficients, triangles, personalized
+# PageRank); attribution/funnel/transition analytics; the window-
+# function semantics trio (windowed_rank_family, rank_tie_semantics,
+# user-facing CUBE); unpivot + equi-depth histogram; zorder_layout
+# (footer-pruning layout, never driver-hashed); and the composition
+# long tail (leakage_safe_splits, incremental_dedup_status,
+# incremental_semantic_status, meta_blocking_pairs, fuzzy_name_join,
+# hybrid_rrf_topk). Rotated OUT (ALL hold a green CORRECTNESS_r07 row
+# — plus earlier rounds for some — and stay registered + locally
+# gated + benched; family cover noted): threshold_cc_distributed
+# (C1/C2 — pointer-jumping CC physical re-exercised in-window by
+# incremental/meta-blocking chains and leakage splits' group CC),
+# ceaf_e_prf (b3_prf keeps coref), grinch_forest_invariants /
+# tree_cut_clusters (tree family r7-verified; per-key forest + cut
+# stay locally gated), hll_replay_distinct / count_min_replay /
+# heavy_hitters_bounds / approx_quantile_bounds /
+# streaming_heavy_hitters (sketch family r7-verified across all five
+# members; streaming_bloom_status keeps a sketch + streaming row
+# in-window), cdc_time_travel (cdc_streaming_apply keeps the
+# versioned sink), streaming_dedup_watermark / watermarked_daily_
+# counts (watermark semantics keep stream-join + sessions rows),
+# cohort_retention, interval_coverage_counts, category_drift_chisq,
+# ari_score, mad_outlier_stats (weighted_median_banded keeps banded
+# medians), basket_part_pairs, pivot_user_event_matrix,
+# rollup_revenue_cube (cube_returnflag_status keeps GROUPING-bit
+# decode), interval_overlap_join, label_propagation_communities,
+# kcore_peel_rounds, bfs_hop_distances (graph family cover moves to
+# the four swapped-in graph queries), pareto_front_docs,
+# greedy_coverage_docs, collocation_pmi.
 _PRIORITY = [
     # relational core (J1 broadcast join stays as the anchor row)
     "revenue_by_nation",
-    # CDC pipeline scale physicals + coref metrics + trees
-    "threshold_cc_distributed",
+    # coref metric anchor
     "b3_prf",
-    "ceaf_e_prf",
-    "grinch_forest_invariants",
-    "tree_cut_clusters",
-    # third-session window adds (all repro_driver_env-verified):
-    # dendrogram_purity_fixture (r4/r6-verified) -> hll_replay_distinct
-    # (full HLL register replay — the sketch family's last member);
-    # bisect_clusters (r4-verified) -> ivm_join_view (join-view IVM
-    # delta rule); materialized_user_value (r3-verified; foreachBatch
-    # stays covered by cdc_streaming_apply) ->
-    # streaming_sessions_custom_state (event-time-timeout state API
-    # under the native session_window query's SAME oracle).
-    "hll_replay_distinct",
+    # IVM/CDC: join-view delta rule + its retractable-fact twin, the
+    # hot-key banded physical, and the streaming changelog sink
     "ivm_join_view",
-    # the namesake CDC family: r6 driver-verified the whole five-piece
-    # surface; the r7 MID-ROUND EXTENSION keeps the streaming twin +
-    # the never-checked time-travel contract in-window and swaps the
-    # four r6-verified batch members out for the r7-second-session
-    # backlog (every rotated-out query keeps its CORRECTNESS_r06 row
-    # and stays registered + locally gated + benched).
-    # ivm_hotkey_sums replaces its uniform-fixture sibling
-    # ivm_group_sums: same IVM recompute-oracle, but the fixture
-    # plants a 30% hot key so the driver hash-verifies the adaptive
-    # banded-lag physical (VERDICT r6 #5 asked for exactly this
-    # driver-facing number).
-    "cdc_streaming_apply",
-    "cdc_time_travel",
+    "ivm_join_retract",
     "ivm_hotkey_sums",
-    # streaming state physicals, r7 second-session: empirically
-    # pinned dropDuplicatesWithinWatermark state semantics;
-    # symmetric stream-stream join state (two-watermark late-input
-    # rule); chained multi-stateful (join -> delayed-watermark
-    # windowed agg).
-    "streaming_dedup_watermark",
+    "cdc_streaming_apply",
+    # streaming state physicals: symmetric join state (inner +
+    # chained window + the never-checked leftOuter), custom
+    # event-time-timeout sessions, sharded bitmap sketch state,
+    # stream-static enrichment (fixed dim + the evolving-dim
+    # foreachBatch re-read twin), budgeted progressive ER with
+    # MID-STREAM state compaction (8 batches, compact_every=3)
     "streaming_stream_join",
     "streaming_join_then_window",
-    # dedup family: full-chain reps + the planted-skew PPJoin twin
-    # and content-defined chunking (ppjoin_exact_pairs /
-    # edit_distance_pairs / minhash_dedup_groups rotated out with
-    # r6 driver evidence; family cover stays via these five).
+    "streaming_outer_join",
+    "streaming_sessions_custom_state",
+    "streaming_bloom_status",
+    "stream_static_enrich",
+    "stream_static_enrich_evolving",
+    "progressive_stream_resolution",
+    "progressive_longstream_compacted",
+    # dedup family: full-chain reps, the planted-skew PPJoin twin,
+    # content-defined chunking, plus the composition long tail that
+    # has never been in-window: leakage-safe splits, batch-vs-corpus
+    # incremental dedup on both text and embedding sides, SparkER
+    # meta-blocking
     "pipeline_manifest",
     "semantic_dedup",
     "duplicate_span_islands",
-    "progressive_stream_resolution",
     "ppjoin_skewed_pairs",
     "chunk_dedup_profile",
-    # similarity / ANN (pq_adc_topk r6-verified, rotated out)
-    "ivf_topk_exact",
-    # text analysis / training-pipeline: BPE merge-table training is
-    # the never-checked one (iterative greedy fold); gopher r6-out.
-    "sequence_packing_exact",
-    "collocation_pmi",
-    "bpe_merge_table",
-    # record linkage (SNM blocking + Fellegi-Sunter, r6 family)
+    "leakage_safe_splits",
+    "incremental_dedup_status",
+    "incremental_semantic_status",
+    "meta_blocking_pairs",
+    # record linkage: SNM + Fellegi-Sunter, and the edit-distance
+    # name join that has never been driver-hashed
     "record_linkage_scores",
-    # temporal / streaming state physicals
-    "streaming_sessions_custom_state",
-    "streaming_heavy_hitters",
-    "streaming_bloom_status",
-    "watermarked_daily_counts",
-    "cohort_retention",
-    # analytics family: independent-formulation interval oracle,
-    # quantize-then-exact-sum chi-square, MG sketch bounds (fixture
-    # plants NULL keys), GK rank-interval bounds, ARI, plus the r7
-    # second-session batch: full Count-Min replay, exact-moment OLS
-    # trend (exact_moment_corr r6-verified, rotated out for its
-    # regression sibling), MAD double-banded medians, Apriori-L2
-    # baskets, native pivot, ROLLUP grouping sets, and the banded
-    # weighted-median scale physical (shares weighted_median_value's
-    # oracle VERBATIM — the driver hash-verifies physical == direct).
-    "interval_coverage_counts",
-    "category_drift_chisq",
-    "heavy_hitters_bounds",
-    "approx_quantile_bounds",
-    "ari_score",
-    "count_min_replay",
+    "fuzzy_name_join",
+    # similarity / ANN: deterministic IVF, RRF rank fusion, the
+    # spatial grid kNN pair (exact 3x3 physical + hot-cell cap)
+    "ivf_topk_exact",
+    "hybrid_rrf_topk",
+    "grid_knn_join",
+    "grid_knn_skewed",
+    # linear algebra: map-side int64 partial Gram -> covariance
+    "embedding_covariance",
+    # text / training-pipeline
+    "sequence_packing_exact",
+    "bpe_merge_table",
+    # graph tail: exact-integer modularity, LCC, triangles, RWR
+    "graph_modularity",
+    "clustering_coefficients",
+    "triangle_counts",
+    "personalized_pagerank",
+    # temporal / attribution analytics
+    "funnel_conversion",
+    "purchase_attribution",
+    "event_transition_matrix",
     "value_trend_slope",
-    "mad_outlier_stats",
-    "basket_part_pairs",
-    "pivot_user_event_matrix",
-    "rollup_revenue_cube",
     "weighted_median_banded",
-    "interval_overlap_join",
-    # graph (pagerank r6-verified, out; BFS hop distances in)
-    "label_propagation_communities",
-    "kcore_peel_rounds",
-    "bfs_hop_distances",
-    # selection / curriculum
-    "pareto_front_docs",
-    "greedy_coverage_docs",
-    # layout / skew (zorder_table_roundtrip r6-verified, out —
-    # zorder_streaming_ingest keeps the whole z-table lifecycle +
-    # manifest + compaction in-window)
+    # SQL-surface semantics: native melt, RANK/DENSE_RANK ties,
+    # NTILE/PERCENT_RANK/CUME_DIST, CUBE grouping bits, equi-depth
+    # histogram two-pass ranks
+    "unpivot_metric_stats",
+    "windowed_rank_family",
+    "rank_tie_semantics",
+    "cube_returnflag_status",
+    "equidepth_histogram",
+    # layout / skew: Morton z-order footer pruning layout (never
+    # driver-hashed), the streaming z-table lifecycle, salted join
+    "zorder_layout",
     "zorder_streaming_ingest",
     "salted_skew_stats",
 ]

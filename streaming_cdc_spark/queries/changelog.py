@@ -754,92 +754,12 @@ def ivm_join_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("seq"),
         F.col("event_type").alias("new_seg"),
     )
-    step = (hi - lo + 1 + 3) // 4  # seq range [lo, hi]; voids clipped to hi
-    a_state = None
-    b_state = None
-    v_state = None
-    for i in range(4):
-        s_lo, s_hi = lo + i * step, lo + (i + 1) * step
-        pa = (
-            flog.filter((F.col("seq") >= s_lo) & (F.col("seq") < s_hi))
-            .groupBy("user_id")
-            .agg(
-                F.sum("dn").cast("long").alias("a_n"),
-                F.sum("dc").cast("long").alias("a_cents"),
-            )
-        )
-        db = (
-            dims_all.filter((F.col("seq") >= s_lo) & (F.col("seq") < s_hi))
-            .groupBy("user_id")
-            .agg(F.max_by("new_seg", "seq").alias("new_seg"))
-        )
-        if b_state is not None:
-            t1 = pa.join(b_state, "user_id").select(
-                "segment",
-                F.col("a_n").alias("dn"),
-                F.col("a_cents").alias("dc"),
-            )
-        else:
-            t1 = None
-        if a_state is None:
-            a_state = pa.localCheckpoint()
-        else:
-            a_state = (
-                a_state.unionByName(pa)
-                .groupBy("user_id")
-                .agg(
-                    F.sum("a_n").cast("long").alias("a_n"),
-                    F.sum("a_cents").cast("long").alias("a_cents"),
-                )
-                .localCheckpoint()
-            )
-        if b_state is not None:
-            moved = db.join(b_state, "user_id", "left")
-        else:
-            moved = db.withColumn("segment", F.lit(None).cast("string"))
-        moved = moved.join(a_state, "user_id")
-        retract = moved.filter(F.col("segment").isNotNull()).select(
-            "segment",
-            (-F.col("a_n")).alias("dn"),
-            (-F.col("a_cents")).alias("dc"),
-        )
-        insert = moved.select(
-            F.col("new_seg").alias("segment"),
-            F.col("a_n").alias("dn"),
-            F.col("a_cents").alias("dc"),
-        )
-        dv = retract.unionByName(insert)
-        if t1 is not None:
-            dv = dv.unionByName(t1)
-        dv = dv.groupBy("segment").agg(
-            F.sum("dn").cast("long").alias("n_facts"),
-            F.sum("dc").cast("long").alias("cents_sum"),
-        )
-        if v_state is None:
-            v_state = dv.localCheckpoint()
-        else:
-            v_state = (
-                v_state.unionByName(dv)
-                .groupBy("segment")
-                .agg(
-                    F.sum("n_facts").cast("long").alias("n_facts"),
-                    F.sum("cents_sum").cast("long").alias("cents_sum"),
-                )
-                .localCheckpoint()
-            )
-        if b_state is None:
-            b_state = db.select(
-                "user_id", F.col("new_seg").alias("segment")
-            ).localCheckpoint()
-        else:
-            b_state = (
-                b_state.join(db, "user_id", "full")
-                .select(
-                    "user_id",
-                    F.coalesce("new_seg", "segment").alias("segment"),
-                )
-                .localCheckpoint()
-            )
+    # seq range [lo, hi]; voids clipped to hi. Fold extracted to
+    # operators/changelog.py:ivm_join_fold so stress.py drives it on
+    # synthetic hot-key signed logs at 1M-4M ops.
+    from streaming_cdc_spark.operators.changelog import ivm_join_fold
+
+    v_state = ivm_join_fold(flog, dims_all, lo, hi, n_batches=4)
     return v_state.filter(F.col("n_facts") > 0).select(
         "segment", "n_facts", "cents_sum"
     )

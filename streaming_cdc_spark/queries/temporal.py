@@ -930,21 +930,34 @@ _SSJ_SRC: dict[str, str] = {}
 _SSJ_T0, _SSJ_G, _SSJ_R = 1_700_000_000, 1000, 900
 
 
-def _cb_prologue(late_shift: int, abandoned_mod4: int | None = None) -> str:
+def _cb_prologue(
+    late_shift: int,
+    abandoned_mod4: int | None = None,
+    orphan_mod4: int | None = None,
+) -> str:
     """Shared oracle prologue for the click/buy stream-join family
     (streaming_stream_join / streaming_outer_join /
-    streaming_join_then_window): the fixture replay (clicks arrive at
-    batch = era, buys one batch later), the per-batch lagging
-    watermark CTE ``w``, the availableNow flush watermark ``wfin``,
-    and the on-time slices ``cok``/``bok``. The three queries differ
-    only in ``late_shift`` (seconds subtracted from the k%11=3
-    slice's buy times; 0 = no late slice) and the LOJ-only
-    ``abandoned_mod4`` (keys with k%4 = that value ship no buys).
-    Keeping ONE prologue is what stops the geometry from drifting
-    apart across the family (the write_mtime_pinned_splits lesson)."""
+    streaming_full_outer_join / streaming_join_then_window): the
+    fixture replay (clicks arrive at batch = era, buys one batch
+    later), the per-batch lagging watermark CTE ``w``, the
+    availableNow flush watermark ``wfin``, and the on-time slices
+    ``cok``/``bok``. The queries differ only in ``late_shift``
+    (seconds subtracted from the k%11=3 slice's buy times; 0 = no
+    late slice), the outer-only ``abandoned_mod4`` (keys with k%4 =
+    that value ship no buys -> unmatched clicks) and ``orphan_mod4``
+    (keys with k%4 = that value ship no CLICKS -> unmatched buys;
+    cross-era matches are impossible by geometry: era gap 1000 >
+    R=900 + intra-era offsets). Keeping ONE prologue is what stops
+    the geometry from drifting apart across the family (the
+    write_mtime_pinned_splits lesson)."""
     ab = (
         f" AND user_id % 40 % 4 <> {abandoned_mod4}"
         if abandoned_mod4 is not None
+        else ""
+    )
+    orph = (
+        f" AND user_id % 40 % 4 <> {orphan_mod4}"
+        if orphan_mod4 is not None
         else ""
     )
     return f"""
@@ -957,7 +970,7 @@ def _cb_prologue(late_shift: int, abandoned_mod4: int | None = None) -> str:
       SELECT user_id % 40 AS k, (event_id - lo) // step AS era,
              CAST({_SSJ_T0} + ((event_id - lo) // step) * {_SSJ_G}
                   + (user_id % 40 % 5) * 40 AS BIGINT) AS csec
-      FROM events, lohi WHERE event_id % 25 = 0
+      FROM events, lohi WHERE event_id % 25 = 0{orph}
     ),
     buy AS (
       SELECT user_id % 40 AS k, (event_id - lo) // step AS era,
@@ -1008,6 +1021,7 @@ def _cb_fixture(
     prefix: str,
     late_shift: int,
     abandoned_mod4: int | None = None,
+    orphan_mod4: int | None = None,
 ) -> str:
     """Write (once per sf_dir) the click/buy mtime-pinned split dirs
     the stream-join family reads: 5 batches, clicks of era i in batch
@@ -1030,12 +1044,15 @@ def _cb_fixture(
     )
     clks, buys = [], []
     for i in range(5):
+        cf = (
+            (F.col("event_id") % 25 == 0)
+            & (F.col("event_id") >= lo + i * step)
+            & (F.col("event_id") < lo + (i + 1) * step)
+        )
+        if orphan_mod4 is not None:
+            cf = cf & (k % 4 != orphan_mod4)
         clks.append(
-            ev.filter(
-                (F.col("event_id") % 25 == 0)
-                & (F.col("event_id") >= lo + i * step)
-                & (F.col("event_id") < lo + (i + 1) * step)
-            ).select(
+            ev.filter(cf).select(
                 k.alias("k"),
                 (F.lit(_SSJ_T0 + i * _SSJ_G) + (k % 5) * 40)
                 .cast("long")

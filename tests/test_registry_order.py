@@ -18,49 +18,51 @@ def test_first_50_match_priority():
 
 def test_every_family_in_checked_window():
     first = set(list(QUERIES)[:50])
-    # r7 rotation + mid-round extension (VERDICT r6 #1/#2): 32 window
-    # slots now hold never-before-driver-verified oracles — the 18
-    # first-session swaps plus 14 second-session swaps covering the
-    # r7 additions (stream-stream join state, watermark dedup state,
-    # BPE training, Count-Min replay, banded weighted median, OLS
-    # trend, MAD, Apriori, pivot/ROLLUP, interval overlap, BFS, the
-    # hot-key IVM twin). Every rotated-out query holds r1-r6 driver
-    # evidence and stays registered + locally gated + benched.
-    # Family reps below reflect the post-rotation window.
+    # r8 rotation (VERDICT r7 #1/#5): 27 window slots hold
+    # never-before-driver-verified oracles — the streaming/composition
+    # long tail (outer join, stream-static fixed + evolving dim,
+    # longstream compaction, leakage splits, incremental dedup both
+    # sides, meta-blocking, fuzzy names, RRF fusion), the graph tail,
+    # attribution analytics, window-function semantics, spatial kNN
+    # (+ the new hot-cell cap), Gram covariance, z-order layout.
+    # Every rotated-out query holds a green CORRECTNESS_r07 row and
+    # stays registered + locally gated + benched. Family reps below
+    # reflect the post-rotation window.
     families = {
         "relational": {"revenue_by_nation"},
-        "cdc_metrics": {"b3_prf", "ceaf_e_prf", "ari_score"},
-        "clustering": {"threshold_cc_distributed", "grinch_forest_invariants",
-                       "tree_cut_clusters"},
+        "cdc_metrics": {"b3_prf"},
         "dedup": {"duplicate_span_islands", "ppjoin_skewed_pairs",
-                  "chunk_dedup_profile", "pipeline_manifest"},
-        "ann": {"ivf_topk_exact"},
+                  "chunk_dedup_profile", "pipeline_manifest",
+                  "leakage_safe_splits", "incremental_dedup_status",
+                  "incremental_semantic_status", "meta_blocking_pairs"},
+        "ann": {"ivf_topk_exact", "hybrid_rrf_topk", "grid_knn_join",
+                "grid_knn_skewed"},
         "semantic_dedup": {"semantic_dedup"},
-        "text": {"collocation_pmi", "bpe_merge_table"},
+        "linalg": {"embedding_covariance"},
+        "text": {"bpe_merge_table"},
         "packing": {"sequence_packing_exact"},
-        "temporal": {"cohort_retention", "interval_overlap_join"},
+        "temporal": {"funnel_conversion", "purchase_attribution",
+                     "event_transition_matrix"},
         "streaming_state": {"streaming_sessions_custom_state",
-                            "streaming_heavy_hitters",
-                            "streaming_bloom_status", "watermarked_daily_counts",
+                            "streaming_bloom_status",
                             "progressive_stream_resolution",
-                            "streaming_dedup_watermark", "streaming_stream_join",
-                            "streaming_join_then_window"},
-        "changelog": {"cdc_streaming_apply", "cdc_time_travel",
-                      "ivm_hotkey_sums", "ivm_join_view"},
-        "sketches": {"hll_replay_distinct", "count_min_replay",
-                     "heavy_hitters_bounds"},
-        "linkage": {"record_linkage_scores"},
-        "analytics": {"interval_coverage_counts", "category_drift_chisq",
-                      "heavy_hitters_bounds", "approx_quantile_bounds",
-                      "count_min_replay", "value_trend_slope",
-                      "mad_outlier_stats", "basket_part_pairs",
-                      "pivot_user_event_matrix", "rollup_revenue_cube",
-                      "weighted_median_banded"},
-        "graph": {"label_propagation_communities", "kcore_peel_rounds",
-                  "bfs_hop_distances"},
-        "selection": {"pareto_front_docs", "greedy_coverage_docs"},
-        "layout": {"zorder_streaming_ingest"},
-        "skew": {"salted_skew_stats"},
+                            "progressive_longstream_compacted",
+                            "streaming_stream_join",
+                            "streaming_join_then_window",
+                            "streaming_outer_join",
+                            "stream_static_enrich",
+                            "stream_static_enrich_evolving"},
+        "changelog": {"cdc_streaming_apply", "ivm_hotkey_sums",
+                      "ivm_join_view", "ivm_join_retract"},
+        "linkage": {"record_linkage_scores", "fuzzy_name_join"},
+        "analytics": {"value_trend_slope", "weighted_median_banded",
+                      "unpivot_metric_stats", "windowed_rank_family",
+                      "rank_tie_semantics", "cube_returnflag_status",
+                      "equidepth_histogram"},
+        "graph": {"graph_modularity", "clustering_coefficients",
+                  "triangle_counts", "personalized_pagerank"},
+        "layout": {"zorder_layout", "zorder_streaming_ingest"},
+        "skew": {"salted_skew_stats", "grid_knn_skewed"},
     }
     for fam, members in families.items():
         assert members <= first, f"family {fam} dropped from driver-checked window"

@@ -410,3 +410,74 @@ def test_evolving_dim_seen_by_later_batches(spark):
     assert (
         res.agg(F.sum("n_events")).first()[0] == ev.count()
     )
+
+
+def test_stream_full_outer_null_emission_probe(spark, tmp_path):
+    """Pins the full-outer stream-stream mechanics the
+    streaming_full_outer_join oracle replays (probed on Spark 4.1):
+    left NULL rows follow the left-outer rule (cts + R < wm
+    STRICTLY), right NULL rows emit iff the final watermark passes
+    the buy's OWN event time strictly (bsec < wm; equality stays in
+    state and emits nothing — the buy-side eviction point under the
+    bts >= cts constraint is bts itself), matched rows never re-emit,
+    end-of-drain state is discarded."""
+    from pyspark.sql import functions as F
+
+    from streaming_cdc_spark.session import write_mtime_pinned_splits
+
+    R = 100
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k long, sec long")
+
+    clk = [df([(1, 4899), (4, 4899)]), df([(99, 5000)])]
+    buy = [df([(4, 4950), (2, 4899), (5, 4999), (6, 5000), (7, 5001)]),
+           df([(98, 5000)])]
+    base = str(tmp_path / "src")
+    write_mtime_pinned_splits(clk, base + "/clk")
+    write_mtime_pinned_splits(buy, base + "/buy")
+
+    def rd(side):
+        return (
+            spark.readStream.schema("k long, sec long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/{side}/split_*/*.parquet")
+            .withColumn("ts", F.timestamp_seconds("sec"))
+            .withWatermark("ts", "0 seconds")
+        )
+
+    c = rd("clk").select(
+        F.col("k").alias("ck"), F.col("ts").alias("cts"), F.col("sec").alias("csec")
+    )
+    b = rd("buy").select(
+        F.col("k").alias("bk"), F.col("ts").alias("bts"), F.col("sec").alias("bsec")
+    )
+    j = c.join(
+        b,
+        (F.col("ck") == F.col("bk"))
+        & (F.col("bts") >= F.col("cts"))
+        & (F.col("bts") <= F.col("cts") + F.expr(f"INTERVAL {R} SECONDS")),
+        "fullOuter",
+    )
+    emitted = []
+
+    def sink(df_, bid):
+        emitted.extend(
+            (r["ck"], r["csec"], r["bk"], r["bsec"]) for r in df_.collect()
+        )
+
+    q = (
+        j.select("ck", "csec", "bk", "bsec")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(emitted, key=str) == [
+        (1, 4899, None, None),   # left NULL: evict 4999 < wm 5000
+        (4, 4899, 4, 4950),      # matched, no extra NULL rows
+        (None, None, 2, 4899),   # right NULL: 4899 < 5000
+        (None, None, 5, 4999),   # right NULL: 4999 < 5000
+        # k6 (bsec == wm 5000), k7 (past), k99/k98 (state) emit nothing
+    ], f"full-outer emission mechanics changed: {sorted(emitted, key=str)}"

@@ -647,6 +647,60 @@ def main() -> None:
         ev.unpersist()
     sizes["hll_registers"] = n_big / n_small
 
+    # r8 (VERDICT r7 #4): retraction-heavy join-view IVM — the
+    # ivm_join_fold batch fold on a SIGNED op log with a planted 30%
+    # hot key (the cdc_deltas_hotkey pattern): every 9th fact voided
+    # half a seq-range later, dim upserts every 13th seq reclassify
+    # keyed partials. Per-batch work is O(batch + touched keys) by
+    # construction; the hot key stresses the partial-sum groupBys
+    # (map-side combine) and the reclassify join.
+    from streaming_cdc_spark.operators.changelog import ivm_join_fold
+
+    for n in (n_ops_small, n_ops_big):
+        key = F.when(F.pmod(F.col("id"), F.lit(100)) < 30, F.lit(0)).otherwise(
+            F.pmod(F.xxhash64(F.col("id")), F.lit(max(n // 10, 1)))
+        )
+        base = spark.range(n).select(
+            key.alias("user_id"),
+            F.col("id").alias("seq"),
+            F.lit(1).cast("long").alias("dn"),
+            F.pmod(F.xxhash64("id", F.lit(3)), F.lit(100000))
+            .cast("long")
+            .alias("dc"),
+        )
+        voids = base.filter(
+            (F.col("seq") % 9 == 4) & (F.col("seq") + n // 2 <= n - 1)
+        ).select(
+            "user_id",
+            (F.col("seq") + n // 2).alias("seq"),
+            F.lit(-1).cast("long").alias("dn"),
+            (-F.col("dc")).alias("dc"),
+        )
+        flog = base.unionByName(voids).persist()
+        flog.count()
+        dims = (
+            spark.range(0, n, 13)
+            .select(
+                key.alias("user_id"),
+                F.col("id").alias("seq"),
+                F.concat(
+                    F.lit("s"), F.pmod(F.xxhash64("id", F.lit(5)), F.lit(7))
+                ).alias("new_seg"),
+            )
+            .persist()
+        )
+        dims.count()
+        t0 = time.time()
+        ivm_join_fold(flog, dims, 0, n - 1, n_batches=4).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        results.setdefault("ivm_retract_hotkey", []).append(
+            round(time.time() - t0, 2)
+        )
+        flog.unpersist()
+        dims.unpersist()
+    sizes["ivm_retract_hotkey"] = n_ops_big / n_ops_small
+
     # the raw blocked kernel is QUADRATIC by design (all-pairs compute
     # in bounded-memory blocks) — expected ratio is size_ratio^2.
     # Default sizes keep the default run short; STRESS_KERNEL_ROWS=a,b
