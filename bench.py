@@ -114,6 +114,9 @@ HEADLINE = [
     "ewma_user_value",
     "stream_static_enrich",
     "stream_static_enrich_evolving",
+    "epoch_shuffle_positions",
+    "winsorized_stats",
+    "grouping_sets_custom",
     "clustering_coefficients",
     "grid_knn_join",
     "grid_knn_skewed",
@@ -272,6 +275,7 @@ HEADLINE = [
     "streaming_dedup_watermark",
     "streaming_stream_join",
     "streaming_outer_join",
+    "streaming_full_outer_join",
     "streaming_join_then_window",
     # budgeted progressive ER, long-stream form: EIGHT micro-batches
     # (top-25 each — same 200-pair total budget as the 4-batch query)

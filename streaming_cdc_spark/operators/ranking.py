@@ -293,3 +293,63 @@ def grouped_weighted_median(
             F.col("_tot").alias("tot_weight"),
         )
     )
+
+
+def grouped_order_statistic(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    k_rank: tuple[int, int, int],
+    band_expr=None,
+    out_col: str = "stat_value",
+) -> DataFrame:
+    """Exact k-th-SMALLEST value per group, k derived from the group
+    size as k = (num * n + off) div den with ``k_rank`` = (num, off,
+    den) — kept as an INTEGER rank spec (not a float fraction or a
+    Column lambda) so k is exact `div` arithmetic at any n: a double
+    division drifts past 2^53 and a half-up decimal division is not
+    a floor. ceil(p*n) ranks are (p_num, den-1, den). The
+    unit-weight generalization of
+    grouped_weighted_median to ARBITRARY ranks (P5/P95 winsorization
+    clamps, trimmed means, any ceil-rank percentile). Same banded
+    physical, same reason: a per-group rank window sorts the whole
+    group in one task; banding turns it into one window over the
+    tiny (group, band) relation plus row-ranking ONLY inside the
+    crossing band. Band granularity is the skew dial. Returns one
+    row per group: (group_cols..., out_col, n)."""
+    band = band_expr if band_expr is not None else F.floor(F.col(value_col))
+    rows = df.select(
+        *group_cols,
+        F.col(value_col).alias("_v"),
+        F.col(id_col).alias("_id"),
+        band.cast("long").alias("_band"),
+    )
+    bt = rows.groupBy(*group_cols, "_band").agg(
+        F.count(F.lit(1)).cast("long").alias("_bw")
+    )
+    wb = (
+        W.partitionBy(*group_cols)
+        .orderBy("_band")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wt = W.partitionBy(*group_cols)
+    bands = bt.select(
+        *group_cols,
+        "_band",
+        (F.sum("_bw").over(wb) - F.col("_bw")).alias("_pre"),
+        F.sum("_bw").over(wb).alias("_thru"),
+        F.sum("_bw").over(wt).alias("_tot"),
+    )
+    num, off, den = k_rank
+    k = F.expr(f"({num} * _tot + {off}) div {den}").cast("long")
+    crossing = bands.filter(
+        (F.col("_thru") >= k) & (F.col("_pre") < k)
+    ).select(*group_cols, "_band", "_pre", F.col("_tot").alias("_n"), k.alias("_k"))
+    inband = rows.join(crossing, [*group_cols, "_band"])
+    wr = W.partitionBy(*group_cols, "_band").orderBy("_v", "_id")
+    return (
+        inband.withColumn("_rn", F.col("_pre") + F.row_number().over(wr))
+        .filter(F.col("_rn") == F.col("_k"))
+        .select(*group_cols, F.col("_v").alias(out_col), F.col("_n").alias("n"))
+    )

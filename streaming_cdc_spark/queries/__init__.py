@@ -93,7 +93,14 @@ from streaming_cdc_spark.queries import (  # noqa: E402,F401
 # r8 ROTATION (VERDICT r7 top-next #1/#5): 27 slots swapped to burn
 # the never-driver-verified backlog's high-value tail, every swap-in
 # repro_driver_env-verified BEFORE the swap (three recorded batches,
-# 27/27 PASS). In: the r7 post-battery ivm_join_retract; the two
+# 27/27 PASS); a LATE-r8 EXTENSION swapped 4 more (31 first-timers):
+# streaming_full_outer_join / epoch_shuffle_positions /
+# winsorized_stats / grouping_sets_custom (each individually gated:
+# oracle both sfs + pandas + invariance + repro_driver_env) replacing
+# r7-verified ivf_topk_exact, sequence_packing_exact (packing stays
+# via pipeline_manifest's DAG), value_trend_slope,
+# weighted_median_banded (banded-rank physical stays via
+# winsorized_stats' grouped_order_statistic). In: the r7 post-battery ivm_join_retract; the two
 # remaining streaming shapes (streaming_outer_join,
 # stream_static_enrich) plus the NEW evolving-dim twin
 # (stream_static_enrich_evolving — per-batch dim re-read) and
@@ -149,6 +156,7 @@ _PRIORITY = [
     "streaming_stream_join",
     "streaming_join_then_window",
     "streaming_outer_join",
+    "streaming_full_outer_join",
     "streaming_sessions_custom_state",
     "streaming_bloom_status",
     "stream_static_enrich",
@@ -173,17 +181,20 @@ _PRIORITY = [
     # name join that has never been driver-hashed
     "record_linkage_scores",
     "fuzzy_name_join",
-    # similarity / ANN: deterministic IVF, RRF rank fusion, the
-    # spatial grid kNN pair (exact 3x3 physical + hot-cell cap)
-    "ivf_topk_exact",
+    # similarity / ANN: RRF rank fusion, the spatial grid kNN pair
+    # (exact 3x3 physical + hot-cell cap); ivf_topk_exact rotated
+    # out late-r8 with r7 evidence (ANN cover stays via these three)
     "hybrid_rrf_topk",
     "grid_knn_join",
     "grid_knn_skewed",
     # linear algebra: map-side int64 partial Gram -> covariance
     "embedding_covariance",
-    # text / training-pipeline
-    "sequence_packing_exact",
+    # text / training-pipeline (epoch_shuffle_positions = the
+    # deterministic per-epoch global shuffle, new r8;
+    # sequence_packing_exact rotated out late-r8 with r7 evidence —
+    # packing stays in-window inside pipeline_manifest's DAG)
     "bpe_merge_table",
+    "epoch_shuffle_positions",
     # graph tail: exact-integer modularity, LCC, triangles, RWR
     "graph_modularity",
     "clustering_coefficients",
@@ -193,15 +204,18 @@ _PRIORITY = [
     "funnel_conversion",
     "purchase_attribution",
     "event_transition_matrix",
-    "value_trend_slope",
-    "weighted_median_banded",
+    # banded exact ranks: winsorized P5/P95 clamp stats (new r8 —
+    # the arbitrary-rank generalization; weighted_median_banded and
+    # value_trend_slope rotated out late-r8 with r7 evidence)
+    "winsorized_stats",
     # SQL-surface semantics: native melt, RANK/DENSE_RANK ties,
-    # NTILE/PERCENT_RANK/CUME_DIST, CUBE grouping bits, equi-depth
-    # histogram two-pass ranks
+    # NTILE/PERCENT_RANK/CUME_DIST, CUBE grouping bits, explicit
+    # GROUPING SETS marginals (new r8), equi-depth histogram ranks
     "unpivot_metric_stats",
     "windowed_rank_family",
     "rank_tie_semantics",
     "cube_returnflag_status",
+    "grouping_sets_custom",
     "equidepth_histogram",
     # layout / skew: Morton z-order footer pruning layout (never
     # driver-hashed), the streaming z-table lifecycle, salted join

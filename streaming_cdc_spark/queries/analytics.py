@@ -1793,3 +1793,147 @@ def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_items",
         "price_sum_r",
     )
+
+
+_WINSOR_ORACLE = """
+    WITH ev AS (
+      SELECT event_type, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY c, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM ev
+    ),
+    ks AS (
+      SELECT DISTINCT event_type, n,
+             (5 * n + 99) // 100 AS klo, (95 * n + 99) // 100 AS khi
+      FROM r
+    ),
+    lo AS (SELECT r.event_type, r.c AS p_lo
+           FROM r JOIN ks ON r.event_type = ks.event_type AND r.rn = ks.klo),
+    hi AS (SELECT r.event_type, r.c AS p_hi
+           FROM r JOIN ks ON r.event_type = ks.event_type AND r.rn = ks.khi)
+    SELECT ev.event_type,
+           CAST(MAX(ks.n) AS BIGINT) AS n,
+           CAST(MAX(lo.p_lo) AS BIGINT) AS p_lo,
+           CAST(MAX(hi.p_hi) AS BIGINT) AS p_hi,
+           CAST(SUM(GREATEST(lo.p_lo, LEAST(hi.p_hi, ev.c))) AS BIGINT)
+             AS wsum,
+           ROUND(CAST(SUM(GREATEST(lo.p_lo, LEAST(hi.p_hi, ev.c)))
+                      AS DOUBLE)
+                 / CAST(MAX(ks.n) AS DOUBLE) / 100.0, 4) AS wmean_r
+    FROM ev
+    JOIN ks ON ev.event_type = ks.event_type
+    JOIN lo ON ev.event_type = lo.event_type
+    JOIN hi ON ev.event_type = hi.event_type
+    GROUP BY ev.event_type
+"""
+
+
+@query("winsorized_stats", oracle=_WINSOR_ORACLE)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT WINSORIZED MEAN per event type — the robust-statistics
+    workhorse (clamp to [P5, P95], then average) that, unlike a
+    trimmed mean over approximate quantiles, is fully hash-checkable:
+    the clamp bounds are EXACT ORDER STATISTICS (k-th smallest with
+    k = ceil(0.05n) / ceil(0.95n), pure integer rank arithmetic on
+    exact cents), the winsorized sum is an exact integer, and the
+    only float is one final division rounded 4dp. Physical: TWO
+    banded rank selections (operators/ranking.grouped_order_statistic
+    — the weighted-median banding generalized to arbitrary ranks:
+    per-(type, band) counts -> one window over the tiny band
+    relation -> row-rank only inside each k's crossing band; a
+    direct per-type rank window would sort 20 TB in one task at
+    100 TB for 5 types) + one clamp-aggregate scan against the
+    broadcast-sized per-type bounds. Oracle: the direct rank-window
+    formulation — an independent physical, so the hash match proves
+    the banded selection == the definitional k-th order statistic."""
+    from streaming_cdc_spark.operators.ranking import grouped_order_statistic
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = ev.select(
+        "event_type",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+    )
+    band = F.expr("c div 100")
+    lo = grouped_order_statistic(
+        e, ["event_type"], "c", "event_id", (5, 99, 100),
+        band_expr=band, out_col="p_lo",
+    ).select("event_type", "p_lo")
+    hi = grouped_order_statistic(
+        e, ["event_type"], "c", "event_id", (95, 99, 100),
+        band_expr=band, out_col="p_hi",
+    ).select("event_type", "p_hi", "n")
+    bounds = F.broadcast(lo.join(hi, "event_type"))
+    clamped = e.join(bounds, "event_type").select(
+        "event_type",
+        "n",
+        "p_lo",
+        "p_hi",
+        F.greatest(F.col("p_lo"), F.least(F.col("p_hi"), F.col("c"))).alias("w"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("p_lo").cast("long").alias("p_lo"),
+        F.max("p_hi").cast("long").alias("p_hi"),
+        F.sum("w").cast("long").alias("wsum"),
+        F.round(
+            F.sum("w").cast("double") / F.max("n").cast("double") / F.lit(100.0), 4
+        ).alias("wmean_r"),
+    )
+
+
+@query(
+    "grouping_sets_custom",
+    oracle="""
+    SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN '(all)'
+                ELSE l_returnflag END AS returnflag,
+           CASE WHEN GROUPING(l_linestatus) = 1 THEN '(all)'
+                ELSE l_linestatus END AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS lvl,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                 AS DOUBLE), 2) AS price_sum_r
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLICIT GROUPING SETS — the remaining grouping-sets surface
+    after ROLLUP (hierarchy) and CUBE (full lattice): an ARBITRARY
+    set list ((returnflag), (linestatus)) producing ONLY the two
+    marginals — no pair level, no grand total — a shape neither
+    ROLLUP nor CUBE can express (a dashboard's side-by-side
+    breakdown without the cross product). Same single-Expand + one
+    shuffle physical (each input row replicated once per set — 2x
+    here vs 4x for CUBE, the Expand factor is exactly |sets|), same
+    GROUPING-bit decode so NULL-valued keys can't fake marginal
+    rows, same DECIMAL money rule. Uses the Spark 4 DataFrame
+    groupingSets API (SPARK-45929) rather than a SQL string."""
+    li = load(spark, sf_dir, "lineitem")
+    g = li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.grouping_id().cast("long").alias("lvl"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("price_sum_r"),
+    )
+    return g.select(
+        F.when(F.expr("lvl div 2 % 2") == 1, F.lit("(all)"))
+        .otherwise(F.col("l_returnflag"))
+        .alias("returnflag"),
+        F.when(F.col("lvl") % 2 == 1, F.lit("(all)"))
+        .otherwise(F.col("l_linestatus"))
+        .alias("linestatus"),
+        "lvl",
+        "n_items",
+        "price_sum_r",
+    )

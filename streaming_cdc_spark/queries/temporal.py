@@ -1284,6 +1284,82 @@ def streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FOJ_SRC: dict[str, str] = {}
+
+_FOJ_ORACLE = _cb_prologue(late_shift=0, abandoned_mod4=1, orphan_mod4=2) + f"""
+    SELECT c.k, c.csec, b.bsec
+    FROM cok c JOIN bok b
+      ON c.k = b.k AND b.bsec >= c.csec AND b.bsec <= c.csec + {_SSJ_R}
+    UNION ALL
+    SELECT c.k, c.csec, CAST(-1 AS BIGINT) AS bsec
+    FROM cok c
+    WHERE NOT EXISTS (
+            SELECT 1 FROM bok b
+            WHERE b.k = c.k AND b.bsec >= c.csec
+              AND b.bsec <= c.csec + {_SSJ_R})
+      AND c.csec + {_SSJ_R} < (SELECT wm FROM wfin)
+    UNION ALL
+    SELECT b.k, CAST(-1 AS BIGINT) AS csec, b.bsec
+    FROM bok b
+    WHERE NOT EXISTS (
+            SELECT 1 FROM cok c
+            WHERE c.k = b.k AND b.bsec >= c.csec
+              AND b.bsec <= c.csec + {_SSJ_R})
+      AND b.bsec < (SELECT wm FROM wfin)
+"""
+
+
+@query("streaming_full_outer_join", oracle=_FOJ_ORACLE)
+def streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM FULL OUTER JOIN — completes the stream-join kind
+    matrix (inner: streaming_stream_join; leftOuter:
+    streaming_outer_join) with the one that holds NULL-emission state
+    on BOTH sides. Empirically pinned mechanics
+    (test_stream_full_outer_null_emission_probe): left NULL rows
+    follow the left-outer rule (csec + R < final wm STRICTLY); right
+    NULL rows emit iff the final watermark strictly passes the buy's
+    OWN event time (bsec < wm — under the bts >= cts constraint the
+    buy-side eviction point is bts itself, no R allowance; equality
+    stays in state and emits nothing); matched rows never re-emit;
+    end-of-drain state is silently discarded. Fixture: the shared
+    click/buy geometry with BOTH outer slices planted — k%4=1 keys
+    ship no buys (unmatched clicks -> left NULL path) and k%4=2 keys
+    ship no CLICKS (unmatched buys -> right NULL path; cross-era
+    matches impossible: era gap 1000s > R=900s + intra-era offsets,
+    so orphanhood is total by geometry). No late slice (late-input
+    admission is the inner query's evidence; keeping it out holds
+    the SPARK-24634 two-watermark boundary outside the oracle's
+    blast radius). Era-3 rows of both kinds sit past the final
+    watermark and must NOT emit — the wfin CTE replays the
+    availableNow flush watermark (min over sides of each side's
+    all-batch max). NULL csec/bsec carried as -1 sentinels on both
+    engines (the scd2 nullable-BIGINT fetch hazard)."""
+    from streaming_cdc_spark.session import drain_to_memory
+
+    src = _cb_fixture(
+        spark,
+        sf_dir,
+        _FOJ_SRC,
+        "foj_src_",
+        late_shift=0,
+        abandoned_mod4=1,
+        orphan_mod4=2,
+    )
+    c, b = _cb_streams(spark, src)
+    j = _cb_join(c, b, "fullOuter")
+    out = drain_to_memory(
+        j.select(
+            F.coalesce(F.col("ck"), F.col("bk")).alias("k"), "csec", "bsec"
+        ),
+        "foj",
+    )
+    return out.select(
+        "k",
+        F.coalesce(F.col("csec"), F.lit(-1).cast("long")).alias("csec"),
+        F.coalesce(F.col("bsec"), F.lit(-1).cast("long")).alias("bsec"),
+    )
+
+
 _SJW_SRC: dict[str, str] = {}
 
 

@@ -1199,3 +1199,66 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(load(spark, sf_dir, "documents").select("doc_id", "text"))
     return bpe_merge_rounds(docs, rounds=3)
+
+
+_EPSH_ORACLE = """
+    WITH d AS (SELECT doc_id FROM documents),
+    e0 AS (
+      SELECT CAST(0 AS BIGINT) AS epoch, doc_id,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY CAST(concat('0x', substr(md5(concat('ep0:',
+                 CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT), doc_id)
+             AS BIGINT) AS pos
+      FROM d
+    ),
+    e1 AS (
+      SELECT CAST(1 AS BIGINT) AS epoch, doc_id,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY CAST(concat('0x', substr(md5(concat('ep1:',
+                 CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT), doc_id)
+             AS BIGINT) AS pos
+      FROM d
+    )
+    SELECT epoch, doc_id, pos FROM e0
+    UNION ALL
+    SELECT epoch, doc_id, pos FROM e1
+"""
+
+
+@query("epoch_shuffle_positions", oracle=_EPSH_ORACLE)
+def epoch_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC PER-EPOCH GLOBAL SHUFFLE — the training-loop
+    data-order primitive: every epoch needs a DIFFERENT but
+    REPRODUCIBLE permutation of the corpus, computed distributed
+    (never a driver-side permutation array — at 100 TB there is no
+    driver that holds n positions). Position = global rank of the
+    salted document hash md5_long('ep{e}:' + doc_id), tiebroken by
+    doc_id into a total order; ranking goes through
+    operators/ranking.row_number_global (range exchange + in-
+    partition sort + monotonic-id decode — the corpus moves ONCE per
+    epoch; a Window over a constant or epoch-keyed partition would
+    be a 1-or-2-partition sort wall). Epochs are independent range
+    sorts unioned after ranking, so epoch count scales jobs, not
+    partition pressure. The salt is the epoch seed: epoch orders are
+    uncorrelated (a tf.data / torch DataLoader seed-shuffle
+    equivalent), and any epoch is replayable from the id alone —
+    resume-from-step needs no stored permutation. Oracle: the same
+    md5 chain ranked by DuckDB's ROW_NUMBER, both epochs."""
+    from streaming_cdc_spark.functions.hashing import md5_long
+    from streaming_cdc_spark.operators.ranking import row_number_global
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    outs = []
+    for e in (0, 1):
+        hv = md5_long(F.col("doc_id").cast("string"), salt=f"ep{e}:")
+        ranked = row_number_global(
+            docs.withColumn("_hv", hv), ["_hv", "doc_id"], "pos"
+        )
+        outs.append(
+            ranked.select(
+                F.lit(e).cast("long").alias("epoch"),
+                "doc_id",
+                F.col("pos").cast("long").alias("pos"),
+            )
+        )
+    return outs[0].unionByName(outs[1])

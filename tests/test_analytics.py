@@ -779,3 +779,43 @@ def test_streaming_misra_gries_resumes_across_query_restarts(spark, tmp_path):
     ref_rows = drain(src, str(tmp_path / "ckpt_ref"))
     ref = {r["key"]: r["est"] for r in ref_rows if r["batch_idx"] == 4}
     assert final == ref
+
+
+def test_grouped_order_statistic_bruteforce(spark):
+    import random
+
+    from streaming_cdc_spark.operators.ranking import grouped_order_statistic
+
+    rng = random.Random(23)
+    rows = [(f"g{i % 3}", i, rng.randrange(0, 1000)) for i in range(407)]
+    df = spark.createDataFrame(rows, "g string, event_id long, c long")
+    for num, off, den in [(5, 99, 100), (95, 99, 100), (1, 0, 1), (50, 0, 100)]:
+        got = {
+            (r.g, r.stat_value, r.n)
+            for r in grouped_order_statistic(
+                df, ["g"], "c", "event_id", (num, off, den),
+                band_expr=F.expr("c div 100"),
+            ).collect()
+        }
+        want = set()
+        by_g = {}
+        for g, _, c in rows:
+            by_g.setdefault(g, []).append(c)
+        for g, vs in by_g.items():
+            vs = sorted(vs)
+            k = (num * len(vs) + off) // den
+            want.add((g, vs[k - 1], len(vs)))
+        assert got == want, (num, off, den)
+
+
+def test_grouped_order_statistic_k_edges(spark):
+    # k=1 (min) and k=n (max) both land despite band boundaries
+    from streaming_cdc_spark.operators.ranking import grouped_order_statistic
+
+    rows = [("a", i, v) for i, v in enumerate([100, 99, 300, 5, 5])]
+    df = spark.createDataFrame(rows, "g string, event_id long, c long")
+    # k = (num*n + off) div den: (0,1,1) -> k=1 (min); (1,0,1) -> k=n (max)
+    lo = grouped_order_statistic(df, ["g"], "c", "event_id", (0, 1, 1)).first()
+    hi = grouped_order_statistic(df, ["g"], "c", "event_id", (1, 0, 1)).first()
+    assert (lo.stat_value, lo.n) == (5, 5)
+    assert (hi.stat_value, hi.n) == (300, 5)

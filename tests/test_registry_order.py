@@ -35,12 +35,12 @@ def test_every_family_in_checked_window():
                   "chunk_dedup_profile", "pipeline_manifest",
                   "leakage_safe_splits", "incremental_dedup_status",
                   "incremental_semantic_status", "meta_blocking_pairs"},
-        "ann": {"ivf_topk_exact", "hybrid_rrf_topk", "grid_knn_join",
-                "grid_knn_skewed"},
+        "ann": {"hybrid_rrf_topk", "grid_knn_join", "grid_knn_skewed"},
         "semantic_dedup": {"semantic_dedup"},
         "linalg": {"embedding_covariance"},
-        "text": {"bpe_merge_table"},
-        "packing": {"sequence_packing_exact"},
+        "text": {"bpe_merge_table", "epoch_shuffle_positions"},
+        # packing stays in-window inside pipeline_manifest's DAG
+        "packing": {"pipeline_manifest"},
         "temporal": {"funnel_conversion", "purchase_attribution",
                      "event_transition_matrix"},
         "streaming_state": {"streaming_sessions_custom_state",
@@ -50,14 +50,15 @@ def test_every_family_in_checked_window():
                             "streaming_stream_join",
                             "streaming_join_then_window",
                             "streaming_outer_join",
+                            "streaming_full_outer_join",
                             "stream_static_enrich",
                             "stream_static_enrich_evolving"},
         "changelog": {"cdc_streaming_apply", "ivm_hotkey_sums",
                       "ivm_join_view", "ivm_join_retract"},
         "linkage": {"record_linkage_scores", "fuzzy_name_join"},
-        "analytics": {"value_trend_slope", "weighted_median_banded",
-                      "unpivot_metric_stats", "windowed_rank_family",
-                      "rank_tie_semantics", "cube_returnflag_status",
+        "analytics": {"winsorized_stats", "unpivot_metric_stats",
+                      "windowed_rank_family", "rank_tie_semantics",
+                      "cube_returnflag_status", "grouping_sets_custom",
                       "equidepth_histogram"},
         "graph": {"graph_modularity", "clustering_coefficients",
                   "triangle_counts", "personalized_pagerank"},

@@ -194,6 +194,27 @@ SHOWCASE = [
         "register file joins back as a broadcast hash join.",
         [r"HashAggregate", r"Generate explode"],
     ),
+    (
+        "grid_knn_skewed",
+        "Hot-cell-capped spatial kNN (r8): the cell-population cap is "
+        "a SECOND rank predicate and gets its own map-side "
+        "WindowGroupLimit below the cell exchange — the planted hot "
+        "cell (40% of points) ships at most cap rows per input "
+        "partition into the build index, so the skew dial never "
+        "becomes a single-partition sort wall; four WindowGroupLimit "
+        "nodes total (cap + top-k, each map- and reduce-side).",
+        [r"(?s)(WindowGroupLimit.*){4}", r"Generate explode"],
+    ),
+    (
+        "winsorized_stats",
+        "Banded exact order statistics (r8): the P5/P95 clamp bounds "
+        "come from windows over the TINY (type, band) relation plus "
+        "row-ranking only inside each crossing band — no per-type "
+        "full-group sort anywhere; the bounds join back as one-row-"
+        "per-type broadcast hash joins into a single clamp-aggregate "
+        "scan.",
+        [r"BroadcastHashJoin", r"HashAggregate"],
+    ),
 ]
 
 
