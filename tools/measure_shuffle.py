@@ -40,6 +40,7 @@ attributed to them.
 from __future__ import annotations
 
 import argparse
+import re
 import json
 import os
 import subprocess
@@ -279,6 +280,30 @@ def main() -> int:
             )
         )
 
+    # Subset runs MERGE into an existing table instead of clobbering
+    # it (an r8 name-subset run silently replaced the 159-row table
+    # with 6 rows): parse prior `| name | ...` lines, keep every row
+    # not re-measured, in their original order, and append new names.
+    new_lines: dict[str, str] = {}
+    for name, ilo, ihi, slo, shi, cls, alpha in rows:
+        if ilo is None:
+            new_lines[name] = f"| {name} | — | — | — | {cls} |"
+        else:
+            new_lines[name] = (
+                f"| {name} | {ilo:,} → {ihi:,} "
+                f"| {_fmt_bytes(slo)} → {_fmt_bytes(shi)} "
+                f"| {f'{alpha:.2f}' if alpha is not None else '—'} "
+                f"| {cls} |"
+            )
+    merged: dict[str, str] = {}
+    if args.names and os.path.exists(args.out):
+        for ln in open(args.out):
+            m = re.match(r"\| ([a-z0-9_]+) \|", ln)
+            if m and m.group(1) != "query":
+                merged[m.group(1)] = ln.rstrip("\n")
+    merged.update(new_lines)
+    n_super_total = sum(1 for ln in merged.values() if "| SUPERLINEAR |" in ln)
+
     with open(args.out, "w") as f:
         f.write(
             "# SHUFFLE — measured shuffle volume vs data size\n\n"
@@ -299,19 +324,11 @@ def main() -> int:
             "| query | input rows lo→hi | shuffle lo→hi | alpha | class |\n"
             "|---|---|---|---|---|\n"
         )
-        for name, ilo, ihi, slo, shi, cls, alpha in rows:
-            if ilo is None:
-                f.write(f"| {name} | — | — | — | {cls} |\n")
-                continue
-            f.write(
-                f"| {name} | {ilo:,} → {ihi:,} "
-                f"| {_fmt_bytes(slo)} → {_fmt_bytes(shi)} "
-                f"| {f'{alpha:.2f}' if alpha is not None else '—'} "
-                f"| {cls} |\n"
-            )
+        for ln in merged.values():
+            f.write(ln + "\n")
         f.write(
-            f"\n**{len(supers)} superlinear** of {len(rows)} measured"
-            + (f": {', '.join(supers)}" if supers else "")
+            f"\n**{n_super_total} superlinear** of {len(merged)} measured"
+            + (f"; this run flagged: {', '.join(supers)}" if supers else "")
             + "\n"
         )
         if noted:
