@@ -295,31 +295,43 @@ def grouped_weighted_median(
     )
 
 
-def grouped_order_statistic(
+def grouped_order_statistics(
     df: DataFrame,
     group_cols: list[str],
     value_col: str,
     id_col: str,
-    k_rank: tuple[int, int, int],
+    k_ranks: list[tuple[int, int, int]],
     band_expr=None,
     out_col: str = "stat_value",
 ) -> DataFrame:
-    """Exact k-th-SMALLEST value per group, k derived from the group
-    size as k = (num * n + off) div den with ``k_rank`` = (num, off,
-    den) — kept as an INTEGER rank spec (not a float fraction or a
-    Column lambda) so k is exact `div` arithmetic at any n: a double
-    division drifts past 2^53 and a half-up decimal division is not
-    a floor. ceil(p*n) ranks are (p_num, den-1, den). The
-    unit-weight generalization of
+    """Exact k-th-SMALLEST values per group for a LIST of ranks in
+    ONE banded pass: each k derives from the group size as
+    k = (num * n + off) div den with spec (num, off, den) — kept as
+    an INTEGER rank spec (not a float fraction or a Column lambda)
+    so k is exact `div` arithmetic at any n: a double division
+    drifts past 2^53 and a half-up decimal division is not a floor.
+    ceil(p*n) ranks are (p_num, den-1, den); min is (0, 1, 1), max
+    is (1, 0, 1). The unit-weight generalization of
     grouped_weighted_median to ARBITRARY ranks (P5/P95 winsorization
     clamps, trimmed means, any ceil-rank percentile). Same banded
     physical, same reason: a per-group rank window sorts the whole
     group in one task; banding turns it into one window over the
     tiny (group, band) relation plus row-ranking ONLY inside the
-    crossing band. Band granularity is the skew dial. Returns one
-    row per group: (group_cols..., out_col, n)."""
+    crossing bands. Multiple ranks share the scan, the band
+    aggregate, and the band windows — the only per-rank cost is a
+    filter over the tiny band relation (winsorization needs 2 ranks,
+    a trimmed mean 2, a five-number summary 5; re-running the whole
+    pass per rank would re-scan the data each time). Band
+    granularity is the skew dial.
+
+    NULL values are EXCLUDED (the standard order-statistic domain) —
+    without the filter, NULL rows would band NULL, sort first, and
+    silently shift every k (the r7 weighted-median NULL advice
+    class). Returns one row per (group, rank): (group_cols...,
+    stat_idx, out_col, n) with stat_idx = index into k_ranks and
+    n = the group's non-null count."""
     band = band_expr if band_expr is not None else F.floor(F.col(value_col))
-    rows = df.select(
+    rows = df.filter(F.col(value_col).isNotNull()).select(
         *group_cols,
         F.col(value_col).alias("_v"),
         F.col(id_col).alias("_id"),
@@ -341,15 +353,47 @@ def grouped_order_statistic(
         F.sum("_bw").over(wb).alias("_thru"),
         F.sum("_bw").over(wt).alias("_tot"),
     )
-    num, off, den = k_rank
-    k = F.expr(f"({num} * _tot + {off}) div {den}").cast("long")
-    crossing = bands.filter(
-        (F.col("_thru") >= k) & (F.col("_pre") < k)
-    ).select(*group_cols, "_band", "_pre", F.col("_tot").alias("_n"), k.alias("_k"))
+    crossings = []
+    for i, (num, off, den) in enumerate(k_ranks):
+        k = F.expr(f"({num} * _tot + {off}) div {den}").cast("long")
+        crossings.append(
+            bands.filter((F.col("_thru") >= k) & (F.col("_pre") < k)).select(
+                *group_cols,
+                "_band",
+                "_pre",
+                F.col("_tot").alias("_n"),
+                k.alias("_k"),
+                F.lit(i).cast("long").alias("stat_idx"),
+            )
+        )
+    crossing = crossings[0]
+    for c in crossings[1:]:
+        crossing = crossing.unionByName(c)
     inband = rows.join(crossing, [*group_cols, "_band"])
-    wr = W.partitionBy(*group_cols, "_band").orderBy("_v", "_id")
+    wr = W.partitionBy(*group_cols, "_band", "stat_idx").orderBy("_v", "_id")
     return (
         inband.withColumn("_rn", F.col("_pre") + F.row_number().over(wr))
         .filter(F.col("_rn") == F.col("_k"))
-        .select(*group_cols, F.col("_v").alias(out_col), F.col("_n").alias("n"))
+        .select(
+            *group_cols,
+            "stat_idx",
+            F.col("_v").alias(out_col),
+            F.col("_n").alias("n"),
+        )
     )
+
+
+def grouped_order_statistic(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    k_rank: tuple[int, int, int],
+    band_expr=None,
+    out_col: str = "stat_value",
+) -> DataFrame:
+    """Single-rank convenience over grouped_order_statistics: one row
+    per group, (group_cols..., out_col, n)."""
+    return grouped_order_statistics(
+        df, group_cols, value_col, id_col, [k_rank], band_expr, out_col
+    ).drop("stat_idx")

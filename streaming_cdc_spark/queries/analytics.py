@@ -1842,17 +1842,19 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the clamp bounds are EXACT ORDER STATISTICS (k-th smallest with
     k = ceil(0.05n) / ceil(0.95n), pure integer rank arithmetic on
     exact cents), the winsorized sum is an exact integer, and the
-    only float is one final division rounded 4dp. Physical: TWO
-    banded rank selections (operators/ranking.grouped_order_statistic
-    — the weighted-median banding generalized to arbitrary ranks:
-    per-(type, band) counts -> one window over the tiny band
-    relation -> row-rank only inside each k's crossing band; a
-    direct per-type rank window would sort 20 TB in one task at
-    100 TB for 5 types) + one clamp-aggregate scan against the
-    broadcast-sized per-type bounds. Oracle: the direct rank-window
-    formulation — an independent physical, so the hash match proves
-    the banded selection == the definitional k-th order statistic."""
-    from streaming_cdc_spark.operators.ranking import grouped_order_statistic
+    only float is one final division rounded 4dp. Physical: BOTH
+    banded rank selections in ONE pass
+    (operators/ranking.grouped_order_statistics — the weighted-median
+    banding generalized to arbitrary ranks: per-(type, band) counts
+    -> one window over the tiny band relation -> row-rank only
+    inside each k's crossing band, the two ranks sharing the scan
+    and band aggregate; a direct per-type rank window would sort
+    20 TB in one task at 100 TB for 5 types) + one clamp-aggregate
+    scan against the broadcast-sized per-type bounds. Oracle: the
+    direct rank-window formulation — an independent physical, so the
+    hash match proves the banded selection == the definitional k-th
+    order statistic."""
+    from streaming_cdc_spark.operators.ranking import grouped_order_statistics
 
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     e = ev.select(
@@ -1860,15 +1862,17 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"),
     )
-    band = F.expr("c div 100")
-    lo = grouped_order_statistic(
-        e, ["event_type"], "c", "event_id", (5, 99, 100),
-        band_expr=band, out_col="p_lo",
-    ).select("event_type", "p_lo")
-    hi = grouped_order_statistic(
-        e, ["event_type"], "c", "event_id", (95, 99, 100),
-        band_expr=band, out_col="p_hi",
-    ).select("event_type", "p_hi", "n")
+    stats = grouped_order_statistics(
+        e, ["event_type"], "c", "event_id",
+        [(5, 99, 100), (95, 99, 100)],
+        band_expr=F.expr("c div 100"),
+    )
+    lo = stats.filter(F.col("stat_idx") == 0).select(
+        "event_type", F.col("stat_value").alias("p_lo")
+    )
+    hi = stats.filter(F.col("stat_idx") == 1).select(
+        "event_type", F.col("stat_value").alias("p_hi"), "n"
+    )
     bounds = F.broadcast(lo.join(hi, "event_type"))
     clamped = e.join(bounds, "event_type").select(
         "event_type",

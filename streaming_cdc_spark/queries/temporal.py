@@ -1329,10 +1329,16 @@ def streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     so orphanhood is total by geometry). No late slice (late-input
     admission is the inner query's evidence; keeping it out holds
     the SPARK-24634 two-watermark boundary outside the oracle's
-    blast radius). Era-3 rows of both kinds sit past the final
-    watermark and must NOT emit — the wfin CTE replays the
-    availableNow flush watermark (min over sides of each side's
-    all-batch max). NULL csec/bsec carried as -1 sentinels on both
+    blast radius). Era-3 CLICKS (eviction points csec + R >= T0 +
+    3900 > wfin) never emit; era-3 orphan BUYS straddle the boundary
+    — those with bsec < wfin (= T0 + 3160, the click-side all-batch
+    max) DO emit right-NULL rows and the rest stay in state, so the
+    strict rule itself carries hashed rows on both sides of the
+    cut. The wfin CTE replays the availableNow flush watermark (min
+    over sides of each side's all-batch max); no fixture row lands
+    exactly ON wfin (40a + 300b = 90 has no solution), so the hash
+    cannot mask an off-by-one there — the probe test pins
+    strictness instead. NULL csec/bsec carried as -1 sentinels on both
     engines (the scd2 nullable-BIGINT fetch hazard)."""
     from streaming_cdc_spark.session import drain_to_memory
 
@@ -1545,6 +1551,43 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SSE_SRC: dict[str, str] = {}
 
+
+def _sse_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf_dir) the 3 mtime-pinned id-range event
+    batches the stream-static enrichment pair reads. ONE builder for
+    BOTH queries (stream_static_enrich / stream_static_enrich_
+    evolving): they share the _SSE_SRC cache, so a drift between two
+    copies would poison whichever query ran second — the _cb_fixture
+    lockstep lesson (review r8)."""
+    import os
+
+    from streaming_cdc_spark.session import write_mtime_pinned_splits
+
+    src = _SSE_SRC.get(sf_dir)
+    if src is not None and os.path.isdir(src):
+        return src
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    step = (hi - lo + 3) // 3
+    src = cached_tmp_dir("sse_src_")
+    parts = [
+        ev.filter(
+            (F.col("event_id") >= lo + i * step)
+            & (F.col("event_id") < lo + (i + 1) * step)
+        ).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        for i in range(3)
+    ]
+    write_mtime_pinned_splits(parts, src)
+    _SSE_SRC[sf_dir] = src
+    return src
+
 _SSE_ORACLE = """
     SELECT c.c_mktsegment, e.event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -1574,33 +1617,12 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     INDEPENDENT batch formulation — one plain SQL join — whose hash
     match proves batch-join == union of per-micro-batch joins.
     Inner join is total here by fixture shape (every user_id has a
-    customer row at every sf), so no rows ride on matched-ness."""
-    import os
+    customer row at every sf — pinned by
+    test_sse_fixture_every_event_user_has_customer), so no rows ride
+    on matched-ness."""
+    from streaming_cdc_spark.session import drain_to_memory
 
-    from streaming_cdc_spark.session import drain_to_memory, write_mtime_pinned_splits
-
-    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    src = _SSE_SRC.get(sf_dir)
-    if src is None or not os.path.isdir(src):
-        lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
-        step = (hi - lo + 3) // 3
-        src = cached_tmp_dir("sse_src_")
-        parts = [
-            ev.filter(
-                (F.col("event_id") >= lo + i * step)
-                & (F.col("event_id") < lo + (i + 1) * step)
-            ).select(
-                "event_id",
-                "user_id",
-                "event_type",
-                (F.col("value").cast("decimal(18,2)") * 100)
-                .cast("long")
-                .alias("cents"),
-            )
-            for i in range(3)
-        ]
-        write_mtime_pinned_splits(parts, src)
-        _SSE_SRC[sf_dir] = src
+    src = _sse_fixture(spark, sf_dir)
     dim = F.broadcast(
         load(spark, sf_dir, "customer").select(
             F.col("c_custkey").alias("user_id"), "c_mktsegment"
@@ -1704,36 +1726,19 @@ def stream_static_enrich_evolving(spark: SparkSession, sf_dir: str) -> DataFrame
     segment — so the oracle (one batch SQL join + the batch-0
     id-range CASE) hash-matches iff batch 1 actually SAW the rows
     added after batch 0. Exact-integer counts/cent sums per
-    (segment, event_type), the registry money rule."""
-    import os
+    (segment, event_type), the registry money rule. The handler is
+    IDEMPOTENT per batch id (at-least-once foreachBatch contract —
+    the materialize.py / zorder_sink convention): batch output goes
+    to an overwritten per-batch subdir and the batch-0 dim upsert to
+    an overwritten fixed subdir, so a replayed batch can neither
+    double its rows nor double the appended dim rows. The left-join
+    sentinel only means 'dim row not yet visible' because every
+    event user_id has a customer row — pinned by
+    test_sse_fixture_every_event_user_has_customer."""
     import shutil
     import tempfile
 
-    from streaming_cdc_spark.session import write_mtime_pinned_splits
-
-    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    src = _SSE_SRC.get(sf_dir)
-    if src is None or not os.path.isdir(src):
-        lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
-        step = (hi - lo + 3) // 3
-        src = cached_tmp_dir("sse_src_")
-        parts = [
-            ev.filter(
-                (F.col("event_id") >= lo + i * step)
-                & (F.col("event_id") < lo + (i + 1) * step)
-            ).select(
-                "event_id",
-                "user_id",
-                "event_type",
-                (F.col("value").cast("decimal(18,2)") * 100)
-                .cast("long")
-                .alias("cents"),
-            )
-            for i in range(3)
-        ]
-        write_mtime_pinned_splits(parts, src)
-        _SSE_SRC[sf_dir] = src
-
+    src = _sse_fixture(spark, sf_dir)
     cust = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
     )
@@ -1745,12 +1750,12 @@ def stream_static_enrich_evolving(spark: SparkSession, sf_dir: str) -> DataFrame
     out_dir = tempfile.mkdtemp(prefix="ssee_out_")
     ckpt = tempfile.mkdtemp(prefix="ssee_ckpt_")
     try:
-        cust.filter(~held).write.mode("overwrite").parquet(dim_dir)
+        cust.filter(~held).write.mode("overwrite").parquet(f"{dim_dir}/base")
         late_rows = cust.filter(held).localCheckpoint()
 
         def handle(batch_df, batch_id: int) -> None:
             sp = batch_df.sparkSession
-            dim = F.broadcast(sp.read.parquet(dim_dir))
+            dim = F.broadcast(sp.read.parquet(f"{dim_dir}/*"))
             (
                 batch_df.join(dim, "user_id", "left")
                 .select(
@@ -1760,11 +1765,11 @@ def stream_static_enrich_evolving(spark: SparkSession, sf_dir: str) -> DataFrame
                     "event_type",
                     "cents",
                 )
-                .write.mode("append")
-                .parquet(out_dir)
+                .write.mode("overwrite")
+                .parquet(f"{out_dir}/b{batch_id}")
             )
             if batch_id == 0:
-                late_rows.write.mode("append").parquet(dim_dir)
+                late_rows.write.mode("overwrite").parquet(f"{dim_dir}/late")
 
         stream = (
             spark.readStream.schema(
@@ -1781,7 +1786,7 @@ def stream_static_enrich_evolving(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         q.awaitTermination()
         return (
-            spark.read.parquet(out_dir)
+            spark.read.parquet(f"{out_dir}/b*")
             .groupBy("segment", "event_type")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_events"),

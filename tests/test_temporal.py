@@ -398,18 +398,60 @@ def test_evolving_dim_seen_by_later_batches(spark):
     )
     # exact expected count of real-segment rows from held-out users'
     # batch-1/2 events, per (segment, type) — cross-check one total:
-    held_later = (
-        ev.filter(
-            (F.col("user_id") % 5 == 3) & (F.col("event_id") >= lo + step)
+    # THE property: '(late-dim)' rows are EXACTLY the held-out users'
+    # batch-0 events (a dim snapshot captured once pre-stream would
+    # also bucket their batch-1/2 events there), and the real-segment
+    # rows for held-out users are exactly their later events.
+    held_b0 = ev.filter(
+        (F.col("user_id") % 5 == 3) & (F.col("event_id") < lo + step)
+    ).count()
+    held_later = ev.filter(
+        (F.col("user_id") % 5 == 3) & (F.col("event_id") >= lo + step)
+    ).count()
+    assert held_b0 > 0 and held_later > 0, "fixture geometry degenerate"
+    assert late.agg(F.sum("n_events")).first()[0] == held_b0
+    held_segs = {r.c_mktsegment for r in cust.filter(F.col("user_id") % 5 == 3)
+                 .select("c_mktsegment").distinct().collect()}
+    real_held = (
+        res.filter(F.col("segment") != "(late-dim)")
+        .join(
+            ev.filter(F.col("user_id") % 5 == 3)
+            .join(cust, "user_id")
+            .filter(F.col("event_id") >= lo + step)
+            .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+            .agg(F.count(F.lit(1)).alias("want")),
+            ["segment", "event_type"],
         )
-        .join(cust, "user_id")
-        .count()
     )
-    assert held_later > 0, "fixture geometry: no held-out events after batch 0"
+    assert held_segs  # held-out users exist in the dim
+    # every (segment, type) cell the held-out users' later events land
+    # in must have at least that many real-segment rows in the result
+    bad = real_held.filter(F.col("n_events") < F.col("want")).count()
+    assert bad == 0
     # total event count must be conserved across the sentinel split
     assert (
         res.agg(F.sum("n_events")).first()[0] == ev.count()
     )
+
+
+def test_sse_fixture_every_event_user_has_customer(spark):
+    # BOTH stream-static enrichment queries lean on this invariant:
+    # stream_static_enrich's inner join drops nothing, and the
+    # evolving twin's '(late-dim)' sentinel means "dim row not yet
+    # visible", never "user missing from the dim". Pin it so a
+    # testdata regen that breaks referential integrity fails HERE
+    # with a named cause (the rank_tie non-negativity convention).
+    from pyspark.sql import functions as F
+
+    from streaming_cdc_spark.tables import load
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = load(spark, sf, "events").select("user_id").distinct()
+        cust = load(spark, sf, "customer").select(
+            F.col("c_custkey").alias("user_id")
+        )
+        orphans = ev.join(cust, "user_id", "left_anti").count()
+        assert orphans == 0, f"{sf}: {orphans} event users missing from customer"
 
 
 def test_stream_full_outer_null_emission_probe(spark, tmp_path):

@@ -331,9 +331,17 @@ def main() -> int:
             + (f"; this run flagged: {', '.join(supers)}" if supers else "")
             + "\n"
         )
-        if noted:
+        # notes derive from the MERGED table, not this run's `noted`
+        # list — a subset run must not delete the explanation for a
+        # surviving output-bound row (review r8)
+        noted_all = [
+            n
+            for n, ln in merged.items()
+            if "| output-bound |" in ln and n in OUTPUT_BOUND
+        ]
+        if noted_all:
             f.write("\nOutput-bound notes:\n\n")
-            for n in noted:
+            for n in noted_all:
                 f.write(f"- **{n}**: {OUTPUT_BOUND[n]}\n")
 
     print(
