@@ -117,6 +117,8 @@ HEADLINE = [
     "epoch_shuffle_positions",
     "winsorized_stats",
     "grouping_sets_custom",
+    "tfidf_topk_terms",
+    "k_anonymity_risk",
     "clustering_coefficients",
     "grid_knn_join",
     "grid_knn_skewed",

@@ -186,3 +186,71 @@ def benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(p_obs - F.col("p_benford"), 6).alias("dev_r"),
         )
     )
+
+
+_KANON_ORACLE = """
+    WITH qi AS (
+      SELECT c_mktsegment AS segment,
+             c_nationkey AS nation,
+             (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               + 100000) // 100000 AS bal_band,
+             c_custkey
+      FROM customer
+    ),
+    g AS (
+      SELECT segment, nation, bal_band,
+             CAST(COUNT(*) AS BIGINT) AS grp_n
+      FROM qi GROUP BY 1, 2, 3
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS risky_groups,
+           CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+             AS risky_rows,
+           CAST(MIN(grp_n) AS BIGINT) AS min_group,
+           CAST(MAX(grp_n) AS BIGINT) AS max_group
+    FROM g GROUP BY segment
+"""
+
+
+@query("k_anonymity_risk", oracle=_KANON_ORACLE)
+def k_anonymity_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY RISK PROFILE — the privacy/compliance audit every
+    dataset release pipeline runs before publishing: group rows by
+    their QUASI-IDENTIFIER tuple (market segment, nation, account-
+    balance band — the classic linkable attributes) and report, per
+    segment, how many QI groups fall below k=5 and how many ROWS sit
+    in those re-identifiable groups. Bands come from exact cents
+    with the label_centroid_outliers NON-NEGATIVITY SHIFT (+100000
+    cents covers the fixture's [-999.99, ...] balance floor) before
+    the integer division: acctbal IS negative in the fixture, and
+    while DuckDB's `//` happens to truncate like Spark's `div` on
+    BIGINT operands, the shift makes band assignment floor/truncate-
+    agnostic by construction instead of by engine coincidence
+    (shift-invariant grouping: +1 to every band label). Two keyed
+    aggregates, both map-side combining; linear at any scale (the
+    QI-group relation is the only shuffle)."""
+    cust = load(spark, sf_dir, "customer")
+    qi = cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation"),
+        F.expr(
+            "(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " + 100000) div 100000"
+        ).alias("bal_band"),
+    )
+    g = qi.groupBy("segment", "nation", "bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("grp_n")
+    )
+    return g.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("grp_n") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("risky_groups"),
+        F.sum(F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0))
+        .cast("long")
+        .alias("risky_rows"),
+        F.min("grp_n").cast("long").alias("min_group"),
+        F.max("grp_n").cast("long").alias("max_group"),
+    )

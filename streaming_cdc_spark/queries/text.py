@@ -1262,3 +1262,88 @@ def epoch_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionByName(outs[1])
+
+
+_TFIDF_TOPK_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, u.token
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(t) AS u(token)
+    ),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+           FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             CAST(tf.tf * (SELECT n_docs FROM n) AS DOUBLE)
+               / CAST(df.df AS DOUBLE) AS s
+      FROM tf JOIN df USING (token)
+    ),
+    ranked AS (
+      SELECT doc_id, token, tf, df,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY s DESC, token) AS rank,
+             ROUND(s, 6) AS score_r
+      FROM scored
+    )
+    SELECT doc_id, token, tf, df, CAST(rank AS BIGINT) AS rank, score_r
+    FROM ranked WHERE rank <= 3
+"""
+
+
+@query("tfidf_topk_terms", oracle=_TFIDF_TOPK_ORACLE)
+def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DOCUMENT KEYWORD EXTRACTION — top-3 terms by raw-ratio
+    TF-IDF (tf * N / df, the ln-free form: the registry float rules
+    forbid cross-engine ln(), and the RATIO orders identically — the
+    score is ONE IEEE division of exact integers, bit-identical on
+    both engines, with ties broken by term). The inverse direction
+    of bm25_topk (query -> documents): document -> its most
+    distinctive terms, the classic tag/topic extraction every corpus
+    curation pipeline runs. Physical: token explode -> two keyed
+    aggregates (tf per (doc, term); df per term over the DISTINCT
+    (doc, term) relation — never the raw occurrence stream) -> a
+    term-keyed join (df side is term-cardinality, shuffles narrow) ->
+    per-doc top-3 via row_number, which Spark plants a map-side
+    WindowGroupLimit for: the rank exchange carries at most 3 rows
+    per (doc, input partition). At 100 TB every stage is linear in
+    tokens; the df join key is the term (Heaps'-law vocab growth
+    keeps it far smaller than the corpus)."""
+    from streaming_cdc_spark.session import fan_out
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = fan_out(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = (
+        toks.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    from pyspark.sql import Window as W
+
+    scored = tf.join(df, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        (
+            (F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df").cast("double")
+        ).alias("s"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("s").desc(), "token")
+    return (
+        scored.select(
+            "doc_id", "token", "tf", "df",
+            F.row_number().over(w).cast("long").alias("rank"),
+            F.round("s", 6).alias("score_r"),
+        )
+        .filter(F.col("rank") <= 3)
+    )
