@@ -119,6 +119,8 @@ HEADLINE = [
     "grouping_sets_custom",
     "tfidf_topk_terms",
     "k_anonymity_risk",
+    "fk_candidate_profile",
+    "negative_pair_sample",
     "clustering_coefficients",
     "grid_knn_join",
     "grid_knn_skewed",

@@ -161,7 +161,6 @@ _PRIORITY = [
     "streaming_bloom_status",
     "stream_static_enrich",
     "stream_static_enrich_evolving",
-    "progressive_stream_resolution",
     "progressive_longstream_compacted",
     # dedup family: full-chain reps, the planted-skew PPJoin twin,
     # content-defined chunking, plus the composition long tail that
@@ -170,7 +169,6 @@ _PRIORITY = [
     # meta-blocking
     "pipeline_manifest",
     "semantic_dedup",
-    "duplicate_span_islands",
     "ppjoin_skewed_pairs",
     "chunk_dedup_profile",
     "leakage_safe_splits",
@@ -192,9 +190,15 @@ _PRIORITY = [
     # text / training-pipeline (epoch_shuffle_positions = the
     # deterministic per-epoch global shuffle, new r8;
     # sequence_packing_exact rotated out late-r8 with r7 evidence —
-    # packing stays in-window inside pipeline_manifest's DAG)
+    # packing stays in-window inside pipeline_manifest's DAG; the
+    # second late extension adds tfidf_topk_terms keyword extraction
+    # and k_anonymity_risk for duplicate_span_islands +
+    # progressive_stream_resolution, both r7-verified with family
+    # cover staying via 6 dedup reps and longstream compaction)
     "bpe_merge_table",
     "epoch_shuffle_positions",
+    "tfidf_topk_terms",
+    "k_anonymity_risk",
     # graph tail: exact-integer modularity, LCC, triangles, RWR
     "graph_modularity",
     "clustering_coefficients",

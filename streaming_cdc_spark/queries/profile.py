@@ -254,3 +254,96 @@ def k_anonymity_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("grp_n").cast("long").alias("min_group"),
         F.max("grp_n").cast("long").alias("max_group"),
     )
+
+
+_FKPROF_ORACLE = """
+    WITH pairs AS (
+      SELECT 'events.user_id->customer.c_custkey' AS pair,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_child,
+             CAST(COUNT(DISTINCT CASE WHEN user_id IN
+               (SELECT c_custkey FROM customer) THEN user_id END)
+               AS BIGINT) AS n_matched
+      FROM events
+      UNION ALL
+      SELECT 'orders.o_custkey->customer.c_custkey',
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+             CAST(COUNT(DISTINCT CASE WHEN o_custkey IN
+               (SELECT c_custkey FROM customer) THEN o_custkey END)
+               AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+             CAST(COUNT(DISTINCT l_orderkey) AS BIGINT),
+             CAST(COUNT(DISTINCT CASE WHEN l_orderkey IN
+               (SELECT o_orderkey FROM orders) THEN l_orderkey END)
+               AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'events.event_id->customer.c_custkey',
+             CAST(COUNT(DISTINCT event_id) AS BIGINT),
+             CAST(COUNT(DISTINCT CASE WHEN event_id IN
+               (SELECT c_custkey FROM customer) THEN event_id END)
+               AS BIGINT)
+      FROM events
+    )
+    SELECT pair, n_child, n_matched,
+           ROUND(CAST(n_matched AS DOUBLE) / CAST(n_child AS DOUBLE), 6)
+             AS containment_r
+    FROM pairs
+"""
+
+
+@query("fk_candidate_profile", oracle=_FKPROF_ORACLE)
+def fk_candidate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOREIGN-KEY DISCOVERY PROFILE — the schema-inference pass a
+    data catalog runs over an unfamiliar lake: for candidate
+    (child column -> parent column) pairs, the INCLUSION COEFFICIENT
+    |distinct(child) ∩ parent| / |distinct(child)| — 1.0 means the
+    pair satisfies referential integrity (an FK candidate), low
+    values reject it (the fourth pair, event_id -> c_custkey, is the
+    planted NEGATIVE control: ids that overlap only by numeric
+    coincidence). Physical per pair: distinct on the child column
+    (map-side partial), then a LEFT SEMI join against the parent key
+    — matching stays key-only (never row payloads), so at 100 TB
+    each pair costs one narrow distinct + one key-to-key semi join.
+    Join strategy is LEFT TO CATALYST: dimension parents broadcast,
+    but the lineitem -> orders pair is fact-to-fact and must be
+    allowed to shuffle (a forced broadcast would OOM at scale). The
+    counts land as planning scalars (4 pairs x 2 longs); the ratio
+    is rounded IN-ENGINE on both sides (Python round() is
+    half-even, SQL ROUND is half-away — the registry float rule)."""
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    def prof(name: str, child, ccol: str, parent, pcol: str):
+        d = child.select(F.col(ccol).alias("k")).distinct().localCheckpoint()
+        n_child = d.count()
+        n_matched = d.join(
+            parent.select(F.col(pcol).alias("k")), "k", "left_semi"
+        ).count()
+        return (name, n_child, n_matched)
+
+    rows = [
+        prof("events.user_id->customer.c_custkey", ev, "user_id", cust, "c_custkey"),
+        prof(
+            "orders.o_custkey->customer.c_custkey",
+            orders, "o_custkey", cust, "c_custkey",
+        ),
+        prof(
+            "lineitem.l_orderkey->orders.o_orderkey",
+            li, "l_orderkey", orders.select("o_orderkey"), "o_orderkey",
+        ),
+        prof("events.event_id->customer.c_custkey", ev, "event_id", cust, "c_custkey"),
+    ]
+    return spark.createDataFrame(
+        rows, "pair string, n_child long, n_matched long"
+    ).select(
+        "pair",
+        "n_child",
+        "n_matched",
+        F.round(
+            F.col("n_matched").cast("double") / F.col("n_child").cast("double"), 6
+        ).alias("containment_r"),
+    )

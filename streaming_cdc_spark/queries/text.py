@@ -1347,3 +1347,62 @@ def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= 3)
     )
+
+
+_NEGPAIR_ORACLE = """
+    WITH idx AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS i,
+             COUNT(*) OVER () AS n
+      FROM documents
+    ),
+    wanted AS (
+      SELECT a.doc_id, j.j,
+             (a.i + 1 + CAST(concat('0x', substr(md5(concat('neg', j.j, ':',
+                CAST(a.doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % (a.n - 1)
+             ) % a.n AS neg_i
+      FROM idx a CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS j) j
+    )
+    SELECT w.doc_id, CAST(w.j AS BIGINT) AS j, b.doc_id AS neg_doc_id
+    FROM wanted w JOIN idx b ON w.neg_i = b.i
+"""
+
+
+@query("negative_pair_sample", oracle=_NEGPAIR_ORACLE)
+def negative_pair_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC CONTRASTIVE NEGATIVE SAMPLING — the data-side
+    companion to the reference's triplet-loss training head (V8,
+    declared out of scope as a training op): every anchor document
+    gets k=2 pseudo-random negative partners, reproducible from ids
+    alone (a rerun, a resumed job, or the oracle re-derives the SAME
+    pairs — no stored sample, no RNG state). Construction: docs get
+    a dense index i via one global rank (row_number_global — one
+    range exchange), then neg_i = (i + 1 + h % (n-1)) % n with
+    h = md5_long('neg{j}:' + doc_id) — the +1 shift over a modulus
+    of n-1 makes self-pairing IMPOSSIBLE by arithmetic (never a
+    rejection loop, which would be a data-dependent number of
+    passes), and the index join back to doc ids is an equi-join on
+    the dense index. At 100 TB: one range sort + one narrow
+    index-keyed join per epoch of negatives; k scales rows, not
+    shuffles. Uniformity is the standard hash assumption — the same
+    one every LSH family here rides on."""
+    from streaming_cdc_spark.functions.hashing import md5_long
+    from streaming_cdc_spark.operators.ranking import row_number_global
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    idx = row_number_global(docs, ["doc_id"], "rn").select(
+        "doc_id", (F.col("rn") - 1).cast("long").alias("i")
+    ).localCheckpoint()
+    anchors = idx.withColumn("j", F.explode(F.array(F.lit(0), F.lit(1))))
+    h = md5_long(
+        F.concat(F.lit("neg"), F.col("j").cast("string"), F.lit(":"),
+                 F.col("doc_id").cast("string"))
+    )
+    wanted = anchors.select(
+        "doc_id",
+        F.col("j").cast("long").alias("j"),
+        ((F.col("i") + 1 + h % F.lit(n - 1)) % F.lit(n)).alias("neg_i"),
+    )
+    neg = idx.select(F.col("i").alias("neg_i"), F.col("doc_id").alias("neg_doc_id"))
+    return wanted.join(neg, "neg_i").select("doc_id", "j", "neg_doc_id")

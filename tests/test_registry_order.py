@@ -31,21 +31,22 @@ def test_every_family_in_checked_window():
     families = {
         "relational": {"revenue_by_nation"},
         "cdc_metrics": {"b3_prf"},
-        "dedup": {"duplicate_span_islands", "ppjoin_skewed_pairs",
+        "dedup": {"ppjoin_skewed_pairs",
                   "chunk_dedup_profile", "pipeline_manifest",
                   "leakage_safe_splits", "incremental_dedup_status",
                   "incremental_semantic_status", "meta_blocking_pairs"},
         "ann": {"hybrid_rrf_topk", "grid_knn_join", "grid_knn_skewed"},
         "semantic_dedup": {"semantic_dedup"},
         "linalg": {"embedding_covariance"},
-        "text": {"bpe_merge_table", "epoch_shuffle_positions"},
+        "text": {"bpe_merge_table", "epoch_shuffle_positions",
+                 "tfidf_topk_terms"},
+        "privacy": {"k_anonymity_risk"},
         # packing stays in-window inside pipeline_manifest's DAG
         "packing": {"pipeline_manifest"},
         "temporal": {"funnel_conversion", "purchase_attribution",
                      "event_transition_matrix"},
         "streaming_state": {"streaming_sessions_custom_state",
                             "streaming_bloom_status",
-                            "progressive_stream_resolution",
                             "progressive_longstream_compacted",
                             "streaming_stream_join",
                             "streaming_join_then_window",
