@@ -121,6 +121,7 @@ HEADLINE = [
     "k_anonymity_risk",
     "fk_candidate_profile",
     "negative_pair_sample",
+    "streaming_update_mode_counts",
     "clustering_coefficients",
     "grid_knn_join",
     "grid_knn_skewed",

@@ -161,6 +161,7 @@ _PRIORITY = [
     "streaming_bloom_status",
     "stream_static_enrich",
     "stream_static_enrich_evolving",
+    "streaming_update_mode_counts",
     "progressive_longstream_compacted",
     # dedup family: full-chain reps, the planted-skew PPJoin twin,
     # content-defined chunking, plus the composition long tail that
@@ -223,9 +224,12 @@ _PRIORITY = [
     "equidepth_histogram",
     # layout / skew: Morton z-order footer pruning layout (never
     # driver-hashed), the streaming z-table lifecycle, salted join
+    # salted_skew_stats rotated out in the third late extension
+    # (r7-verified; skew family keeps grid_knn_skewed +
+    # ppjoin_skewed_pairs in-window) for streaming_update_mode_counts
+    # — the last unevidenced Structured Streaming OUTPUT MODE.
     "zorder_layout",
     "zorder_streaming_ingest",
-    "salted_skew_stats",
 ]
 
 

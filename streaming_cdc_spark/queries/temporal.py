@@ -1798,3 +1798,66 @@ def stream_static_enrich_evolving(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(dim_dir, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+_UPDM_ORACLE = """
+    WITH ev AS (
+      SELECT event_id, event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (SELECT MIN(event_id) AS lo,
+                 (MAX(event_id) - MIN(event_id) + 3) // 3 AS step
+          FROM ev),
+    bat AS (SELECT event_type, cents, (event_id - lo) // step AS bi
+            FROM ev, b),
+    pb AS (SELECT event_type, bi, COUNT(*) AS c, SUM(cents) AS s
+           FROM bat GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bi)
+                  AS BIGINT) AS n,
+             CAST(SUM(s) OVER (PARTITION BY event_type ORDER BY bi)
+                  AS BIGINT) AS cents_sum
+      FROM pb
+    )
+    SELECT event_type, n, cents_sum FROM cum
+"""
+
+
+@query("streaming_update_mode_counts", oracle=_UPDM_ORACLE)
+def streaming_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE OUTPUT MODE — the remaining Structured Streaming output
+    mode after append (every other streaming query here) and
+    foreachBatch: an unwatermarked running aggregation that, per
+    micro-batch, emits ONLY the keys that batch touched, carrying
+    their CUMULATIVE aggregate — the live-dashboard contract (each
+    trigger pushes deltas for changed rows, not the full state, not
+    finalized-only rows). Empirically probed before the oracle was
+    written: the memory sink in update mode ACCUMULATES emissions,
+    so the drained table holds one row per (event_type,
+    batch-that-touched-it) with the running (count, cents_sum)
+    through that batch. The oracle replays exactly that: per-batch
+    presence x cumulative window sums over the batch index — a hash
+    match pins WHICH batches emitted (presence rule) and WHAT they
+    carried (running totals), i.e. the update-mode state machine.
+    Rows are unique by construction (a type's count strictly
+    increases across its emitting batches). Three mtime-pinned
+    id-range batches (the shared _sse_fixture); state is the
+    per-type running aggregate — at 100 TB the state store holds
+    |keys| rows, the mode never rescans history."""
+    from streaming_cdc_spark.session import drain_to_memory
+
+    src = _sse_fixture(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, cents long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/split_*/*.parquet")
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+    )
+    return drain_to_memory(agg, "updm", output_mode="update")

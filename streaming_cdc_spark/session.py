@@ -151,14 +151,18 @@ def write_mtime_pinned_splits(parts, base_dir: str, names=None) -> None:
                 os.utime(os.path.join(root, f_), (1_000_000 + i, 1_000_000 + i))
 
 
-def drain_to_memory(out_df, prefix: str):
+def drain_to_memory(out_df, prefix: str, output_mode: str | None = None):
     """availableNow-drain a streaming DataFrame through a memory sink
     and return the collected table as a localCheckpointed batch
     DataFrame. Owns the crash-safety conventions fixed piecemeal in
     r4-r6: UNTIMED awaitTermination (a timed one can return False on
     a slow host -> partial table + rmtree of a LIVE checkpoint),
     checkpoint rmtree and temp-view drop in finally, fresh uuid query
-    name per call (replays must not collide)."""
+    name per call (replays must not collide). output_mode: None =
+    sink default (append); 'update' makes the memory sink ACCUMULATE
+    each batch's changed-key emissions — the returned table then
+    holds one row per (key, batch-that-touched-it), which is the
+    update-mode evidence surface."""
     import shutil
     import uuid
 
@@ -166,9 +170,11 @@ def drain_to_memory(out_df, prefix: str):
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = cached_tmp_dir(f"{prefix}_ckpt_")
     try:
+        w = out_df.writeStream.format("memory")
+        if output_mode is not None:
+            w = w.outputMode(output_mode)
         q = (
-            out_df.writeStream.format("memory")
-            .queryName(name)
+            w.queryName(name)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()

@@ -53,7 +53,8 @@ def test_every_family_in_checked_window():
                             "streaming_outer_join",
                             "streaming_full_outer_join",
                             "stream_static_enrich",
-                            "stream_static_enrich_evolving"},
+                            "stream_static_enrich_evolving",
+                            "streaming_update_mode_counts"},
         "changelog": {"cdc_streaming_apply", "ivm_hotkey_sums",
                       "ivm_join_view", "ivm_join_retract"},
         "linkage": {"record_linkage_scores", "fuzzy_name_join"},
@@ -64,7 +65,7 @@ def test_every_family_in_checked_window():
         "graph": {"graph_modularity", "clustering_coefficients",
                   "triangle_counts", "personalized_pagerank"},
         "layout": {"zorder_layout", "zorder_streaming_ingest"},
-        "skew": {"salted_skew_stats", "grid_knn_skewed"},
+        "skew": {"ppjoin_skewed_pairs", "grid_knn_skewed"},
     }
     for fam, members in families.items():
         assert members <= first, f"family {fam} dropped from driver-checked window"
