@@ -531,3 +531,36 @@ def test_streaming_bloom_dedup_multichunk_group_order(spark, tmp_path):
         assert len(fresh) >= 35  # tiny bitmap FPs possible, order is not
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_update_mode_emits_only_touched_keys_with_running_totals(spark, tmp_path):
+    # the streaming_update_mode_counts semantics on a hand geometry:
+    # key 'a' in every batch -> 3 emissions with running counts;
+    # 'b'/'c' once each -> single emissions. Pinned so a Spark
+    # upgrade changing update-mode emission fails HERE.
+    from pyspark.sql import functions as F
+
+    from streaming_cdc_spark.session import drain_to_memory, write_mtime_pinned_splits
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k string, v long")
+
+    write_mtime_pinned_splits(
+        [df([("a", 1), ("b", 2)]), df([("a", 3)]), df([("c", 4), ("a", 5)])],
+        str(tmp_path / "src"),
+    )
+    stream = (
+        spark.readStream.schema("k string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src" / "split_*") + "/*.parquet")
+    )
+    agg = stream.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    got = sorted(
+        map(tuple, drain_to_memory(agg, "updt", output_mode="update").collect())
+    )
+    assert got == [
+        ("a", 1, 1), ("a", 2, 4), ("a", 3, 9),
+        ("b", 1, 2), ("c", 1, 4),
+    ]

@@ -425,3 +425,19 @@ def test_bpe_merge_fold_overlap_runs(spark):
     # merged: [a+a, a] and [a+a, a+a, a] -> round-2 pairs:
     # (a+a,a)x1, (a+a,a+a)x1, (a+a,a)x1 -> top (a+a, a) n=2
     assert rows[2] == ("a+a", "a", 2)
+
+
+def test_negative_pairs_never_self_and_cover_k(spark):
+    from streaming_cdc_spark.queries.text import negative_pair_sample
+
+    from streaming_cdc_spark.tables import load
+
+    out = negative_pair_sample(spark, "/root/testdata/sf0.001").localCheckpoint()
+    n_docs = load(spark, "/root/testdata/sf0.001", "documents").count()
+    assert out.count() == 2 * n_docs  # k=2 per anchor, no rejection loss
+    assert out.filter("doc_id = neg_doc_id").count() == 0  # arithmetic, not luck
+    # both epochs of negatives present per anchor
+    from pyspark.sql import functions as F
+
+    per = out.groupBy("doc_id").agg(F.countDistinct("j").alias("nj"))
+    assert per.filter("nj <> 2").count() == 0
