@@ -122,6 +122,7 @@ HEADLINE = [
     "fk_candidate_profile",
     "negative_pair_sample",
     "streaming_update_mode_counts",
+    "streaming_complete_mode_topk",
     "clustering_coefficients",
     "grid_knn_join",
     "grid_knn_skewed",

@@ -1861,3 +1861,61 @@ def streaming_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("cents_sum"),
     )
     return drain_to_memory(agg, "updm", output_mode="update")
+
+
+_CPLM_ORACLE = """
+    WITH ev AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    agg AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS cents_sum
+      FROM ev GROUP BY 1
+    )
+    SELECT event_type, n, cents_sum
+    FROM agg ORDER BY n DESC, event_type LIMIT 3
+"""
+
+
+@query("streaming_complete_mode_topk", oracle=_CPLM_ORACLE)
+def streaming_complete_mode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE OUTPUT MODE — with streaming_update_mode_counts this
+    closes the output-mode matrix (append: every watermarked query
+    here; update: per-batch changed-key deltas; complete: the FULL
+    result re-emitted every trigger). Complete mode is also the ONLY
+    mode where a streaming query may GLOBALLY SORT AND LIMIT — a
+    live leaderboard (top event types by running count) is
+    inexpressible in append/update because a rank can demote rows
+    already emitted; re-emitting the whole (tiny) result is the
+    semantics that makes top-k well-defined on a stream. The memory
+    sink in complete mode REPLACES the table each trigger, so after
+    the availableNow drain the table holds exactly the final
+    leaderboard — the oracle is the plain batch top-3 with the
+    (n DESC, event_type) total order. State is the per-type running
+    aggregate (|keys| rows); the leaderboard itself is
+    result-bounded (k rows), which is what keeps complete mode sane
+    at 100 TB: re-emission cost scales with the RESULT, not the
+    stream, and a result-bounded query is the only kind complete
+    mode should ever serve."""
+    from streaming_cdc_spark.session import drain_to_memory
+
+    src = _sse_fixture(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, cents long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/split_*/*.parquet")
+    )
+    top = (
+        stream.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+        )
+        .orderBy(F.col("n").desc(), "event_type")
+        .limit(3)
+    )
+    return drain_to_memory(top, "cplm", output_mode="complete")
