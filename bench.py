@@ -123,6 +123,7 @@ HEADLINE = [
     "negative_pair_sample",
     "streaming_update_mode_counts",
     "streaming_complete_mode_topk",
+    "time_to_convert",
     "clustering_coefficients",
     "grid_knn_join",
     "grid_knn_skewed",

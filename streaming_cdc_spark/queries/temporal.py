@@ -1919,3 +1919,77 @@ def streaming_complete_mode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(3)
     )
     return drain_to_memory(top, "cplm", output_mode="complete")
+
+
+_TTC_ORACLE = """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS tus
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    w AS (
+      SELECT user_id, event_id, event_type, tus,
+             MIN(CASE WHEN event_type = 'purchase' THEN tus END)
+               OVER (PARTITION BY user_id ORDER BY tus, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS nxt_tus
+      FROM e
+    )
+    SELECT event_id AS click_id, user_id,
+           CAST(nxt_tus - tus AS BIGINT) AS delay_us
+    FROM w
+    WHERE event_type = 'click' AND nxt_tus IS NOT NULL
+      AND nxt_tus - tus <= 604800000000
+"""
+
+
+@query("time_to_convert", oracle=_TTC_ORACLE)
+def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD-LOOKING AS-OF — the mirror of purchase_attribution's
+    backward as-of: for every click, the delay to the user's NEXT
+    purchase within a 7-day horizon (time-to-convert, the funnel
+    dashboard's core latency metric). Physical: ZERO JOINS — one
+    hash exchange per user feeds a single forward-frame window
+    (ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) whose
+    conditional MIN picks the earliest following purchase timestamp;
+    a join-based formulation (click x purchase per user) would be
+    quadratic in a hot user's events, the window is linear in the
+    per-user sort. The (tus, event_id) total order makes the frame
+    deterministic under timestamp ties; 1 FOLLOWING excludes the
+    click itself even from a same-microsecond purchase (ties resolve
+    by event_id — a purchase with the same tus but lower id is NOT
+    'next'; both engines evaluate the identical frame rule, which is
+    what the hash pins). All arithmetic exact integer microseconds."""
+    from pyspark.sql import Window as W
+
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros("ts").alias("tus"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    nxt = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("tus"))
+    ).over(w)
+    return (
+        e.withColumn("nxt_tus", nxt)
+        .filter(
+            (F.col("event_type") == "click")
+            & F.col("nxt_tus").isNotNull()
+            & (F.col("nxt_tus") - F.col("tus") <= 604_800_000_000)
+        )
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            (F.col("nxt_tus") - F.col("tus")).cast("long").alias("delay_us"),
+        )
+    )
