@@ -318,25 +318,38 @@ def fk_candidate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
 
     def prof(name: str, child, ccol: str, parent, pcol: str):
-        d = child.select(F.col(ccol).alias("k")).distinct().localCheckpoint()
+        # NULL child keys are EXCLUDED to match the oracle's
+        # COUNT(DISTINCT col) semantics — Spark's distinct().count()
+        # would count a NULL key and silently diverge if a testdata
+        # regen ever introduces NULLs in a child column (review r8).
+        d = (
+            child.select(F.col(ccol).alias("k"))
+            .filter(F.col("k").isNotNull())
+            .distinct()
+            .localCheckpoint()
+        )
         n_child = d.count()
         n_matched = d.join(
             parent.select(F.col(pcol).alias("k")), "k", "left_semi"
         ).count()
         return (name, n_child, n_matched)
 
-    rows = [
-        prof("events.user_id->customer.c_custkey", ev, "user_id", cust, "c_custkey"),
-        prof(
-            "orders.o_custkey->customer.c_custkey",
-            orders, "o_custkey", cust, "c_custkey",
-        ),
-        prof(
-            "lineitem.l_orderkey->orders.o_orderkey",
-            li, "l_orderkey", orders.select("o_orderkey"), "o_orderkey",
-        ),
-        prof("events.event_id->customer.c_custkey", ev, "event_id", cust, "c_custkey"),
+    # The four pairs are independent planning probes — run them as
+    # concurrent jobs (the progressive-resolver publish pattern) so
+    # the 8 counts overlap instead of serializing.
+    from concurrent.futures import ThreadPoolExecutor
+
+    specs = [
+        ("events.user_id->customer.c_custkey", ev, "user_id", cust, "c_custkey"),
+        ("orders.o_custkey->customer.c_custkey", orders, "o_custkey", cust,
+         "c_custkey"),
+        ("lineitem.l_orderkey->orders.o_orderkey", li, "l_orderkey",
+         orders.select("o_orderkey"), "o_orderkey"),
+        ("events.event_id->customer.c_custkey", ev, "event_id", cust,
+         "c_custkey"),
     ]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        rows = list(pool.map(lambda s: prof(*s), specs))
     return spark.createDataFrame(
         rows, "pair string, n_child long, n_matched long"
     ).select(

@@ -1755,7 +1755,15 @@ def stream_static_enrich_evolving(spark: SparkSession, sf_dir: str) -> DataFrame
 
         def handle(batch_df, batch_id: int) -> None:
             sp = batch_df.sparkSession
-            dim = F.broadcast(sp.read.parquet(f"{dim_dir}/*"))
+            # Batch 0 joins an EXPLICIT v0 snapshot path keyed by
+            # batch_id: foreachBatch is at-least-once, and a batch-0
+            # retry landing AFTER the late-dim append would otherwise
+            # re-read dim_dir/* INCLUDING the late rows and rewrite b0
+            # with real segments instead of '(late-dim)' (review r8).
+            # Batches >= 1 read the evolving glob — that per-batch
+            # re-read is the behavior under test.
+            dim_glob = f"{dim_dir}/base" if batch_id == 0 else f"{dim_dir}/*"
+            dim = F.broadcast(sp.read.parquet(dim_glob))
             (
                 batch_df.join(dim, "user_id", "left")
                 .select(

@@ -44,3 +44,43 @@ def test_constraint_checks_all_kinds(spark):
     assert got["k_unique"] == (1, False)  # k=3 twice
     assert got["kp_unique"] == (0, True)
     assert got["parent_fk"] == (1, False)  # parent=99 orphan
+
+
+def test_k_anonymity_acctbal_floor_pinned_on_fixture(spark):
+    # k_anonymity_risk's +100000-cents non-negativity shift only
+    # covers balances down to -1000.00: below that, the shifted cents
+    # go negative and Spark `div` (truncate) vs DuckDB `//` band
+    # semantics are engine-coincidental again. Both engines happen to
+    # truncate BIGINT division identically (r8 probe), so a deeper
+    # floor would NOT hash-FAIL — it would silently compute different
+    # bands than the docstring claims. Pin the floor on both gated
+    # sfs so a testdata regen names this cause (the rank_tie_cents
+    # convention).
+    from streaming_cdc_spark.tables import load
+
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.001"):
+        mn = (
+            load(spark, sf_dir, "customer")
+            .agg(F.min("c_acctbal"))
+            .first()[0]
+        )
+        assert mn is not None and float(mn) >= -1000.00, (sf_dir, mn)
+
+
+def test_fk_child_columns_nonnull_on_fixture(spark):
+    # fk_candidate_profile filters NULL child keys to match the
+    # oracle's COUNT(DISTINCT) semantics; pin that the fixture's four
+    # child columns are in fact non-null today, so a regen that
+    # introduces NULLs surfaces here by name (the NULL filter keeps
+    # the oracle green either way — this is documentation-by-test).
+    from streaming_cdc_spark.tables import load
+
+    sf_dir = "/root/testdata/sf0.01"
+    for table, col in (
+        ("events", "user_id"),
+        ("events", "event_id"),
+        ("orders", "o_custkey"),
+        ("lineitem", "l_orderkey"),
+    ):
+        n = load(spark, sf_dir, table).filter(F.col(col).isNull()).count()
+        assert n == 0, (table, col, n)

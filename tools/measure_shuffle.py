@@ -297,9 +297,17 @@ def main() -> int:
             )
     merged: dict[str, str] = {}
     if args.names and os.path.exists(args.out):
+        # Rows kept from the prior table must still name a REGISTERED
+        # query — a deleted/renamed query would otherwise keep its
+        # stale row forever, inflating the "N measured" summary
+        # (review r8).
+        sys.path.insert(0, ROOT)
+        from streaming_cdc_spark.queries import QUERIES
+
+        live = set(QUERIES)
         for ln in open(args.out):
             m = re.match(r"\| ([a-z0-9_]+) \|", ln)
-            if m and m.group(1) != "query":
+            if m and m.group(1) != "query" and m.group(1) in live:
                 merged[m.group(1)] = ln.rstrip("\n")
     merged.update(new_lines)
     n_super_total = sum(1 for ln in merged.values() if "| SUPERLINEAR |" in ln)
