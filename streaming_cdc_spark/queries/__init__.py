@@ -137,99 +137,77 @@ from streaming_cdc_spark.queries import (  # noqa: E402,F401
 # the four swapped-in graph queries), pareto_front_docs,
 # greedy_coverage_docs, collocation_pmi.
 _PRIORITY = [
-    # relational core (J1 broadcast join stays as the anchor row)
-    "revenue_by_nation",
-    # coref metric anchor
-    "b3_prf",
-    # IVM/CDC: join-view delta rule + its retractable-fact twin, the
-    # hot-key banded physical, and the streaming changelog sink
-    "ivm_join_view",
-    "ivm_join_retract",
-    "ivm_hotkey_sums",
-    "cdc_streaming_apply",
-    # streaming state physicals: symmetric join state (inner +
-    # chained window + the never-checked leftOuter), custom
-    # event-time-timeout sessions, sharded bitmap sketch state,
-    # stream-static enrichment (fixed dim + the evolving-dim
-    # foreachBatch re-read twin), budgeted progressive ER with
-    # MID-STREAM state compaction (8 batches, compact_every=3)
-    "streaming_stream_join",
-    "streaming_join_then_window",
-    "streaming_outer_join",
-    "streaming_full_outer_join",
-    "streaming_sessions_custom_state",
-    "streaming_bloom_status",
-    "stream_static_enrich",
-    "stream_static_enrich_evolving",
-    "streaming_update_mode_counts",
-    "progressive_longstream_compacted",
-    # dedup family: full-chain reps, the planted-skew PPJoin twin,
-    # content-defined chunking, plus the composition long tail that
-    # has never been in-window: leakage-safe splits, batch-vs-corpus
-    # incremental dedup on both text and embedding sides, SparkER
-    # meta-blocking
-    "pipeline_manifest",
-    "semantic_dedup",
-    "ppjoin_skewed_pairs",
-    "chunk_dedup_profile",
-    "leakage_safe_splits",
-    "incremental_dedup_status",
-    "incremental_semantic_status",
-    "meta_blocking_pairs",
-    # record linkage: SNM + Fellegi-Sunter, and the edit-distance
-    # name join that has never been driver-hashed
-    "record_linkage_scores",
-    "fuzzy_name_join",
-    # similarity / ANN: RRF rank fusion, the spatial grid kNN pair
-    # (exact 3x3 physical + hot-cell cap); ivf_topk_exact rotated
-    # out late-r8 with r7 evidence (ANN cover stays via these three)
-    "hybrid_rrf_topk",
-    "grid_knn_join",
-    "grid_knn_skewed",
-    # linear algebra: map-side int64 partial Gram -> covariance
-    "embedding_covariance",
-    # text / training-pipeline (epoch_shuffle_positions = the
-    # deterministic per-epoch global shuffle, new r8;
-    # sequence_packing_exact rotated out late-r8 with r7 evidence —
-    # packing stays in-window inside pipeline_manifest's DAG; the
-    # second late extension adds tfidf_topk_terms keyword extraction
-    # and k_anonymity_risk for duplicate_span_islands +
-    # progressive_stream_resolution, both r7-verified with family
-    # cover staying via 6 dedup reps and longstream compaction)
-    "bpe_merge_table",
-    "epoch_shuffle_positions",
-    "tfidf_topk_terms",
-    "k_anonymity_risk",
-    # graph tail: exact-integer modularity, LCC, triangles, RWR
-    "graph_modularity",
-    "clustering_coefficients",
-    "triangle_counts",
-    "personalized_pagerank",
-    # temporal / attribution analytics
-    "funnel_conversion",
-    "purchase_attribution",
-    "event_transition_matrix",
-    # banded exact ranks: winsorized P5/P95 clamp stats (new r8 —
-    # the arbitrary-rank generalization; weighted_median_banded and
-    # value_trend_slope rotated out late-r8 with r7 evidence)
-    "winsorized_stats",
-    # SQL-surface semantics: native melt, RANK/DENSE_RANK ties,
-    # NTILE/PERCENT_RANK/CUME_DIST, CUBE grouping bits, explicit
-    # GROUPING SETS marginals (new r8), equi-depth histogram ranks
-    "unpivot_metric_stats",
-    "windowed_rank_family",
-    "rank_tie_semantics",
-    "cube_returnflag_status",
-    "grouping_sets_custom",
-    "equidepth_histogram",
-    # layout / skew: Morton z-order footer pruning layout (never
-    # driver-hashed), the streaming z-table lifecycle, salted join
-    # salted_skew_stats rotated out in the third late extension
-    # (r7-verified; skew family keeps grid_knn_skewed +
-    # ppjoin_skewed_pairs in-window) for streaming_update_mode_counts
-    # — the last unevidenced Structured Streaming OUTPUT MODE.
-    "zorder_layout",
-    "zorder_streaming_ingest",
+    # ROUND 9 ROTATION (VERDICT r8 #1): all 50 slots go to the
+    # never-driver-verified full-oracle backlog — 62 queries held a
+    # local-gate-only oracle after r8; these 50 burn it down to 12.
+    # Every rotated-out query keeps its archived CORRECTNESS_rNN row
+    # and stays registered + locally gated + benched; every swap-in
+    # below passed tools/repro_driver_env (vanilla session, 200
+    # shuffle partitions, default TZ) before the swap.
+    #
+    # streaming output-mode matrix completion: complete mode
+    "streaming_complete_mode_topk",
+    # data-quality profiling (Deequ slice) + FK discovery
+    "column_profile",
+    "constraint_checks",
+    "fk_candidate_profile",
+    # sketch-vs-exact bound rows
+    "approx_distinct_bounds",
+    "minhash_recall_calibration",
+    # dedup / similarity composition tail
+    "near_dup_resolution",
+    "benchmark_contamination",
+    "ngram_repetition_stats",
+    "normalized_dedup",
+    "span_dedup_stats",
+    "progressive_resolution",
+    "bloom_incremental_matches",
+    "phrase_match_postings",
+    "lsh_multiprobe_pairs",
+    # ANN / embedding ops
+    "embedding_quantization",
+    "kmeans_update",
+    "ivf_recall_calibration",
+    # EP2 batch cluster summary (the namesake pipeline's agg) + the
+    # streaming linker's full-oracle replay row (VERDICT r8 #4: real
+    # multi-batch applyInPandasWithState state under a driver hash;
+    # took bpe_pair_counts' slot — that math is embedded in
+    # r8-verified bpe_merge_table's round-1 oracle)
+    "ep2_cluster_summary",
+    "ep2_streaming_linker_replay",
+    # temporal / sessions / SCD2 / as-of family
+    "user_sessions",
+    "robust_outliers",
+    "scd2_user_value",
+    "user_series_similarity",
+    "hourly_ffill_series",
+    "ewma_user_value",
+    "time_to_convert",
+    "time_weighted_value",
+    "hopping_window_counts",
+    "hopping_distinct_users",
+    "user_range_frame_sums",
+    # analytics tail
+    "value_histogram_bins",
+    "weighted_median_value",
+    "benford_digit_profile",
+    "label_centroid_outliers",
+    "resource_allocation_links",
+    "event_path_trigrams",
+    # text / training-data-pipeline tail
+    "redaction_stats",
+    "token_budget_selection",
+    "doc_chunks",
+    "sequence_packing",
+    "training_mix_counts",
+    "quality_filter",
+    "corpus_shards",
+    "unigram_logprob",
+    "temperature_mix",
+    "length_curriculum",
+    "stratified_sample_counts",
+    "weighted_sample_topk",
+    "negative_pair_sample",
 ]
 
 

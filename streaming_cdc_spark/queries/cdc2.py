@@ -432,3 +432,129 @@ def approx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("_hi") >= F.expr("n div 2") - slack)
         ).alias("within_bound"),
     )
+
+
+_LINKREPLAY_LIMIT = 8
+_LINKREPLAY_KEYS = 3
+_LINKREPLAY_GROUPS = 11
+
+_LINKREPLAY_ORACLE = f"""
+    WITH m AS (
+      SELECT vec_id,
+             CAST(vec_id % {_LINKREPLAY_KEYS} AS VARCHAR) AS key,
+             CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {_LINKREPLAY_GROUPS} AS grp
+      FROM embeddings
+    ),
+    pos AS (
+      SELECT key, grp, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY key ORDER BY vec_id) AS p
+      FROM m
+    ),
+    lagged AS (
+      SELECT key, grp, vec_id, p,
+             LAG(p) OVER (PARTITION BY key, grp ORDER BY p) AS prev_p
+      FROM pos
+    ),
+    isl AS (
+      SELECT key, grp, vec_id, p,
+             SUM(CASE WHEN prev_p IS NULL OR p - prev_p > {_LINKREPLAY_LIMIT}
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY key, grp ORDER BY p) AS island
+      FROM lagged
+    )
+    SELECT key, vec_id AS mention_index,
+           MIN(vec_id) OVER (PARTITION BY key, grp, island) AS cluster_id
+    FROM isl
+"""
+
+_LINKREPLAY_SPLITS: dict[str, str] = {}
+
+
+@query("ep2_streaming_linker_replay", oracle=_LINKREPLAY_ORACLE)
+def ep2_streaming_linker_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE STREAMING LINKER UNDER A FULL ORACLE (VERDICT r8 #4) — the
+    bounded-memory incremental linker (nn_thresh.py:27-44 'backwards'
+    sliding-window strategy) exercised through REAL multi-batch
+    applyInPandasWithState streaming state, on a fixture whose greedy
+    fold is SQL-replayable, so the driver hash-verifies the exact
+    per-mention cluster assignment the state machine produced — the
+    streaming_sessions_custom_state pattern (one oracle, one custom
+    state physical), extended to the EP2 namesake operator.
+
+    Why this replays exactly: each mention's embedding is the ONE-HOT
+    unit vector of its group g = md5_long(vec_id) % 11, so every
+    cosine is EXACTLY 1.0 (same group) or 0.0 (different group) —
+    no float boundary anywhere near threshold 0.5. Under the
+    'backwards' strategy the active set per key is precisely the
+    last `limit` arrivals (FIFO eviction), so a mention links iff
+    its nearest same-group predecessor arrived within the last
+    `limit` mentions of its key, and chained links give every
+    mention the vec_id of its gap-island's FIRST member as
+    cluster_id. That is a LAG + gaps-and-islands window computation
+    — the oracle replays it in three CTE layers (DuckDB forbids
+    nested window FUNCTIONS, not windows across CTEs). With 11
+    groups hashed uniformly and limit 8, both branches occur at
+    every sf (links ~ P(gap<=8) and island breaks ~ P(gap>8); the
+    geometry is pinned by tests/test_streaming.py). Four id-range
+    mtime-pinned splits with maxFilesPerTrigger=1 force state
+    save/restore at three batch boundaries — the oracle only
+    matches if cross-batch state carry-over is exact. At 100 TB the
+    state per key is O(limit * dim) regardless of stream length —
+    the reference paper's bounded-memory claim (README.md:63) as
+    keyed streaming state."""
+    import os
+
+    from streaming_cdc_spark.functions.hashing import md5_long
+    from streaming_cdc_spark.session import (
+        cached_tmp_dir,
+        drain_to_memory,
+        write_mtime_pinned_splits,
+    )
+    from streaming_cdc_spark.streaming.linker import streaming_linker
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id")
+    onehot = F.transform(
+        F.sequence(F.lit(0), F.lit(_LINKREPLAY_GROUPS - 1)),
+        lambda i: F.when(i == F.col("grp"), F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+    m = emb.select(
+        F.col("vec_id").alias("mention_index"),
+        (F.col("vec_id") % _LINKREPLAY_KEYS).cast("string").alias("category"),
+        (md5_long(F.col("vec_id").cast("string")) % _LINKREPLAY_GROUPS).alias(
+            "grp"
+        ),
+    ).select("mention_index", "category", onehot.alias("embedding"))
+
+    src_dir = _LINKREPLAY_SPLITS.get(sf_dir)
+    if src_dir is None or not os.path.isdir(src_dir):
+        lo, hi = m.agg(F.min("mention_index"), F.max("mention_index")).first()
+        src_dir = cached_tmp_dir("linkreplay_src_")
+        n_splits = 4
+        step = (hi - lo + n_splits) // n_splits
+        write_mtime_pinned_splits(
+            [
+                m.filter(
+                    (F.col("mention_index") >= lo + i * step)
+                    & (F.col("mention_index") < lo + (i + 1) * step)
+                )
+                for i in range(n_splits)
+            ],
+            src_dir,
+        )
+        _LINKREPLAY_SPLITS[sf_dir] = src_dir
+
+    stream = (
+        spark.readStream.schema(
+            "mention_index long, category string, embedding array<double>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/split_*/*.parquet")
+    )
+    out = streaming_linker(
+        stream,
+        threshold=0.5,
+        limit=_LINKREPLAY_LIMIT,
+        strategy="backwards",
+    )
+    return drain_to_memory(out, "linkreplay")

@@ -132,10 +132,17 @@ def streaming_linker(
             }
         else:
             st = {}
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(id_col)
-            out.extend(fold_mentions(pdf, st, threshold, limit, strategy, id_col, vec_col))
+        # Drain ALL Arrow chunks, concat, sort ONCE: the runtime hands
+        # a group as ~10k-row chunks in arbitrary order, so a per-chunk
+        # sort is not global id order (the r4 MG-sketch lesson; pinned
+        # there with arrow.maxRecordsPerBatch=7).
+        chunks = [pdf for pdf in pdfs]
+        rows = (
+            pd.concat(chunks).sort_values(id_col)
+            if len(chunks) > 1
+            else chunks[0].sort_values(id_col)
+        )
+        out = fold_mentions(rows, st, threshold, limit, strategy, id_col, vec_col)
         state.update(
             (
                 st.get("ids", []),

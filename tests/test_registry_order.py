@@ -18,54 +18,44 @@ def test_first_50_match_priority():
 
 def test_every_family_in_checked_window():
     first = set(list(QUERIES)[:50])
-    # r8 rotation (VERDICT r7 #1/#5): 27 window slots hold
-    # never-before-driver-verified oracles — the streaming/composition
-    # long tail (outer join, stream-static fixed + evolving dim,
-    # longstream compaction, leakage splits, incremental dedup both
-    # sides, meta-blocking, fuzzy names, RRF fusion), the graph tail,
-    # attribution analytics, window-function semantics, spatial kNN
-    # (+ the new hot-cell cap), Gram covariance, z-order layout.
-    # Every rotated-out query holds a green CORRECTNESS_r07 row and
-    # stays registered + locally gated + benched. Family reps below
-    # reflect the post-rotation window.
+    # r9 rotation (VERDICT r8 #1): ALL 50 slots hold never-before-
+    # driver-verified full oracles — the remaining backlog after r8
+    # (62 queries) minus 12 with close already-verified siblings.
+    # Rotated-out queries all hold archived CORRECTNESS_r01-r08 rows
+    # and stay registered + locally gated + benched. Family reps
+    # below reflect the post-rotation window.
     families = {
-        "relational": {"revenue_by_nation"},
-        "cdc_metrics": {"b3_prf"},
-        "dedup": {"ppjoin_skewed_pairs",
-                  "chunk_dedup_profile", "pipeline_manifest",
-                  "leakage_safe_splits", "incremental_dedup_status",
-                  "incremental_semantic_status", "meta_blocking_pairs"},
-        "ann": {"hybrid_rrf_topk", "grid_knn_join", "grid_knn_skewed"},
-        "semantic_dedup": {"semantic_dedup"},
-        "linalg": {"embedding_covariance"},
-        "text": {"bpe_merge_table", "epoch_shuffle_positions",
-                 "tfidf_topk_terms"},
-        "privacy": {"k_anonymity_risk"},
-        # packing stays in-window inside pipeline_manifest's DAG
-        "packing": {"pipeline_manifest"},
-        "temporal": {"funnel_conversion", "purchase_attribution",
-                     "event_transition_matrix"},
-        "streaming_state": {"streaming_sessions_custom_state",
-                            "streaming_bloom_status",
-                            "progressive_longstream_compacted",
-                            "streaming_stream_join",
-                            "streaming_join_then_window",
-                            "streaming_outer_join",
-                            "streaming_full_outer_join",
-                            "stream_static_enrich",
-                            "stream_static_enrich_evolving",
-                            "streaming_update_mode_counts"},
-        "changelog": {"cdc_streaming_apply", "ivm_hotkey_sums",
-                      "ivm_join_view", "ivm_join_retract"},
-        "linkage": {"record_linkage_scores", "fuzzy_name_join"},
-        "analytics": {"winsorized_stats", "unpivot_metric_stats",
-                      "windowed_rank_family", "rank_tie_semantics",
-                      "cube_returnflag_status", "grouping_sets_custom",
-                      "equidepth_histogram"},
-        "graph": {"graph_modularity", "clustering_coefficients",
-                  "triangle_counts", "personalized_pagerank"},
-        "layout": {"zorder_layout", "zorder_streaming_ingest"},
-        "skew": {"ppjoin_skewed_pairs", "grid_knn_skewed"},
+        "streaming_output_modes": {"streaming_complete_mode_topk"},
+        "profile": {"column_profile", "constraint_checks",
+                    "fk_candidate_profile"},
+        "sketch_bounds": {"approx_distinct_bounds",
+                          "minhash_recall_calibration"},
+        "dedup": {"near_dup_resolution", "benchmark_contamination",
+                  "normalized_dedup", "span_dedup_stats",
+                  "progressive_resolution", "bloom_incremental_matches"},
+        "text_quality": {"ngram_repetition_stats", "quality_filter",
+                         "redaction_stats"},
+        "retrieval": {"phrase_match_postings"},
+        "ann": {"lsh_multiprobe_pairs", "embedding_quantization",
+                "kmeans_update", "ivf_recall_calibration"},
+        "coref_ep2": {"ep2_cluster_summary",
+                      "ep2_streaming_linker_replay"},
+        "temporal": {"user_sessions", "scd2_user_value",
+                     "hourly_ffill_series", "time_to_convert",
+                     "time_weighted_value", "ewma_user_value"},
+        "windows": {"hopping_window_counts", "hopping_distinct_users",
+                    "user_range_frame_sums"},
+        "analytics": {"value_histogram_bins", "weighted_median_value",
+                      "benford_digit_profile", "robust_outliers",
+                      "user_series_similarity", "event_path_trigrams"},
+        "graph": {"resource_allocation_links"},
+        "clustering": {"label_centroid_outliers"},
+        "training_pipeline": {"token_budget_selection", "doc_chunks",
+                              "sequence_packing", "training_mix_counts",
+                              "corpus_shards", "temperature_mix",
+                              "length_curriculum", "negative_pair_sample"},
+        "tokenizer": {"unigram_logprob"},
+        "sampling": {"stratified_sample_counts", "weighted_sample_topk"},
     }
     for fam, members in families.items():
         assert members <= first, f"family {fam} dropped from driver-checked window"

@@ -564,3 +564,85 @@ def test_update_mode_emits_only_touched_keys_with_running_totals(spark, tmp_path
         ("a", 1, 1), ("a", 2, 4), ("a", 3, 9),
         ("b", 1, 2), ("c", 1, 4),
     ]
+
+
+def test_linker_multichunk_group_is_global_id_order(spark, tmp_path):
+    """A linker group spanning multiple Arrow chunks must fold in
+    GLOBAL id order — the old per-chunk sort let a later chunk's
+    low-id mention fold after an earlier chunk's high-id one
+    (the bloom-dedup r4 bug class, recurred in the linker)."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        # one key, 60 mentions, one-hot group vectors (group = i % 5),
+        # limit 6: with window >= gap 5 every mention links to its
+        # group predecessor iff the fold order is the id order; a
+        # chunk-local order changes which predecessor is in-window.
+        rows = [
+            {
+                "category": "k",
+                "mention_index": i,
+                "embedding": [1.0 if j == i % 5 else 0.0 for j in range(5)],
+            }
+            for i in range(60)
+        ]
+        src = tmp_path / "lmc_src"
+        src.mkdir()
+        (src / "f0.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+        stream = spark.readStream.schema(SCHEMA).json(str(src))
+        out = streaming_linker(stream, threshold=0.5, limit=6, strategy="backwards")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("lmc_out")
+            .option("checkpointLocation", str(tmp_path / "lmc_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r["mention_index"]: r["cluster_id"]
+            for r in spark.sql("select * from lmc_out").collect()
+        }
+        # in id order with limit 6 > gap 5, every mention chains to
+        # its group's first member: cluster_id = i % 5
+        assert got == {i: i % 5 for i in range(60)}, got
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_linkreplay_fixture_geometry_exercises_both_branches(spark):
+    """ep2_streaming_linker_replay is vacuous unless the fixture makes
+    the linker BOTH link (gap <= limit) and break (gap > limit after
+    a same-group predecessor) — pin the geometry at sf0.01 so a
+    testdata regen that degenerates it fails here by name."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from streaming_cdc_spark.functions.hashing import md5_long
+    from streaming_cdc_spark.queries.cdc2 import (
+        _LINKREPLAY_GROUPS,
+        _LINKREPLAY_KEYS,
+        _LINKREPLAY_LIMIT,
+    )
+    from streaming_cdc_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings").select("vec_id")
+    m = emb.select(
+        "vec_id",
+        (F.col("vec_id") % _LINKREPLAY_KEYS).alias("key"),
+        (md5_long(F.col("vec_id").cast("string")) % _LINKREPLAY_GROUPS).alias(
+            "grp"
+        ),
+    )
+    pos = m.withColumn(
+        "p", F.row_number().over(W.partitionBy("key").orderBy("vec_id"))
+    )
+    gaps = pos.withColumn(
+        "gap",
+        F.col("p")
+        - F.lag("p").over(W.partitionBy("key", "grp").orderBy("p")),
+    ).filter(F.col("gap").isNotNull())
+    n_linked = gaps.filter(F.col("gap") <= _LINKREPLAY_LIMIT).count()
+    n_breaks = gaps.filter(F.col("gap") > _LINKREPLAY_LIMIT).count()
+    assert n_linked >= 10, n_linked
+    assert n_breaks >= 10, n_breaks
