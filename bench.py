@@ -76,6 +76,11 @@ HEADLINE = [
     # equi-width value histogram
     "collocation_pmi",
     "purchase_attribution",
+    # r9: linear multi-touch credit split (range pair join + purchase
+    # window), Heaps vocabulary growth curve, l-diversity audit
+    "multi_touch_attribution",
+    "heaps_vocab_growth",
+    "l_diversity_risk",
     "value_histogram_bins",
     "equidepth_histogram",
     "unpivot_metric_stats",

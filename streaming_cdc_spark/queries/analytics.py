@@ -1941,3 +1941,99 @@ def grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_items",
         "price_sum_r",
     )
+
+
+@query(
+    "multi_touch_attribution",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, epoch_us(ts) AS pus,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    c AS (
+      SELECT event_id AS cid, user_id, epoch_us(ts) AS cus
+      FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+      SELECT pid, cid, cents, cus
+      FROM p JOIN c USING (user_id)
+      WHERE pus - cus BETWEEN 0 AND {_GAP_LIMIT_US}
+    ),
+    w AS (
+      SELECT pid, cid, cents,
+             COUNT(*) OVER (PARTITION BY pid) AS n,
+             ROW_NUMBER() OVER (
+               PARTITION BY pid ORDER BY cus DESC, cid DESC) AS rnk
+      FROM j
+    ),
+    cr AS (
+      SELECT cid,
+             (cents * 1000000) // n
+             + CASE WHEN rnk = 1
+                    THEN cents * 1000000 - ((cents * 1000000) // n) * n
+                    ELSE 0 END AS credit
+      FROM w
+    )
+    SELECT cid AS click_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(credit) AS BIGINT) AS credit_micro
+    FROM cr GROUP BY 1
+""",
+)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR MULTI-TOUCH ATTRIBUTION — the range-join generalization
+    of last-touch purchase_attribution: every click of the SAME user
+    within the 7-day window before a purchase shares that purchase's
+    value EQUALLY. Credit is exact integer micro-cents: base = total
+    div n per click, and the REMAINDER goes to the most recent click
+    (tie: max click_id) — total conservation by construction, no
+    1/n float division anywhere (the collocation_pmi no-float-split
+    rule). Purchase cents are non-negative on the fixture (pinned by
+    tests/test_analytics.py), so Spark `div` and DuckDB `//` agree
+    without a shift. Physical: one user-keyed equi-join with the
+    time-band filter (pairs bounded by the 7-day horizon — the
+    attribution output IS the pair relation, linear in it), then a
+    purchase-keyed window for (n, last-click rank). At 100 TB both
+    shuffles key on high-cardinality ids; a hot user widens only its
+    own band pairs, never a global stage."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.unix_micros("ts").alias("pus"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        "user_id",
+        F.unix_micros("ts").alias("cus"),
+    )
+    j = (
+        p.join(c, "user_id")
+        .withColumn("gap", F.col("pus") - F.col("cus"))
+        .filter((F.col("gap") >= 0) & (F.col("gap") <= _GAP_LIMIT_US))
+    )
+    wn = W.partitionBy("pid")
+    wr = W.partitionBy("pid").orderBy(F.desc("cus"), F.desc("cid"))
+    total = F.col("cents") * F.lit(1_000_000)
+    scored = j.select(
+        "pid",
+        "cid",
+        "cents",
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.row_number().over(wr).alias("rnk"),
+    ).withColumn(
+        "credit",
+        F.expr("(cents * 1000000) div n")
+        + F.when(
+            F.col("rnk") == 1,
+            total - F.expr("(cents * 1000000) div n") * F.col("n"),
+        ).otherwise(F.lit(0)),
+    )
+    return scored.groupBy(F.col("cid").alias("click_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum("credit").cast("long").alias("credit_micro"),
+    )

@@ -256,7 +256,11 @@ def ep2_streaming_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     IDENTICAL to ep2_streaming_clusters — pinned by
     tests/test_streaming.py. Production would point the reader at an
     arriving directory or Kafka topic; the split-write here only
-    builds the multi-file fixture."""
+    builds the multi-file fixture. Rows-only BY DESIGN (the greedy
+    fold over real-valued cosines is order-dependent state no SQL
+    replay can follow); the SAME state machine is driver-hash-
+    verified end to end by ep2_streaming_linker_replay, whose
+    one-hot fixture makes the fold SQL-replayable."""
     import os
     import tempfile
 

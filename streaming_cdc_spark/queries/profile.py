@@ -360,3 +360,66 @@ def fk_candidate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_matched").cast("double") / F.col("n_child").cast("double"), 6
         ).alias("containment_r"),
     )
+
+
+@query(
+    "l_diversity_risk",
+    oracle="""
+    WITH o AS (
+      SELECT c.c_nationkey AS nation,
+             strftime(o.o_orderdate, '%Y-%m') AS ym,
+             o.o_orderpriority AS sensitive
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (
+      SELECT nation, ym,
+             CAST(COUNT(*) AS BIGINT) AS grp_n,
+             CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS l
+      FROM o GROUP BY 1, 2
+    )
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS risky_groups,
+           CAST(SUM(CASE WHEN l < 3 THEN grp_n ELSE 0 END) AS BIGINT)
+             AS risky_rows,
+           CAST(MIN(l) AS BIGINT) AS min_l
+    FROM g GROUP BY nation
+""",
+)
+def l_diversity_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-DIVERSITY AUDIT — k_anonymity_risk's sibling and the second
+    half of the release-pipeline privacy battery: a QI group that
+    passes k-anonymity still leaks if its SENSITIVE attribute is
+    homogeneous (everyone in the group shares one value). QI =
+    (customer nation, order month), sensitive = order priority; per
+    nation: how many QI groups have l = COUNT(DISTINCT sensitive)
+    < 3, and how many rows sit in them. Month emitted as a STRING on
+    both sides (the orders_by_month DATE-fetch rule). Physical: one
+    broadcast dim join (customer keys) + two map-side-combining
+    aggregates — linear, one QI-group shuffle, same shape as
+    k_anonymity_risk."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    o = orders.join(F.broadcast(cust), "o_custkey").select(
+        "nation",
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.col("o_orderpriority").alias("sensitive"),
+    )
+    g = o.groupBy("nation", "ym").agg(
+        F.count(F.lit(1)).cast("long").alias("grp_n"),
+        F.countDistinct("sensitive").cast("long").alias("l"),
+    )
+    return g.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("l") < 3, 1).otherwise(0))
+        .cast("long")
+        .alias("risky_groups"),
+        F.sum(F.when(F.col("l") < 3, F.col("grp_n")).otherwise(0))
+        .cast("long")
+        .alias("risky_rows"),
+        F.min("l").cast("long").alias("min_l"),
+    )

@@ -1406,3 +1406,105 @@ def negative_pair_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     neg = idx.select(F.col("i").alias("neg_i"), F.col("doc_id").alias("neg_doc_id"))
     return wanted.join(neg, "neg_i").select("doc_id", "j", "neg_doc_id")
+
+
+_HEAPS_BUCKETS = 10
+
+
+@query(
+    "heaps_vocab_growth",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    rn AS (
+      SELECT doc_id, t, len(t) AS n_tok,
+             ROW_NUMBER() OVER (ORDER BY doc_id) AS r,
+             COUNT(*) OVER () AS n_docs
+      FROM d
+    ),
+    db AS (
+      SELECT doc_id, n_tok, ((r - 1) * {_HEAPS_BUCKETS}) // n_docs AS b, t
+      FROM rn
+    ),
+    toks AS (
+      SELECT b, u.token FROM db, UNNEST(t) AS u(token)
+    ),
+    firsts AS (
+      SELECT token, MIN(b) AS fb FROM toks GROUP BY token
+    ),
+    per_bucket AS (
+      SELECT b,
+             SUM(n_tok) AS new_tokens,
+             (SELECT COUNT(*) FROM firsts f WHERE f.fb = db2.b) AS new_vocab
+      FROM db db2 GROUP BY b
+    ),
+    cum AS (
+      SELECT g.cp AS bucket,
+             SUM(p.new_tokens) AS cum_tokens,
+             SUM(p.new_vocab) AS cum_vocab
+      FROM per_bucket p
+      JOIN (SELECT DISTINCT b AS cp FROM per_bucket) g ON p.b <= g.cp
+      GROUP BY 1
+    )
+    SELECT bucket, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(cum_vocab AS BIGINT) AS cum_vocab
+    FROM cum
+""",
+)
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS'-LAW VOCABULARY GROWTH CURVE — the corpus-health profile
+    a tokenizer/dedup pipeline reads before choosing vocab size: at
+    10 equal-count document checkpoints (docs ordered by doc_id),
+    the CUMULATIVE token count vs CUMULATIVE distinct vocabulary.
+    A natural corpus grows vocab ~ tokens^beta (beta ~0.5); a
+    templated/duplicated corpus flattens early — the same diagnostic
+    the r7 ppjoin densification post-mortem ran by hand, as a
+    first-class query. Physical: one range exchange for the global
+    doc rank (ranking.row_number_global — never a single-partition
+    Window), one explode + token-keyed aggregate for first
+    occurrences (vocab is counted at the bucket of its FIRST
+    appearance — no distinct-per-prefix rescan), then the 10-row
+    per-bucket relation explodes each row to the checkpoints it
+    feeds (sequence(b, 9) — at most 55 rows; zero windows, zero
+    nested-loop joins) for the prefix sums. Every number is an exact
+    BIGINT. At 100 TB: two linear shuffles (range + token hash);
+    the prefix stage is constant-size."""
+    from streaming_cdc_spark.operators.ranking import row_number_global
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    n_docs = docs.count()  # planning scalar
+    ranked = row_number_global(docs, ["doc_id"], "r").select(
+        "doc_id",
+        "t",
+        F.size("t").alias("n_tok"),
+        ((F.col("r") - 1) * _HEAPS_BUCKETS).cast("long")
+        .alias("_num"),
+    )
+    ranked = ranked.withColumn(
+        "b", F.expr(f"_num div {n_docs}").cast("long")
+    ).drop("_num")
+    toks = ranked.select("b", F.explode("t").alias("token"))
+    firsts = toks.groupBy("token").agg(F.min("b").alias("fb"))
+    new_vocab = firsts.groupBy(F.col("fb").alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_vocab")
+    )
+    new_tokens = ranked.groupBy("b").agg(
+        F.sum("n_tok").cast("long").alias("new_tokens")
+    )
+    per_bucket = new_tokens.join(new_vocab, "b", "left").fillna(
+        0, subset=["new_vocab"]
+    )
+    fanned = per_bucket.select(
+        F.explode(
+            F.sequence(F.col("b"), F.lit(_HEAPS_BUCKETS - 1))
+        ).alias("bucket"),
+        "new_tokens",
+        "new_vocab",
+    )
+    return fanned.groupBy("bucket").agg(
+        F.sum("new_tokens").cast("long").alias("cum_tokens"),
+        F.sum("new_vocab").cast("long").alias("cum_vocab"),
+    )

@@ -819,3 +819,21 @@ def test_grouped_order_statistic_k_edges(spark):
     hi = grouped_order_statistic(df, ["g"], "c", "event_id", (1, 0, 1)).first()
     assert (lo.stat_value, lo.n) == (5, 5)
     assert (hi.stat_value, hi.n) == (300, 5)
+
+
+def test_purchase_cents_nonnegative_on_fixture(spark):
+    # multi_touch_attribution splits credit with Spark `div` vs DuckDB
+    # `//`, which only agree engine-independently on non-negative
+    # operands (the rank_tie precedent; BIGINT `//` truncates today,
+    # but that is an engine-version coincidence, not a contract). Pin
+    # that every purchase's cents are >= 0 so a regen names the cause.
+    from streaming_cdc_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.01", "events")
+    mn = (
+        ev.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select((F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"))
+        .agg(F.min("c"))
+        .first()[0]
+    )
+    assert mn is not None and mn >= 0, mn

@@ -701,6 +701,98 @@ def main() -> None:
         dims.unpersist()
     sizes["ivm_retract_hotkey"] = n_ops_big / n_ops_small
 
+    # r9 (VERDICT r8 #8): three new rows.
+    # (1) grid kNN with a PLANTED 40% hot cell under the
+    # max_cell_population cap — the skew dial must keep wall time
+    # linear even when 40% of all points share one coordinate (the
+    # registered grid_knn_skewed geometry at 10x the scale).
+    from streaming_cdc_spark.operators.spatial import grid_knn as _gknn
+
+    for n in (10 * n_small, 10 * n_big):
+        side = int(100 * (n ** 0.5))
+        hot = F.pmod(F.xxhash64("id", F.lit(7)), F.lit(100)) < 40
+        pts = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.when(hot, F.lit(500))
+                .otherwise(F.pmod(F.xxhash64("id"), F.lit(side)))
+                .alias("qx"),
+                F.when(hot, F.lit(500))
+                .otherwise(F.pmod(F.xxhash64("id", F.lit(1)), F.lit(side)))
+                .alias("qy"),
+            )
+            .persist()
+        )
+        pts.count()
+        t0 = time.time()
+        _gknn(pts, 1000, 3, max_cell_population=8).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        results.setdefault("grid_knn_hotcell", []).append(
+            round(time.time() - t0, 2)
+        )
+        pts.unpersist()
+    sizes["grid_knn_hotcell"] = n_big / n_small
+
+    # (2) two-epoch salted global shuffle rank (epoch_shuffle_positions
+    # geometry): two full range sorts + mono-id decode per epoch —
+    # the range exchange is the only data movement, linear.
+    from streaming_cdc_spark.functions.hashing import md5_long as _md5l
+    from streaming_cdc_spark.operators.ranking import (
+        grouped_order_statistics as _gos,
+        row_number_global as _rng,
+    )
+
+    for n in (10 * n_small, 10 * n_big):
+        d = spark.range(n).select(F.col("id").alias("doc_id")).persist()
+        d.count()
+        t0 = time.time()
+        for e in (0, 1):
+            hv = _md5l(F.col("doc_id").cast("string"), salt=f"ep{e}:")
+            _rng(d.withColumn("_hv", hv), ["_hv", "doc_id"], "pos").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        results.setdefault("epoch_shuffle_2ep", []).append(
+            round(time.time() - t0, 2)
+        )
+        d.unpersist()
+    sizes["epoch_shuffle_2ep"] = n_big / n_small
+
+    # (3) winsorized banded order statistics with a PLANTED 50%-hot
+    # group (the banded_median_hotband pattern at the P5/P95 ranks):
+    # the band granularity keeps the crossing-band row-rank tiny even
+    # when one group holds half the data.
+    for n in (10 * n_small, 10 * n_big):
+        ev = (
+            spark.range(n)
+            .select(
+                F.when(F.pmod(F.col("id"), F.lit(100)) < 50, F.lit("hot"))
+                .otherwise(
+                    F.concat(F.lit("t"), F.pmod(F.xxhash64("id"), F.lit(7)))
+                )
+                .alias("grp"),
+                F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1_000_000)).alias("v"),
+                F.col("id").alias("rid"),
+            )
+            .persist()
+        )
+        ev.count()
+        t0 = time.time()
+        _gos(
+            ev,
+            ["grp"],
+            "v",
+            "rid",
+            [(5, 99, 100), (95, 99, 100)],
+            band_expr=F.expr("v div 1000"),
+        ).write.format("noop").mode("overwrite").save()
+        results.setdefault("winsorized_hotgroup", []).append(
+            round(time.time() - t0, 2)
+        )
+        ev.unpersist()
+    sizes["winsorized_hotgroup"] = n_big / n_small
+
     # the raw blocked kernel is QUADRATIC by design (all-pairs compute
     # in bounded-memory blocks) — expected ratio is size_ratio^2.
     # Default sizes keep the default run short; STRESS_KERNEL_ROWS=a,b
