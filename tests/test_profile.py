@@ -84,3 +84,19 @@ def test_fk_child_columns_nonnull_on_fixture(spark):
     ):
         n = load(spark, sf_dir, table).filter(F.col(col).isNull()).count()
         assert n == 0, (table, col, n)
+
+
+def test_fk_negative_control_is_actually_negative(spark):
+    # fk_candidate_profile's fourth pair (events.event_id ->
+    # customer.c_custkey) is the PLANTED negative control — its value
+    # is that ids overlap only coincidentally, so containment < 1.
+    # That is data-dependent: a regen could make event ids a subset of
+    # customer keys and silently turn the control positive. Pin it.
+    from streaming_cdc_spark.tables import load
+
+    sf_dir = "/root/testdata/sf0.01"
+    ev = load(spark, sf_dir, "events").select(F.col("event_id").alias("k")).distinct()
+    cust = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    n_child = ev.count()
+    n_matched = ev.join(cust, "k", "left_semi").count()
+    assert n_matched < n_child, (n_matched, n_child)
