@@ -137,12 +137,20 @@ def streaming_linker(
         # sort is not global id order (the r4 MG-sketch lesson; pinned
         # there with arrow.maxRecordsPerBatch=7).
         chunks = [pdf for pdf in pdfs]
-        rows = (
-            pd.concat(chunks).sort_values(id_col)
-            if len(chunks) > 1
-            else chunks[0].sort_values(id_col)
-        )
-        out = fold_mentions(rows, st, threshold, limit, strategy, id_col, vec_col)
+        if chunks:
+            rows = (
+                pd.concat(chunks).sort_values(id_col)
+                if len(chunks) > 1
+                else chunks[0].sort_values(id_col)
+            )
+            out = fold_mentions(
+                rows, st, threshold, limit, strategy, id_col, vec_col
+            )
+        else:
+            # a timeout-invoked group hands an EMPTY iterator — emit
+            # nothing, keep state (NoTimeout never hits this today,
+            # but the handler is the shared fold harness)
+            out = []
         state.update(
             (
                 st.get("ids", []),

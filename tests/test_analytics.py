@@ -829,11 +829,18 @@ def test_purchase_cents_nonnegative_on_fixture(spark):
     # that every purchase's cents are >= 0 so a regen names the cause.
     from streaming_cdc_spark.tables import load
 
-    ev = load(spark, "/root/testdata/sf0.01", "events")
-    mn = (
-        ev.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
-        .select((F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"))
-        .agg(F.min("c"))
-        .first()[0]
-    )
-    assert mn is not None and mn >= 0, mn
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.001"):
+        ev = load(spark, sf_dir, "events")
+        mn = (
+            ev.filter(
+                (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+            )
+            .select(
+                (F.col("value").cast("decimal(18,2)") * 100)
+                .cast("long")
+                .alias("c")
+            )
+            .agg(F.min("c"))
+            .first()[0]
+        )
+        assert mn is not None and mn >= 0, (sf_dir, mn)
