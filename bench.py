@@ -233,6 +233,11 @@ HEADLINE = [
     # r5: continuous z-ordered ingest (exactly-once appends +
     # mid-stream compaction)
     "zorder_streaming_ingest",
+    # r9: the layout family's other two legs under driver oracles —
+    # bucketed co-located SMJ (zero exchange/sort) and hive partition
+    # pruning (corrupted-partition behavioral proof in tests)
+    "bucketed_join_roundtrip",
+    "partitioned_pruning_roundtrip",
     "scd2_user_value",
     # r4: per-user grid LOCF resampling (oracle = DuckDB native ASOF)
     "hourly_ffill_series",

@@ -204,3 +204,156 @@ def zorder_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+def _bucketed_join_tables(spark: SparkSession, sf_dir: str, base: str, tag: str):
+    """Write events + customer as EXTERNAL tables bucketed by the join
+    key (8 buckets, sorted) and return (joined_df, [table names]) —
+    shared by the roundtrip query (result hash) and the plan test
+    (zero-Exchange pin). The merge hint forces a sort-merge join so
+    the bucketed distribution + order are actually exercised (a
+    broadcast would bypass both)."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    lt, rt = f"bjr_ev_{tag}", f"bjr_cust_{tag}"
+    ev.write.bucketBy(8, "user_id").sortBy("user_id").option(
+        "path", f"{base}/e"
+    ).mode("overwrite").saveAsTable(lt)
+    cust.write.bucketBy(8, "user_id").sortBy("user_id").option(
+        "path", f"{base}/c"
+    ).mode("overwrite").saveAsTable(rt)
+    joined = (
+        spark.table(lt).hint("merge").join(spark.table(rt), "user_id")
+    )
+    return joined, [lt, rt]
+
+
+@query(
+    "bucketed_join_roundtrip",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, c.c_nationkey AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents_sum
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.value IS NOT NULL
+    GROUP BY 1, 2
+""",
+)
+def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKETED CO-LOCATED JOIN under the driver oracle (the path was
+    plan-test-only): both join sides are written as bucketed+sorted
+    external tables on the join key, then sort-merge-joined with ZERO
+    exchange and ZERO sort on either side — the bucketing contract
+    tests/test_bucketing.py pins on the plan, here hash-verified for
+    RESULTS on real tables (identical answers to the plain shuffled
+    join the oracle runs). At 100 TB this is the standard reuse-a-
+    partitioning play: two pipelines that repeatedly join on the same
+    key pay the layout shuffle once at write time, never per query.
+    Side-effectful setup (warehouse tables in a per-run temp dir,
+    unique names, dropped in finally) — the zorder_table_roundtrip /
+    materialized_user_value lifecycle pattern."""
+    import shutil
+    import tempfile
+    import uuid
+
+    base = tempfile.mkdtemp(prefix="bjr_")
+    tag = uuid.uuid4().hex[:8]
+    tables: list[str] = []
+    try:
+        joined, tables = _bucketed_join_tables(spark, sf_dir, base, tag)
+        return (
+            joined.groupBy("segment", "nation")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum("cents").cast("long").alias("cents_sum"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_PARTPRUNE_DIRS: dict[str, str] = {}
+_PARTPRUNE_SCHEMA = "event_id long, cents long"
+
+
+def _partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """events written hive-partitioned by event_type (immutable per
+    sf_dir — cached like the streaming split fixtures)."""
+    import os
+
+    path = _PARTPRUNE_DIRS.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        path = cached_tmp_dir("partprune_")
+        (
+            load(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull())
+            .select(
+                "event_id",
+                (F.col("value").cast("decimal(18,2)") * 100)
+                .cast("long")
+                .alias("cents"),
+                "event_type",
+            )
+            .write.partitionBy("event_type")
+            .mode("overwrite")
+            .parquet(path)
+        )
+        _PARTPRUNE_DIRS[sf_dir] = path
+    return path
+
+
+@query(
+    "partitioned_pruning_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents_sum
+    FROM events
+    WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+    GROUP BY 1
+""",
+)
+def partitioned_pruning_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIVE PARTITION PRUNING under the driver oracle — the layout
+    family's third leg next to z-order (footer min/max skipping) and
+    bucketing (co-located joins): events written partitioned BY
+    event_type, read back with a partition-column predicate that
+    prunes entire directories at PLANNING time (PartitionFilters in
+    the scan — never opens the other types' files; the behavioral
+    proof is tests/test_layout.py's corrupted-unselected-partition
+    read, which only succeeds BECAUSE the files are never touched).
+    The oracle recomputes the same aggregate from the unpartitioned
+    source, so the hash verifies the partitioned write+pruned read
+    round trip loses and duplicates nothing. At 100 TB, partition
+    pruning is the first and cheapest skip lever — a date/type
+    predicate cuts the file listing itself, before any footer or
+    page is read."""
+    src = _partitioned_events_dir(spark, sf_dir)
+    df = (
+        spark.read.schema(_PARTPRUNE_SCHEMA)
+        .option("basePath", src)
+        .parquet(src)
+        .filter(F.col("event_type").isin("click", "purchase"))
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+    )

@@ -33,3 +33,21 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_bucketed_join_roundtrip_query_plans_without_exchange(spark, tmp_path):
+    # the registered query's OWN table-builder must produce the
+    # zero-shuffle sort-merge join (results are driver-hashed; the
+    # physical claim is pinned here)
+    from streaming_cdc_spark.queries.layout import _bucketed_join_tables
+
+    joined, tables = _bucketed_join_tables(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "w"), "plantest"
+    )
+    try:
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -513,3 +513,56 @@ def test_ztable_tiles_prune_like_hive_partitions(spark, tmp_path):
         1 for _, (xlo, xhi) in per_file if not (xhi < probe_lo or xlo > probe_hi)
     )
     assert overlapping < len(per_file)
+
+
+def test_partition_pruning_never_opens_unselected_partitions(spark):
+    """The behavioral proof of hive partition pruning (the z-order
+    footer test's sibling): CORRUPT a parquet file in an unselected
+    partition — the pruned read still succeeds (those files are never
+    opened), while the same read WITHOUT the partition predicate
+    fails. This is stronger than asserting PartitionFilters in the
+    plan string: it proves the skip actually happens at execution."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from streaming_cdc_spark.queries.layout import (
+        _PARTPRUNE_SCHEMA,
+        _partitioned_events_dir,
+    )
+
+    src = _partitioned_events_dir(spark, "/root/testdata/sf0.001")
+    # work on a COPY — the cached dir is shared with the registered
+    # query and must stay intact
+    work = tempfile.mkdtemp(prefix="partprune_corrupt_")
+    shutil.rmtree(work)
+    shutil.copytree(src, work)
+    try:
+        victims = glob.glob(f"{work}/event_type=view/*.parquet")
+        assert victims, "fixture has no view partition"
+        for v in victims:
+            with open(v, "wb") as f:
+                f.write(b"not a parquet file")
+        pruned = (
+            spark.read.schema(_PARTPRUNE_SCHEMA)
+            .option("basePath", work)
+            .parquet(work)
+            .filter(F.col("event_type").isin("click", "purchase"))
+        )
+        n = pruned.count()
+        assert n > 0
+        full = (
+            spark.read.schema(_PARTPRUNE_SCHEMA)
+            .option("basePath", work)
+            .parquet(work)
+        )
+        try:
+            full.count()
+            raised = False
+        except Exception:
+            raised = True
+        assert raised, "corrupted partition was readable — pruning unproven"
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
