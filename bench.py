@@ -185,6 +185,10 @@ HEADLINE = [
     "bm25_topk",
     # r5: positional-index phrase query (posting-list probe join)
     "phrase_match_postings",
+    # r9: two-stage PQ-shortlist -> exact-cosine rerank; per-doc
+    # n-gram novelty (first-occurrence shape at shingle granularity)
+    "pq_rerank_topk",
+    "ngram_novelty_profile",
     "bloom_incremental_matches",
     "incremental_dedup_status",
     "incremental_semantic_status",

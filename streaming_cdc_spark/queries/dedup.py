@@ -1420,3 +1420,54 @@ def ppjoin_skewed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return D.ppjoin_pairs(skewed, t_num=1, t_den=2)
+
+
+@query(
+    "ngram_novelty_profile",
+    oracle=f"""
+    WITH {_SHINGLES},
+    f AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS novelty_r
+    FROM sh s JOIN f USING (shingle)
+    GROUP BY 1
+""",
+)
+def ngram_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DOCUMENT N-GRAM NOVELTY — heaps_vocab_growth's per-doc
+    sibling at shingle granularity, the memorization diagnostic a
+    pretraining pipeline reads next to the dedup report: for each
+    document (in doc_id order = arrival order), the fraction of its
+    distinct word-3-gram shingles appearing for the FIRST time in
+    the corpus. A heavily templated/duplicated source shows novelty
+    collapsing toward 0; dedup'd natural text stays high. Physical:
+    the hashed shingle relation (md5-int64 keys, injectivity pinned
+    by tests/test_dedup.py), one shingle-keyed MIN for first
+    occurrences, one join back, one per-doc aggregate — the exact
+    first-occurrence shape of heaps' vocab stage, never a
+    prefix-rescan. Ratio = one int/int double division rounded 6dp
+    (order-free). Linear at any scale: two keyed shuffles on the
+    uniform hash key."""
+    from streaming_cdc_spark.operators.dedup import exploded_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs, hashed=True)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            novel.alias("n_novel"),
+            F.round(
+                novel.cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("novelty_r"),
+        )
+    )

@@ -909,3 +909,70 @@ def grid_knn_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("qy"),
     )
     return grid_knn(p, _GRID_R, _GRID_K, max_cell_population=_GRIDSK_CAP)
+
+
+@query(
+    "pq_rerank_topk",
+    oracle=f"""
+    WITH {_PQ_CTES},
+    short AS (SELECT q, neighbor FROM pq_ranked WHERE rank <= 20),
+    rer AS (
+      SELECT s.q, s.neighbor,
+             list_cosine_similarity(a.ev, b.ev) AS sim
+      FROM short s JOIN v a ON a.vec_id = s.q
+                   JOIN v b ON b.vec_id = s.neighbor
+    )
+    SELECT q, neighbor, ROUND(sim, 6) AS sim_r, rank FROM (
+      SELECT q, neighbor, sim,
+             ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, neighbor)
+               AS rank
+      FROM rer
+    ) WHERE rank <= 5
+""",
+)
+def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-STAGE RETRIEVE-THEN-RERANK — the production ANN serving
+    pattern pq_adc_topk and cosine_topk each cover half of: a CHEAP
+    compressed-domain shortlist (PQ ADC over integer LUTs, top-20 per
+    query — the corpus scan moves 4 codes per row, raw vectors never
+    shuffle) followed by an EXACT cosine re-rank of only the
+    shortlist (20 pairs per query — the expensive kernel touches
+    shortlist-many vectors, not the corpus). The oracle replays both
+    stages off the shared _PQ_CTES; ranking follows the cosine_topk
+    idiom (raw-sim DESC + neighbor-id tiebreak, 6dp rounded output).
+    At 100 TB this is THE latency/recall dial: stage-1 candidates
+    per query bound the exact work, and the two stages shuffle
+    nothing but (query, candidate-id) pairs."""
+    from streaming_cdc_spark.functions.vectors import as_double, cosine
+    from streaming_cdc_spark.operators.ann import (
+        collect_pq_codebooks,
+        pq_adc_topk as _adc,
+    )
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    cb = collect_pq_codebooks(emb, m=4, ksub=8)
+    qs = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.filter(F.col("vec_id") % 2 == 1)
+        .orderBy("vec_id")
+        .limit(4)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    short = _adc(emb, cb, qs, k=20).select("q", "neighbor")
+    qv = emb.select(F.col("vec_id").alias("q"), F.col("embedding").alias("_qv"))
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor"), F.col("embedding").alias("_nv")
+    )
+    rer = (
+        short.join(qv, "q")
+        .join(nv, "neighbor")
+        .select("q", "neighbor", cosine(as_double("_qv"), as_double("_nv")).alias("sim"))
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("sim"), F.asc("neighbor"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q", "neighbor", F.round("sim", 6).alias("sim_r"), "rank")
+    )
