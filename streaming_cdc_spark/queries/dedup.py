@@ -1455,7 +1455,11 @@ def ngram_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_cdc_spark.operators.dedup import exploded_shingles
 
     docs = load(spark, sf_dir, "documents")
-    sh = exploded_shingles(docs, hashed=True)
+    # the shingle relation feeds BOTH the first-occurrence aggregate
+    # and the join-back: checkpoint it or the tokenize+hash+explode
+    # kernel (the query's dominant cost) runs twice (the funnel /
+    # graph_modularity multi-reference lesson)
+    sh = exploded_shingles(docs, hashed=True).localCheckpoint()
     firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     novel = F.sum(
         F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)

@@ -206,13 +206,23 @@ def zorder_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _bucketed_join_tables(spark: SparkSession, sf_dir: str, base: str, tag: str):
+def _bucketed_join_tables(
+    spark: SparkSession, sf_dir: str, base: str, tag: str, created: list
+):
     """Write events + customer as EXTERNAL tables bucketed by the join
-    key (8 buckets, sorted) and return (joined_df, [table names]) —
-    shared by the roundtrip query (result hash) and the plan test
-    (zero-Exchange pin). The merge hint forces a sort-merge join so
-    the bucketed distribution + order are actually exercised (a
-    broadcast would bypass both)."""
+    key (8 buckets, sorted, one file per bucket via a pre-write
+    repartition on the key) and return the joined DataFrame — shared
+    by the roundtrip query (result hash) and the plan test
+    (zero-Exchange pin; per-side Sort nodes REMAIN — Spark 3+
+    ignores bucket sortBy metadata for output ordering,
+    SPARK-28632 legacy-gated, so the bucketing win claimed and
+    pinned is the exchange elimination only). The merge hint
+    forces a sort-merge join so the bucketed distribution + order are
+    actually exercised (a broadcast would bypass both). ``created``
+    is mutated with each table name BEFORE its write starts, so a
+    caller's finally can drop partially-created tables (a mid-write
+    failure must not leak a catalog entry pointing at an rmtree'd
+    path — review r9)."""
     ev = (
         load(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
@@ -229,16 +239,12 @@ def _bucketed_join_tables(spark: SparkSession, sf_dir: str, base: str, tag: str)
         F.col("c_nationkey").alias("nation"),
     )
     lt, rt = f"bjr_ev_{tag}", f"bjr_cust_{tag}"
-    ev.write.bucketBy(8, "user_id").sortBy("user_id").option(
-        "path", f"{base}/e"
-    ).mode("overwrite").saveAsTable(lt)
-    cust.write.bucketBy(8, "user_id").sortBy("user_id").option(
-        "path", f"{base}/c"
-    ).mode("overwrite").saveAsTable(rt)
-    joined = (
-        spark.table(lt).hint("merge").join(spark.table(rt), "user_id")
-    )
-    return joined, [lt, rt]
+    for name, df, sub in ((lt, ev, "e"), (rt, cust, "c")):
+        created.append(name)
+        df.repartition(8, "user_id").write.bucketBy(8, "user_id").sortBy(
+            "user_id"
+        ).option("path", f"{base}/{sub}").mode("overwrite").saveAsTable(name)
+    return spark.table(lt).hint("merge").join(spark.table(rt), "user_id")
 
 
 @query(
@@ -274,7 +280,7 @@ def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = uuid.uuid4().hex[:8]
     tables: list[str] = []
     try:
-        joined, tables = _bucketed_join_tables(spark, sf_dir, base, tag)
+        joined = _bucketed_join_tables(spark, sf_dir, base, tag, tables)
         return (
             joined.groupBy("segment", "nation")
             .agg(

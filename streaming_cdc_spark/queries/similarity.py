@@ -499,6 +499,23 @@ _PQ_CTES = f"""
 """
 
 
+def _pq_query_set(emb) -> list[tuple[int, list[float]]]:
+    """The PQ family's query set — the 4 lowest odd vec_ids, in
+    LOCKSTEP with the _PQ_CTES `q` CTE (vec_id % 2 = 1 ORDER BY
+    vec_id LIMIT 4). ONE definition: three queries (pq_adc_topk,
+    hybrid_rrf_topk, pq_rerank_topk) previously carried verbatim
+    copies, and editing the CTE meant finding all three (review
+    r9)."""
+    return [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.filter(F.col("vec_id") % 2 == 1)
+        .orderBy("vec_id")
+        .limit(4)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+
+
 @query(
     "pq_adc_topk",
     oracle=f"""
@@ -521,14 +538,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     cb = collect_pq_codebooks(emb, m=4, ksub=8)
-    qs = [
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in emb.filter(F.col("vec_id") % 2 == 1)
-        .orderBy("vec_id")
-        .limit(4)
-        .select("vec_id", "embedding")
-        .collect()
-    ]
+    qs = _pq_query_set(emb)
     return pq_adc_topk(emb, cb, qs, k=10)
 
 
@@ -579,14 +589,7 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derive the query set exactly as the oracle's q CTE does (the 4
     # lowest ODD vec_ids) — a hardcoded literal list would silently
     # diverge from the PQ fragment if testdata ids ever shift
-    qs = [
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in emb.filter(F.col("vec_id") % 2 == 1)
-        .orderBy("vec_id")
-        .limit(4)
-        .select("vec_id", "embedding")
-        .collect()
-    ]
+    qs = _pq_query_set(emb)
     qids = [qid for qid, _ in qs]
     dense = cosine_top_k(emb.filter(F.col("vec_id").isin(qids)), emb, k=20).select(
         "q", "neighbor", F.col("rank").alias("rd")
@@ -952,14 +955,7 @@ def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     cb = collect_pq_codebooks(emb, m=4, ksub=8)
-    qs = [
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in emb.filter(F.col("vec_id") % 2 == 1)
-        .orderBy("vec_id")
-        .limit(4)
-        .select("vec_id", "embedding")
-        .collect()
-    ]
+    qs = _pq_query_set(emb)
     short = _adc(emb, cb, qs, k=20).select("q", "neighbor")
     qv = emb.select(F.col("vec_id").alias("q"), F.col("embedding").alias("_qv"))
     nv = emb.select(
