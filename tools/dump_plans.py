@@ -20,6 +20,23 @@ SF_DIR = "/root/testdata/sf0.01"
 # (query, what the plan demonstrates, regexes that must appear)
 SHOWCASE = [
     (
+        "partitioned_pruning_roundtrip",
+        "Hive partition pruning: the partition-column predicate lands in "
+        "PartitionFilters — whole directories are pruned at planning "
+        "time, before any footer or page is read (the corrupted-"
+        "unselected-partition test proves the skip at execution).",
+        [r"PartitionFilters: \[", r"event_type"],
+    ),
+    (
+        "heaps_vocab_growth",
+        "Heaps vocabulary growth: one range exchange for the global doc "
+        "rank (mono-id decode, no single-partition Window), token-keyed "
+        "MIN for first occurrences, sequence-fanned 10-row prefix sums — "
+        "no windows, no nested-loop joins.",
+        [r"rangepartitioning"],
+    ),
+
+    (
         "pricing_summary",
         "TPC-H Q1 scan-agg: filter pushdown to the parquet scan, column "
         "pruning (ReadSchema carries only the 7 referenced columns), "
