@@ -81,6 +81,10 @@ HEADLINE = [
     "multi_touch_attribution",
     "heaps_vocab_growth",
     "l_diversity_risk",
+    # r9 second session: privacy battery third leg (TVD t-closeness)
+    # + ln-free Gini label concentration
+    "t_closeness_risk",
+    "segment_gini_impurity",
     "value_histogram_bins",
     "equidepth_histogram",
     "unpivot_metric_stats",
@@ -207,6 +211,13 @@ HEADLINE = [
     "corpus_shards",
     "corpus_diff_status",
     "user_sessions",
+    # r9 second session: native session_window with a per-event gap
+    # EXPRESSION (per-activity timeouts), full gaps-and-islands oracle
+    "dynamic_gap_sessions",
+    # r9 second session: exact-integer series analytics (offline CUSUM
+    # changepoint, lag-1 autocorrelation from exact moments)
+    "user_cusum_changepoint",
+    "user_lag1_autocorr",
     # r5: exact-moment Pearson correlation + hash-checkable HLL bound
     "exact_moment_corr",
     "approx_distinct_bounds",

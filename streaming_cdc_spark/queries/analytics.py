@@ -2037,3 +2037,187 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_purchases"),
         F.sum("credit").cast("long").alias("credit_micro"),
     )
+
+
+_CUSUM_ORACLE = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    w AS (
+      SELECT user_id,
+             CAST(ROW_NUMBER() OVER ord AS BIGINT) AS t,
+             CAST(SUM(x) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_t,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+             CAST(SUM(x) OVER (PARTITION BY user_id) AS BIGINT) AS s_n
+      FROM e WINDOW ord AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ),
+    d AS (
+      SELECT user_id, t, n, ABS(s_t * n - t * s_n) AS dev,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ABS(s_t * n - t * s_n) DESC, t)
+               AS pick
+      FROM w
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           CAST(t AS BIGINT) AS cp_pos, CAST(dev AS BIGINT) AS d_max
+    FROM d WHERE pick = 1
+"""
+
+
+@query("user_cusum_changepoint", oracle=_CUSUM_ORACLE)
+def user_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFLINE CUSUM CHANGEPOINT per user series — the classic
+    mean-shift detector (Page's CUSUM, offline form): for each
+    user's time-ordered values, the changepoint is the prefix
+    position t maximizing |mean(prefix) - mean(all)| weighted by
+    t(n-t) — equivalently argmax_t |S_t*n - t*S_n|, which is PURE
+    INTEGER arithmetic once values land as micro-units
+    (value * 1e6 via an exact DECIMAL(18,6) hop — never a float
+    multiply). No float recurrence, no sqrt: the statistic is exact,
+    so the argmax and its tie-break (earliest t) replay bit-identical
+    in SQL. Overflow bound: |S_t*n| <= n^2 * max|x| micro-units — a
+    10k-event user series at full value range stays < 5e16, inside
+    BIGINT (per-user series length is the bound, not corpus size).
+    Physical: ONE user-keyed exchange; the prefix sum, the
+    full-partition totals, and the argmax row_number are three
+    window passes over the same partitioning (Catalyst reuses the
+    exchange; sorts are per-key). Output: per user, series length,
+    changepoint position, and the exact peak deviation."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("tus"),
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("long")
+        .alias("x"),
+    )
+    ordw = W.partitionBy("user_id").orderBy("tus", "event_id")
+    full = W.partitionBy("user_id")
+    w = e.select(
+        "user_id",
+        F.row_number().over(ordw).cast("long").alias("t"),
+        F.sum("x")
+        .over(ordw.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("s_t"),
+        F.count(F.lit(1)).over(full).cast("long").alias("n"),
+        F.sum("x").over(full).cast("long").alias("s_n"),
+    )
+    dev = F.abs(F.col("s_t") * F.col("n") - F.col("t") * F.col("s_n"))
+    d = w.select(
+        "user_id",
+        "t",
+        "n",
+        dev.alias("dev"),
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy(F.desc(dev), F.asc("t")))
+        .alias("pick"),
+    )
+    return d.filter(F.col("pick") == 1).select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.col("t").alias("cp_pos"),
+        F.col("dev").alias("d_max"),
+    )
+
+
+_AUTOCORR_ORACLE = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tus, event_id,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    p AS (
+      SELECT user_id, v AS y,
+             lag(v) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS x
+      FROM e
+    ),
+    m AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM p WHERE x IS NOT NULL GROUP BY user_id
+    ),
+    v AS (
+      SELECT user_id, n, sx, sy, sxx, syy, sxy,
+             CAST(n AS DECIMAL(18,0)) * sxx - sx * sx AS vx,
+             CAST(n AS DECIMAL(18,0)) * syy - sy * sy AS vy
+      FROM m
+    )
+    SELECT user_id, n AS n_pairs,
+           ROUND(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / SQRT(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)),
+             6
+           ) AS acf1_r
+    FROM v WHERE vx <> 0 AND vy <> 0
+"""
+
+
+@query("user_lag1_autocorr", oracle=_AUTOCORR_ORACLE)
+def user_lag1_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG-1 AUTOCORRELATION per user series — the stream-health
+    signal behind "is this user's value series trending or i.i.d.":
+    Pearson over consecutive pairs (x_t, x_{t+1}) in each user's
+    time-ordered series, via the exact_moment_corr pattern — the six
+    moments accumulate as exact DECIMAL (order-free under any
+    partitioning; the built-in corr streams float partials), and the
+    correlation is ONE identical-order double formula rounded 6dp.
+    The variance terms n*sxx - sx^2 stay DECIMAL-EXACT, so the
+    zero-variance guard is an EXACT compare on both engines (a
+    constant-valued series is filtered, never divided) — per-user
+    groups are small enough that degenerate series actually occur at
+    scale, unlike the per-event-type parent. The lag pairing is one
+    window over the same user-keyed exchange the aggregation uses:
+    one shuffle total."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    e = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    p = e.select(
+        "user_id",
+        F.col("v").alias("y"),
+        F.lag("v")
+        .over(W.partitionBy("user_id").orderBy("tus", "event_id"))
+        .alias("x"),
+    ).filter(F.col("x").isNotNull())
+    m = p.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("decimal(18,0)")
+    v = m.select(
+        "user_id",
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        (nd * F.col("sxx") - F.col("sx") * F.col("sx")).alias("vx"),
+        (nd * F.col("syy") - F.col("sy") * F.col("sy")).alias("vy"),
+    )
+    num = F.col("n").cast("double") * F.col("sxy").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sy").cast("double")
+    den = F.sqrt(F.col("vx").cast("double") * F.col("vy").cast("double"))
+    return v.filter((F.col("vx") != 0) & (F.col("vy") != 0)).select(
+        "user_id",
+        F.col("n").alias("n_pairs"),
+        F.round(num / den, 6).alias("acf1_r"),
+    )

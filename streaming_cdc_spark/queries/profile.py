@@ -423,3 +423,207 @@ def l_diversity_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("risky_rows"),
         F.min("l").cast("long").alias("min_l"),
     )
+
+
+_TCLOSE_ORACLE = """
+    WITH o AS (
+      SELECT c.c_nationkey AS nation,
+             strftime(o.o_orderdate, '%Y-%m') AS ym,
+             o.o_orderpriority AS s
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    gs AS (
+      SELECT nation, ym, s, CAST(COUNT(*) AS BIGINT) AS n_gs
+      FROM o GROUP BY 1, 2, 3
+    ),
+    g AS (
+      SELECT nation, ym, CAST(SUM(n_gs) AS BIGINT) AS n_g
+      FROM gs GROUP BY 1, 2
+    ),
+    sv AS (SELECT s, CAST(SUM(n_gs) AS BIGINT) AS n_s FROM gs GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_gs) AS BIGINT) AS n_tot FROM gs),
+    adj AS (
+      SELECT gs.nation, gs.ym,
+             SUM(ABS(CAST(gs.n_gs AS DECIMAL(18,0))
+                       * CAST(t.n_tot AS DECIMAL(18,0))
+                     - CAST(sv.n_s AS DECIMAL(18,0))
+                       * CAST(g.n_g AS DECIMAL(18,0)))
+                 - CAST(sv.n_s AS DECIMAL(18,0))
+                   * CAST(g.n_g AS DECIMAL(18,0))) AS adj
+      FROM gs
+      JOIN sv USING (s)
+      JOIN g ON gs.nation = g.nation AND gs.ym = g.ym, tot t
+      GROUP BY 1, 2
+    ),
+    tvd AS (
+      SELECT a.nation,
+             CAST(a.adj + CAST(t.n_tot AS DECIMAL(18,0))
+                            * CAST(g.n_g AS DECIMAL(18,0)) AS DOUBLE)
+               / (CAST(2 AS DOUBLE) * CAST(g.n_g AS DOUBLE)
+                  * CAST(t.n_tot AS DOUBLE)) AS tvd
+      FROM adj a JOIN g ON a.nation = g.nation AND a.ym = g.ym, tot t
+    )
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN tvd > 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+             AS risky_groups,
+           ROUND(MAX(tvd), 6) AS max_tvd
+    FROM tvd GROUP BY nation
+"""
+
+
+@query("t_closeness_risk", oracle=_TCLOSE_ORACLE)
+def t_closeness_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-CLOSENESS AUDIT — the third leg of the release-pipeline
+    privacy battery (k_anonymity_risk / l_diversity_risk / here): a
+    QI group passes k-anonymity AND l-diversity yet still leaks if
+    its sensitive-value DISTRIBUTION diverges from the corpus-wide
+    one (an attacker learns "this group skews URGENT"). Distance is
+    TOTAL VARIATION — chosen over the paper's EMD/KL exactly like
+    ari_score chose Rand over NMI: TVD has NO ln() and reduces to
+    EXACT INTEGERS. Per group g: TVD = sum_s |n_gs/n_g - n_s/N| / 2
+    = (N*n_g + sum_{s present}(|n_gs*N - n_s*n_g| - n_s*n_g))
+      / (2*n_g*N)
+    — the absent-sensitive-value terms (sum_s n_s = N) telescope
+    into the N*n_g constant, so NO group x sensitive cross join is
+    ever built; only PRESENT (g,s) cells are touched. Products run
+    in DECIMAL(18,0) (a 1e7-row cell times a 1e12-row corpus
+    overflows BIGINT), the cross-cell reduction is an exact DECIMAL
+    SUM (order-free), and the single double division per group is
+    identical-expression-order on both engines (CAST(2 AS DOUBLE) —
+    never bare 2.0, which DuckDB types DECIMAL and quantizes). The
+    0.35 threshold splits the sf0.01 fixture ~40/60 (median group
+    TVD 0.299), so both CASE branches are exercised. Physical: one
+    broadcast dim join, the (nation,ym,s) cell relation
+    localCheckpointed (3 downstream references), N as a planning
+    scalar, the 5-row sensitive-marginal broadcast — one QI-cell
+    shuffle total, linear at any scale."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    o = orders.join(F.broadcast(cust), "o_custkey").select(
+        "nation",
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.col("o_orderpriority").alias("s"),
+    )
+    gs = (
+        o.groupBy("nation", "ym", "s")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gs"))
+        .localCheckpoint()
+    )
+    n_tot = int(gs.agg(F.sum("n_gs")).collect()[0][0])
+    g = gs.groupBy("nation", "ym").agg(
+        F.sum("n_gs").cast("long").alias("n_g")
+    )
+    sv = gs.groupBy("s").agg(F.sum("n_gs").cast("long").alias("n_s"))
+    dec = lambda c: c.cast("decimal(18,0)")  # noqa: E731
+    ntot_d = dec(F.lit(n_tot))
+    adj = (
+        gs.join(F.broadcast(sv), "s")
+        .join(g, ["nation", "ym"])
+        .select(
+            "nation",
+            "ym",
+            (
+                F.abs(
+                    dec(F.col("n_gs")) * ntot_d
+                    - dec(F.col("n_s")) * dec(F.col("n_g"))
+                )
+                - dec(F.col("n_s")) * dec(F.col("n_g"))
+            ).alias("term"),
+        )
+        .groupBy("nation", "ym")
+        .agg(F.sum("term").alias("adj"))
+    )
+    tvd = adj.join(g, ["nation", "ym"]).select(
+        "nation",
+        (
+            (F.col("adj") + ntot_d * dec(F.col("n_g"))).cast("double")
+            / (
+                F.lit(2).cast("double")
+                * F.col("n_g").cast("double")
+                * F.lit(n_tot).cast("double")
+            )
+        ).alias("tvd"),
+    )
+    return tvd.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("tvd") > 0.35, 1).otherwise(0))
+        .cast("long")
+        .alias("risky_groups"),
+        F.round(F.max("tvd"), 6).alias("max_tvd"),
+    )
+
+
+_GINI_ORACLE = """
+    WITH o AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderpriority AS label
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    gs AS (
+      SELECT segment, label, CAST(COUNT(*) AS BIGINT) AS n_i
+      FROM o GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT segment,
+             CAST(SUM(n_i) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_labels,
+             SUM(CAST(n_i AS DECIMAL(18,0)) * CAST(n_i AS DECIMAL(18,0)))
+               AS ssq
+      FROM gs GROUP BY 1
+    )
+    SELECT segment, n, n_labels,
+           ROUND(
+             CAST(CAST(n AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0))
+                  - ssq AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)),
+             6
+           ) AS gini_r
+    FROM agg
+"""
+
+
+@query("segment_gini_impurity", oracle=_GINI_ORACLE)
+def segment_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI IMPURITY / SIMPSON CONCENTRATION per segment — the
+    ln-free label-concentration metric (decision-tree split quality,
+    market-concentration HHI's complement): per market segment over
+    its orders' priority labels, gini = 1 - sum_i p_i^2
+    = (n^2 - sum_i n_i^2) / n^2 — EXACT integer numerator (the
+    ari_score no-ln rule: entropy needs ln and is not bit-identical
+    across engines; Gini is pure arithmetic), squares in
+    DECIMAL(18,0) (a 1e10-row label cell squared overflows BIGINT),
+    one identical-order double division per segment, rounded 6dp.
+    Physical: broadcast dim join + two map-side-combining keyed
+    aggregates (cells, then segments) — one narrow shuffle of the
+    (segment,label) cell relation, linear at any scale."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    o = orders.join(F.broadcast(cust), "o_custkey").select(
+        "segment", F.col("o_orderpriority").alias("label")
+    )
+    gs = o.groupBy("segment", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i")
+    )
+    ni_d = F.col("n_i").cast("decimal(18,0)")
+    agg = gs.groupBy("segment").agg(
+        F.sum("n_i").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+        F.sum(ni_d * ni_d).alias("ssq"),
+    )
+    n_d = F.col("n").cast("decimal(18,0)")
+    return agg.select(
+        "segment",
+        "n",
+        "n_labels",
+        F.round(
+            (n_d * n_d - F.col("ssq")).cast("double")
+            / (F.col("n").cast("double") * F.col("n").cast("double")),
+            6,
+        ).alias("gini_r"),
+    )

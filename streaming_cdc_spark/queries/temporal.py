@@ -2001,3 +2001,79 @@ def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nxt_tus") - F.col("tus")).cast("long").alias("delay_us"),
         )
     )
+
+
+_DYNGAP_ORACLE = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tus,
+             CASE event_type WHEN 'click' THEN 600000000
+                             WHEN 'purchase' THEN 3600000000
+                             ELSE 1200000000 END AS gap_us,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp
+      FROM events WHERE ts IS NOT NULL
+    ),
+    pm AS (
+      SELECT user_id, tus, gap_us, isp,
+             MAX(tus + gap_us) OVER (
+               PARTITION BY user_id ORDER BY tus
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_end
+      FROM e
+    ),
+    isl AS (
+      SELECT user_id, tus, gap_us, isp,
+             SUM(CASE WHEN prev_end IS NULL OR tus > prev_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY tus) AS sid
+      FROM pm
+    )
+    SELECT user_id,
+           CAST(MIN(tus) AS BIGINT) AS session_start_us,
+           CAST(MAX(tus + gap_us) AS BIGINT) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(isp) AS BIGINT) AS n_purchases
+    FROM isl GROUP BY user_id, sid
+"""
+
+
+@query("dynamic_gap_sessions", oracle=_DYNGAP_ORACLE)
+def dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-GAP SESSION WINDOWS — the native session_window
+    operator with a PER-EVENT gap EXPRESSION (clicks hold a session
+    600s, purchases 3600s, everything else 1200s — the per-activity
+    timeout every real sessionizer ships), the semantics the
+    fixed-gap queries (user_sessions, streaming_sessions_finalized)
+    cannot express. Empirically pinned BEFORE the oracle was written
+    (the repo rule): each event spans [ts, ts + gap(event)); windows
+    merge iff the next event's ts <= the running MAX end —
+    boundary-EQUAL MERGES (probed: t0 with gap 600 and an event at
+    exactly t0+600s land in ONE session whose end is the second
+    event's span). The oracle replays that machine in epoch MICROS:
+    a ROWS-frame running max of (tus + gap) over each user, island
+    break iff tus > prev_max_end, session end = MAX(tus + gap)
+    within the island. Duplicate-ts tie order provably cannot change
+    the result (twins always co-island: whichever orders second sees
+    the first's end >= tus), and the island-id SUM uses the
+    RANGE-default frame so tie peers share one sid. Output keyed by
+    (user, session) with integer-microsecond bounds — no
+    DATE/timestamp fetch hazard. One session_window aggregate =
+    one user-keyed shuffle at any scale."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    gap = (
+        F.when(F.col("event_type") == "click", F.lit("600 seconds"))
+        .when(F.col("event_type") == "purchase", F.lit("3600 seconds"))
+        .otherwise(F.lit("1200 seconds"))
+    )
+    s = ev.groupBy("user_id", F.session_window("ts", gap).alias("sw")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("long")
+        .alias("n_purchases"),
+    )
+    return s.select(
+        "user_id",
+        F.unix_micros("sw.start").alias("session_start_us"),
+        F.unix_micros("sw.end").alias("session_end_us"),
+        "n_events",
+        "n_purchases",
+    )

@@ -793,6 +793,64 @@ def main() -> None:
         ev.unpersist()
     sizes["winsorized_hotgroup"] = n_big / n_small
 
+    # (4) multi-touch attribution at 1M/4M events under CONSTANT
+    # per-user event density (users grow with n, ~40 events each over
+    # a fixed 90-day span — the grid_knn constant-density lesson
+    # applied to time): clicks-in-window per purchase stays constant,
+    # so the pair relation and the whole query are linear.
+    _SPAN_US = 90 * 86400 * 1_000_000
+    _GAP_US = 7 * 86400 * 1_000_000
+    for n in (10 * n_small, 10 * n_big):
+        users = max(n // 40, 1)
+        ev = (
+            spark.range(n)
+            .select(
+                F.pmod(F.xxhash64("id"), F.lit(users)).alias("user_id"),
+                F.pmod(F.xxhash64("id", F.lit(1)), F.lit(_SPAN_US)).alias("tus"),
+                F.pmod(F.xxhash64("id", F.lit(2)), F.lit(10)).alias("kind"),
+                F.col("id").alias("eid"),
+                F.pmod(F.xxhash64("id", F.lit(3)), F.lit(100000)).alias("cents"),
+            )
+            .persist()
+        )
+        ev.count()
+        t0 = time.time()
+        p = ev.filter(F.col("kind") == 0).select(
+            F.col("eid").alias("pid"), "user_id",
+            F.col("tus").alias("pus"), "cents",
+        )
+        c = ev.filter(F.col("kind") >= 5).select(
+            F.col("eid").alias("cid"), "user_id", F.col("tus").alias("cus")
+        )
+        j = (
+            p.join(c, "user_id")
+            .withColumn("gap", F.col("pus") - F.col("cus"))
+            .filter((F.col("gap") >= 0) & (F.col("gap") <= _GAP_US))
+        )
+        wn = W.partitionBy("pid")
+        wr = W.partitionBy("pid").orderBy(F.desc("cus"), F.desc("cid"))
+        scored = j.select(
+            "pid", "cid", "cents",
+            F.count(F.lit(1)).over(wn).alias("n"),
+            F.row_number().over(wr).alias("rnk"),
+        ).withColumn(
+            "credit",
+            F.expr("(cents * 1000000) div n")
+            + F.when(
+                F.col("rnk") == 1,
+                F.col("cents") * F.lit(1_000_000)
+                - F.expr("(cents * 1000000) div n") * F.col("n"),
+            ).otherwise(F.lit(0)),
+        )
+        scored.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("n_p"), F.sum("credit").alias("cr")
+        ).write.format("noop").mode("overwrite").save()
+        results.setdefault("multi_touch_attr", []).append(
+            round(time.time() - t0, 2)
+        )
+        ev.unpersist()
+    sizes["multi_touch_attr"] = n_big / n_small
+
     # the raw blocked kernel is QUADRATIC by design (all-pairs compute
     # in bounded-memory blocks) — expected ratio is size_ratio^2.
     # Default sizes keep the default run short; STRESS_KERNEL_ROWS=a,b
