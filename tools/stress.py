@@ -851,6 +851,63 @@ def main() -> None:
         ev.unpersist()
     sizes["multi_touch_attr"] = n_big / n_small
 
+    # (5) CUSUM changepoint at 1M/4M events with a PLANTED 30% hot
+    # user (the changelog_deltas hot-key class: one window partition
+    # holds 1.2M rows at the big size). Measured sub-linear (1.30 at
+    # 4x in a quiet window): the rows entering the per-user sort are
+    # NARROW (4 longs), so the single hot task's in-memory sort is
+    # not the wall the banded-lag fix targeted. Values stay < 9e5 so
+    # |S_t*n| <= n^2*max(x) ~ 6.5e17 respects the query's documented
+    # BIGINT bound even on the million-row planted series.
+    for n in (10 * n_small, 10 * n_big):
+        users = max(n // 50, 1)
+        ev = (
+            spark.range(n)
+            .select(
+                F.when(F.pmod(F.xxhash64("id"), F.lit(10)) < 3, F.lit(0))
+                .otherwise(
+                    F.pmod(F.xxhash64("id", F.lit(1)), F.lit(users))
+                )
+                .alias("user_id"),
+                F.col("id").alias("event_id"),
+                F.pmod(F.xxhash64("id", F.lit(2)), F.lit(10**12)).alias("tus"),
+                F.pmod(F.xxhash64("id", F.lit(3)), F.lit(900_000)).alias("x"),
+            )
+            .persist()
+        )
+        ev.count()
+        t0 = time.time()
+        ordw = W.partitionBy("user_id").orderBy("tus", "event_id")
+        full = W.partitionBy("user_id")
+        w = ev.select(
+            "user_id",
+            F.row_number().over(ordw).cast("long").alias("t"),
+            F.sum("x")
+            .over(ordw.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("long")
+            .alias("s_t"),
+            F.count(F.lit(1)).over(full).cast("long").alias("n"),
+            F.sum("x").over(full).cast("long").alias("s_n"),
+        )
+        dev = F.abs(F.col("s_t") * F.col("n") - F.col("t") * F.col("s_n"))
+        d = w.select(
+            "user_id",
+            "t",
+            "n",
+            dev.alias("dev"),
+            F.row_number()
+            .over(W.partitionBy("user_id").orderBy(F.desc(dev), F.asc("t")))
+            .alias("pick"),
+        )
+        d.filter(F.col("pick") == 1).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        results.setdefault("cusum_hotuser", []).append(
+            round(time.time() - t0, 2)
+        )
+        ev.unpersist()
+    sizes["cusum_hotuser"] = n_big / n_small
+
     # the raw blocked kernel is QUADRATIC by design (all-pairs compute
     # in bounded-memory blocks) — expected ratio is size_ratio^2.
     # Default sizes keep the default run short; STRESS_KERNEL_ROWS=a,b
