@@ -218,6 +218,9 @@ HEADLINE = [
     # changepoint, lag-1 autocorrelation from exact moments)
     "user_cusum_changepoint",
     "user_lag1_autocorr",
+    # r9 second session: percentile_cont-semantics interpolated
+    # quartiles on the shared banded order-statistics pass
+    "quartile_interp_stats",
     # r5: exact-moment Pearson correlation + hash-checkable HLL bound
     "exact_moment_corr",
     "approx_distinct_bounds",

@@ -2221,3 +2221,116 @@ def user_lag1_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_pairs"),
         F.round(num / den, 6).alias("acf1_r"),
     )
+
+
+_QUARTILE_ORACLE = """
+    WITH o AS (
+      SELECT o_orderpriority AS priority, o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    r AS (
+      SELECT priority, cents,
+             ROW_NUMBER() OVER (PARTITION BY priority
+                                ORDER BY cents, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY priority) AS n
+      FROM o
+    ),
+    q AS (
+      SELECT g.priority, g.n, qs.qq,
+             ((g.n - 1) * qs.qq) // 4 + 1 AS lo_rank,
+             ((g.n - 1) * qs.qq) % 4 AS rem
+      FROM (SELECT DISTINCT priority, n FROM r) g,
+           (SELECT UNNEST([1, 2, 3]) AS qq) qs
+    )
+    SELECT q.priority,
+           CAST(q.qq AS BIGINT) AS quartile,
+           CAST(q.n AS BIGINT) AS n,
+           ROUND(
+             CAST(lo.cents * (4 - q.rem)
+                  + COALESCE(hi.cents, lo.cents) * q.rem AS DOUBLE)
+             / CAST(4 AS DOUBLE),
+             6
+           ) AS q_cents
+    FROM q
+    JOIN r lo ON lo.priority = q.priority AND lo.rn = q.lo_rank
+    LEFT JOIN r hi ON hi.priority = q.priority AND hi.rn = q.lo_rank + 1
+"""
+
+
+@query("quartile_interp_stats", oracle=_QUARTILE_ORACLE)
+def quartile_interp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERPOLATED QUARTILES (percentile_cont semantics) per order
+    priority — the continuous-percentile contract BI surfaces expect
+    (Q1/Q2/Q3 at position (n-1)*p with LINEAR interpolation between
+    the two bracketing order statistics), which the discrete-rank
+    family (winsorized_stats, weighted_median_value) deliberately
+    does not provide. The whole computation stays EXACT: positions
+    are integer div/mod arithmetic ((n-1)*q div 4, remainder r in
+    0..3), BOTH bracketing values are exact k-th order statistics
+    fetched by operators/ranking.grouped_order_statistics in ONE
+    banded pass (six rank specs — lo and hi per quartile — share the
+    scan, the band aggregate, and the band windows; a direct
+    per-group rank window would sort one task per group at scale),
+    and the interpolation v_lo*(4-r) + v_hi*r is an exact BIGINT
+    whose /4 is a dyadic rational — exact in double on both engines.
+    The hi fetch can only fall off the end of a group when r = 0
+    (proof: r > 0 implies floor((n-1)*q/4) < n-1, so hi_rank <= n),
+    where it is unused — the LEFT join + COALESCE(hi, lo) makes the
+    n = 1 edge well-defined instead of row-dropping (the single-leaf
+    forest lesson). Oracle = the direct rank-window formulation: an
+    independent physical, so the hash match proves the banded
+    selection against the definitional percentile_cont."""
+    from streaming_cdc_spark.operators.ranking import grouped_order_statistics
+
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    o = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    # stat_idx 0..2 = lo rank for Q1..Q3 ((n-1)*q div 4 + 1 as the
+    # (q, 4-q, 4) integer spec); 3..5 = the +1 bracketing rank
+    # ((q, 8-q, 4): adding den to off adds exactly 1 to the floor).
+    specs = [(q, 4 - q, 4) for q in (1, 2, 3)] + [
+        (q, 8 - q, 4) for q in (1, 2, 3)
+    ]
+    stats = grouped_order_statistics(
+        o,
+        ["priority"],
+        "cents",
+        "o_orderkey",
+        specs,
+        band_expr=F.expr("cents div 100000"),
+    )
+    lo = stats.filter(F.col("stat_idx") <= 2).select(
+        "priority",
+        (F.col("stat_idx") + 1).cast("long").alias("quartile"),
+        F.col("stat_value").alias("v_lo"),
+        "n",
+    )
+    hi = stats.filter(F.col("stat_idx") >= 3).select(
+        "priority",
+        (F.col("stat_idx") - 2).cast("long").alias("quartile"),
+        F.col("stat_value").alias("v_hi"),
+    )
+    j = lo.join(hi, ["priority", "quartile"], "left")
+    rem = ((F.col("n") - 1) * F.col("quartile")) % 4
+    return j.select(
+        "priority",
+        "quartile",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            (
+                F.col("v_lo") * (F.lit(4) - rem)
+                + F.coalesce(F.col("v_hi"), F.col("v_lo")) * rem
+            ).cast("double")
+            / F.lit(4).cast("double"),
+            6,
+        ).alias("q_cents"),
+    )

@@ -844,3 +844,48 @@ def test_purchase_cents_nonnegative_on_fixture(spark):
             .first()[0]
         )
         assert mn is not None and mn >= 0, (sf_dir, mn)
+
+
+def test_quartile_interpolation_matches_numpy(spark):
+    """The six-spec banded fetch + dyadic interpolation equals
+    numpy's percentile_cont (method='linear') per group, including
+    an n=1 group (all quartiles = the lone value via the COALESCE
+    branch) and an n=2 group (every quartile strictly between)."""
+    import numpy as np
+
+    from streaming_cdc_spark.operators.ranking import (
+        grouped_order_statistics,
+    )
+
+    groups = {
+        "a": [5, 1, 9, 3, 7, 11, 2, 8],
+        "b": [10],
+        "c": [4, 20],
+        "d": [6, 6, 6, 1],  # planted value ties
+    }
+    rows = [
+        (g, i * 100 + j, v)
+        for i, (g, vs) in enumerate(sorted(groups.items()))
+        for j, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, "g string, rid long, c long")
+    specs = [(q, 4 - q, 4) for q in (1, 2, 3)] + [
+        (q, 8 - q, 4) for q in (1, 2, 3)
+    ]
+    stats = grouped_order_statistics(df, ["g"], "c", "rid", specs)
+    got: dict[tuple[str, int], float] = {}
+    by_key = {
+        (r["g"], r["stat_idx"]): (r["stat_value"], r["n"])
+        for r in stats.collect()
+    }
+    for g in groups:
+        for q in (1, 2, 3):
+            v_lo, n = by_key[(g, q - 1)]
+            hi = by_key.get((g, q + 2))
+            rem = ((n - 1) * q) % 4
+            v_hi = hi[0] if hi is not None else v_lo
+            got[(g, q)] = (v_lo * (4 - rem) + v_hi * rem) / 4
+    for g, vs in groups.items():
+        for q in (1, 2, 3):
+            want = float(np.percentile(vs, 25 * q, method="linear"))
+            assert got[(g, q)] == want, (g, q, got[(g, q)], want)
