@@ -221,6 +221,10 @@ HEADLINE = [
     # r9 second session: percentile_cont-semantics interpolated
     # quartiles on the shared banded order-statistics pass
     "quartile_interp_stats",
+    # r9 second session: privacy enforcement pair (GDPR cascade audit,
+    # referentially-consistent pseudonymization witness)
+    "deletion_propagation_audit",
+    "pseudonymize_consistent",
     # r5: exact-moment Pearson correlation + hash-checkable HLL bound
     "exact_moment_corr",
     "approx_distinct_bounds",

@@ -627,3 +627,217 @@ def segment_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini_r"),
     )
+
+
+_GDPR_ORACLE = """
+    WITH forget AS (
+      SELECT c_custkey FROM customer
+      WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal < 0
+    ),
+    del_orders AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM forget)
+    )
+    SELECT 'customer' AS tbl,
+           CAST(COUNT(CASE WHEN c_custkey IN (SELECT c_custkey FROM forget)
+                           THEN 1 END) AS BIGINT) AS n_delete,
+           CAST(COUNT(CASE WHEN c_custkey NOT IN
+                           (SELECT c_custkey FROM forget)
+                           THEN 1 END) AS BIGINT) AS n_keep,
+           CAST(COALESCE(SUM(CASE WHEN c_custkey IN
+                             (SELECT c_custkey FROM forget)
+                             THEN c_custkey END), 0) AS BIGINT) AS del_id_sum
+    FROM customer
+    UNION ALL
+    SELECT 'orders',
+           CAST(COUNT(CASE WHEN o_custkey IN (SELECT c_custkey FROM forget)
+                           THEN 1 END) AS BIGINT),
+           CAST(COUNT(CASE WHEN o_custkey NOT IN
+                           (SELECT c_custkey FROM forget)
+                           THEN 1 END) AS BIGINT),
+           CAST(COALESCE(SUM(CASE WHEN o_custkey IN
+                             (SELECT c_custkey FROM forget)
+                             THEN o_orderkey END), 0) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem',
+           CAST(COUNT(CASE WHEN l_orderkey IN
+                           (SELECT o_orderkey FROM del_orders)
+                           THEN 1 END) AS BIGINT),
+           CAST(COUNT(CASE WHEN l_orderkey NOT IN
+                           (SELECT o_orderkey FROM del_orders)
+                           THEN 1 END) AS BIGINT),
+           CAST(COALESCE(SUM(CASE WHEN l_orderkey IN
+                             (SELECT o_orderkey FROM del_orders)
+                             THEN l_orderkey END), 0) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events',
+           CAST(COUNT(CASE WHEN user_id IN (SELECT c_custkey FROM forget)
+                           THEN 1 END) AS BIGINT),
+           CAST(COUNT(CASE WHEN user_id NOT IN
+                           (SELECT c_custkey FROM forget)
+                           THEN 1 END) AS BIGINT),
+           CAST(COALESCE(SUM(CASE WHEN user_id IN
+                             (SELECT c_custkey FROM forget)
+                             THEN event_id END), 0) AS BIGINT)
+    FROM events
+"""
+
+
+@query("deletion_propagation_audit", oracle=_GDPR_ORACLE)
+def deletion_propagation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-BE-FORGOTTEN CASCADE AUDIT — the operational leg of
+    the privacy battery (the k/l/t audits say what leaks; this plans
+    the enforcement): given an ATTRIBUTE-defined forget set
+    (AUTOMOBILE customers with negative balance — deliberately not
+    key arithmetic, so child tables genuinely need the joins), walk
+    the FK graph (orders by custkey, lineitem transitively by the
+    deleted orders' keys, events by user id) and report, per table,
+    exactly how many rows the cascade deletes and keeps, plus an
+    exact id-sum WITNESS over the deleted rows (the
+    stratified_sample_counts membership pattern — the hash pins
+    WHICH rows, not just how many). Physical: each table takes ONE
+    pass — a LEFT flag-join against the KEY-UNIQUE forget set (both
+    keysets are primary keys by construction, so the outer join
+    cannot duplicate rows; a semi+anti pair would scan the fact
+    twice) followed by one flag aggregate. The forget keyset is a
+    dim fraction (broadcast-eligible, left to Catalyst/AQE); the
+    transitive lineitem step probes the deleted-ORDERS keyset, which
+    is fact-scale and must be allowed to shuffle at 100 TB. Counts
+    and sums are exact BIGINTs."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    ev = load(spark, sf_dir, "events")
+
+    forget = (
+        cust.filter(
+            (F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_acctbal") < 0)
+        )
+        .select(F.col("c_custkey").alias("fk"))
+        .localCheckpoint()
+    )
+
+    def audit(df: DataFrame, name: str, key: str, idc: str, keyset) -> DataFrame:
+        flagged = df.join(
+            keyset.withColumnRenamed(keyset.columns[0], "__fk").withColumn(
+                "__hit", F.lit(1)
+            ),
+            df[key] == F.col("__fk"),
+            "left",
+        )
+        hit = F.col("__hit").isNotNull()
+        return flagged.agg(
+            F.lit(name).alias("tbl"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_delete"),
+            F.sum(F.when(hit, 0).otherwise(1)).cast("long").alias("n_keep"),
+            F.coalesce(F.sum(F.when(hit, F.col(idc))), F.lit(0))
+            .cast("long")
+            .alias("del_id_sum"),
+        )
+
+    del_orders = (
+        orders.join(forget, orders["o_custkey"] == forget["fk"], "left_semi")
+        .select(F.col("o_orderkey").alias("dok"))
+        .localCheckpoint()
+    )
+    return (
+        audit(cust, "customer", "c_custkey", "c_custkey", forget)
+        .unionAll(audit(orders, "orders", "o_custkey", "o_orderkey", forget))
+        .unionAll(audit(li, "lineitem", "l_orderkey", "l_orderkey", del_orders))
+        .unionAll(audit(ev, "events", "user_id", "event_id", forget))
+    )
+
+
+_PSEUD_EXPR = (
+    "CAST(concat('0x', substr(md5(concat('pseud|', "
+    "CAST({k} AS VARCHAR))), 1, 15)) AS BIGINT)"
+)
+
+_PSEUD_ORACLE = f"""
+    WITH pairs AS (
+      SELECT 'customer' AS tbl, c_custkey AS k,
+             {_PSEUD_EXPR.format(k="c_custkey")} AS p
+      FROM customer
+      UNION ALL
+      SELECT 'orders', o_custkey, {_PSEUD_EXPR.format(k="o_custkey")}
+      FROM orders
+      UNION ALL
+      SELECT 'events', user_id, {_PSEUD_EXPR.format(k="user_id")}
+      FROM events
+    )
+    SELECT tbl,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys,
+           CAST(COUNT(DISTINCT p) AS BIGINT) AS n_pseudo,
+           CAST(bit_xor(DISTINCT p) AS BIGINT) AS pseudo_checksum
+    FROM pairs GROUP BY tbl
+    UNION ALL
+    SELECT 'all',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT k) AS BIGINT),
+           CAST(COUNT(DISTINCT p) AS BIGINT),
+           CAST(bit_xor(DISTINCT p) AS BIGINT)
+    FROM pairs
+"""
+
+
+@query("pseudonymize_consistent", oracle=_PSEUD_ORACLE)
+def pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFERENTIALLY-CONSISTENT PSEUDONYMIZATION AUDIT — the
+    privacy-engineering twin of deletion_propagation_audit: replace
+    the user key everywhere with a deterministic surrogate
+    p = md5_long('pseud|' || key) and PROVE, per table and corpus-
+    wide, that the mapping is (a) INJECTIVE on the key domain
+    (n_pseudo == n_keys — a 60-bit collision would break joins
+    post-pseudonymization; this is the md5 injectivity pin made a
+    driver-verified output, the test_dedup precedent) and
+    (b) CONSISTENT across tables (the 'all' row's corpus-wide
+    distinct-pseudonym count equals its distinct-key count — the
+    same key never maps two ways, so FK joins still work on
+    surrogates). pseudo_checksum = bit_xor over the DISTINCT
+    surrogate set: order-free, overflow-free (a SUM of raw 60-bit
+    surrogates overflows BIGINT past ~15 keys), and DISTINCT-aware
+    on both engines — it pins WHICH surrogates exist, not just how
+    many. Physical: ONE multi-distinct aggregate pass per table plus
+    one corpus-wide pass (each a single Expand over a key-only
+    projection — nothing row-sized shuffles); the pseudonym itself
+    is one JVM-side md5 projection, the same per-row cost the
+    minhash family already pays at scale. Four one-row results union
+    on the driver side of the agg — no scalar joins (a one-row
+    tbl-literal equi-join constant-folds to an unwhitelisted
+    BroadcastNestedLoopJoin; audit_plans caught the first draft)."""
+    from streaming_cdc_spark.functions.hashing import md5_long
+
+    def pairs(df: DataFrame, name: str, key: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("tbl"),
+            F.col(key).alias("k"),
+            md5_long(F.col(key).cast("string"), salt="pseud|").alias("p"),
+        )
+
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    ev = load(spark, sf_dir, "events")
+    allp = (
+        pairs(cust, "customer", "c_custkey")
+        .unionAll(pairs(orders, "orders", "o_custkey"))
+        .unionAll(pairs(ev, "events", "user_id"))
+        .localCheckpoint()
+    )
+
+    def summarize(df: DataFrame, label) -> DataFrame:
+        return df.agg(
+            label.alias("tbl"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("k").cast("long").alias("n_keys"),
+            F.countDistinct("p").cast("long").alias("n_pseudo"),
+            F.expr("bit_xor(DISTINCT p)").cast("long").alias("pseudo_checksum"),
+        )
+
+    out = None
+    for name in ("customer", "orders", "events"):
+        s = summarize(allp.filter(F.col("tbl") == name), F.lit(name))
+        out = s if out is None else out.unionAll(s)
+    return out.unionAll(summarize(allp, F.lit("all")))
