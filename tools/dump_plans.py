@@ -37,6 +37,24 @@ SHOWCASE = [
     ),
 
     (
+        "t_closeness_risk",
+        "t-closeness without the cross join: the absent-sensitive-value "
+        "terms telescope into one N*n_g constant, so the plan holds only "
+        "keyed equi-joins over the present-cell relation plus the 5-row "
+        "sensitive-marginal broadcast — no CartesianProduct, no "
+        "BroadcastNestedLoopJoin, N folded as a planning scalar.",
+        [r"BroadcastHashJoin", r"HashAggregate"],
+    ),
+    (
+        "quartile_interp_stats",
+        "percentile_cont by banded order statistics: all six bracketing "
+        "ranks (lo+hi per quartile) share one scan and one band "
+        "aggregate; windows are keyed by group (never a single global "
+        "sort), and the interpolation is a projection over the tiny "
+        "crossing-band rows.",
+        [r"HashAggregate", r"Window"],
+    ),
+    (
         "pricing_summary",
         "TPC-H Q1 scan-agg: filter pushdown to the parquet scan, column "
         "pruning (ReadSchema carries only the 7 referenced columns), "
