@@ -225,6 +225,7 @@ HEADLINE = [
     # referentially-consistent pseudonymization witness)
     "deletion_propagation_audit",
     "pseudonymize_consistent",
+    "privacy_release_manifest",
     # r5: exact-moment Pearson correlation + hash-checkable HLL bound
     "exact_moment_corr",
     "approx_distinct_bounds",

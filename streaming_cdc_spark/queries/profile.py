@@ -362,9 +362,7 @@ def fk_candidate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "l_diversity_risk",
-    oracle="""
+_LDIV_ORACLE = """
     WITH o AS (
       SELECT c.c_nationkey AS nation,
              strftime(o.o_orderdate, '%Y-%m') AS ym,
@@ -385,8 +383,10 @@ def fk_candidate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS risky_rows,
            CAST(MIN(l) AS BIGINT) AS min_l
     FROM g GROUP BY nation
-""",
-)
+"""
+
+
+@query("l_diversity_risk", oracle=_LDIV_ORACLE)
 def l_diversity_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L-DIVERSITY AUDIT — k_anonymity_risk's sibling and the second
     half of the release-pipeline privacy battery: a QI group that
@@ -841,3 +841,81 @@ def pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = summarize(allp.filter(F.col("tbl") == name), F.lit(name))
         out = s if out is None else out.unionAll(s)
     return out.unionAll(summarize(allp, F.lit("all")))
+
+
+_RELEASE_ORACLE = f"""
+    SELECT 'k_anonymity' AS step,
+           CAST(SUM(risky_groups) AS BIGINT) AS n_flagged,
+           CAST(SUM(risky_rows) AS BIGINT) AS witness
+    FROM ({_KANON_ORACLE})
+    UNION ALL
+    SELECT 'l_diversity',
+           CAST(SUM(risky_groups) AS BIGINT),
+           CAST(SUM(risky_rows) AS BIGINT)
+    FROM ({_LDIV_ORACLE})
+    UNION ALL
+    SELECT 't_closeness',
+           CAST(SUM(risky_groups) AS BIGINT),
+           CAST(SUM(n_groups) AS BIGINT)
+    FROM ({_TCLOSE_ORACLE})
+    UNION ALL
+    SELECT 'deletion_cascade',
+           CAST(SUM(n_delete) AS BIGINT),
+           CAST(SUM(del_id_sum) AS BIGINT)
+    FROM ({_GDPR_ORACLE})
+    UNION ALL
+    SELECT 'pseudonymization',
+           CAST(n_keys - n_pseudo AS BIGINT),
+           n_keys
+    FROM ({_PSEUD_ORACLE}) WHERE tbl = 'all'
+"""
+
+
+@query("privacy_release_manifest", oracle=_RELEASE_ORACLE)
+def privacy_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIVACY RELEASE MANIFEST — the pipeline_manifest pattern
+    applied to the privacy battery: the whole release gate
+    (k-anonymity -> l-diversity -> t-closeness -> deletion cascade
+    -> pseudonymization) COMPOSED into one five-row manifest under
+    ONE oracle, so the driver hash verifies the composition, not
+    just the parts. Each step is literally the registered query
+    (this function CALLS k_anonymity_risk et al. and reduces their
+    outputs; the oracle nests the same five oracle strings as
+    subqueries) — any drift between a part and its use inside the
+    release pipeline fails here first. Rows: (step, n_flagged,
+    witness) — flagged QI groups + re-identifiable rows for the
+    three audits, cascade delete total + the deleted-id-sum witness
+    for enforcement, and injectivity violations (expected 0) + the
+    corpus key count for pseudonymization. Physical: five
+    independent aggregate pipelines unioned — each linear per its
+    own docstring; nothing new moves."""
+    ka = k_anonymity_risk(spark, sf_dir).agg(
+        F.lit("k_anonymity").alias("step"),
+        F.sum("risky_groups").cast("long").alias("n_flagged"),
+        F.sum("risky_rows").cast("long").alias("witness"),
+    )
+    ld = l_diversity_risk(spark, sf_dir).agg(
+        F.lit("l_diversity").alias("step"),
+        F.sum("risky_groups").cast("long").alias("n_flagged"),
+        F.sum("risky_rows").cast("long").alias("witness"),
+    )
+    tc = t_closeness_risk(spark, sf_dir).agg(
+        F.lit("t_closeness").alias("step"),
+        F.sum("risky_groups").cast("long").alias("n_flagged"),
+        F.sum("n_groups").cast("long").alias("witness"),
+    )
+    dc = deletion_propagation_audit(spark, sf_dir).agg(
+        F.lit("deletion_cascade").alias("step"),
+        F.sum("n_delete").cast("long").alias("n_flagged"),
+        F.sum("del_id_sum").cast("long").alias("witness"),
+    )
+    ps = (
+        pseudonymize_consistent(spark, sf_dir)
+        .filter(F.col("tbl") == "all")
+        .select(
+            F.lit("pseudonymization").alias("step"),
+            (F.col("n_keys") - F.col("n_pseudo")).cast("long").alias("n_flagged"),
+            F.col("n_keys").cast("long").alias("witness"),
+        )
+    )
+    return ka.unionAll(ld).unionAll(tc).unionAll(dc).unionAll(ps)
