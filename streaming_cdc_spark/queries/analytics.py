@@ -2130,7 +2130,7 @@ def user_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AUTOCORR_ORACLE = """
     WITH e AS (
       SELECT user_id, epoch_us(ts) AS tus, event_id,
-             CAST(value AS DECIMAL(18,6)) AS v
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
       FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
     ),
     p AS (
@@ -2141,14 +2141,19 @@ _AUTOCORR_ORACLE = """
     m AS (
       SELECT user_id,
              CAST(COUNT(*) AS BIGINT) AS n,
-             SUM(x) AS sx, SUM(y) AS sy,
-             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+             SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy,
+             SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy
       FROM p WHERE x IS NOT NULL GROUP BY user_id
     ),
     v AS (
       SELECT user_id, n, sx, sy, sxx, syy, sxy,
-             CAST(n AS DECIMAL(18,0)) * sxx - sx * sx AS vx,
-             CAST(n AS DECIMAL(18,0)) * syy - sy * sy AS vy
+             CAST(n AS DECIMAL(19,0)) * sxx
+               - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS vx,
+             CAST(n AS DECIMAL(19,0)) * syy
+               - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS vy
       FROM m
     )
     SELECT user_id, n AS n_pairs,
@@ -2167,17 +2172,24 @@ def user_lag1_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAG-1 AUTOCORRELATION per user series — the stream-health
     signal behind "is this user's value series trending or i.i.d.":
     Pearson over consecutive pairs (x_t, x_{t+1}) in each user's
-    time-ordered series, via the exact_moment_corr pattern — the six
-    moments accumulate as exact DECIMAL (order-free under any
-    partitioning; the built-in corr streams float partials), and the
-    correlation is ONE identical-order double formula rounded 6dp.
-    The variance terms n*sxx - sx^2 stay DECIMAL-EXACT, so the
-    zero-variance guard is an EXACT compare on both engines (a
-    constant-valued series is filtered, never divided) — per-user
-    groups are small enough that degenerate series actually occur at
-    scale, unlike the per-event-type parent. The lag pairing is one
-    window over the same user-keyed exchange the aggregation uses:
-    one shuffle total."""
+    time-ordered series, via the exact_moment_corr pattern hardened
+    for SMALL-MAGNITUDE data: values land as exact MICRO-UNIT
+    INTEGERS (the cusum hop — DECIMAL(18,6) * 1e6 -> BIGINT), the
+    six moments accumulate as BIGINT / scale-0 DECIMAL (order-free
+    under any partitioning; the built-in corr streams float
+    partials), and Pearson r is SCALE-INVARIANT so the micro-unit
+    scaling cancels in the one identical-order double formula
+    (rounded 6dp). The variance terms n*sxx - sx^2 are scale-0
+    DECIMAL products of integers — EXACT on both engines, so the
+    zero-variance guard is an exact compare (a constant-valued
+    series is filtered, never divided). A first draft kept the
+    moments at DECIMAL(18,6): Spark's allowPrecisionLoss rounds the
+    precision-57 product n*sxx to decimal(38,6), which ZEROES a
+    sub-1e-6 variance that DuckDB's exact DECIMAL(38,12) keeps —
+    probe-confirmed divergence on legal inputs; integer micro-units
+    need only scale-0 products, which cap at precision 38 WITHOUT
+    rounding. The lag pairing is one window over the same user-keyed
+    exchange the aggregation uses: one shuffle total."""
     ev = load(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull() & F.col("value").isNotNull()
     )
@@ -2185,7 +2197,9 @@ def user_lag1_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_micros("ts").alias("tus"),
         "event_id",
-        F.col("value").cast("decimal(18,6)").alias("v"),
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("long")
+        .alias("v"),
     )
     p = e.select(
         "user_id",
@@ -2194,23 +2208,27 @@ def user_lag1_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.partitionBy("user_id").orderBy("tus", "event_id"))
         .alias("x"),
     ).filter(F.col("x").isNotNull())
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
     m = p.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
     )
-    nd = F.col("n").cast("decimal(18,0)")
+    nd = F.col("n").cast("decimal(19,0)")
+    sxd = F.col("sx").cast("decimal(19,0)")
+    syd = F.col("sy").cast("decimal(19,0)")
     v = m.select(
         "user_id",
         "n",
         "sx",
         "sy",
         "sxy",
-        (nd * F.col("sxx") - F.col("sx") * F.col("sx")).alias("vx"),
-        (nd * F.col("syy") - F.col("sy") * F.col("sy")).alias("vy"),
+        (nd * F.col("sxx") - sxd * sxd).alias("vx"),
+        (nd * F.col("syy") - syd * syd).alias("vy"),
     )
     num = F.col("n").cast("double") * F.col("sxy").cast("double") - F.col(
         "sx"

@@ -641,7 +641,7 @@ _GDPR_ORACLE = """
     SELECT 'customer' AS tbl,
            CAST(COUNT(CASE WHEN c_custkey IN (SELECT c_custkey FROM forget)
                            THEN 1 END) AS BIGINT) AS n_delete,
-           CAST(COUNT(CASE WHEN c_custkey NOT IN
+           CAST(COUNT(CASE WHEN c_custkey IS NULL OR c_custkey NOT IN
                            (SELECT c_custkey FROM forget)
                            THEN 1 END) AS BIGINT) AS n_keep,
            CAST(COALESCE(SUM(CASE WHEN c_custkey IN
@@ -652,7 +652,7 @@ _GDPR_ORACLE = """
     SELECT 'orders',
            CAST(COUNT(CASE WHEN o_custkey IN (SELECT c_custkey FROM forget)
                            THEN 1 END) AS BIGINT),
-           CAST(COUNT(CASE WHEN o_custkey NOT IN
+           CAST(COUNT(CASE WHEN o_custkey IS NULL OR o_custkey NOT IN
                            (SELECT c_custkey FROM forget)
                            THEN 1 END) AS BIGINT),
            CAST(COALESCE(SUM(CASE WHEN o_custkey IN
@@ -664,7 +664,7 @@ _GDPR_ORACLE = """
            CAST(COUNT(CASE WHEN l_orderkey IN
                            (SELECT o_orderkey FROM del_orders)
                            THEN 1 END) AS BIGINT),
-           CAST(COUNT(CASE WHEN l_orderkey NOT IN
+           CAST(COUNT(CASE WHEN l_orderkey IS NULL OR l_orderkey NOT IN
                            (SELECT o_orderkey FROM del_orders)
                            THEN 1 END) AS BIGINT),
            CAST(COALESCE(SUM(CASE WHEN l_orderkey IN
@@ -675,7 +675,7 @@ _GDPR_ORACLE = """
     SELECT 'events',
            CAST(COUNT(CASE WHEN user_id IN (SELECT c_custkey FROM forget)
                            THEN 1 END) AS BIGINT),
-           CAST(COUNT(CASE WHEN user_id NOT IN
+           CAST(COUNT(CASE WHEN user_id IS NULL OR user_id NOT IN
                            (SELECT c_custkey FROM forget)
                            THEN 1 END) AS BIGINT),
            CAST(COALESCE(SUM(CASE WHEN user_id IN
@@ -705,7 +705,10 @@ def deletion_propagation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim fraction (broadcast-eligible, left to Catalyst/AQE); the
     transitive lineitem step probes the deleted-ORDERS keyset, which
     is fact-scale and must be allowed to shuffle at 100 TB. Counts
-    and sums are exact BIGINTs."""
+    and sums are exact BIGINTs. The oracle's NOT IN branches carry
+    an explicit IS NULL escape: a NULL child key joins nothing on
+    the Spark side (kept), while bare NOT IN would classify it
+    into NEITHER bucket (review r9)."""
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
@@ -750,21 +753,25 @@ def deletion_propagation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PSEUD_EXPR = (
-    "CAST(concat('0x', substr(md5(concat('pseud|', "
-    "CAST({k} AS VARCHAR))), 1, 15)) AS BIGINT)"
-)
+from streaming_cdc_spark.functions.hashing import md5_long_sql
+
+def _pseud_sql(k: str) -> str:
+    """DuckDB rendering of the surrogate — ALWAYS via md5_long_sql so
+    a change to the 60-bit hash updates both engines together
+    (review r9: an inline copy would silently pin this oracle to the
+    old formula)."""
+    return md5_long_sql(f"CAST({k} AS VARCHAR)", salt="pseud|")
 
 _PSEUD_ORACLE = f"""
     WITH pairs AS (
       SELECT 'customer' AS tbl, c_custkey AS k,
-             {_PSEUD_EXPR.format(k="c_custkey")} AS p
+             {_pseud_sql("c_custkey")} AS p
       FROM customer
       UNION ALL
-      SELECT 'orders', o_custkey, {_PSEUD_EXPR.format(k="o_custkey")}
+      SELECT 'orders', o_custkey, {_pseud_sql("o_custkey")}
       FROM orders
       UNION ALL
-      SELECT 'events', user_id, {_PSEUD_EXPR.format(k="user_id")}
+      SELECT 'events', user_id, {_pseud_sql("user_id")}
       FROM events
     )
     SELECT tbl,
@@ -827,20 +834,17 @@ def pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
-    def summarize(df: DataFrame, label) -> DataFrame:
-        return df.agg(
-            label.alias("tbl"),
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.countDistinct("k").cast("long").alias("n_keys"),
-            F.countDistinct("p").cast("long").alias("n_pseudo"),
-            F.expr("bit_xor(DISTINCT p)").cast("long").alias("pseudo_checksum"),
-        )
-
-    out = None
-    for name in ("customer", "orders", "events"):
-        s = summarize(allp.filter(F.col("tbl") == name), F.lit(name))
-        out = s if out is None else out.unionAll(s)
-    return out.unionAll(summarize(allp, F.lit("all")))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("k").cast("long").alias("n_keys"),
+        F.countDistinct("p").cast("long").alias("n_pseudo"),
+        F.expr("bit_xor(DISTINCT p)").cast("long").alias("pseudo_checksum"),
+    ]
+    # one keyed pass for the three per-table rows + one global pass —
+    # not a filtered pass per table (review r9: 3x redundant scans)
+    per_tbl = allp.groupBy("tbl").agg(*aggs)
+    alls = allp.agg(F.lit("all").alias("tbl"), *aggs)
+    return per_tbl.unionAll(alls)
 
 
 _RELEASE_ORACLE = f"""

@@ -2066,7 +2066,10 @@ def dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = ev.groupBy("user_id", F.session_window("ts", gap).alias("sw")).agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.sum((F.col("event_type") == "purchase").cast("int"))
+        # when/otherwise(0), not a bool cast: a session whose every
+        # event_type is NULL must sum to 0 like the oracle's
+        # CASE...ELSE 0, not to NULL (the r4 sum-over-NULLs class)
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
         .cast("long")
         .alias("n_purchases"),
     )

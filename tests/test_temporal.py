@@ -523,3 +523,67 @@ def test_stream_full_outer_null_emission_probe(spark, tmp_path):
         (None, None, 5, 4999),   # right NULL: 4999 < 5000
         # k6 (bsec == wm 5000), k7 (past), k99/k98 (state) emit nothing
     ], f"full-outer emission mechanics changed: {sorted(emitted, key=str)}"
+
+
+def test_dynamic_gap_session_window_semantics(spark):
+    """Pins the probed session_window rules dynamic_gap_sessions'
+    oracle replays (the streaming_dedup_watermark precedent): the
+    gap is a PER-EVENT expression, a boundary-EQUAL arrival MERGES
+    (next ts == running max end), the window end is the running MAX
+    of each event's own ts+gap, and a sub-gap arrival after a
+    short-gap event still merges when a longer-gap EARLIER event's
+    span covers it. A Spark upgrade flipping any rule fails here by
+    name instead of as an opaque oracle hash mismatch."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+        gap = (
+            F.when(F.col("event_type") == "click", F.lit("600 seconds"))
+            .when(F.col("event_type") == "purchase", F.lit("3600 seconds"))
+            .otherwise(F.lit("1200 seconds"))
+        )
+        out = (
+            df.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "user_id",
+                F.unix_micros("sw.start").alias("s"),
+                F.unix_micros("sw.end").alias("e"),
+                "n",
+            )
+            .collect()
+        )
+        return sorted((r["s"], r["e"], r["n"]) for r in out)
+
+    us = lambda d: int(d.timestamp() * 1_000_000)  # noqa: E731
+
+    # (1) boundary-equal MERGES: click at t0 (gap 600s), next event at
+    # exactly t0+600s -> ONE session ending at the second event's span.
+    got = run(
+        [(1, t0, "click"), (1, t0 + dt.timedelta(seconds=600), "click")]
+    )
+    assert got == [
+        (us(t0), us(t0 + dt.timedelta(seconds=1200)), 2)
+    ], got
+
+    # (2) one tick past the boundary SPLITS.
+    got = run(
+        [(1, t0, "click"), (1, t0 + dt.timedelta(seconds=600, microseconds=1), "click")]
+    )
+    assert len(got) == 2 and got[0][2] == 1 and got[1][2] == 1, got
+
+    # (3) the gap is PER-EVENT: a purchase at t0 (gap 3600s) absorbs a
+    # click 2000s later that a click-gap session would have split from;
+    # the end is the running MAX of per-event spans (purchase's span
+    # t0+3600 covers beyond the click's own t0+2600).
+    got = run(
+        [(1, t0, "purchase"), (1, t0 + dt.timedelta(seconds=2000), "click")]
+    )
+    assert got == [
+        (us(t0), us(t0 + dt.timedelta(seconds=3600)), 2)
+    ], got

@@ -857,8 +857,10 @@ def main() -> None:
     # 4x in a quiet window): the rows entering the per-user sort are
     # NARROW (4 longs), so the single hot task's in-memory sort is
     # not the wall the banded-lag fix targeted. Values stay < 9e5 so
-    # |S_t*n| <= n^2*max(x) ~ 6.5e17 respects the query's documented
-    # BIGINT bound even on the million-row planted series.
+    # the statistic's bound |S_t*n| <= n^2*max(x) = (1.2e6)^2 * 9e5
+    # ~ 1.3e18 keeps a 7x margin under the int64 cap on the
+    # million-row planted series — do NOT scale rows OR the value
+    # range up without redoing this arithmetic (ANSI overflow throws).
     for n in (10 * n_small, 10 * n_big):
         users = max(n // 50, 1)
         ev = (
