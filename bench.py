@@ -226,6 +226,10 @@ HEADLINE = [
     "deletion_propagation_audit",
     "pseudonymize_consistent",
     "privacy_release_manifest",
+    # r9 second session: division-free 3-sigma seasonal anomaly flags
+    # + TANE g3 functional-dependency discovery
+    "seasonal_anomaly_counts",
+    "fd_candidate_profile",
     # r5: exact-moment Pearson correlation + hash-checkable HLL bound
     "exact_moment_corr",
     "approx_distinct_bounds",

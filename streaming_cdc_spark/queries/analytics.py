@@ -2352,3 +2352,72 @@ def quartile_interp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("q_cents"),
     )
+
+
+_ANOM_ORACLE = """
+    WITH e AS (
+      SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    m AS (
+      SELECT event_type, hr,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS ss
+      FROM e GROUP BY 1, 2
+    )
+    SELECT m.event_type, m.hr, m.n,
+           CAST(SUM(CASE WHEN
+               (CAST(m.n AS DECIMAL(19,0)) * e.x - m.s)
+                 * (CAST(m.n AS DECIMAL(19,0)) * e.x - m.s)
+               > 9 * (CAST(m.n AS DECIMAL(19,0)) * m.ss
+                      - CAST(m.s AS DECIMAL(19,0)) * CAST(m.s AS DECIMAL(19,0)))
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM e JOIN m ON e.event_type = m.event_type AND e.hr = m.hr
+    GROUP BY 1, 2, 3
+"""
+
+
+@query("seasonal_anomaly_counts", oracle=_ANOM_ORACLE)
+def seasonal_anomaly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL 3-SIGMA ANOMALY FLAGS WITHOUT A SINGLE DIVISION — the
+    monitoring primitive (flag events deviating > 3 sigma from their
+    seasonal cohort's mean, cohort = event type x hour of day) made
+    EXACT by cross-multiplying the z-score test: z^2 > 9 with
+    mu = s/n, var = (n*ss - s^2)/n^2 rearranges to
+    (n*x - s)^2 > 9*(n*ss - s^2) — every term an exact scale-0
+    DECIMAL product of micro-unit integers, so the flag is
+    bit-identical on both engines with NO float mean, NO float
+    variance, NO sqrt (the float z-score every naive implementation
+    computes diverges in the last ulp and flips boundary flags).
+    Output per cohort: population and anomaly count. Physical: one
+    cohort aggregate (tiny — types x 24 rows, broadcast back) + one
+    flag-aggregate scan; two map-side-combining shuffles, linear at
+    any scale."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    e = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hr"),
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("long")
+        .alias("x"),
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    m = e.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(xd * xd).alias("ss"),
+    )
+    j = e.join(F.broadcast(m), ["event_type", "hr"])
+    nd = F.col("n").cast("decimal(19,0)")
+    sd = F.col("s").cast("decimal(19,0)")
+    dev = nd * F.col("x") - F.col("s")
+    thresh = F.lit(9) * (nd * F.col("ss") - sd * sd)
+    return j.groupBy("event_type", "hr", "n").agg(
+        F.sum(F.when(dev * dev > thresh, 1).otherwise(0))
+        .cast("long")
+        .alias("n_anomalies")
+    )

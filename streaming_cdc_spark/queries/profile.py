@@ -923,3 +923,62 @@ def privacy_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ka.unionAll(ld).unionAll(tc).unionAll(dc).unionAll(ps)
+
+
+_FD_PAIRS = [
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+]
+
+_FD_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{t}.{a}->{b}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n - mx) AS BIGINT) AS g3_violations,
+           SUM(n - mx) = 0 AS holds
+    FROM (
+      SELECT a, SUM(c) AS n, MAX(c) AS mx FROM (
+        SELECT {a} AS a, {b} AS b, COUNT(*) AS c FROM {t} GROUP BY 1, 2
+      ) GROUP BY a
+    )"""
+    for t, a, b in _FD_PAIRS
+)
+
+
+@query("fd_candidate_profile", oracle=_FD_ORACLE)
+def fd_candidate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNCTIONAL-DEPENDENCY DISCOVERY (TANE's g3 error) — the
+    schema-inference sibling of fk_candidate_profile: for candidate
+    determinant -> dependent column pairs, the g3 measure = the
+    minimum number of rows to delete before A -> B holds
+    = sum over determinant values of (group size - its majority
+    dependent count). All-integer (exact cell counts, keyed MAX —
+    ties in the majority need no tie-break because only the COUNT
+    matters), so holds/violations are hash-stable. nation.n_nationkey
+    -> n_regionkey is the planted HOLDING dependency (a real FD of
+    the schema); the other three pairs are violated — both branches
+    of `holds` are exercised at every sf. NULL dependents form their
+    own group on both engines (GROUP BY NULL-equality matches).
+    Physical per pair: two map-side-combining aggregates over a
+    two-column projection ((a,b) cells, then per-a majority) — the
+    cell relation is the only shuffle, linear at any scale; pairs
+    union independently."""
+    out = None
+    for t, a, b in _FD_PAIRS:
+        df = load(spark, sf_dir, t)
+        cells = df.groupBy(
+            F.col(a).alias("a"), F.col(b).alias("b")
+        ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        grp = cells.groupBy("a").agg(
+            F.sum("c").cast("long").alias("n"),
+            F.max("c").cast("long").alias("mx"),
+        )
+        s = grp.agg(
+            F.lit(f"{t}.{a}->{b}").alias("fd"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.col("n") - F.col("mx")).cast("long").alias("g3_violations"),
+            (F.sum(F.col("n") - F.col("mx")) == 0).alias("holds"),
+        )
+        out = s if out is None else out.unionAll(s)
+    return out
