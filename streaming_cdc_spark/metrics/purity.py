@@ -26,16 +26,23 @@ def ancestor_closure(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
         .select(F.col("uid"), F.col("parent_uid").alias("anc"))
         .localCheckpoint()
     )
+    # ONE job per doubling round (optimization r9): the count that
+    # checks the fixed point is also the action that materializes the
+    # lazy checkpoint, and the previous round's size is carried in a
+    # variable instead of re-counting the already-checkpointed frame
+    # at the top of each round (3 jobs/round -> 1).
+    n_before = reach.count()
     for _ in range(max_rounds):
-        n_before = reach.count()
         hopped = (
             reach.alias("r1")
             .join(reach.alias("r2"), F.col("r1.anc") == F.col("r2.uid"))
             .select(F.col("r1.uid").alias("uid"), F.col("r2.anc").alias("anc"))
         )
-        reach = reach.union(hopped).distinct().localCheckpoint()
-        if reach.count() == n_before:
+        reach = reach.union(hopped).distinct().localCheckpoint(eager=False)
+        n_now = reach.count()
+        if n_now == n_before:
             break
+        n_before = n_now
     return reach
 
 

@@ -391,19 +391,30 @@ def probe_cells_ranked(
     id_col: str,
     vec_col: str,
     out_id: str,
+    with_rank: bool = False,
 ) -> DataFrame:
     """(out_id, vec_col, cid) with one row per probed cell — the
     n_probe nearest centroids per vector. Same literal/numpy strategy
-    switch as assign_cells."""
+    switch as assign_cells. ``with_rank=True`` adds ``rn`` (1-based
+    probe rank), so ONE pass serves every probe budget <= n_probe —
+    callers sweeping budgets previously re-ran the whole
+    assignment-and-join chain per budget (optimization r9)."""
     from streaming_cdc_spark.session import ensure_package_on_executors, fan_out
 
     base = fan_out(df).select(
         F.col(id_col).cast("long").alias(out_id), F.col(vec_col).alias("_v")
     )
     if len(centroids) <= LITERAL_CENTROID_MAX:
-        return base.select(
-            out_id, "_v", F.explode(centroid_ranking("_v", centroids, n_probe)).alias("cid")
+        ranked = base.select(
+            out_id,
+            "_v",
+            F.posexplode(centroid_ranking("_v", centroids, n_probe)).alias(
+                "_pos", "cid"
+            ),
         )
+        out = ranked.withColumn("rn", (F.col("_pos") + 1).cast("int"))
+        cols = [out_id, "_v", "cid"] + (["rn"] if with_rank else [])
+        return out.select(*cols)
     ensure_package_on_executors(df.sparkSession)
     cids, cmat = _centroid_arrays(centroids)
     bc = df.sparkSession.sparkContext.broadcast((cids, cmat))
@@ -427,9 +438,16 @@ def probe_cells_ranked(
                     "cid": c_ids[top.ravel()],
                 }
             )
+            if with_rank:
+                out["rn"] = np.tile(
+                    np.arange(1, n_probe + 1, dtype=np.int32), n
+                )
             yield out
 
-    return base.mapInPandas(gen, f"{out_id} long, _v array<double>, cid long")
+    schema = f"{out_id} long, _v array<double>, cid long"
+    if with_rank:
+        schema += ", rn int"
+    return base.mapInPandas(gen, schema)
 
 
 def incremental_semantic_dedup_cells(

@@ -122,6 +122,11 @@ def connected_components(
             "v", F.least(F.col("l"), F.coalesce("nl", "l")).alias("l")
         )
         # pointer jump: l(v) <- l(l(v)) — collapses chains in O(log n)
+        # LAZY localCheckpoint (optimization r9): the convergence agg
+        # below is the action that materializes it, so each iteration
+        # runs ONE driver job instead of two (eager checkpoint job +
+        # agg job) — the iteration count is unchanged, the
+        # driver-serialized job chain is halved.
         jumped = (
             stepped.alias("a")
             .join(
@@ -130,7 +135,7 @@ def connected_components(
                 "left",
             )
             .select(F.col("v"), F.least(F.col("l"), F.coalesce("l2", "l")).alias("l"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # labels only ever decrease; the total is a strict monotone —
         # equal sums mean a fixed point (one cheap agg, no join)
@@ -347,11 +352,16 @@ def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
         # alive is referenced 3x per round (degrees + both semi-join
         # probes) and feeds the next round — without a per-round
         # materialization the recompute tree grows 3^rounds (the
-        # r4 "referenced ~5x -> recomputes per reference" lesson)
+        # r4 "referenced ~5x -> recomputes per reference" lesson).
+        # LAZY checkpoint (optimization r9): truncation of the plan
+        # tree happens at checkpoint-call time either way; deferring
+        # materialization to the final action removes one driver job
+        # per round (the RDD is cached at first compute inside the
+        # one real job, and later references read the cache).
         alive = (
             alive.join(keep, "u", "left_semi")
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return alive.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg")).select(
         F.col("u").alias("vec_id"), "deg"
@@ -499,7 +509,15 @@ def pagerank_exact(
         .union(edges.selectExpr("v AS u", "u AS v"))
         .localCheckpoint()
     )
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
+    # lazy: deg derives from the eagerly-materialized sym — deferring
+    # its own materialization to the final action drops a driver job
+    # (optimization r9); its 2-refs-per-iteration reuse is unchanged
+    # (cached at first compute inside the one real job)
+    deg = (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
+    )
     base = (100 - damping_pct) * unit // 100
     # PERSONALIZED variant (random walk with restart, Jeh & Widom
     # '03): ``seed_pred`` is a boolean Column over the node id `u` —
@@ -555,9 +573,12 @@ def bfs_distances(
         .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .localCheckpoint()
     )
+    # per-round checkpoints are LAZY (optimization r9, the kcore_peel
+    # note): plan truncation is immediate, materialization rides the
+    # final action — rounds driver jobs become one.
     dist = seeds.select(
         F.col(id_col).alias("node"), F.lit(0).cast("long").alias("dist")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(rounds):
         prop = und.join(dist, und.u == dist.node).select(
             F.col("v").alias("node"), (F.col("dist") + 1).alias("dist")
@@ -566,6 +587,6 @@ def bfs_distances(
             dist.unionByName(prop)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return dist.select(F.col("node").alias(id_col), "dist")

@@ -652,10 +652,18 @@ def edit_distance_pairs(
        O(d * len) with the threshold arg, -1 past it) on the
        candidate pairs only.
 
-    The gram explode runs twice (freq pass + rank pass) — recompute,
-    not extra shuffle; the alternative (persisting gram rows) is
-    worse at 100 TB. Output: (doc_a, doc_b, edit_distance), doc_a <
-    doc_b, exact and complete vs the brute-force nested loop
+    PHYSICAL NOTE (optimization r9): the hashed-gram relation and the
+    ranked prefix are each localCheckpointed. Without that, every
+    downstream reference re-evaluates its whole subtree — the final
+    plan held TWENTY parquet scans and SIXTEEN gram explodes (the
+    distinct is a shuffle, so the scan+explode+md5+DISTINCT chain ran
+    8x: freq and ranked each re-derive grams, pref/lowdiv each
+    re-derive ranked, and the a/b self-join sides double everything
+    again; plans/r09/edit_distance_pairs_{before,after}.txt). At any
+    scale one materialization of the narrow (_id, _len, _gh) rows
+    costs about the same bytes as ONE of those distinct shuffles and
+    replaces seven more. Output: (doc_a, doc_b, edit_distance),
+    doc_a < doc_b, exact and complete vs the brute-force nested loop
     (equivalence pinned by test, incl. the low-diversity fallback).
     """
     from pyspark.sql import Window
@@ -683,17 +691,26 @@ def edit_distance_pairs(
         base.select("_id", "_len", F.explode(grams_arr).alias("_gram"))
         .select("_id", "_len", md5_long("_gram").alias("_gh"))
         .distinct()
+        .localCheckpoint()
     )
     freq = grams.groupBy("_gh").agg(F.count("*").alias("_c"))
     w = Window.partitionBy("_id")
-    ranked = grams.join(freq, "_gh").select(
-        "_id",
-        "_len",
-        "_gh",
-        F.row_number().over(w.orderBy("_c", "_gh")).alias("_rn"),
-        F.count("*").over(w).alias("_ng"),
+    # _ng (the doc's distinct-gram count) survives the rn<=prefix cut
+    # because prefix > q*d, so the rn==1 row every doc owns is kept —
+    # the lowdiv sentinel derives from the SAME checkpointed pass.
+    ranked = (
+        grams.join(freq, "_gh")
+        .select(
+            "_id",
+            "_len",
+            "_gh",
+            F.row_number().over(w.orderBy("_c", "_gh")).alias("_rn"),
+            F.count("*").over(w).alias("_ng"),
+        )
+        .filter(F.col("_rn") <= prefix)
+        .localCheckpoint()
     )
-    pref = ranked.filter(F.col("_rn") <= prefix).select("_id", "_len", "_gh")
+    pref = ranked.select("_id", "_len", "_gh")
     lowdiv = (
         ranked.filter((F.col("_rn") == 1) & (F.col("_ng") <= q * d))
         .select("_id", "_len", F.lit(-1).cast("long").alias("_gh"))

@@ -219,12 +219,21 @@ def interval_coverage(
         F.array().cast("array<date>")
     )
     days = F.explode(span).alias("_day")
+    # group on the raw DATE (4-byte int through the exchange) and
+    # format AFTER the aggregate: the previous form ran date_format on
+    # every exploded row (n * avg_width string builds) and shuffled
+    # 10-byte string keys; formatting is injective on dates, so the
+    # groups — and the output — are identical (optimization r9,
+    # guide §2.3: shuffle narrower keys, do per-row work on fewer rows)
     return (
         df.select(days, F.col(group_col))
-        .groupBy(
-            F.date_format("_day", "yyyy-MM-dd").alias("day"), F.col(group_col)
-        )
+        .groupBy(F.col("_day"), F.col(group_col))
         .agg(F.count(F.lit(1)).cast("long").alias("n_covering"))
+        .select(
+            F.date_format("_day", "yyyy-MM-dd").alias("day"),
+            F.col(group_col),
+            "n_covering",
+        )
     )
 
 

@@ -1260,7 +1260,11 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("item")
     )
-    baskets = li.distinct()
+    # localCheckpoint: baskets is referenced by items, fb AND tot —
+    # un-checkpointed, the lineitem scan + DISTINCT shuffle ran three
+    # times in one plan (optimization r9; the fb checkpoint below
+    # already cut the pair join's build side, this cuts its inputs).
+    baskets = li.distinct().localCheckpoint()
     items = baskets.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n_i"))
     freq = items.filter(F.col("n_i") >= 2)
     fb = baskets.join(freq, "item").localCheckpoint()

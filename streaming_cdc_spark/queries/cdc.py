@@ -645,7 +645,13 @@ def dendrogram_purity_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_cdc_spark.operators.treecut import block_dendrogram
 
     emb = load(spark, sf_dir, "embeddings")
-    edges = block_dendrogram(emb, id_col="vec_id", label_col="label")
+    # localCheckpoint (optimization r9): the purity computation
+    # references the edge list from four independent subtrees (closure
+    # seed, leaf labels, child edges, p* totals) and the closure loop
+    # re-references it per pointer-doubling round — un-checkpointed,
+    # the final plan held 18 parquet scans of embeddings, each paying
+    # the explode+distinct dendrogram build again.
+    edges = block_dendrogram(emb, id_col="vec_id", label_col="label").localCheckpoint()
     return dendrogram_purity_df(edges)
 
 

@@ -516,6 +516,45 @@ def _pq_query_set(emb) -> list[tuple[int, list[float]]]:
     ]
 
 
+def _pq_prep(emb, m: int = 4, ksub: int = 8):
+    """(codebooks, query set) for the PQ family in ONE collect job
+    (optimization r9, guide §2.6/§5: the driver should not serialize
+    tiny independent jobs): the two TakeOrdered limits —
+    collect_pq_codebooks' ksub lowest ids and _pq_query_set's 4 lowest
+    odd ids — union into a single tagged plan, so the three PQ
+    queries each pay one driver job for their planning scalars
+    instead of two. Driver-side sorts rebuild each list's
+    deterministic order; structures are identical to the two-call
+    form (equality pinned by tests/test_pq.py)."""
+    tagged = (
+        emb.orderBy("vec_id")
+        .limit(ksub)
+        .select(F.lit(0).alias("_t"), "vec_id", "embedding")
+        .unionByName(
+            emb.filter(F.col("vec_id") % 2 == 1)
+            .orderBy("vec_id")
+            .limit(4)
+            .select(F.lit(1).alias("_t"), "vec_id", "embedding")
+        )
+    )
+    rows = tagged.collect()
+    cb_rows = sorted((r for r in rows if r[0] == 0), key=lambda r: r[1])
+    q_rows = sorted((r for r in rows if r[0] == 1), key=lambda r: r[1])
+    dim = len(cb_rows[0][2])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    codebooks = [
+        [
+            (code, [float(x) for x in r[2][j * sub : (j + 1) * sub]])
+            for code, r in enumerate(cb_rows)
+        ]
+        for j in range(m)
+    ]
+    qs = [(int(r[1]), [float(x) for x in r[2]]) for r in q_rows]
+    return codebooks, qs
+
+
 @query(
     "pq_adc_topk",
     oracle=f"""
@@ -534,11 +573,10 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization and ranking; encode/LUT float margins are pinned by
     tests/test_pq.py. Compression story at 100 TB: 256 B/vector ->
     4 codes, corpus scan moves ints, raw vectors never shuffle."""
-    from streaming_cdc_spark.operators.ann import collect_pq_codebooks, pq_adc_topk
+    from streaming_cdc_spark.operators.ann import pq_adc_topk
 
     emb = load(spark, sf_dir, "embeddings")
-    cb = collect_pq_codebooks(emb, m=4, ksub=8)
-    qs = _pq_query_set(emb)
+    cb, qs = _pq_prep(emb, m=4, ksub=8)
     return pq_adc_topk(emb, cb, qs, k=10)
 
 
@@ -581,7 +619,6 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     RRF: recall from the cheap list, precision from the exact one).
     Oracle replays both rankers (the PQ fragment is shared with
     pq_adc_topk) and the fusion."""
-    from streaming_cdc_spark.operators.ann import collect_pq_codebooks
     from streaming_cdc_spark.operators.ann import pq_adc_topk as pq_op
     from streaming_cdc_spark.operators.similarity import cosine_top_k
 
@@ -589,12 +626,11 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derive the query set exactly as the oracle's q CTE does (the 4
     # lowest ODD vec_ids) — a hardcoded literal list would silently
     # diverge from the PQ fragment if testdata ids ever shift
-    qs = _pq_query_set(emb)
+    cb, qs = _pq_prep(emb, m=4, ksub=8)
     qids = [qid for qid, _ in qs]
     dense = cosine_top_k(emb.filter(F.col("vec_id").isin(qids)), emb, k=20).select(
         "q", "neighbor", F.col("rank").alias("rd")
     )
-    cb = collect_pq_codebooks(emb, m=4, ksub=8)
     pq = pq_op(emb, cb, qs, k=20).select("q", "neighbor", F.col("rank").alias("rp"))
     one = F.lit(1.0)
     fused = dense.join(pq, ["q", "neighbor"], "full_outer").select(
@@ -666,33 +702,55 @@ def ivf_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     cents = collect_seed_centroids(emb, 8)
-    nbcell = (
-        assign_cells(emb, cents, "vec_id", "embedding", out_id="nb")
-        .select("nb", "cid")
-        .localCheckpoint()
+    nbcell = assign_cells(emb, cents, "vec_id", "embedding", out_id="nb").select(
+        "nb", "cid"
     )
     exact = (
         cosine_top_k(emb, emb, k=3)
         .select("q", F.col("neighbor").alias("nb"))
-        .join(nbcell, "nb")
-        .localCheckpoint()  # (q, nb, cid of nb); reused per probe count
+        .join(nbcell, "nb")  # (q, nb, cid of nb)
     )
-    outs = []
-    for np_ in (1, 2):
-        probes = probe_cells_ranked(
-            emb, cents, np_, "vec_id", "embedding", out_id="q"
-        ).select("q", "cid")
-        hits = exact.join(probes, ["q", "cid"], "left_semi")
-        outs.append(
-            exact.agg(F.count(F.lit(1)).alias("n_possible"))
-            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
-            .select(
-                F.lit(np_).cast("int").alias("n_probe"),
-                F.col("n_hits").cast("long"),
-                F.col("n_possible").cast("long"),
+    # OPTIMIZATION r9: one RANKED probe pass (rn = probe order) serves
+    # every budget — hits at n_probe p are the pairs whose best_rn <= p
+    # (exactly the oracle's j/x CTEs). The previous form re-ran the
+    # probe assignment, a semi-join and two count jobs PER budget, and
+    # needed two localCheckpoints to share `exact`; this form is one
+    # plan with a single join and a single aggregate, no eager jobs.
+    probes = probe_cells_ranked(
+        emb, cents, 2, "vec_id", "embedding", out_id="q", with_rank=True
+    ).select("q", "cid", "rn")
+    best = (
+        exact.join(probes, ["q", "cid"], "left")
+        .groupBy("q", "nb")
+        .agg(F.min("rn").alias("best_rn"))
+    )
+    stats = best.agg(
+        F.count(F.lit(1)).cast("long").alias("n_possible"),
+        # F.sum over zero rows is NULL (r4 lesson) — coalesce so an
+        # empty exact set yields (0, 0) like the old count-job form
+        F.coalesce(F.sum(F.when(F.col("best_rn") <= 1, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("h1"),
+        F.coalesce(F.sum(F.when(F.col("best_rn") <= 2, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("h2"),
+    )
+    return stats.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).cast("int").alias("n_probe"),
+                    F.col("h1").alias("n_hits"),
+                    F.col("n_possible").alias("n_possible"),
+                ),
+                F.struct(
+                    F.lit(2).cast("int").alias("n_probe"),
+                    F.col("h2").alias("n_hits"),
+                    F.col("n_possible").alias("n_possible"),
+                ),
             )
-        )
-    return outs[0].unionByName(outs[1])
+        ).alias("_r")
+    ).select("_r.n_probe", "_r.n_hits", "_r.n_possible")
 
 
 @query(
@@ -947,15 +1005,11 @@ def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query bound the exact work, and the two stages shuffle
     nothing but (query, candidate-id) pairs."""
     from streaming_cdc_spark.functions.vectors import as_double, cosine
-    from streaming_cdc_spark.operators.ann import (
-        collect_pq_codebooks,
-        pq_adc_topk as _adc,
-    )
+    from streaming_cdc_spark.operators.ann import pq_adc_topk as _adc
     from pyspark.sql import Window
 
     emb = load(spark, sf_dir, "embeddings")
-    cb = collect_pq_codebooks(emb, m=4, ksub=8)
-    qs = _pq_query_set(emb)
+    cb, qs = _pq_prep(emb, m=4, ksub=8)
     short = _adc(emb, cb, qs, k=20).select("q", "neighbor")
     qv = emb.select(F.col("vec_id").alias("q"), F.col("embedding").alias("_qv"))
     nv = emb.select(

@@ -840,7 +840,14 @@ def pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k0 = base.filter((F.col("n_tok") >= 20) & (F.col("ttr") >= 0.33))
     firsts = k0.groupBy("_pfx").agg(F.min("doc_id").alias("doc_id"))
-    k1 = k0.join(firsts, ["_pfx", "doc_id"], "left_semi")
+    # localCheckpoint (optimization r9): k1 feeds both the MinHash
+    # chain and the k2 canonical filter — un-checkpointed, the scan +
+    # tokenize + TTR filter + prefix-dedup semi-join ran twice.
+    k1 = (
+        k0.join(firsts, ["_pfx", "doc_id"], "left_semi")
+        .select("doc_id", "text", "n_tok")
+        .localCheckpoint()
+    )
     assign = minhash_dedup(
         k1.select("doc_id", "text"),
         num_hashes=4,

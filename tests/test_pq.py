@@ -207,3 +207,15 @@ def test_pq_encode_numpy_path_matches_literal(spark):
     assert enc.count() == 500
     codes = enc.agg(*[F.max(f"code_{j}") for j in range(M)]).first()
     assert all(c <= 63 for c in codes) and any(c > 7 for c in codes)
+
+
+def test_pq_prep_fused_collect_matches_two_call_form(spark):
+    """_pq_prep (optimization r9: one collect job for codebooks +
+    query set) must return EXACTLY what the two-call form returns —
+    the PQ oracles replay the two-call definitions."""
+    from streaming_cdc_spark.queries.similarity import _pq_prep, _pq_query_set
+
+    emb = load(spark, SF, "embeddings")
+    cb, qs = _pq_prep(emb, m=M, ksub=KSUB)
+    assert cb == collect_pq_codebooks(emb, M, KSUB)
+    assert qs == _pq_query_set(emb)
