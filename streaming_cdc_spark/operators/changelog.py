@@ -346,9 +346,14 @@ def ivm_join_fold(
     100 TB contract: per-batch work is O(batch + touched keys)).
     Batches are seq-range slices of [lo, hi]. Returns the final view
     (segment, n_facts, cents_sum) INCLUDING zero-support rows —
-    callers filter. localCheckpoint per batch is inherent: the fold
-    is sequential (each batch's view delta depends on the previous
-    A/B state), the greedy-rounds eager-evaluation cost class."""
+    callers filter. The fold is sequential (each batch's view delta
+    depends on the previous A/B state) so per-batch localCheckpoints
+    are inherent — but they are LAZY (optimization r9): nothing inside
+    the loop needs a driver value, so plan truncation happens at call
+    time while materialization rides the caller's single final action
+    (12 eager driver jobs for a 4-batch fold become one job; each
+    state RDD is cached at first compute inside that job, so the
+    multi-reference reuse is unchanged)."""
     step = (hi - lo + 1 + n_batches - 1) // n_batches
     a_state = None
     b_state = None
@@ -377,7 +382,7 @@ def ivm_join_fold(
         else:
             t1 = None
         if a_state is None:
-            a_state = pa.localCheckpoint()
+            a_state = pa.localCheckpoint(eager=False)
         else:
             a_state = (
                 a_state.unionByName(pa)
@@ -386,7 +391,7 @@ def ivm_join_fold(
                     F.sum("a_n").cast("long").alias("a_n"),
                     F.sum("a_cents").cast("long").alias("a_cents"),
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
         if b_state is not None:
             moved = db.join(b_state, "user_id", "left")
@@ -411,7 +416,7 @@ def ivm_join_fold(
             F.sum("dc").cast("long").alias("cents_sum"),
         )
         if v_state is None:
-            v_state = dv.localCheckpoint()
+            v_state = dv.localCheckpoint(eager=False)
         else:
             v_state = (
                 v_state.unionByName(dv)
@@ -420,12 +425,12 @@ def ivm_join_fold(
                     F.sum("n_facts").cast("long").alias("n_facts"),
                     F.sum("cents_sum").cast("long").alias("cents_sum"),
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
         if b_state is None:
             b_state = db.select(
                 "user_id", F.col("new_seg").alias("segment")
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
         else:
             b_state = (
                 b_state.join(db, "user_id", "full")
@@ -433,6 +438,6 @@ def ivm_join_fold(
                     "user_id",
                     F.coalesce("new_seg", "segment").alias("segment"),
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
     return v_state

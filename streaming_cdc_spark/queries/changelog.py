@@ -567,12 +567,26 @@ def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     their PRE-ASSIGNMENT facts surface via the A' JOIN delta term).
     Segments whose support never materializes emit nothing on both
     sides."""
-    ev = load(spark, sf_dir, "events")
+    # ONE narrow pre-image scan (optimization r9): the 4-batch fold
+    # references the events log 9x (per batch: fact partials + dim
+    # upserts; plus the bounds agg) — un-checkpointed, each reference
+    # re-scanned parquet. The lazy checkpoint is materialized by the
+    # bounds agg below (a planning scalar we pay anyway), so every
+    # batch slice reads the cached narrow rows: 9 scans -> 1.
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", "value", "event_type")
+        .localCheckpoint(eager=False)
+    )
     lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
     step = (hi - lo + 4) // 4
     a_state = None  # (user_id, a_n, a_cents)
     b_state = None  # (user_id, segment)
     v_state = None  # (segment, n_facts, cents_sum) signed partials
+    # per-round state checkpoints are LAZY (the ivm_join_fold note):
+    # nothing in the loop needs a driver value, so the whole fold
+    # materializes in the caller's single final action — 12 eager
+    # driver jobs become one; plan truncation is unchanged.
     for i in range(4):
         batch = ev.filter(
             (F.col("event_id") >= lo + i * step)
@@ -608,7 +622,7 @@ def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             t1 = None
         # A' = A + dA
         if a_state is None:
-            a_state = pa.localCheckpoint()
+            a_state = pa.localCheckpoint(eager=False)
         else:
             a_state = (
                 a_state.unionByName(pa)
@@ -617,7 +631,7 @@ def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("a_n").cast("long").alias("a_n"),
                     F.sum("a_cents").cast("long").alias("a_cents"),
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
         # delta(B) applied against A': retract old, insert new
         if b_state is not None:
@@ -643,7 +657,7 @@ def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dc").cast("long").alias("cents_sum"),
         )
         if v_state is None:
-            v_state = dv.localCheckpoint()
+            v_state = dv.localCheckpoint(eager=False)
         else:
             v_state = (
                 v_state.unionByName(dv)
@@ -652,13 +666,13 @@ def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("n_facts").cast("long").alias("n_facts"),
                     F.sum("cents_sum").cast("long").alias("cents_sum"),
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
         # B' = B overridden by this batch's last upserts
         if b_state is None:
             b_state = db.select(
                 "user_id", F.col("new_seg").alias("segment")
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
         else:
             b_state = (
                 b_state.join(db, "user_id", "full")
@@ -666,7 +680,7 @@ def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "user_id",
                     F.coalesce("new_seg", "segment").alias("segment"),
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
     return v_state.filter(F.col("n_facts") > 0).select(
         "segment", "n_facts", "cents_sum"
@@ -726,7 +740,14 @@ def ivm_join_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     view independently — the hash match is the retraction-IVM
     theorem. Batching is by SEQ quartiles over the extended log
     range (not event_id: void seqs exceed the event range)."""
-    ev = load(spark, sf_dir, "events")
+    # same narrow pre-image as ivm_join_view (optimization r9): facts,
+    # voids and dims each re-scanned events — one lazy checkpoint
+    # materialized by the bounds agg serves all three.
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", "value", "event_type")
+        .localCheckpoint(eager=False)
+    )
     lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
     half = (hi - lo + 1) // 2
     facts = ev.filter(F.col("value").isNotNull()).select(
@@ -748,11 +769,20 @@ def ivm_join_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-(F.col("value").cast("decimal(18,2)") * 100).cast("long")).alias("dc"),
         )
     )
-    flog = facts.unionByName(voids).localCheckpoint()
-    dims_all = ev.filter(F.col("event_id") % 13 == 0).select(
-        "user_id",
-        F.col("event_id").alias("seq"),
-        F.col("event_type").alias("new_seg"),
+    # LAZY checkpoints (optimization r9): flog is sliced per batch
+    # inside the fold (4 references) and dims_all likewise — the
+    # truncated plans are cached at first compute inside the caller's
+    # single final action instead of paying an eager job here plus a
+    # parquet re-scan per batch slice.
+    flog = facts.unionByName(voids).localCheckpoint(eager=False)
+    dims_all = (
+        ev.filter(F.col("event_id") % 13 == 0)
+        .select(
+            "user_id",
+            F.col("event_id").alias("seq"),
+            F.col("event_type").alias("new_seg"),
+        )
+        .localCheckpoint(eager=False)
     )
     # seq range [lo, hi]; voids clipped to hi. Fold extracted to
     # operators/changelog.py:ivm_join_fold so stress.py drives it on

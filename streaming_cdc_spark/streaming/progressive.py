@@ -208,7 +208,13 @@ class ProgressiveResolver:
         ascending id order, which is exactly the fold the one-bucket-
         per-trigger stream performs — results are identical either
         way."""
-        batch_all = batch_df.select("doc_id", "text", "bucket").localCheckpoint()
+        # LAZY checkpoint (optimization r9): the bucket-list collect
+        # below is the action that materializes it, so admission costs
+        # one driver job per trigger instead of two; later per-bucket
+        # filters read the cached rows either way.
+        batch_all = batch_df.select("doc_id", "text", "bucket").localCheckpoint(
+            eager=False
+        )
         # one driver round-trip covers both the empty check and the
         # bucket list
         buckets = sorted(
@@ -290,11 +296,15 @@ class ProgressiveResolver:
             .agg(F.count(F.lit(1)).alias("cbs"))
         )
         # pin the ≤budget winning edges so the verify below doesn't
-        # re-run the whole candidate pipeline per consumer
+        # re-run the whole candidate pipeline per consumer. LAZY
+        # (optimization r9): plan truncation is unchanged; the result
+        # write below is the materializing action (its broadcast of
+        # top_ids computes and caches the RDD first), so each bucket
+        # pays one fewer sequential driver job.
         top = (
             edges.orderBy(F.desc("cbs"), "doc_a", "doc_b")
             .limit(self.budget)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # exact sizes ONLY for the ≤2*budget docs in the cut: a
         # broadcast semi-join against the cached postings — never a
