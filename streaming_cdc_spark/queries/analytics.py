@@ -1267,7 +1267,13 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.distinct().localCheckpoint()
     items = baskets.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n_i"))
     freq = items.filter(F.col("n_i") >= 2)
-    fb = baskets.join(freq, "item").localCheckpoint()
+    # fb is LAZY (optimization r9): both pair-join sides live in the
+    # single final plan, and fb derives from the already-materialized
+    # baskets RDD — deferring its materialization drops one sequential
+    # eager job (baskets itself stays EAGER: it is the expensive
+    # scan+DISTINCT kernel with three consumers, the deliberate-eager
+    # class).
+    fb = baskets.join(freq, "item").localCheckpoint(eager=False)
     a = fb.select(
         "okey", F.col("item").alias("item_a"), F.col("n_i").alias("n_a")
     )

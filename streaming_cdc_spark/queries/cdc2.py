@@ -349,7 +349,18 @@ def approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch implementation flips within_bound and fails the hash,
     while the sketch's platform-specific estimate itself stays out of
     the compared columns — bounding, not faking, determinism."""
-    ev = load(spark, sf_dir, "events").localCheckpoint()
+    # Narrow to the three probed columns and checkpoint LAZILY
+    # (optimization r9): the old form materialized the FULL-width
+    # events table in an eager driver job to save three column-pruned
+    # parquet scans — the wide materialization cost more than the
+    # pruned scans it replaced, and the eager job serialized before
+    # the real plan. Now the single final action materializes the
+    # 3-column cache once and the three aggregate branches read it.
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_type", "event_id")
+        .localCheckpoint(eager=False)
+    )
 
     def one(col: str) -> DataFrame:
         return ev.agg(
@@ -401,11 +412,15 @@ def approx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-verify on testdata regen)."""
     from streaming_cdc_spark.operators.ranking import row_number_global
 
+    # LAZY checkpoint (optimization r9): all four references (ranked,
+    # n, approx, rank interval) live in the single final plan — the
+    # scan+filter caches at first compute inside that action instead
+    # of paying an eager driver job at build time.
     ev = (
         load(spark, sf_dir, "events")
         .select("event_id", "value")
         .filter(F.col("value").isNotNull())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     ranked = row_number_global(ev, ["value", "event_id"], "rn")
     n_df = ev.agg(F.count(F.lit(1)).alias("n"))

@@ -322,11 +322,14 @@ def fk_candidate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         # COUNT(DISTINCT col) semantics — Spark's distinct().count()
         # would count a NULL key and silently diverge if a testdata
         # regen ever introduces NULLs in a child column (review r8).
+        # LAZY checkpoint (optimization r9): the count right below is
+        # the materializing action, so each pair probe pays one fewer
+        # sequential driver job; the semi-join count reads the cache.
         d = (
             child.select(F.col(ccol).alias("k"))
             .filter(F.col("k").isNotNull())
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         n_child = d.count()
         n_matched = d.join(
@@ -508,10 +511,14 @@ def t_closeness_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
         F.col("o_orderpriority").alias("s"),
     )
+    # LAZY checkpoint (optimization r9): the n_tot planning collect
+    # right below materializes it, so the query pays one sequential
+    # driver job here instead of two; the three downstream references
+    # read the cached RDD either way.
     gs = (
         o.groupBy("nation", "ym", "s")
         .agg(F.count(F.lit(1)).cast("long").alias("n_gs"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_tot = int(gs.agg(F.sum("n_gs")).collect()[0][0])
     g = gs.groupBy("nation", "ym").agg(
@@ -714,12 +721,18 @@ def deletion_propagation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     ev = load(spark, sf_dir, "events")
 
+    # LAZY checkpoints (optimization r9): nothing here needs a driver
+    # value before the final unioned plan, so the two eager driver
+    # jobs this query used to run at build time fold into the single
+    # final action (the checkpointed RDDs are cached at first compute;
+    # a concurrent-branch duplicate compute of the tiny forget filter
+    # costs at most what the un-checkpointed form always paid).
     forget = (
         cust.filter(
             (F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_acctbal") < 0)
         )
         .select(F.col("c_custkey").alias("fk"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def audit(df: DataFrame, name: str, key: str, idc: str, keyset) -> DataFrame:
@@ -743,7 +756,7 @@ def deletion_propagation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     del_orders = (
         orders.join(forget, orders["o_custkey"] == forget["fk"], "left_semi")
         .select(F.col("o_orderkey").alias("dok"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     return (
         audit(cust, "customer", "c_custkey", "c_custkey", forget)
@@ -827,11 +840,14 @@ def pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     ev = load(spark, sf_dir, "events")
+    # LAZY checkpoint (optimization r9): both consumers live in the
+    # single final plan — materialization rides that action instead of
+    # paying an eager driver job at build time.
     allp = (
         pairs(cust, "customer", "c_custkey")
         .unionAll(pairs(orders, "orders", "o_custkey"))
         .unionAll(pairs(ev, "events", "user_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     aggs = [
