@@ -107,7 +107,25 @@ def connected_components(
                 return _driver_union_find(vs, pairs, "v").withColumnRenamed("v", id_col)
             finally:
                 e.unpersist()
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().persist()
+    # Symmetrize with ONE reference to the edge set (optimization r9
+    # residual sweep): e.union(e.flipped) plans the edge subtree — a
+    # full similarity kernel for the threshold-CC queries — TWICE when
+    # e is not already cached (driver_cutoff=0 path); exploding each
+    # edge into both directions keeps a single pipelined evaluation
+    # with the identical (u, v) row set feeding the same distinct.
+    sym = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("_p")
+        )
+        .select("_p.u", "_p.v")
+        .distinct()
+        .persist()
+    )
 
     touched = sym.select(F.col("u").alias("v")).distinct()
     lbl = touched.select("v", F.col("v").alias("l")).localCheckpoint()

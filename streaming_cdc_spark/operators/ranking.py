@@ -353,22 +353,39 @@ def grouped_order_statistics(
         F.sum("_bw").over(wb).alias("_thru"),
         F.sum("_bw").over(wt).alias("_tot"),
     )
-    crossings = []
-    for i, (num, off, den) in enumerate(k_ranks):
-        k = F.expr(f"({num} * _tot + {off}) div {den}").cast("long")
-        crossings.append(
-            bands.filter((F.col("_thru") >= k) & (F.col("_pre") < k)).select(
-                *group_cols,
-                "_band",
-                "_pre",
-                F.col("_tot").alias("_n"),
-                k.alias("_k"),
-                F.lit(i).cast("long").alias("stat_idx"),
-            )
+    # ONE pass over the band relation for ALL rank specs (optimization
+    # r9 residual sweep): the old per-spec filter + unionByName
+    # referenced `bands` once per rank, and Catalyst re-inlined the
+    # base scan, the band aggregate and all three windows into every
+    # copy (6x for the quartile query's six specs). Exploding the
+    # per-row (stat_idx, k) spec array keeps a single pipelined
+    # evaluation producing the identical crossing rows.
+    entries = [
+        F.struct(
+            F.lit(i).cast("long").alias("stat_idx"),
+            F.expr(f"({num} * _tot + {off}) div {den}").cast("long").alias("_k"),
         )
-    crossing = crossings[0]
-    for c in crossings[1:]:
-        crossing = crossing.unionByName(c)
+        for i, (num, off, den) in enumerate(k_ranks)
+    ]
+    crossing = (
+        bands.select(
+            *group_cols,
+            "_band",
+            "_pre",
+            "_thru",
+            F.col("_tot").alias("_n"),
+            F.explode(F.array(*entries)).alias("_sp"),
+        )
+        .filter((F.col("_thru") >= F.col("_sp._k")) & (F.col("_pre") < F.col("_sp._k")))
+        .select(
+            *group_cols,
+            "_band",
+            "_pre",
+            "_n",
+            F.col("_sp._k").alias("_k"),
+            F.col("_sp.stat_idx").alias("stat_idx"),
+        )
+    )
     inband = rows.join(crossing, [*group_cols, "_band"])
     wr = W.partitionBy(*group_cols, "_band", "stat_idx").orderBy("_v", "_id")
     return (

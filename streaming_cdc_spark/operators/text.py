@@ -302,10 +302,16 @@ def chunk_dedup_stats(
     hash-key join back → per-doc aggregate. Linear; candidate-free
     (sharing is exact hash equality, no pair enumeration)."""
     ch = content_defined_chunks(docs, id_col, text_col, k, modulus)
+    # LAZY lineage cut (optimization r9 residual sweep): per_doc is
+    # referenced twice (doc-frequency aggregate + the join back) —
+    # without the cut the whole content-defined chunking (rolling md5
+    # over every document) re-runs per reference. The narrow
+    # (id, hash, occ, len) rows materialize once in the caller's
+    # action; no extra driver job.
     per_doc = ch.groupBy(id_col, "chunk_hash").agg(
         F.count(F.lit(1)).alias("_occ"),
         F.max("chunk_len").alias("_len"),
-    )
+    ).localCheckpoint(eager=False)
     freq = per_doc.groupBy("chunk_hash").agg(
         F.count(F.lit(1)).alias("_ndocs")
     )

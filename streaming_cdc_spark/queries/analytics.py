@@ -116,9 +116,17 @@ def category_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     margins by two tiny re-aggregations of the CELLS (never rescanning
     events), one-row scalar broadcasts for N and the total."""
     ev = load(spark, sf_dir, "events")
-    cells = ev.groupBy(
-        (F.col("event_id") % 2).alias("split"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("o"))
+    # LAZY lineage cut (optimization r9 residual sweep): cells is the
+    # tiny |splits| x |types| relation referenced FOUR times (r, c,
+    # nn, q) — without the cut Catalyst re-inlines the events scan +
+    # aggregate into every reference (8 scans in the final plan),
+    # despite the docstring's "never rescanning events" contract.
+    # Lazy, so the single final action materializes it once.
+    cells = (
+        ev.groupBy((F.col("event_id") % 2).alias("split"), "event_type")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=False)
+    )
     r = cells.groupBy("split").agg(F.sum("o").alias("r"))
     c = cells.groupBy("event_type").agg(F.sum("o").alias("c"))
     nn = cells.agg(F.sum("o").alias("n"))
@@ -137,6 +145,8 @@ def category_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "decimal(18,6)"
             ),
         )
+        # same cut for q: referenced by tot AND the final projection
+        .localCheckpoint(eager=False)
     )
     tot = q.agg(F.sum("cq").alias("chi2"))
     return q.crossJoin(F.broadcast(tot)).select(
@@ -1877,13 +1887,20 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(5, 99, 100), (95, 99, 100)],
         band_expr=F.expr("c div 100"),
     )
-    lo = stats.filter(F.col("stat_idx") == 0).select(
-        "event_type", F.col("stat_value").alias("p_lo")
+    # ONE reference to the banded pass (optimization r9 residual
+    # sweep): the old lo/hi filter + self-join referenced `stats`
+    # twice, re-running the whole order-statistics pass per side —
+    # pivoting the 2-rows-per-type relation in one aggregate keeps a
+    # single pass and drops the join. stat_idx 0/1 each appear exactly
+    # once per type, so MAX(CASE) is the plain pivot; n is identical
+    # on both rows.
+    bounds = F.broadcast(
+        stats.groupBy("event_type").agg(
+            F.max(F.when(F.col("stat_idx") == 0, F.col("stat_value"))).alias("p_lo"),
+            F.max(F.when(F.col("stat_idx") == 1, F.col("stat_value"))).alias("p_hi"),
+            F.max("n").alias("n"),
+        )
     )
-    hi = stats.filter(F.col("stat_idx") == 1).select(
-        "event_type", F.col("stat_value").alias("p_hi"), "n"
-    )
-    bounds = F.broadcast(lo.join(hi, "event_type"))
     clamped = e.join(bounds, "event_type").select(
         "event_type",
         "n",
@@ -2305,9 +2322,11 @@ def quartile_interp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose /4 is a dyadic rational — exact in double on both engines.
     The hi fetch can only fall off the end of a group when r = 0
     (proof: r > 0 implies floor((n-1)*q/4) < n-1, so hi_rank <= n),
-    where it is unused — the LEFT join + COALESCE(hi, lo) makes the
-    n = 1 edge well-defined instead of row-dropping (the single-leaf
-    forest lesson). Oracle = the direct rank-window formulation: an
+    where it is unused — the lo/hi pivot (one MAX(CASE) aggregate
+    over the <= 6-rows-per-group stats relation; the lo row always
+    exists) + COALESCE(hi, lo) makes the n = 1 edge well-defined
+    instead of row-dropping (the single-leaf forest lesson). Oracle =
+    the direct rank-window formulation: an
     independent physical, so the hash match proves the banded
     selection against the definitional percentile_cont."""
     from streaming_cdc_spark.operators.ranking import grouped_order_statistics
@@ -2336,18 +2355,22 @@ def quartile_interp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         specs,
         band_expr=F.expr("cents div 100000"),
     )
-    lo = stats.filter(F.col("stat_idx") <= 2).select(
-        "priority",
-        (F.col("stat_idx") + 1).cast("long").alias("quartile"),
-        F.col("stat_value").alias("v_lo"),
-        "n",
+    # ONE reference to the banded pass (optimization r9 residual
+    # sweep): the old lo/hi filter + left self-join referenced `stats`
+    # twice, re-running the whole six-rank pass per side — grouping
+    # the <= 6-rows-per-priority relation by (priority, quartile)
+    # pivots lo (idx 0..2) and hi (idx 3..5) in one aggregate. The lo
+    # row always exists (lo rank k is in [1, n] for every n >= 1), so
+    # the groups are exactly the old left join's keys; a missing hi
+    # row (rank n+1 when r = 0) leaves v_hi NULL exactly as the left
+    # join did, handled by the same COALESCE.
+    j = stats.groupBy(
+        "priority", ((F.col("stat_idx") % 3) + 1).cast("long").alias("quartile")
+    ).agg(
+        F.max(F.when(F.col("stat_idx") <= 2, F.col("stat_value"))).alias("v_lo"),
+        F.max(F.when(F.col("stat_idx") >= 3, F.col("stat_value"))).alias("v_hi"),
+        F.max(F.when(F.col("stat_idx") <= 2, F.col("n"))).alias("n"),
     )
-    hi = stats.filter(F.col("stat_idx") >= 3).select(
-        "priority",
-        (F.col("stat_idx") - 2).cast("long").alias("quartile"),
-        F.col("stat_value").alias("v_hi"),
-    )
-    j = lo.join(hi, ["priority", "quartile"], "left")
     rem = ((F.col("n") - 1) * F.col("quartile")) % 4
     return j.select(
         "priority",

@@ -258,8 +258,16 @@ def robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = ev.groupBy("event_type").agg(
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("med_r")
     )
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
-        "d", F.abs(F.col("value") - F.col("med_r"))
+    # LAZY lineage cut (optimization r9 residual sweep): dev is
+    # referenced twice (mad + the final aggregate) — without the cut
+    # the events scan, the median aggregate AND the broadcast join
+    # all re-run per reference (4 scans in the before-plan). Lazy, so
+    # the final action materializes the narrow rows once.
+    dev = (
+        ev.select("event_type", "value")
+        .join(F.broadcast(med), "event_type")
+        .withColumn("d", F.abs(F.col("value") - F.col("med_r")))
+        .localCheckpoint(eager=False)
     )
     mad = dev.groupBy("event_type").agg(
         F.round(F.percentile("d", F.lit(0.5)), 6).alias("mad_r")
