@@ -247,14 +247,17 @@ def ep2_streaming(
     own_ckpt = checkpoint_dir is None
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ep2s_ckpt_")
     name = f"ep2s_{abs(hash(ckpt)) % 10**9}"
+    from streaming_cdc_spark.session import stream_start_conf
+
     out = streaming_linker(stream, threshold, limit=limit, strategy=strategy, key_col=key_col)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with stream_start_conf(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     if own_ckpt:
         import shutil

@@ -1137,12 +1137,15 @@ def _run_progressive_stream(
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/split_*/*.parquet")
     )
-    q = (
-        stream.writeStream.foreachBatch(resolver.apply_batch)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from streaming_cdc_spark.session import stream_start_conf
+
+    with stream_start_conf(spark):
+        q = (
+            stream.writeStream.foreachBatch(resolver.apply_batch)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     # pin the (tiny) result in block-manager memory so the per-run
     # state + checkpoint dirs can be deleted now — bench/gate call
@@ -1314,13 +1317,16 @@ def streaming_bloom_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"bloomst_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="bloomst_ckpt_")
     try:
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
+        from streaming_cdc_spark.session import stream_start_conf
+
+        with stream_start_conf(spark):
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
         # no timeout (sibling streaming queries likewise): a timed
         # await returns False on a slow host and we would read a
         # PARTIAL table and rmtree a live query's checkpoint

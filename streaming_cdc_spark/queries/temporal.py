@@ -526,15 +526,18 @@ def watermarked_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).alias("_sv"),
         )
     )
+    from streaming_cdc_spark.session import stream_start_conf
+
     name = f"wmdc_{abs(hash(ckpt)) % 10**9}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with stream_start_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     out = (
         spark.table(name)
@@ -719,15 +722,18 @@ def streaming_sessions_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
             .agg(F.count(F.lit(1)).alias("n_events"))
         )
+        from streaming_cdc_spark.session import stream_start_conf
+
         name = f"sesfin_{abs(hash(ckpt)) % 10**9}"
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
+        with stream_start_conf(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination()
         out = (
             spark.table(name)
@@ -1794,12 +1800,15 @@ def stream_static_enrich_evolving(spark: SparkSession, sf_dir: str) -> DataFrame
             .option("maxFilesPerTrigger", 1)
             .parquet(f"{src}/split_*/*.parquet")
         )
-        q = (
-            stream.writeStream.foreachBatch(handle)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
+        from streaming_cdc_spark.session import stream_start_conf
+
+        with stream_start_conf(spark):
+            q = (
+                stream.writeStream.foreachBatch(handle)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination()
         return (
             spark.read.parquet(f"{out_dir}/b*")

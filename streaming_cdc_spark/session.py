@@ -151,6 +151,54 @@ def write_mtime_pinned_splits(parts, base_dir: str, names=None) -> None:
                 os.utime(os.path.join(root, f_), (1_000_000 + i, 1_000_000 + i))
 
 
+def stream_shuffle_partitions() -> int:
+    """Shuffle-partition count captured by a STREAMING query at start —
+    which in Structured Streaming also fixes the number of state-store
+    instances per stateful operator for the query's whole lifetime
+    (it is baked into the checkpoint). The session default sizes
+    shuffle partitions to the core count for BATCH compute, but a
+    stateful micro-batch pays a fixed per-instance open+commit cost
+    every trigger: at 16 partitions a stream-stream join touches 64
+    store instances per batch, and a per-trigger decomposition
+    (OPTIMIZATION_r09.md, sixth session) measured 12-67 s of cumulative
+    state-commit time per batch under co-tenant load vs 1.2-3.6 s at 4
+    partitions — wall time 12.6-30.1 s vs a stable 8.5-9.0 s for the
+    same drain, identical output. The engine's availableNow drains hold
+    KB-MB of state, so the store count should follow STATE SIZE, not
+    the compute core count (guide §2: derive partitioning from the
+    data, don't inherit a constant tuned for something else).
+    ``SPARK_GRAFT_STREAM_SHUFFLE`` overrides for real deployments,
+    where the right value scales with state volume and trigger
+    throughput (e.g. cores or higher for TB-scale state; it must be
+    chosen before the first checkpoint commit)."""
+    return int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4"))
+
+
+class stream_start_conf:
+    """Context manager that pins ``spark.sql.shuffle.partitions`` to
+    stream_shuffle_partitions() while a streaming query STARTS, then
+    restores the session value. StreamExecution clones the session
+    state synchronously inside start(), so the reduced value is
+    captured by the stream (and by every micro-batch plan and
+    foreachBatch handler job, which run on the clone) while batch
+    queries planned after the ``with`` block keep the session default.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self._old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(stream_shuffle_partitions())
+        )
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self._old)
+        return False
+
+
 def drain_to_memory(out_df, prefix: str, output_mode: str | None = None):
     """availableNow-drain a streaming DataFrame through a memory sink
     and return the collected table as a localCheckpointed batch
@@ -173,12 +221,13 @@ def drain_to_memory(out_df, prefix: str, output_mode: str | None = None):
         w = out_df.writeStream.format("memory")
         if output_mode is not None:
             w = w.outputMode(output_mode)
-        q = (
-            w.queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
+        with stream_start_conf(spark):
+            q = (
+                w.queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination()
         return spark.table(name).localCheckpoint()
     finally:

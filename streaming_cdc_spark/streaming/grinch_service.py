@@ -66,12 +66,15 @@ class GrinchStreamService:
     def start(self, stream: DataFrame, checkpoint: str):
         """Attach to a streaming DataFrame; returns the StreamingQuery
         (availableNow-compatible; call awaitTermination yourself)."""
-        return (
-            stream.writeStream.foreachBatch(self.foreach_batch)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
+        from streaming_cdc_spark.session import stream_start_conf
+
+        with stream_start_conf(stream.sparkSession):
+            return (
+                stream.writeStream.foreachBatch(self.foreach_batch)
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
 
     def flat_clusters(self, threshold: float) -> dict:
         """C14 flat cut of the accumulated tree."""

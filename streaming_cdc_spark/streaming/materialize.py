@@ -115,13 +115,16 @@ class _VersionedKeyedTable:
     def start(self, stream: DataFrame, checkpoint_dir: str | None = None):
         """Attach to a streaming DataFrame; availableNow drains a
         finite stream to completion (caller awaits termination)."""
+        from streaming_cdc_spark.session import stream_start_conf
+
         ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="matagg_ckpt_")
-        return (
-            stream.writeStream.foreachBatch(self.apply_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
+        with stream_start_conf(stream.sparkSession):
+            return (
+                stream.writeStream.foreachBatch(self.apply_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
 
     def table(self, spark: SparkSession) -> DataFrame:
         """The current materialized table (empty-version safe)."""

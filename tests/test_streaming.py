@@ -646,3 +646,83 @@ def test_linkreplay_fixture_geometry_exercises_both_branches(spark):
     n_breaks = gaps.filter(F.col("gap") > _LINKREPLAY_LIMIT).count()
     assert n_linked >= 10, n_linked
     assert n_breaks >= 10, n_breaks
+
+
+def test_stream_start_conf_sizes_state_stores_and_restores(
+    spark, tmp_path, monkeypatch
+):
+    """stream_start_conf pins shuffle partitions (= the state-store
+    instance count a stateful stream bakes into its checkpoint) to
+    stream_shuffle_partitions() for the stream's lifetime, restores
+    the session value, and — partition invariance — leaves the drained
+    RESULT byte-identical to a session-default drain."""
+    from pyspark.sql import functions as F
+
+    from streaming_cdc_spark.session import (
+        drain_to_memory,
+        stream_start_conf,
+        stream_shuffle_partitions,
+        write_mtime_pinned_splits,
+    )
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k string, v long")
+
+    write_mtime_pinned_splits(
+        [df([("a", 1), ("b", 2)]), df([("a", 3), ("c", 4)])],
+        str(tmp_path / "src"),
+    )
+
+    def agg_stream():
+        s = (
+            spark.readStream.schema("k string, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "src" / "split_*") + "/*.parquet")
+        )
+        return s.groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+
+    # 1) the shared drain path captures the reduced count and restores:
+    #    hand-start inside the manager to read stateOperators metrics.
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE", "2")
+    assert stream_shuffle_partitions() == 2
+    ckpt = str(tmp_path / "ckpt1")
+    with stream_start_conf(spark):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "2"
+        q = (
+            agg_stream()
+            .writeStream.format("memory")
+            .queryName("ssc_probe")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    # restored immediately after start(), while the stream still runs
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    q.awaitTermination()
+    st = (q.recentProgress[-1].get("stateOperators") or [{}])[0]
+    assert st.get("numShufflePartitions") == 2, st
+    got_small = sorted(map(tuple, spark.table("ssc_probe").collect()))
+    spark.catalog.dropTempView("ssc_probe")
+
+    # 2) restore on exception inside the with-block
+    try:
+        with stream_start_conf(spark):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    # 3) result equality vs a session-default drain (env cleared ->
+    #    default 4; different store count, same rows)
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_SHUFFLE")
+    assert stream_shuffle_partitions() == 4
+    got_default = sorted(
+        map(
+            tuple,
+            drain_to_memory(agg_stream(), "ssc_eq", output_mode="complete").collect(),
+        )
+    )
+    assert got_small == got_default == [("a", 2, 4), ("b", 1, 2), ("c", 1, 4)]
