@@ -113,7 +113,7 @@ def connected_components(
     # e is not already cached (driver_cutoff=0 path); exploding each
     # edge into both directions keeps a single pipelined evaluation
     # with the identical (u, v) row set feeding the same distinct.
-    sym = (
+    sym0 = (
         e.select(
             F.explode(
                 F.array(
@@ -124,20 +124,35 @@ def connected_components(
         )
         .select("_p.u", "_p.v")
         .distinct()
+    )
+    touched = sym0.select(F.col("u").alias("v")).distinct()
+    # Two per-iteration shuffles removed (optimization r10, guide §2.4):
+    # (a) SELF-LOOPS (v, v) fold the "keep own label" term into the
+    #     neighbor-min aggregate, so the per-iteration least(own,
+    #     nbr-min) join — and its exchange of the label relation by v —
+    #     disappears: min over (neighbors ∪ self) IS least(own, nbr min).
+    # (b) the symmetrized edge relation is cached PRE-PARTITIONED on the
+    #     probe key u (persist keeps the plan's output partitioning;
+    #     AQE leaves cached plans alone by default), so each iteration
+    #     shuffles only the label relation (O(V) rows) instead of
+    #     re-exchanging the edge relation (O(E) rows) every round — at
+    #     scale the edge side dominates, so per-iteration shuffle bytes
+    #     drop from E+V to V. Equivalence: identical label fixpoint
+    #     (probe at sf0.1: same 1964-row assignment, 7 iterations both).
+    sym = (
+        sym0.unionByName(touched.select(F.col("v").alias("u"), F.col("v")))
+        .repartition("u")
         .persist()
     )
-
-    touched = sym.select(F.col("u").alias("v")).distinct()
     lbl = touched.select("v", F.col("v").alias("l")).localCheckpoint()
     prev_sum = None
     for _ in range(max_iter):
-        nbr_min = (
+        # min over (neighbors ∪ self): the self-loop row carries v's own
+        # label through the same aggregate
+        stepped = (
             sym.join(lbl.withColumnRenamed("v", "u"), "u")
             .groupBy("v")
-            .agg(F.min("l").alias("nl"))
-        )
-        stepped = lbl.join(nbr_min, "v", "left").select(
-            "v", F.least(F.col("l"), F.coalesce("nl", "l")).alias("l")
+            .agg(F.min("l").alias("l"))
         )
         # pointer jump: l(v) <- l(l(v)) — collapses chains in O(log n)
         # LAZY localCheckpoint (optimization r9): the convergence agg
