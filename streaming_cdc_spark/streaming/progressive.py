@@ -283,7 +283,11 @@ class ProgressiveResolver:
             .filter(F.col("_df") <= self.df_cap)
             .select("shingle")
         )
-        shc = sh.join(keep, "shingle", "left_semi")
+        # df-capped postings feed BOTH probe sides (a_side and the
+        # batch-filtered b_side) — persist so the df-cap aggregate +
+        # semi-join compute once per bucket instead of once per side
+        # (optimization r10; lazy — the result write materializes it)
+        shc = sh.join(keep, "shingle", "left_semi").persist()
         # edges discovered THIS batch: the larger doc just arrived
         b_side = shc.join(
             batch.select("doc_id"), "doc_id", "left_semi"
@@ -362,9 +366,12 @@ class ProgressiveResolver:
                 os.path.join(self.df_root, f"b{bucket}")
             ),
         )
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            for f in [pool.submit(w) for w in writes]:
-                f.result()  # propagate the first failure
+        try:
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                for f in [pool.submit(w) for w in writes]:
+                    f.result()  # propagate the first failure
+        finally:
+            shc.unpersist()
 
     RESULT_SCHEMA = "batch_id int, cbs bigint, n_pairs bigint, n_matches bigint"
 

@@ -66,6 +66,25 @@ def test_connected_components_custom_id_col(spark):
 
 
 @pytest.mark.parametrize("cutoff", [0, 2_000_000])
+def test_connected_components_duplicate_and_reversed_edges(spark, cutoff):
+    # r10 loop rewrite (self-loop fold + u-partitioned cached edges):
+    # duplicate edges, both-direction pairs and a DESCENDING id chain
+    # (the min label enters at the tail, so own-label retention and
+    # the jump both do real work) must not change the assignment on
+    # either physical path
+    vertices = spark.range(1, 10).select(F.col("id").alias("v"))
+    edges = spark.createDataFrame(
+        [(9, 8), (8, 9), (8, 7), (7, 6), (7, 6), (6, 1), (3, 4)],
+        "u long, v long",
+    )
+    got = {
+        r["v"]: r["cluster_id"]
+        for r in connected_components(vertices, edges, driver_cutoff=cutoff).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 3, 4: 3, 5: 5, 6: 1, 7: 1, 8: 1, 9: 1}
+
+
+@pytest.mark.parametrize("cutoff", [0, 2_000_000])
 def test_connected_components_edge_only_vertices(spark, cutoff):
     # edges referencing ids absent from `vertices` must not leak into
     # the output on either physical path (r1 ADVICE)
